@@ -1,0 +1,478 @@
+"""Document / element facade: ``find()`` driver + extraction functions.
+
+Re-expresses the reference's public API (duzun/hQuery.php):
+
+* ``HDoc.find(sel, attr)`` — the fused plan/execute loop over the selector
+  IR: OR groups → per-step conjunction → combinator hops → positional
+  pseudo slices → union + doc-order restore (hQuery.php:302-450);
+* ``HElement`` — an ordered set of intervals over one document, lazy over
+  the source string (Node.php / Element.php): ``html() outer_html() text()
+  attr() val() node_name() pos() has_class() exclude() dl() text2dl()``.
+
+A selection never materializes markup — it is a map {begin: end} into the
+immutable document; extraction is byte slicing.
+"""
+
+from __future__ import annotations
+
+import html as _htmlmod
+import re
+from typing import Dict, Iterator, List, Mapping, Optional, Tuple, Union
+
+from .attrs import attr2str, parse_attr_str, parse_css_str
+from .index import DocIndex, IdMap
+from .query import (
+    children_of,
+    ctx_ids,
+    filter_contains,
+    filter_ids,
+    find_ids,
+    has_class,
+    next_siblings,
+    parents_of,
+    prev_siblings,
+)
+from .selector import parse_selector
+
+__all__ = ["HDoc", "HElement", "strip_tags"]
+
+_COMMENT_RE = re.compile(rb"<!--.*?-->", re.S)
+_TAG_RE = re.compile(rb"<[^>]*>")
+_TRAILING_LT_RE = re.compile(rb"<[^>]*\Z")
+_WS_COLLAPSE = re.compile(r"\s+")
+
+
+def strip_tags(html: bytes) -> bytes:
+    """PHP-strip_tags-alike: drop comments, tags, and an unterminated
+    trailing ``<...`` run (Node.php:325-329 uses strip_tags for text())."""
+    html = _COMMENT_RE.sub(b"", html)
+    html = _TAG_RE.sub(b"", html)
+    html = _TRAILING_LT_RE.sub(b"", html)
+    return html
+
+
+def _decode_entities(s: str) -> str:
+    return _htmlmod.unescape(s)
+
+
+class HElement:
+    """An ordered collection of intervals {begin: end} over one HDoc."""
+
+    __slots__ = ("doc", "ids", "exc")
+
+    def __init__(self, doc: "HDoc", ids: IdMap, exc: Optional[IdMap] = None) -> None:
+        self.doc = doc
+        self.ids = ids
+        self.exc = exc
+
+    # -- collection ops (Element.php:241-324) -------------------------- #
+    def __len__(self) -> int:
+        return len(self.ids)
+
+    def __bool__(self) -> bool:
+        return bool(self.ids)
+
+    def __iter__(self) -> Iterator["HElement"]:
+        for b, e in self.ids.items():
+            yield HElement(self.doc, {b: e})
+
+    def get(self, idx: int) -> Optional["HElement"]:
+        items = list(self.ids.items())
+        if idx < 0:
+            idx += len(items)
+        if 0 <= idx < len(items):
+            b, e = items[idx]
+            return HElement(self.doc, {b: e})
+        return None
+
+    def first(self) -> Optional["HElement"]:
+        return self.get(0)
+
+    def last(self) -> Optional["HElement"]:
+        return self.get(len(self.ids) - 1)
+
+    def slice(self, start: int, count: Optional[int] = None) -> "HElement":
+        items = list(self.ids.items())
+        sel = items[start : start + count if count is not None else None]
+        return HElement(self.doc, dict(sel))
+
+    def pos(self) -> Optional[int]:
+        """Byte offset of the first element — the span ``offset`` field
+        (Node.php:483-495)."""
+        for b in self.ids:
+            return b
+        return None
+
+    # -- extraction (Node.php:251-329) ---------------------------------- #
+    def html_bytes(self) -> bytes:
+        doc = self.doc.index
+        ids = self.ids
+        exc_ranges: List[Tuple[int, int]] = []
+        if self.exc:
+            ids = {b: e for b, e in ids.items() if b not in self.exc}
+            # Beyond the reference (whose content-view exclusion test is
+            # commented out): excluded elements *nested inside* an emitted
+            # slice are cut from it — the boilerplate-strip hook (Q21).
+            exc_ranges = sorted((b + 1, e) for b, e in self.exc.items() if b < e)
+        parts = []
+        for p, q in ids.items():
+            p += 1
+            if p < q:
+                pos = p
+                for xs, xe in exc_ranges:
+                    if xe <= pos or xs >= q:
+                        continue
+                    if pos < xs:
+                        parts.append(doc.html[pos:xs])
+                    pos = max(pos, xe)
+                    if pos >= q:
+                        break
+                if pos < q:
+                    parts.append(doc.html[pos:q])
+        return b"".join(parts)
+
+    def html(self) -> str:
+        return self.html_bytes().decode("utf-8", "replace")
+
+    def text(self) -> str:
+        return _decode_entities(
+            strip_tags(self.html_bytes()).decode("utf-8", "replace")
+        )
+
+    def outer_html(self) -> str:
+        """Rebuild ``<name attrs…>…</name>`` with canonically-serialized
+        attributes, preserving the source tag-close style ``>``, ``/>``,
+        `` />`` (Node.php:283-320)."""
+        doc = self.doc.index
+        out = []
+        for p, q in self.ids.items():
+            a = doc.get_attr_by_id(p, None, raw=True)
+            astr = attr2str(a) if a else ""
+            n = doc.tags[p]
+            p1 = p + 1
+            h: Union[bytes, bool] = (
+                False if p1 - 1 == q else (doc.html[p1:q] if p1 < q else b"")
+            )
+            # capture the close style from source: back-scan over '/', ws
+            tc = p1 - 2
+            if h is False and doc.html[tc : tc + 1] == b"/":
+                tc -= 1
+            while tc >= 0 and doc.html[tc : tc + 1] in b" \t\n\r\x00\x0b\x0c":
+                tc -= 1
+            tc += 1
+            close_style = doc.html[tc:p1].decode("utf-8", "replace")
+            out.append(
+                "<"
+                + n
+                + ((" " + astr) if astr else "")
+                + close_style
+                + (
+                    ""
+                    if h is False
+                    else h.decode("utf-8", "replace") + "</" + n + ">"
+                )
+            )
+        return "".join(out)
+
+    def node_name(self, case_folding: bool = True) -> Union[str, List[str], None]:
+        doc = self.doc.index
+        names = [doc.tags[b] for b in self.ids]
+        if case_folding:
+            names = [n.lower() for n in names]
+        if not names:
+            return None
+        return names[0] if len(names) == 1 else names
+
+    def attr(self, name: Optional[str] = None, evaluate: bool = False):
+        """Attribute of the first element; ``evaluate=True`` resolves
+        href/src against the base URL and parses style (Node.php:134-149)."""
+        for b in self.ids:
+            val = self.doc.index.get_attr_by_id(b, name, raw=not evaluate)
+            if evaluate and name == "style":
+                return parse_css_str(val) if val else {}
+            return val
+        return None
+
+    def val(self):
+        """Form-value semantics (Element.php:194-213)."""
+        el = self.get(0) if len(self.ids) > 1 else self
+        if el is None:
+            return False
+        nn = el.node_name(False)
+        nn = (nn or "").upper() if isinstance(nn, str) else ""
+        if nn == "TEXTAREA":
+            return el.html()
+        if nn == "INPUT":
+            t = el.attr("type")
+            if isinstance(t, str) and t.upper() == "CHECKBOX" and el.attr("checked") is False:
+                return False
+            return el.attr("value")
+        return False
+
+    def has_class(self, cl: Union[str, List[str]]):
+        """Tri-state (HTML_Index.php:940-991 / Element.php:221-233)."""
+        if not isinstance(cl, list):
+            cl = [c for c in str(cl).strip().split()]
+        ids = self.ids
+        if self.exc:
+            ids = {b: e for b, e in ids.items() if b not in self.exc}
+        results = []
+        for b in ids:
+            c = has_class(self.doc.index, b, cl)
+            if c is False:
+                return False
+            results.append(c)
+        if not results:
+            return 0
+        if len(results) == 1:
+            return results[0]
+        return True if any(r is True for r in results) else 0
+
+    # -- structure ------------------------------------------------------ #
+    def find(self, sel: str, attr=None) -> Optional["HElement"]:
+        return self.doc.find(sel, attr, ctx=self)
+
+    def exclude(self, sel: str, attr=None) -> Optional["HElement"]:
+        """Subtract a sub-selection from this node's content view
+        (Node.php:205-218) — the boilerplate-strip hook."""
+        e = self.find(sel, attr)
+        if e:
+            if not self.exc:
+                self.exc = dict(e.ids)
+            else:
+                merged = dict(e.ids)
+                merged.update(self.exc)
+                self.exc = dict(sorted(merged.items()))
+        return e
+
+    def parent(self) -> "HElement":
+        return HElement(self.doc, parents_of(self.doc.index, self.ids))
+
+    def children(self) -> "HElement":
+        return HElement(self.doc, children_of(self.doc.index, self.ids))
+
+    def next_sibling(self) -> "HElement":
+        return HElement(self.doc, next_siblings(self.doc.index, self.ids))
+
+    def prev_sibling(self) -> "HElement":
+        return HElement(self.doc, prev_siblings(self.doc.index, self.ids))
+
+    # -- structured extraction (Node.php:353-420,1254-1302) ------------- #
+    def dl(
+        self,
+        dt_sel: str = "dt",
+        dd_sel: str = "dd",
+        dw: Optional[str] = None,
+        key=None,
+    ):
+        one_key = key is not None
+        out: Dict[str, str] = {}
+        if dw:
+            wrappers = self.find(dw)
+            if wrappers:
+                for w in wrappers:
+                    dte = w.find(dt_sel)
+                    dde = w.find(dd_sel)
+                    if not dte or not dde:
+                        continue
+                    dt = dte.first().text().strip()
+                    dd = dde.first().text().strip()
+                    if one_key:
+                        if key(dt, dd) if callable(key) else key == dt:
+                            return dd
+                    else:
+                        out[dt] = dd
+        else:
+            dtl = self.find(dt_sel)
+            ddl = list(self.find(dd_sel) or [])
+            if dtl:
+                for i, e in enumerate(dtl):
+                    if i >= len(ddl):
+                        break
+                    dt = e.text().strip()
+                    dd = ddl[i].text().strip()
+                    if one_key:
+                        if key(dt, dd) if callable(key) else key == dt:
+                            return dd
+                    else:
+                        out[dt] = dd
+        return None if one_key else out
+
+    def text2dl(self, sep: str = ":", key=None):
+        return text_parse_dl(self.text(), sep, key)
+
+
+def text_parse_dl(text: str, sep: str = ":", key=None):
+    """Parse text as ``key: value`` lines (Node.php:1254-1302)."""
+    text = text.strip()
+    one_key = key is not None
+    out: Dict[str, str] = {}
+    if not text:
+        return None if one_key else out
+    for line in text.split("\n"):
+        line = line.strip()
+        if not line:
+            continue
+        kv = line.split(sep, 1)
+        k = kv[0].rstrip()
+        v = kv[-1].lstrip()
+        if one_key:
+            if key(k, v) if callable(key) else key == k:
+                return v
+        else:
+            out[k] = v
+    return None if one_key else out
+
+
+class HDoc:
+    """A parsed, indexed document."""
+
+    __slots__ = ("index",)
+
+    def __init__(
+        self,
+        html: Union[str, bytes],
+        url: Optional[str] = None,
+        headers: Optional[Union[str, Mapping[str, str]]] = None,
+    ) -> None:
+        self.index = DocIndex(html, url=url, headers=headers)
+
+    @classmethod
+    def from_html(cls, html, url=None, headers=None) -> "HDoc":
+        return cls(html, url=url, headers=headers)
+
+    # ------------------------------------------------------------------ #
+    def __len__(self) -> int:
+        return len(self.index.ids)
+
+    @property
+    def charset(self):
+        return self.index.charset
+
+    @property
+    def base_url(self):
+        return self.index.base_url
+
+    @property
+    def base_uri(self):
+        return self.index.base_uri
+
+    @property
+    def html_errors(self):
+        return self.index.html_errors
+
+    def url2abs(self, url: str) -> str:
+        return self.index.url2abs(url)
+
+    def body(self) -> "HElement":
+        el = self.find("body")
+        return el if el else HElement(self, dict(self.index.ids))
+
+    # ------------------------------------------------------------------ #
+    def _ctx_map(self, ctx) -> Optional[IdMap]:
+        if ctx is None:
+            return None
+        if isinstance(ctx, HElement):
+            return ctx_ids(ctx.ids, ctx.exc)
+        if isinstance(ctx, dict):
+            return ctx_ids(dict(sorted(ctx.items())))
+        raise TypeError(f"invalid context: {type(ctx)}")
+
+    def find(self, sel: str, attr=None, ctx=None) -> Optional[HElement]:
+        """The fused plan/execute loop (hQuery.php:302-450)."""
+        doc = self.index
+        base_attr: Dict[str, Optional[str]] = {}
+        if isinstance(attr, str):
+            base_attr = parse_attr_str(attr)
+        elif isinstance(attr, dict):
+            base_attr = dict(attr)
+
+        cx0 = self._ctx_map(ctx)
+        if ctx is not None and not cx0:
+            return None  # empty context yields empty result
+
+        groups = parse_selector(sel.strip())
+        ra: Optional[IdMap] = None
+
+        for group in groups:
+            rb: Optional[IdMap] = None
+            cx = cx0
+            for b in group:
+                at = dict(b.get("a") or {}) or dict(base_attr)
+                if b.get("a") and base_attr:
+                    for k, v in base_attr.items():
+                        at.setdefault(k, v)
+                if "i" in b:
+                    at["id"] = b["i"]  # '#id' is just '[id=...]'
+                n = b.get("n")
+                c = b.get("c")
+
+                if not rb:
+                    rb = find_ids(doc, n, c, at, cx)
+                else:
+                    x = b.get("x", " ")
+                    if x == " ":
+                        cx = ctx_ids(dict(sorted(rb.items())))
+                        rb = find_ids(doc, n, c, at, cx) if cx else None
+                    elif x == ">":
+                        ch = children_of(doc, rb)
+                        rb = filter_ids(doc, ch, n, c, at)
+                    elif x == "+":
+                        ch = next_siblings(doc, rb)
+                        rb = filter_ids(doc, ch, n, c, at)
+                    elif x == "~":
+                        ch = next_siblings(doc, rb, 0, -1)
+                        rb = filter_ids(doc, ch, n, c, at)
+                if not rb:
+                    break
+
+                for ps in b.get("p") or ():
+                    if isinstance(ps, int):
+                        pidx = ps
+                        if pidx < 0:
+                            pidx += len(rb)
+                        if len(rb) >= 1 or pidx:
+                            if pidx < 0:
+                                rb = None
+                            else:
+                                items = list(rb.items())[pidx : pidx + 1]
+                                rb = dict(items)
+                    elif isinstance(ps, dict):
+                        (op, arg), = ps.items()
+                        narg = int(arg) if arg not in (None, "") else None
+                        if op == "<":
+                            if narg is not None:
+                                rb = dict(list(rb.items())[:narg])
+                        elif op == ">":
+                            rb = dict(list(rb.items())[narg or 0 :])
+                        elif op == "-":
+                            rb = prev_siblings(doc, rb, narg or 0)
+                        elif op == "+":
+                            rb = next_siblings(doc, rb, narg or 0)
+                        elif op == "|":
+                            reps = narg if narg is not None else 0
+                            rb = parents_of(doc, rb)
+                            while reps > 0 and rb:
+                                rb = parents_of(doc, rb)
+                                reps -= 1
+                        elif op == "*":
+                            reps = narg if narg is not None else 0
+                            rb = children_of(doc, rb)
+                            while reps > 0 and rb:
+                                rb = children_of(doc, rb)
+                                reps -= 1
+                    if not rb:
+                        break
+                if not rb:
+                    break
+
+            if rb:
+                if ra is None:
+                    ra = dict(rb)
+                else:
+                    for k, v in rb.items():
+                        ra.setdefault(k, v)
+
+        if ra:
+            return HElement(self, dict(sorted(ra.items())))
+        return None

@@ -1,0 +1,301 @@
+"""Single-pass byte-offset HTML tokenizer.
+
+Re-expresses the reference's tag scan (duzun/hQuery.php,
+``src/hQuery/Parser/HTML.php:38-266``) as a from-scratch Python scanner over
+``bytes``.  The design fact that matters: the document is never turned into a
+DOM tree — the scanner emits a flat *interval index* ``{begin -> end}`` where
+
+* ``begin`` = byte offset of the open tag's terminating ``>``
+* ``end``   = byte offset of the matching close tag's ``<``
+  (``begin == end`` for empty / self-closed / unclosed tags)
+
+Nesting is implicit (``b_i < b_j < e_i``), document order = sorted begins.
+
+Malformed-HTML repair semantics are matched to the reference exactly:
+
+* quote-aware ``>`` search tolerating misplaced/unbalanced quotes and quoted
+  attribute *names* (``_findTagClose``, ``Parser/HTML.php:228-266``);
+* per-tag-name LIFO stacks so interleaved tags (``<b><i></b></i>``) each
+  still get an interval (``Parser/HTML.php:140-154``);
+* unmatched close tags silently ignored; unclosed opens keep
+  ``begin == end`` (``Parser/HTML.php:147``);
+* comment pre-index consulted as a skip list (``Parser/HTML.php:197-220``);
+* ``<script>/<style>`` bodies are opaque: tags inside are not indexed until
+  the matching close tag (``Parser/HTML.php:24,102-139``);
+* trailing lone ``<`` / ``</`` trimmed (``Parser/HTML.php:66-76``).
+
+All scanning is done with C-speed ``bytes.find`` primitives — the same trick
+the reference uses with ``strpos``/``strspn``/``strcspn`` — so the per-byte
+work never runs in the interpreter; only per-*tag* bookkeeping does.
+
+On top of the reference semantics, the scanner also records *markup extents*
+(half-open byte ranges covered by tag tokens, comments and script/style
+bodies).  The complement of those extents is exactly the document's text
+runs — the basis for span extraction (kind='text') at the pipeline level.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Tuple, Union
+
+__all__ = [
+    "ParseResult",
+    "parse_html",
+    "find_tag_close",
+    "index_comments",
+    "UNPARSED_TAGS",
+]
+
+# Tag-name byte classification (reference: Parser.php:80-87 —
+# nameStartRange = a-zA-Z_\x80-\xFF ; nameRange adds \-0-9, tag names add ':')
+_NAME_START = bytearray(256)
+for _c in range(256):
+    if (
+        0x61 <= _c <= 0x7A  # a-z
+        or 0x41 <= _c <= 0x5A  # A-Z
+        or _c == 0x5F  # _
+        or _c >= 0x80
+    ):
+        _NAME_START[_c] = 1
+
+_NAME_CHAR = bytearray(_NAME_START)
+for _c in range(0x30, 0x3A):  # 0-9
+    _NAME_CHAR[_c] = 1
+_NAME_CHAR[0x2D] = 1  # -
+_NAME_CHAR[0x3A] = 1  # : (tag names only; Parser/HTML.php:53)
+
+_WS = b" \n\r\t"
+_PHP_TRIM = b" \t\n\r\x00\x0b"  # PHP trim() default charlist
+
+UNPARSED_TAGS = (b"style", b"script")
+
+
+def index_comments(s: bytes) -> Dict[int, int]:
+    """Pair ``<!--`` ... ``-->`` offsets. Returns {start -> end_after_-->}.
+
+    Mirrors the reference's comment pre-index (Parser/HTML.php:197-220):
+    an unterminated comment swallows the rest of the document.
+    """
+    tg: Dict[int, int] = {}
+    i = 0
+    l = len(s)
+    while i < l:
+        i = s.find(b"<!--", i)
+        if i < 0:
+            break
+        p = i
+        i = s.find(b"-->", i + 4)
+        i = l if i < 0 else i + 3
+        tg[p] = i
+    return tg
+
+
+def find_tag_close(s: bytes, p: int, l: Optional[int] = None) -> int:
+    """Quote-aware scan for the tag-terminating ``>``.
+
+    Returns the offset of the ``>`` that closes the tag whose attribute
+    region starts at ``p``, or -1 when the tag never closes.  Tolerates
+    ``>`` inside quoted attribute values, quoted attribute *names*
+    (``"a>a"``), and unbalanced quotes — byte-for-byte the reference's
+    ``_findTagClose`` (Parser/HTML.php:228-266); golden offsets pinned by
+    tests ported from tests/hQueryParser.Test.php:162-183.
+    """
+    n = len(s)
+    if l is None:
+        l = n
+    while True:
+        if p < l:
+            i = s.find(b">", p)
+            if i < 0:
+                return -1
+        else:
+            i = l
+        if i == 0:
+            return -1
+        # advance p to the first quote before '>' (strcspn over ' " ')
+        dq = s.find(b'"', p, i)
+        sq = s.find(b"'", p, i)
+        if dq < 0:
+            qpos = sq
+        elif sq < 0:
+            qpos = dq
+        else:
+            qpos = dq if dq < sq else sq
+        if qpos < 0:
+            return i  # no quote before '>' → that '>' terminates the tag
+        e = p
+        p = qpos
+        q = s[p : p + 1]
+        p += 1
+        # was there a '=' between the scan start and the quote?
+        eq = s.find(b"=", e, p)
+        if eq < 0:
+            # quote opens an attribute *name*: a name must not contain '>',
+            # so the first of ('>' | closing quote) decides.
+            gt = s.find(b">", p, l)
+            cq = s.find(q, p, l)
+            if gt < 0:
+                j = cq if cq >= 0 else l
+            elif cq < 0:
+                j = gt
+            else:
+                j = gt if gt < cq else cq
+            p = j
+            if p < n and s[p : p + 1] == b">":
+                return p
+        else:
+            # quote opens an attribute value: skip to the closing quote
+            j = s.find(q, p, l)
+            p = j if j >= 0 else l
+        p += 1
+
+
+class ParseResult:
+    """Flat index produced by one scan: the reference's ``($ids,$tags,$attr)``
+    triple plus markup extents for text-run extraction."""
+
+    __slots__ = ("ids", "tags", "attr", "extents")
+
+    def __init__(
+        self,
+        ids: Dict[int, int],
+        tags: Dict[int, str],
+        attr: Dict[bytes, Union[int, List[int]]],
+        extents: List[Tuple[int, int]],
+    ) -> None:
+        self.ids = ids
+        self.tags = tags
+        self.attr = attr
+        self.extents = extents
+
+
+def _span_name(s: bytes, i: int, l: int) -> int:
+    """strspn(nameRange + ':') — length of the tag-name tail at ``i``."""
+    j = i
+    tbl = _NAME_CHAR
+    while j < l and tbl[s[j]]:
+        j += 1
+    return j - i
+
+
+def _span_ws(s: bytes, i: int, stop: int) -> int:
+    j = i
+    ws = _WS
+    while j < stop and s[j] in ws:
+        j += 1
+    return j - i
+
+
+def parse_html(s: bytes) -> ParseResult:
+    """One pass over ``s``; returns the interval index.
+
+    ``ids``  {begin -> end} in document (begin) order.
+    ``tags`` {begin -> tag name (original case, latin-1-decoded)}.
+    ``attr`` {raw attribute bytes -> begin | [begins]} — raw strings are
+             deduplicated at scan time (string interning, the reference's
+             Parser/HTML.php:125-132).
+    ``extents`` sorted half-open [start, stop) byte ranges covered by markup
+             (tag tokens, comments, special tags, script/style bodies).
+    """
+    l = len(s)
+    tg = index_comments(s)
+
+    # Edge case: trailing lone '<' or '</' is not a tag (Parser/HTML.php:66-76)
+    if l > 0:
+        c = s[l - 1]
+        if c == 0x3C:  # '<'
+            l -= 1
+        elif c == 0x2F and l > 1 and s[l - 2] == 0x3C:  # '</'
+            l -= 2
+
+    ids: Dict[int, int] = {}
+    tags: Dict[int, str] = {}
+    attr: Dict[bytes, Union[int, List[int]]] = {}
+    stack: Dict[bytes, List[int]] = {}
+    extents: List[Tuple[int, int]] = []
+
+    utn: Optional[bytes] = None  # current unparsed tag name (script/style)
+    utn_from = -1  # '>' offset of the unparsed open tag
+
+    name_start = _NAME_START
+    i = 0
+    while i < l:
+        i = s.find(b"<", i)
+        if i < 0 or i >= l:
+            break
+        lt = i
+        i += 1
+        b = i
+        c = s[i] if i < len(s) else -1
+        is_close = c == 0x2F  # '/'
+        if is_close:
+            i += 1
+            c = s[i] if i < len(s) else -1
+
+        if c >= 0 and name_start[c]:
+            # regular tag
+            i += 1
+            j = _span_name(s, i, l)
+            n = s[i - 1 : i + j]
+            i += j
+            if utn is not None:
+                if n.lower() != utn or not is_close:
+                    continue  # opaque script/style body
+                # close of the unparsed tag: mask its body
+                extents.append((utn_from + 1, lt))
+                utn = None
+            e = find_tag_close(s, i, l)
+            if e < 0:
+                break  # tag never closes — malformed tail
+            i = e + 1
+            extents.append((lt, i))
+            if not is_close:
+                ids[e] = e
+                tags[e] = n.decode("latin-1")
+                b += j + 1
+                b += _span_ws(s, b, e)
+                if b < e:
+                    at = s[b:e].strip(_PHP_TRIM)
+                    # PHP `if ($at)`: the 1-byte string "0" is falsy
+                    if at and at != b"0":
+                        prev = attr.get(at)
+                        if prev is None:
+                            attr[at] = e
+                        elif isinstance(prev, list):
+                            prev.append(e)
+                        else:
+                            attr[at] = [prev, e]
+                # '/>' ⇒ self-closed: no stack push (Parser/HTML.php:135)
+                if s[e - 1] != 0x2F:
+                    nl = n.lower()
+                    if nl in UNPARSED_TAGS:
+                        utn = nl
+                        utn_from = e
+                    stack.setdefault(nl, []).append(e)
+            else:
+                st = stack.get(n.lower())
+                if st:
+                    q = st.pop()  # per-name LIFO repair
+                    ids[q] = b - 1
+        elif not is_close:
+            # special tags: <!...> (doctype/comment/CDATA-ish), <?...>
+            if c in (0x21, 0x3F):  # '!' '?'
+                b -= 1
+                ce = tg.get(b)
+                if ce is not None:
+                    extents.append((b, ce))
+                    i = ce
+                    continue
+                gi = s.find(b">", i)
+                if gi < 0 or gi >= l:
+                    break
+                extents.append((lt, gi + 1))
+                i = gi + 1
+            # else: stray '<' — not a tag, continue scanning after it
+        # stray '</x'-with-non-name: loop continues with i already advanced
+
+    if utn is not None:
+        # unparsed tag never closed: the rest of the document is opaque
+        extents.append((utn_from + 1, l))
+
+    return ParseResult(ids, tags, attr, extents)

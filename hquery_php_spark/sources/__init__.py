@@ -1,0 +1,15 @@
+"""Sources: deterministic corpus synthesis and documents-table readers."""
+
+from .fixtures import (  # noqa: F401
+    ATTR_QUOTES_HTML,
+    BAD_HTML_1,
+    BAD_HTML_2,
+    BASE_TAG_1,
+    BASE_URL,
+    BODY_HTML,
+    EMPTY_BODY_HTML,
+    STRESS_SELECTORS,
+    big_synthetic,
+    gen_corpus,
+    interleaved_media_doc,
+)
