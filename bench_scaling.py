@@ -1,0 +1,96 @@
+#!/usr/bin/env python
+"""Scaling-efficiency evidence (BASELINE.json north rule): run the SAME
+extraction job on the SAME input at two parallelism levels — local[N] and
+local[4N] — and report throughput at both plus efficiency
+eff = (T_N / T_4N) / 4.
+
+A real cluster is unavailable in this sandbox; two local[] core counts on
+one box are the sanctioned stand-in (BASELINE.md).  The job is the
+end-to-end pipeline: synth HTML → byte-balanced repartition → tokenize →
+index → extract spans → count, sized by SPARK_GRAFT_SCALE_DOCS (the
+per-doc work is large enough that Python-side startup noise is <2%).
+
+Usage: python bench_scaling.py [N] [sf_dir]    (default N=8 → compares 8 vs 32)
+Prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def run_once(cores: int, sf_dir: str, repeat: int) -> tuple[float, int]:
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    from hquery_php_spark.operators.pipeline import (
+        byte_balanced_repartition,
+        extract_spans_df,
+    )
+    from hquery_php_spark.sources.html_synth import BASE_URL, synth_html_col
+
+    spark = (
+        SparkSession.builder.master(f"local[{cores}]")
+        .appName(f"scaling-{cores}")
+        .config("spark.sql.shuffle.partitions", str(max(cores * 2, 8)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "128")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # replicate the corpus to make the job long enough to measure scaling
+    if repeat > 1:
+        d = d.crossJoin(spark.range(repeat).withColumnRenamed("id", "rep"))
+        d = d.withColumn("doc_id", F.concat_ws("_", "doc_id", "rep"))
+    docs = d.select(
+        "doc_id",
+        synth_html_col(F.col("doc_id"), F.col("text"), F.col("source")).alias("html"),
+        F.lit(BASE_URL).alias("base_url"),
+        F.length("text").cast("long").alias("size_bytes"),
+    )
+    docs = byte_balanced_repartition(docs, cores * 3)
+    n_docs = None
+    # warm-up JIT/Arrow once with a tiny slice
+    extract_spans_df(docs.limit(64)).count()
+    t0 = time.perf_counter()
+    n_docs = extract_spans_df(docs).count()
+    wall = time.perf_counter() - t0
+    spark.stop()
+    return wall, n_docs
+
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    sf_dir = sys.argv[2] if len(sys.argv) > 2 else os.environ.get(
+        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
+    )
+    repeat = int(os.environ.get("SPARK_GRAFT_SCALE_REPEAT", "8"))
+
+    t_n, docs_n = run_once(n, sf_dir, repeat)
+    t_4n, docs_4n = run_once(4 * n, sf_dir, repeat)
+    assert docs_n == docs_4n
+    eff = (t_n / t_4n) / 4
+    out = {
+        "metric": "scaling_efficiency_Nx4",
+        "value": round(eff, 4),
+        "unit": "ratio",
+        "n_cores": n,
+        "n4_cores": 4 * n,
+        "n_docs": docs_n,
+        "wall_n_sec": round(t_n, 3),
+        "wall_4n_sec": round(t_4n, 3),
+        "docs_per_sec_n": round(docs_n / t_n, 2),
+        "docs_per_sec_4n": round(docs_n / t_4n, 2),
+        "sf": sf_dir,
+        "pass_ge_0_8": eff >= 0.8,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,219 @@
+"""Deduplication operators for a large-scale training-data pipeline.
+
+All shapes are Spark-native and shuffle-aware:
+
+* ``dedup_exact`` — one hash-aggregate on the fingerprint (map-side
+  partial agg for free); at 100TB this is the canonical single-shuffle
+  dedup.
+* ``minhash_signatures`` / ``minhash_lsh_candidates`` — character-shingle
+  MinHash entirely in JVM expressions (``transform``/``sequence``/
+  ``array_min`` + seeded ``hash``), banded LSH via explode→self-join on
+  (band, band_hash).  The self-join key space is the band hash, so the
+  shuffle is proportional to candidate density, not n².
+* ``ngram_jaccard_verify`` — exact n-gram Jaccard on candidate pairs only
+  (array_intersect/array_union sizes), i.e. verify-after-probe.
+* ``simhash64`` — 64-bit SimHash via a single ``aggregate`` over token
+  hashes (bit-majority by zip_with accumulation), JVM-side.
+* ``embedding_near_dup`` — cosine over an embedding column via
+  ``zip_with`` + ``aggregate``; bucketed by sign-LSH to avoid n².
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "dedup_exact",
+    "char_shingles",
+    "minhash_signatures",
+    "minhash_lsh_candidates",
+    "ngram_jaccard_verify",
+    "simhash64",
+    "cosine_sim",
+    "embedding_near_dup",
+]
+
+
+def dedup_exact(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    normalize: bool = True,
+) -> DataFrame:
+    """Keep the smallest id per identical (normalized) text.
+
+    One shuffle on the md5 fingerprint; the fingerprint (16B) — not the
+    full text — is the shuffle key+payload, which matters at 100TB.
+    """
+    norm = F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")) if normalize else F.col(text_col)
+    fp = F.md5(F.lower(norm)).alias("fp")
+    return (
+        df.select(fp, F.col(id_col))
+        .groupBy("fp")
+        .agg(F.min(id_col).alias("keep_id"), F.count("*").alias("n_dups"))
+    )
+
+
+def char_shingles(col: Column, k: int = 5) -> Column:
+    """Array of k-char shingles of the normalized text (JVM-side)."""
+    n = F.trim(F.regexp_replace(col, r"\s+", " "))
+    n = F.lower(n)
+    return F.when(F.length(n) < k, F.array(n)).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.length(n) - F.lit(k - 1)),
+            lambda i: n.substr(i, F.lit(k)),
+        )
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 32,
+    shingle_k: int = 5,
+) -> DataFrame:
+    """(id, sig: array<int>) — sig[i] = min over shingles of hash(shingle, i).
+
+    ``F.hash(col, lit(seed))`` gives a cheap seeded hash family; all of it
+    runs inside whole-stage codegen (no Python).
+    """
+    sh = char_shingles(F.col(text_col), shingle_k).alias("__sh")
+    base = df.select(F.col(id_col).alias("id"), sh)
+    sig = F.array(
+        *[
+            F.array_min(F.transform(F.col("__sh"), lambda s, i=i: F.hash(s, F.lit(i))))
+            for i in range(num_perm)
+        ]
+    ).alias("sig")
+    return base.select("id", sig)
+
+
+def minhash_lsh_candidates(
+    sig_df: DataFrame, bands: int = 8, rows_per_band: Optional[int] = None
+) -> DataFrame:
+    """Banded LSH: docs sharing any band bucket become candidate pairs
+    (id_a < id_b).  Shuffle key = (band, hash-of-band-rows)."""
+    if rows_per_band is None:
+        first = sig_df.select(F.size("sig").alias("n")).limit(1).collect()
+        n = first[0]["n"] if first else 0
+        rows_per_band = max(1, n // bands) if n else 4
+    buckets = sig_df.select(
+        "id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.hash(F.slice("sig", b * rows_per_band + 1, rows_per_band).cast("string"))
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "bucket"),
+    )
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_verify(
+    df: DataFrame,
+    candidates: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact char-k-gram Jaccard on candidate pairs only (verify stage)."""
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(char_shingles(F.col(text_col), k)).alias("sh"),
+    )
+    j = (
+        candidates.join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+        .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b"))
+            / F.size(F.array_union("sh_a", "sh_b")),
+        )
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+    return j.where(F.col("jaccard") >= threshold)
+
+
+def simhash64(col: Column, bits: int = 64) -> Column:
+    """64-bit SimHash of the whitespace tokens, JVM-side.
+
+    The per-bit loop is unrolled in Python (shift amounts must be
+    constants for Spark's shiftright/shiftleft); each bit is one
+    ``aggregate`` over the token array — all whole-stage codegen.
+    """
+    toks = F.split(F.trim(F.regexp_replace(F.lower(col), r"\s+", " ")), " ")
+    sig = F.lit(0).cast("long")
+
+    def _bit_acc(i: int):
+        return lambda acc, t: acc + F.when(
+            F.shiftright(F.xxhash64(t), i).bitwiseAND(F.lit(1)) == 1,
+            F.lit(1).cast("long"),
+        ).otherwise(F.lit(-1).cast("long"))
+
+    for i in range(bits):
+        bitsum = F.aggregate(toks, F.lit(0).cast("long"), _bit_acc(i))
+        weight = F.lit(-(1 << 63)).cast("long") if i == 63 else F.lit(1 << i).cast("long")
+        sig = sig + F.when(bitsum > 0, weight).otherwise(F.lit(0).cast("long"))
+    return sig
+
+
+def cosine_sim(a: Column, b: Column) -> Column:
+    """Cosine similarity of two float arrays, fully JVM-side."""
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+    nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, x: acc + x * x))
+    return dot / (na * nb)
+
+
+def embedding_near_dup(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_planes: int = 12,
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Near-duplicate vectors: sign-LSH bucket (n_planes pseudo-random
+    hyperplanes derived from seeded per-dimension hashes) then exact
+    cosine within buckets — avoids the n² cross join."""
+    from .similarity import bucket_of
+
+    b = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")).withColumn(
+        "bucket", bucket_of(F.col("v"), n_planes)
+    )
+    x = b.alias("x")
+    y = b.alias("y")
+    return (
+        x.join(
+            y,
+            (F.col("x.bucket") == F.col("y.bucket")) & (F.col("x.id") < F.col("y.id")),
+        )
+        .withColumn("cos", cosine_sim(F.col("x.v"), F.col("y.v")))
+        .where(F.col("cos") >= threshold)
+        .select(
+            F.col("x.id").alias("id_a"),
+            F.col("y.id").alias("id_b"),
+            F.round("cos", 6).alias("cos"),
+        )
+    )

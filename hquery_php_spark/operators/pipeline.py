@@ -1,0 +1,217 @@
+"""The extraction pipeline: documents table → ordered span sequences.
+
+Spark-first design (BASELINE.json north rule):
+
+* the *whole-corpus* plan is declarative DataFrame ops — scan, column
+  pruning, size-bucket salted repartition, write — so Catalyst/AQE handle
+  pushdown, pruning and runtime re-planning;
+* the *per-document* computation (tokenize → index → select → emit spans)
+  is a single Arrow-batched ``mapInPandas`` stage — one Python↔JVM round
+  trip per batch, no per-row Python at the boundary;
+* skew from mega-documents is handled explicitly: ``byte_balanced_
+  repartition`` round-robins documents by size rank so every partition
+  carries ~equal *bytes*, not equal row counts — at 10^12 docs a handful
+  of 20MB outliers per 100KB-average batch otherwise serializes the stage;
+* per-doc metrics (tag count, span counts, error) ride along as columns →
+  aggregating them per partition gives the lineage/metrics table and
+  enables idempotent resume (``resume_filter``).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Iterator, Optional
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ..core.doc import HDoc
+from ..core.extract import DEFAULT_OPTIONS, ExtractOptions, extract_spans
+
+__all__ = [
+    "SPAN_STRUCT",
+    "SPANS_SCHEMA",
+    "extract_spans_df",
+    "explode_spans",
+    "byte_balanced_repartition",
+    "salted_repartition",
+    "partition_metrics",
+    "resume_filter",
+]
+
+SPAN_STRUCT = StructType(
+    [
+        StructField("kind", StringType()),
+        StructField("text", StringType()),
+        StructField("media_ref", StringType()),
+        StructField("offset", IntegerType()),
+    ]
+)
+
+SPANS_SCHEMA = StructType(
+    [
+        StructField("doc_id", StringType()),
+        StructField("spans", ArrayType(SPAN_STRUCT)),
+        StructField("n_tags", IntegerType()),
+        StructField("n_text", IntegerType()),
+        StructField("n_media", IntegerType()),
+        StructField("size_bytes", LongType()),
+        StructField("charset", StringType()),
+        StructField("error", StringType()),
+        StructField("elapsed_us", LongType()),
+    ]
+)
+
+
+def extract_spans_df(
+    df: DataFrame,
+    doc_id_col: str = "doc_id",
+    html_col: str = "html",
+    base_url_col: Optional[str] = "base_url",
+    encoding: str = "utf-8",
+    opts: ExtractOptions = DEFAULT_OPTIONS,
+) -> DataFrame:
+    """documents(doc_id, html[, base_url]) → (doc_id, spans, …metrics).
+
+    The projection keeps only the needed columns (column pruning reaches
+    the scan); the per-batch loop runs the engine per document — the
+    parse itself is inherently per-document, but all batch transfer is
+    Arrow and all scanning inside uses C-speed byte primitives.
+    """
+    cols = [F.col(doc_id_col).cast("string").alias("doc_id"), F.col(html_col).alias("__html")]
+    has_url = base_url_col is not None and base_url_col in df.columns
+    if has_url:
+        cols.append(F.col(base_url_col).alias("__url"))
+    narrow = df.select(*cols)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in SPANS_SCHEMA.fieldNames()}
+            urls = pdf["__url"] if "__url" in pdf.columns else None
+            for i in range(len(pdf)):
+                doc_id = pdf["doc_id"].iat[i]
+                raw = pdf["__html"].iat[i]
+                url = urls.iat[i] if urls is not None else None
+                t0 = time.perf_counter_ns()
+                err = None
+                spans = []
+                n_tags = 0
+                charset = None
+                size = 0
+                try:
+                    data = raw if isinstance(raw, (bytes, bytearray)) else str(raw).encode(encoding)
+                    size = len(data)
+                    doc = HDoc(data, url)
+                    charset = doc.charset
+                    n_tags = len(doc)
+                    spans = extract_spans(doc, opts)
+                    if doc.html_errors:
+                        err = ";".join(f"{k}:{v}" for k, v in doc.html_errors.items())
+                except Exception as ex:  # fault tolerance: record, never abort
+                    err = f"{type(ex).__name__}: {ex}"
+                el = (time.perf_counter_ns() - t0) // 1000
+                out["doc_id"].append(doc_id)
+                out["spans"].append(
+                    [(s.kind, s.text, s.media_ref, s.offset) for s in spans]
+                )
+                out["n_tags"].append(n_tags)
+                out["n_text"].append(sum(1 for s in spans if s.kind == "text"))
+                out["n_media"].append(sum(1 for s in spans if s.kind == "media"))
+                out["size_bytes"].append(size)
+                out["charset"].append(charset)
+                out["error"].append(err)
+                out["elapsed_us"].append(el)
+            yield pd.DataFrame(out)
+
+    return narrow.mapInPandas(run, SPANS_SCHEMA)
+
+
+def explode_spans(spans_df: DataFrame) -> DataFrame:
+    """Nested spans → one row per span with its in-document ordinal."""
+    return spans_df.select(
+        "doc_id",
+        F.posexplode("spans").alias("ord", "span"),
+    ).select(
+        "doc_id",
+        "ord",
+        F.col("span.kind").alias("kind"),
+        F.col("span.text").alias("text"),
+        F.col("span.media_ref").alias("media_ref"),
+        F.col("span.offset").alias("offset"),
+    )
+
+
+def byte_balanced_repartition(
+    df: DataFrame, num_partitions: int, size_col: str = "size_bytes"
+) -> DataFrame:
+    """Round-robin documents by size rank → ~equal bytes per partition.
+
+    Cost: one global sort (rank) + one shuffle.  Worth it when the size
+    distribution is long-tailed (mega-docs): equal-row hashing leaves
+    straggler partitions that gate the stage at 1000-executor scale.
+    """
+    w = Window.orderBy(F.col(size_col).desc(), F.monotonically_increasing_id())
+    # Snake (boustrophedon) assignment over the size-desc rank approximates
+    # greedy bin packing: the partition that received a mega-doc receives
+    # the *smallest* doc of the next block, not another large one.
+    # repartitionByRange puts each slot value in its own partition; plain
+    # repartition() would HASH the slot and collide residues.
+    r = F.row_number().over(w) - F.lit(1)
+    block = (r / num_partitions).cast("long")
+    pos = F.pmod(r, F.lit(num_partitions))
+    slot = F.when(
+        F.pmod(block, F.lit(2)) == 0, pos
+    ).otherwise(F.lit(num_partitions - 1) - pos)
+    return (
+        df.withColumn("__slot", slot)
+        .repartitionByRange(num_partitions, "__slot")
+        .drop("__slot")
+    )
+
+
+def salted_repartition(
+    df: DataFrame, num_partitions: int, key_col: str = "doc_id"
+) -> DataFrame:
+    """Uniform deterministic spread by key hash — the cheap default when
+    sizes are roughly even (no global sort)."""
+    return df.repartition(num_partitions, F.pmod(F.xxhash64(F.col(key_col)), F.lit(num_partitions)))
+
+
+def partition_metrics(spans_df: DataFrame) -> DataFrame:
+    """Per-partition lineage/metrics rows — append these to a metrics
+    table next to the output for monitoring + idempotent resume."""
+    return (
+        spans_df.withColumn("__pid", F.spark_partition_id())
+        .groupBy("__pid")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tags").alias("n_tags"),
+            F.sum("n_text").alias("n_text"),
+            F.sum("n_media").alias("n_media"),
+            F.sum("size_bytes").alias("bytes"),
+            F.sum(F.when(F.col("error").isNotNull(), 1).otherwise(0)).alias("n_errors"),
+            F.sum("elapsed_us").alias("elapsed_us"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+        .withColumnRenamed("__pid", "partition_id")
+    )
+
+
+def resume_filter(
+    df: DataFrame, done_df: DataFrame, doc_id_col: str = "doc_id"
+) -> DataFrame:
+    """Idempotent resume: drop documents already present in the committed
+    output (left-anti join; Catalyst broadcasts when the done-side is
+    small, AQE converts to broadcast at runtime otherwise)."""
+    done = done_df.select(F.col(doc_id_col).alias("__done_id")).distinct()
+    return df.join(done, df[doc_id_col] == F.col("__done_id"), "left_anti")

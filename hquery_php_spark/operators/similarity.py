@@ -1,0 +1,130 @@
+"""Similarity search over an embedding column (array<float>).
+
+* ``brute_force_topk`` — exact cosine top-k against a broadcast query
+  vector.  The query vector is a literal (driver-side broadcast in the
+  plan); scoring is ``zip_with``+``aggregate`` inside whole-stage codegen;
+  top-k is a single ``orderBy(...).limit(k)`` which Spark executes as
+  per-partition partial top-k + tiny final merge — no full sort shuffle.
+* ``ivf_topk`` — the scale path: k-means-free IVF via sign-LSH coarse
+  buckets (same hyperplane family as dedup).  At query time only buckets
+  within a Hamming radius of the query's bucket are scanned — a
+  partition-pruned scan when the table is written partitioned by bucket.
+"""
+
+from __future__ import annotations
+
+from typing import List, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import cosine_sim
+
+__all__ = ["brute_force_topk", "bucket_of", "ivf_topk"]
+
+
+def _vec_lit(q: Sequence[float]) -> Column:
+    return F.array(*[F.lit(float(x)) for x in q])
+
+
+def brute_force_topk(
+    df: DataFrame,
+    query_vec: Sequence[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(id, cos) of the k nearest rows by cosine similarity (exact)."""
+    qv = _vec_lit(query_vec)
+    scored = df.select(
+        F.col(id_col).alias("id"),
+        cosine_sim(F.col(vec_col).cast("array<double>"), qv).alias("cos"),
+    )
+    return scored.orderBy(F.col("cos").desc(), F.col("id")).limit(k)
+
+
+def bucket_of(vec_col: Column, n_planes: int = 12) -> Column:
+    """Sign-LSH coarse bucket id (shares the hyperplane family with
+    dedup.embedding_near_dup so tables can be co-bucketed).
+
+    Hyperplane p's coefficient for dimension i is a deterministic
+    pseudo-random value in [-1, 1) derived from Murmur3 ``hash(i, p)``.
+    The plane loop is unrolled in Python (constant shift amounts)."""
+    dim = F.size(vec_col)
+    sig = F.lit(0).cast("long")
+
+    def _coef(p: int):
+        # pseudo-random coefficient in [-1, 1) for (dimension i, plane p)
+        return lambda x, i: x * (
+            (F.pmod(F.hash(i, F.lit(p)), F.lit(2000)) - F.lit(1000)).cast("double")
+            / 1000.0
+        )
+
+    for p in range(n_planes):
+        dot = F.aggregate(
+            F.zip_with(
+                vec_col.cast("array<double>"),
+                F.sequence(F.lit(0), dim - 1),
+                _coef(p),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        sig = sig + F.when(dot > 0, F.lit(1 << p).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return sig
+
+
+def _bucket_of_py(q: Sequence[float], n_planes: int = 12) -> int:
+    """Driver-side twin of bucket_of for the (tiny) query vector.
+
+    Must match the JVM expression bit-for-bit: uses the same seeded
+    Murmur3 ``hash(i, p)`` — so we compute it via a 1-row DataFrame when
+    exactness matters; this helper is only used through ``ivf_topk``.
+    """
+    raise NotImplementedError("computed via a 1-row DataFrame in ivf_topk")
+
+
+def ivf_topk(
+    df: DataFrame,
+    query_vec: Sequence[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_planes: int = 8,
+    hamming_radius: int = 1,
+) -> DataFrame:
+    """Approximate top-k: scan only rows whose coarse bucket is within
+    ``hamming_radius`` of the query's bucket.
+
+    With the table pre-partitioned/bucketed by ``bucket_of``, the filter
+    becomes partition pruning — the 100TB path scans a fraction
+    ≈ C(n_planes, ≤radius) / 2^n_planes of the data.
+    """
+    spark = df.sparkSession
+    qv = _vec_lit(query_vec)
+    qbucket = (
+        spark.range(1).select(bucket_of(qv, n_planes).alias("b")).collect()[0]["b"]
+    )
+    # buckets within the Hamming radius (small: n_planes choose <= radius)
+    cands = {qbucket}
+    frontier = [qbucket]
+    for _ in range(hamming_radius):
+        nxt = []
+        for b in frontier:
+            for i in range(n_planes):
+                nb = b ^ (1 << i)
+                if nb not in cands:
+                    cands.add(nb)
+                    nxt.append(nb)
+        frontier = nxt
+    scored = (
+        df.withColumn("__bucket", bucket_of(F.col(vec_col), n_planes))
+        .where(F.col("__bucket").isin(*[int(b) for b in cands]))
+        .select(
+            F.col(id_col).alias("id"),
+            cosine_sim(F.col(vec_col).cast("array<double>"), qv).alias("cos"),
+        )
+    )
+    return scored.orderBy(F.col("cos").desc(), F.col("id")).limit(k)

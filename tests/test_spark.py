@@ -1,0 +1,150 @@
+"""Spark-side integration tests: pipeline, skew repartition, dedup,
+similarity — on tiny data so the suite stays fast."""
+
+import pytest
+
+pyspark = pytest.importorskip("pyspark")
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from hquery_php_spark.operators.dedup import (
+    dedup_exact,
+    minhash_lsh_candidates,
+    minhash_signatures,
+    ngram_jaccard_verify,
+    simhash64,
+)
+from hquery_php_spark.operators.pipeline import (
+    byte_balanced_repartition,
+    explode_spans,
+    extract_spans_df,
+    partition_metrics,
+    resume_filter,
+)
+from hquery_php_spark.operators.similarity import brute_force_topk
+from hquery_php_spark.sources.fixtures import gen_corpus
+
+
+@pytest.fixture(scope="module")
+def spark():
+    s = (
+        SparkSession.builder.master("local[4]")
+        .appName("hquery-tests")
+        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    s.sparkContext.setLogLevel("ERROR")
+    yield s
+    s.stop()
+
+
+@pytest.fixture(scope="module")
+def corpus_df(spark):
+    rows = list(gen_corpus(40, seed=42, mega_every=17))
+    return spark.createDataFrame(rows)
+
+
+def test_extract_spans_df(spark, corpus_df):
+    out = extract_spans_df(
+        corpus_df, html_col="html", base_url_col="base_url", encoding="latin-1"
+    )
+    pdf = out.toPandas()
+    assert len(pdf) == 40
+    # fault tolerance: bad_html_2 has a charset error but still extracts
+    bad = pdf[pdf.doc_id == "bad_html_2"].iloc[0]
+    assert bad.error and "convert_encoding" in bad.error
+    assert bad.n_tags == 5
+    # body_html: spans in document order, media resolved vs base
+    row = pdf[pdf.doc_id == "body_html"].iloc[0]
+    assert row.error is None
+    offsets = [s["offset"] for s in row.spans]
+    assert offsets == sorted(offsets)
+    refs = [s["media_ref"] for s in row.spans if s["kind"] == "media"]
+    assert "https://DUzun.Me/path" in refs
+    assert "https://cdn.duzun.me/images/logo.png" in refs
+    # no row errored out entirely
+    assert (pdf.n_tags > 0).sum() >= 38
+
+
+def test_explode_spans_order(spark, corpus_df):
+    out = explode_spans(
+        extract_spans_df(corpus_df, encoding="latin-1")
+    ).where(F.col("doc_id") == "body_html")
+    pdf = out.orderBy("ord").toPandas()
+    assert list(pdf["ord"]) == list(range(len(pdf)))
+    assert list(pdf["offset"]) == sorted(pdf["offset"])
+
+
+def test_byte_balanced_repartition(spark, corpus_df):
+    df = byte_balanced_repartition(corpus_df, 4)
+    sizes = (
+        df.withColumn("pid", F.spark_partition_id())
+        .groupBy("pid")
+        .agg(F.sum("size_bytes").alias("b"))
+        .toPandas()
+    )
+    assert len(sizes) == 4
+    # equal-bytes balance: no partition exceeds the unavoidable lower bound
+    # (a single mega-doc cannot be split) by more than 40%
+    total = sizes.b.sum()
+    largest_doc = corpus_df.agg(F.max("size_bytes")).collect()[0][0]
+    bound = max(largest_doc, total / 4)
+    assert sizes.b.max() <= bound * 1.4, sizes
+
+
+def test_partition_metrics_and_resume(spark, corpus_df):
+    spans = extract_spans_df(corpus_df, encoding="latin-1")
+    m = partition_metrics(spans).toPandas()
+    assert m.n_docs.sum() == 40
+    done = spans.limit(10).select("doc_id")
+    remaining = resume_filter(corpus_df, done)
+    assert remaining.count() == 30
+
+
+def test_dedup_exact(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "a  b   c"), (3, "different")], ["doc_id", "text"]
+    )
+    out = dedup_exact(df).orderBy("keep_id").toPandas()
+    assert list(out.keep_id) == [1, 3]
+    assert list(out.n_dups) == [2, 1]
+
+
+def test_minhash_finds_near_dups(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog again and again"),
+        (2, "the quick brown fox jumps over the lazy dog again and again!"),
+        (3, "completely unrelated text about database query optimization"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    sigs = minhash_signatures(df, num_perm=16, shingle_k=5)
+    cands = minhash_lsh_candidates(sigs, bands=4, rows_per_band=4)
+    verified = ngram_jaccard_verify(df, cands, k=5, threshold=0.5).toPandas()
+    pairs = set(zip(verified.id_a, verified.id_b))
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_simhash_similarity(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy cat"),
+        (3, "spark catalyst optimizer rewrites logical plans"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r["doc_id"]: r["sh"]
+        for r in df.select("doc_id", simhash64(F.col("text")).alias("sh")).collect()
+    }
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+    assert ham(out[1], out[2]) < ham(out[1], out[3])
+
+
+def test_brute_force_topk(spark):
+    rows = [(i, [float(i == j) for j in range(4)]) for i in range(4)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    top = brute_force_topk(df, [1.0, 0.0, 0.0, 0.0], k=1).collect()
+    assert top[0]["id"] == 0
