@@ -20,10 +20,18 @@ _NAME_BREAK = " \t\n\r=\"'"
 _VALUE_BREAK = " \t\n\r\"'"
 _WS_RE = re.compile(r"\s+")
 
+# reference nameStartRange: a-zA-Z_\x80-\xFF (Parser.php:83).
+# _SKIP_RE consumes everything that is NOT a name-start char (all ASCII
+# except letters and '_'); _NAME_RE / _WS_SKIP_RE / _BARE_RE are the
+# C-speed equivalents of the strcspn/strspn scans.
+_SKIP_RE = re.compile(r"[\x00-\x40\x5b-\x5e\x60\x7b-\x7f]*")
+_NAME_RE = re.compile(r"[^ \t\n\r=\"']*")
+_WS_SKIP_RE = re.compile(r"[ \t\n\r]*")
+_BARE_RE = re.compile(r"[^ \t\n\r\"']*")
+
 
 def _is_name_start(ch: str) -> bool:
-    # reference nameStartRange: a-zA-Z_\x80-\xFF (Parser.php:83)
-    return ch.isascii() and (ch.isalpha() or ch == "_") or ord(ch) > 127
+    return (ch.isascii() and (ch.isalpha() or ch == "_")) or ord(ch) > 127
 
 
 def parse_attr_str(
@@ -38,27 +46,20 @@ def parse_attr_str(
     """
     ret: Dict[str, Optional[Union[str, List[str], Dict[str, Optional[str]]]]] = {}
     ln = len(s)
-    i = 0
-    while i < ln and s[i] in _SPACE:
-        i += 1
+    i = _WS_SKIP_RE.match(s).end()
     while i < ln:
-        while i < ln and not _is_name_start(s[i]):
-            i += 1
+        i = _SKIP_RE.match(s, i).end()
         if i >= ln:
             break
         b = i
-        while i < ln and s[i] not in _NAME_BREAK:
-            i += 1
+        i = _NAME_RE.match(s, i).end()
         name = s[b:i].rstrip()
         if case_folding:
             name = name.lower()
-        while i < ln and s[i] in _SPACE:
-            i += 1
+        i = _WS_SKIP_RE.match(s, i).end()
         value: Optional[str] = None
         if i < ln and s[i] == "=":
-            i += 1
-            while i < ln and s[i] in _SPACE:
-                i += 1
+            i = _WS_SKIP_RE.match(s, i + 1).end()
             if i < ln:
                 q = s[i]
                 if q == '"' or q == "'":
@@ -71,8 +72,7 @@ def parse_attr_str(
                         i = b2  # no closing quote: value stays None
                 else:
                     b2 = i
-                    while i < ln and s[i] not in _VALUE_BREAK:
-                        i += 1
+                    i = _BARE_RE.match(s, i).end()
                     value = s[b2:i]
         out: Optional[Union[str, List[str], Dict[str, Optional[str]]]] = value
         if extended and value:

@@ -131,6 +131,7 @@ def extract_spans(doc: HDoc, opts: ExtractOptions = DEFAULT_OPTIONS) -> List[Spa
         _emit_text_run(spans, html, pos, n, opts, in_link, depth_at)
 
     # -- media spans ----------------------------------------------------- #
+    mask_starts = [r[0] for r in masked]
     for tag, attr_name in opts.media_tags:
         attr_map = idx.idx_attr.get(attr_name)
         tag_map = idx.tag_idx.get(tag)
@@ -144,7 +145,7 @@ def extract_spans(doc: HDoc, opts: ExtractOptions = DEFAULT_OPTIONS) -> List[Spa
             if tag == "a":
                 el_text = _collapse(
                     _htmlmod.unescape(
-                        _strip_markup_text(html, b, idx.ids[b], masked)
+                        _strip_markup_text(html, b, idx.ids[b], masked, mask_starts)
                     )
                 )
             else:
@@ -156,14 +157,28 @@ def extract_spans(doc: HDoc, opts: ExtractOptions = DEFAULT_OPTIONS) -> List[Spa
 
 
 def _strip_markup_text(
-    html: bytes, b: int, e: int, masked: List[Tuple[int, int]]
+    html: bytes,
+    b: int,
+    e: int,
+    masked: List[Tuple[int, int]],
+    mask_starts: Optional[List[int]] = None,
 ) -> str:
-    """Text content of interval (b, e): concatenation of unmasked runs."""
+    """Text content of interval (b, e): concatenation of unmasked runs.
+
+    ``mask_starts`` (the sorted starts of ``masked``) lets us bisect to
+    the first relevant range instead of scanning the whole mask list per
+    element — O(log m + hits), not O(m)."""
     if b >= e:
         return ""
     out = []
     pos = b + 1
-    for ms, me in masked:
+    if mask_starts is not None:
+        i = bisect_right(mask_starts, pos) - 1
+        if i < 0:
+            i = 0
+    else:
+        i = 0
+    for ms, me in masked[i:]:
         if me <= pos:
             continue
         if ms >= e:

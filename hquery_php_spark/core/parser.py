@@ -90,62 +90,65 @@ def index_comments(s: bytes) -> Dict[int, int]:
     return tg
 
 
+import re as _re
+
+# first of '>' / '"' / "'" — one C scan instead of three bytes.find calls
+_GTQ_RE = _re.compile(rb'[>"\']')
+# '>' or the specific closing quote, for the quoted-attr-NAME branch
+_GT_DQ_RE = _re.compile(rb'[>"]')
+_GT_SQ_RE = _re.compile(rb"[>']")
+
+
 def find_tag_close(s: bytes, p: int, l: Optional[int] = None) -> int:
     """Quote-aware scan for the tag-terminating ``>``.
 
     Returns the offset of the ``>`` that closes the tag whose attribute
     region starts at ``p``, or -1 when the tag never closes.  Tolerates
     ``>`` inside quoted attribute values, quoted attribute *names*
-    (``"a>a"``), and unbalanced quotes — byte-for-byte the reference's
-    ``_findTagClose`` (Parser/HTML.php:228-266); golden offsets pinned by
-    tests ported from tests/hQueryParser.Test.php:162-183.
+    (``"a>a"``), and unbalanced quotes — semantics identical to the
+    reference's ``_findTagClose`` (Parser/HTML.php:228-266); golden
+    offsets pinned by tests ported from tests/hQueryParser.Test.php:162-183.
     """
     n = len(s)
     if l is None:
         l = n
+    find = s.find
+    search = _GTQ_RE.search
+    gt = -1  # cached position of the next known '>' (≥ current scan point)
     while True:
-        if p < l:
-            i = s.find(b">", p)
-            if i < 0:
+        if p >= l:
+            return l  # PHP: $p >= $l ⇒ strcspn degenerates ⇒ return $l
+        m = search(s, p)
+        if m is None:
+            return -1  # no '>' (nor quotes) ahead: tag never closes
+        qpos = m.start()
+        c = s[qpos]
+        if c == 0x3E:  # '>' with no quote before it terminates the tag
+            return qpos
+        # a quote before the next '>' — but the reference bails (tag never
+        # closes) when no '>' exists ahead at all, so confirm one exists
+        if gt < qpos:
+            gt = find(b">", qpos)
+            if gt < 0:
                 return -1
-        else:
-            i = l
-        if i == 0:
-            return -1
-        # advance p to the first quote before '>' (strcspn over ' " ')
-        dq = s.find(b'"', p, i)
-        sq = s.find(b"'", p, i)
-        if dq < 0:
-            qpos = sq
-        elif sq < 0:
-            qpos = dq
-        else:
-            qpos = dq if dq < sq else sq
-        if qpos < 0:
-            return i  # no quote before '>' → that '>' terminates the tag
         e = p
         p = qpos
-        q = s[p : p + 1]
+        q = c
         p += 1
         # was there a '=' between the scan start and the quote?
-        eq = s.find(b"=", e, p)
-        if eq < 0:
+        if find(b"=", e, p) < 0:
             # quote opens an attribute *name*: a name must not contain '>',
             # so the first of ('>' | closing quote) decides.
-            gt = s.find(b">", p, l)
-            cq = s.find(q, p, l)
-            if gt < 0:
-                j = cq if cq >= 0 else l
-            elif cq < 0:
-                j = gt
+            m2 = (_GT_DQ_RE if q == 0x22 else _GT_SQ_RE).search(s, p, l)
+            if m2 is None:
+                p = l
             else:
-                j = gt if gt < cq else cq
-            p = j
-            if p < n and s[p : p + 1] == b">":
-                return p
+                p = m2.start()
+                if s[p] == 0x3E:
+                    return p
         else:
             # quote opens an attribute value: skip to the closing quote
-            j = s.find(q, p, l)
+            j = find(b'"' if q == 0x22 else b"'", p, l)
             p = j if j >= 0 else l
         p += 1
 
@@ -169,21 +172,13 @@ class ParseResult:
         self.extents = extents
 
 
-def _span_name(s: bytes, i: int, l: int) -> int:
-    """strspn(nameRange + ':') — length of the tag-name tail at ``i``."""
-    j = i
-    tbl = _NAME_CHAR
-    while j < l and tbl[s[j]]:
-        j += 1
-    return j - i
-
-
-def _span_ws(s: bytes, i: int, stop: int) -> int:
-    j = i
-    ws = _WS
-    while j < stop and s[j] in ws:
-        j += 1
-    return j - i
+# classify-and-name in one C scan: group 1 = '/' for close tags,
+# group 2 = tag name (nameStartRange then nameRange+':'), group 3 = '!'/'?'
+# special tags.  Stray '<'s cannot start a match and are skipped by the
+# regex engine — the reference's continue-on-non-name behavior.
+_SCAN_RE = _re.compile(
+    rb"<(?:(/?)([a-zA-Z_\x80-\xff][\-0-9:a-zA-Z_\x80-\xff]*)|([!?]))"
+)
 
 
 def parse_html(s: bytes) -> ParseResult:
@@ -217,29 +212,30 @@ def parse_html(s: bytes) -> ParseResult:
     utn: Optional[bytes] = None  # current unparsed tag name (script/style)
     utn_from = -1  # '>' offset of the unparsed open tag
 
-    name_start = _NAME_START
+    # One C-level scan classifies the next construct and captures the tag
+    # name: group 1 = '/' for close tags, group 2 = name, group 3 = '!'/'?'
+    # for special tags.  Stray '<'s are skipped by the regex engine itself
+    # (they cannot start a match), which is exactly the reference's
+    # continue-on-non-name behavior.
+    scan = _SCAN_RE.search
+    lower_cache: Dict[bytes, bytes] = {}
+    name_cache: Dict[bytes, str] = {}
     i = 0
     while i < l:
-        i = s.find(b"<", i)
-        if i < 0 or i >= l:
+        m = scan(s, i)
+        if m is None or m.start() >= l:
             break
-        lt = i
-        i += 1
-        b = i
-        c = s[i] if i < len(s) else -1
-        is_close = c == 0x2F  # '/'
-        if is_close:
-            i += 1
-            c = s[i] if i < len(s) else -1
-
-        if c >= 0 and name_start[c]:
+        lt = m.start()
+        n = m.group(2)
+        if n is not None:
             # regular tag
-            i += 1
-            j = _span_name(s, i, l)
-            n = s[i - 1 : i + j]
-            i += j
+            is_close = m.group(1) == b"/"
+            i = m.end()
+            nl = lower_cache.get(n)
+            if nl is None:
+                nl = lower_cache[n] = n.lower()
             if utn is not None:
-                if n.lower() != utn or not is_close:
+                if nl != utn or not is_close:
                     continue  # opaque script/style body
                 # close of the unparsed tag: mask its body
                 extents.append((utn_from + 1, lt))
@@ -251,9 +247,13 @@ def parse_html(s: bytes) -> ParseResult:
             extents.append((lt, i))
             if not is_close:
                 ids[e] = e
-                tags[e] = n.decode("latin-1")
-                b += j + 1
-                b += _span_ws(s, b, e)
+                ns = name_cache.get(n)
+                if ns is None:
+                    ns = name_cache[n] = n.decode("latin-1")
+                tags[e] = ns
+                b = m.end()
+                while b < e and s[b] in _WS:
+                    b += 1
                 if b < e:
                     at = s[b:e].strip(_PHP_TRIM)
                     # PHP `if ($at)`: the 1-byte string "0" is falsy
@@ -267,32 +267,30 @@ def parse_html(s: bytes) -> ParseResult:
                             attr[at] = [prev, e]
                 # '/>' ⇒ self-closed: no stack push (Parser/HTML.php:135)
                 if s[e - 1] != 0x2F:
-                    nl = n.lower()
                     if nl in UNPARSED_TAGS:
                         utn = nl
                         utn_from = e
-                    stack.setdefault(nl, []).append(e)
+                    st = stack.get(nl)
+                    if st is None:
+                        st = stack[nl] = []
+                    st.append(e)
             else:
-                st = stack.get(n.lower())
+                st = stack.get(nl)
                 if st:
                     q = st.pop()  # per-name LIFO repair
-                    ids[q] = b - 1
-        elif not is_close:
+                    ids[q] = lt
+        else:
             # special tags: <!...> (doctype/comment/CDATA-ish), <?...>
-            if c in (0x21, 0x3F):  # '!' '?'
-                b -= 1
-                ce = tg.get(b)
-                if ce is not None:
-                    extents.append((b, ce))
-                    i = ce
-                    continue
-                gi = s.find(b">", i)
-                if gi < 0 or gi >= l:
-                    break
-                extents.append((lt, gi + 1))
-                i = gi + 1
-            # else: stray '<' — not a tag, continue scanning after it
-        # stray '</x'-with-non-name: loop continues with i already advanced
+            ce = tg.get(lt)
+            if ce is not None:
+                extents.append((lt, ce))
+                i = ce
+                continue
+            gi = s.find(b">", lt + 2)
+            if gi < 0 or gi >= l:
+                break
+            extents.append((lt, gi + 1))
+            i = gi + 1
 
     if utn is not None:
         # unparsed tag never closed: the rest of the document is opaque

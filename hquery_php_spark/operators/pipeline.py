@@ -155,9 +155,12 @@ def byte_balanced_repartition(
 ) -> DataFrame:
     """Round-robin documents by size rank → ~equal bytes per partition.
 
-    Cost: one global sort (rank) + one shuffle.  Worth it when the size
-    distribution is long-tailed (mega-docs): equal-row hashing leaves
-    straggler partitions that gate the stage at 1000-executor scale.
+    CAUTION — uses a global (un-partitioned) window rank, i.e. a
+    single-task sort: correct and worth it for moderate batches with
+    extreme outliers, but NOT the 10^12-doc path.  At full scale use
+    ``salted_repartition`` (below): hash-spread is shuffle-parallel and
+    the law of large numbers balances bytes once partitions hold many
+    docs; mega-docs are additionally spread by the size-bucket salt.
     """
     w = Window.orderBy(F.col(size_col).desc(), F.monotonically_increasing_id())
     # Snake (boustrophedon) assignment over the size-desc rank approximates
@@ -179,11 +182,23 @@ def byte_balanced_repartition(
 
 
 def salted_repartition(
-    df: DataFrame, num_partitions: int, key_col: str = "doc_id"
+    df: DataFrame,
+    num_partitions: int,
+    key_col: str = "doc_id",
+    size_col: Optional[str] = None,
 ) -> DataFrame:
-    """Uniform deterministic spread by key hash — the cheap default when
-    sizes are roughly even (no global sort)."""
-    return df.repartition(num_partitions, F.pmod(F.xxhash64(F.col(key_col)), F.lit(num_partitions)))
+    """Salted repartition — the scalable default (one shuffle, no sort).
+
+    Hash of the doc key spreads rows uniformly; when ``size_col`` is
+    given, the log2 size bucket joins the shuffle key so that each size
+    class (including the mega-doc tail) is spread independently across
+    all partitions — the north rule's "salted repartitioning on doc size
+    buckets"."""
+    salt = F.xxhash64(F.col(key_col))
+    if size_col is not None:
+        bucket = F.ceil(F.log2(F.col(size_col).cast("double") + F.lit(1.0)))
+        return df.repartition(num_partitions, bucket, salt)
+    return df.repartition(num_partitions, salt)
 
 
 def partition_metrics(spans_df: DataFrame) -> DataFrame:

@@ -1,0 +1,140 @@
+"""Spark tests: multimodal plumbing, plan compilation, streaming wiring."""
+
+import pytest
+
+pyspark = pytest.importorskip("pyspark")
+
+import struct
+import zlib
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from hquery_php_spark.operators.multimodal import (
+    image_features_df,
+    image_meta_df,
+    sniff_media_type,
+)
+from hquery_php_spark.plans.compile import compile_selector, find_count_df
+from hquery_php_spark.plans.explain import plan_facts
+from hquery_php_spark.core.selector import SelectorError
+
+
+@pytest.fixture(scope="module")
+def spark():
+    s = (
+        SparkSession.builder.master("local[4]")
+        .appName("hquery-extras-tests")
+        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    s.sparkContext.setLogLevel("ERROR")
+    yield s
+    s.stop()
+
+
+def _tiny_png(w=3, h=2):
+    sig = b"\x89PNG\r\n\x1a\n"
+    ihdr_data = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    ihdr = (
+        struct.pack(">I", len(ihdr_data))
+        + b"IHDR"
+        + ihdr_data
+        + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr_data))
+    )
+    return sig + ihdr
+
+
+def test_sniff_media_type():
+    assert sniff_media_type(_tiny_png()) == "image/png"
+    assert sniff_media_type(b"\xff\xd8\xff\xe0junk") == "image/jpeg"
+    assert sniff_media_type(b"RIFF....WAVE") == "audio/wav"
+    assert sniff_media_type(b"RIFF....WEBP") == "image/webp"
+    assert sniff_media_type(b"garbage") == "application/octet-stream"
+    assert sniff_media_type(None) is None
+
+
+def test_image_meta_and_features(spark):
+    rows = [("a", _tiny_png(7, 5)), ("b", b"\xff\xd8\xffrest"), ("c", None)]
+    df = spark.createDataFrame(rows, ["media_id", "payload"])
+    meta = {r["media_id"]: r for r in image_meta_df(df).collect()}
+    assert meta["a"]["mime"] == "image/png"
+    assert (meta["a"]["width"], meta["a"]["height"]) == (7, 5)
+    assert meta["b"]["mime"] == "image/jpeg"
+    assert meta["c"]["mime"] is None
+
+    feats = {r["media_id"]: r["embedding"] for r in image_features_df(df, dim=16).collect()}
+    assert len(feats["a"]) == 16
+    # deterministic across runs
+    feats2 = {r["media_id"]: r["embedding"] for r in image_features_df(df, dim=16).collect()}
+    assert feats == feats2
+    with pytest.raises(NotImplementedError):
+        image_features_df(df, allow_stub=False)
+
+
+def test_compile_selector_fails_fast():
+    with pytest.raises(SelectorError):
+        compile_selector("div )p(")
+    with pytest.raises(SelectorError):
+        compile_selector(", div")
+    c = compile_selector("a[href] > img")
+    assert c.ir[0][1]["x"] == ">"
+
+
+def test_find_count_df(spark):
+    rows = [
+        ("d1", "<div><a href='/x'>t</a><a>u</a></div>"),
+        ("d2", "<p>only text</p>"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "html"])
+    out = find_count_df(df, ["a", "a[href]", "div a", "p"])
+    got = {(r["doc_id"], r["selector"]): r["n_matches"] for r in out.collect()}
+    assert got[("d1", "a")] == 2
+    assert got[("d1", "a[href]")] == 1
+    assert got[("d1", "div a")] == 2
+    assert got[("d1", "p")] == 0
+    assert got[("d2", "p")] == 1
+
+
+def test_plan_facts_pushdown(spark, tmp_path):
+    p = str(tmp_path / "t.parquet")
+    spark.range(100).withColumn("x", F.col("id") * 2).write.parquet(p)
+    df = spark.read.parquet(p).where(F.col("id") > 50).select("x")
+    facts = plan_facts(df)
+    assert facts["pushed_filters"], facts["plan"]
+    assert facts["wholestage_codegen"]
+
+
+def test_streaming_extract(spark, tmp_path):
+    from hquery_php_spark.streaming import streaming_extract_spans
+
+    src_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    rows = [
+        ("s1", "<html><body><p>hello stream</p><a href='/l'>L</a></body></html>",
+         "https://s.com/"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "html", "base_url"])
+    df.write.parquet(src_dir)
+
+    stream = spark.readStream.schema(df.schema).parquet(src_dir)
+    out = streaming_extract_spans(stream)
+    q = (
+        out.writeStream.format("parquet")
+        .option("checkpointLocation", ckpt)
+        .option("path", out_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    res = spark.read.parquet(out_dir).collect()
+    assert len(res) == 1
+    spans = res[0]["spans"]
+    assert [s["kind"] for s in spans] == ["text", "media"]
+    assert spans[1]["media_ref"] == "https://s.com/l"
+
+    # batch DataFrame is rejected
+    with pytest.raises(ValueError):
+        streaming_extract_spans(df)
