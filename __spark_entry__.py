@@ -39,6 +39,14 @@ from hquery_php_spark.sources.html_synth import (
 
 _DOCS = "documents.parquet"
 
+from hquery_php_spark.operators.events import (  # noqa: E402
+    SESSIONIZE_SQL as _SESS_SQL_T,
+    TUMBLING_SQL as _TUMB_SQL_T,
+)
+
+_EV_TUMBLING_SQL = _TUMB_SQL_T.format(width="hour")
+_EV_SESSIONIZE_SQL = _SESS_SQL_T.format(gap_minutes=30)
+
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{_DOCS}")
@@ -326,6 +334,22 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window event rollup (map-side partial agg + one shuffle)."""
+    from hquery_php_spark.operators.events import tumbling_counts
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return tumbling_counts(ev, "ts", "hour")
+
+
+def q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization via window functions."""
+    from hquery_php_spark.operators.events import sessionize
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return sessionize(ev, gap_minutes=30)
+
+
 # --------------------------------------------------------------------- #
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -349,6 +373,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash": q_dedup_minhash,
         "dedup_ngram_exact": q_dedup_ngram_exact,
         "simhash": q_simhash,
+        "events_window": q_events_window,
+        "events_sessions": q_events_sessions,
     }
 
 
@@ -430,6 +456,8 @@ def oracle_sql() -> dict[str, str]:
               AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
                   / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.6
         """,
+        "events_window": _EV_TUMBLING_SQL,
+        "events_sessions": _EV_SESSIONIZE_SQL,
         # rows-only (engine-specific hash families / approximate results):
         # selector engine internals exercised via selector_counts above.
         # "similarity_ivf", "dedup_minhash", "simhash" intentionally omitted.

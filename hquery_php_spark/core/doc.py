@@ -301,6 +301,29 @@ class HElement:
     def text2dl(self, sep: str = ":", key=None):
         return text_parse_dl(self.text(), sep, key)
 
+    # -- property magic (Element.php:54-97): el.href / el.src / el.style /
+    #    el.text / el.nodeName … evaluate like the reference's __get ------ #
+    _PROP_ALIASES = {
+        "innerHTML": lambda self: self.html(),
+        "outerHtml": lambda self: self.outer_html(),
+        "textContent": lambda self: self.text(),
+        "nodeName": lambda self: self.node_name(False),
+        "value": lambda self: self.val(),
+        "className": lambda self: self.attr("class", True),
+        "nextElementSibling": lambda self: self.next_sibling(),
+        "previousElementSibling": lambda self: self.prev_sibling(),
+    }
+
+    def __getattr__(self, name: str):
+        # __getattr__ only fires for names not found normally (methods and
+        # slots win), so `el.href` etc. resolve as evaluated attributes
+        if name.startswith("_"):
+            raise AttributeError(name)
+        alias = HElement._PROP_ALIASES.get(name)
+        if alias is not None:
+            return alias(self)
+        return self.attr(name, True)
+
 
 def text_parse_dl(text: str, sep: str = ":", key=None):
     """Parse text as ``key: value`` lines (Node.php:1254-1302)."""
@@ -340,6 +363,19 @@ class HDoc:
     @classmethod
     def from_html(cls, html, url=None, headers=None) -> "HDoc":
         return cls(html, url=url, headers=headers)
+
+    @classmethod
+    def from_file(cls, path: str, url=None, headers=None) -> "HDoc":
+        """Read raw bytes (gzip-transparent) and index — the reference's
+        ``fromFile`` (hQuery.php:112-125); charset detection sees the
+        original on-disk bytes."""
+        import gzip as _gzip
+
+        with open(path, "rb") as f:
+            data = f.read()
+        if data[:2] == b"\x1f\x8b":
+            data = _gzip.decompress(data)
+        return cls(data, url=url if url is not None else path, headers=headers)
 
     # ------------------------------------------------------------------ #
     def __len__(self) -> int:

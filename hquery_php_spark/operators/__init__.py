@@ -20,4 +20,10 @@ from .pipeline import (  # noqa: F401
     resume_filter,
     salted_repartition,
 )
+from .events import sessionize, tumbling_counts  # noqa: F401
+from .multimodal import (  # noqa: F401
+    image_features_df,
+    image_meta_df,
+    sniff_media_type,
+)
 from .similarity import brute_force_topk, bucket_of, ivf_topk  # noqa: F401

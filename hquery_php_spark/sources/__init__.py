@@ -1,5 +1,11 @@
 """Sources: deterministic corpus synthesis and documents-table readers."""
 
+from .reader import (  # noqa: F401
+    read_documents,
+    read_done_ids,
+    read_html_files,
+    write_spans,
+)
 from .fixtures import (  # noqa: F401
     ATTR_QUOTES_HTML,
     BAD_HTML_1,

@@ -319,3 +319,24 @@ def test_positional_pseudos(doc):
     assert doc.find("#aSpan:parent").attr("id") == "test-div"
     ch = doc.find("#dict1:children")
     assert len(ch) == 4
+
+
+# ---- property magic (Element.php:54-97) ------------------------------------ #
+def test_property_sugar(doc):
+    a = doc.find("a#outerLink")
+    assert a.href == "https://not-my-site.com/next.html"
+    assert isinstance(a.style, dict) and a.style["color"] == "blue"
+    assert a.nodeName == "a"
+    assert a.id == "outerLink"
+    img = doc.find("img#outerImg")
+    assert img.src == "https://cdn.duzun.me/images/logo.png"
+    assert doc.find("#test-div").textContent.strip().startswith("text:")
+
+
+def test_from_file(tmp_path):
+    import gzip
+
+    p = tmp_path / "x.html.gz"
+    p.write_bytes(gzip.compress(b"<html><body><a href='y.html'>y</a></body></html>"))
+    d = HDoc.from_file(str(p), "https://h.io/base/")
+    assert d.find("a").attr("href", True) == "https://h.io/base/y.html"
