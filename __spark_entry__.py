@@ -29,7 +29,11 @@ from hquery_php_spark.operators.dedup import (
     ngram_jaccard_verify,
     simhash64,
 )
-from hquery_php_spark.operators.pipeline import explode_spans, extract_spans_df
+from hquery_php_spark.operators.pipeline import (
+    explode_spans,
+    extract_spans_df,
+    salted_repartition,
+)
 from hquery_php_spark.operators.similarity import brute_force_topk, ivf_topk
 from hquery_php_spark.sources.html_synth import (
     BASE_URL,
@@ -52,12 +56,25 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{_DOCS}")
 
 
+def _spread(df: DataFrame, spark: SparkSession, key: str = "doc_id") -> DataFrame:
+    """Salted repartition to full parallelism before a heavy stage.
+
+    The driver's test parquet is a single row group (one input split); on
+    a real cluster the scan arrives pre-split, but the north rule's
+    salted size-bucket repartition before the extract UDF is part of the
+    design either way.  Skipped when the scan is already wide enough."""
+    n = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= n:
+        return df
+    return salted_repartition(df, n, key_col=key)
+
+
 def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
 
 def _synth(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _docs(spark, sf_dir)
+    d = _spread(_docs(spark, sf_dir), spark)
     return d.select(
         "doc_id",
         synth_html_col(F.col("doc_id"), F.col("text"), F.col("source")).alias("html"),
@@ -119,7 +136,7 @@ def q_selector_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         StructType,
     )
 
-    d = _docs(spark, sf_dir).select(
+    d = _spread(_docs(spark, sf_dir), spark).select(
         F.col("doc_id").cast("string").alias("doc_id"),
         _wordwise_html().alias("html"),
     )
@@ -209,7 +226,7 @@ def q_charset_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array(F.lit("utf-8"), F.lit("ISO-8859-2"), F.lit("windows-1251")),
         (F.pmod(F.col("doc_id"), F.lit(3)) + 1).cast("int"),
     )
-    d = _docs(spark, sf_dir).select(
+    d = _spread(_docs(spark, sf_dir), spark).select(
         F.col("doc_id").cast("string").alias("doc_id"),
         F.concat(
             F.lit('<html><head><meta charset="'),
@@ -295,7 +312,7 @@ def q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH candidates verified by exact n-gram Jaccard
     (rows-only check: hash family is engine-specific)."""
-    d = _docs(spark, sf_dir)
+    d = _spread(_docs(spark, sf_dir), spark)
     sigs = minhash_signatures(d, num_perm=16, shingle_k=8)
     cands = minhash_lsh_candidates(sigs, bands=2, rows_per_band=8)
     return ngram_jaccard_verify(d, cands, k=8, threshold=0.6)
@@ -304,7 +321,7 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dedup_ngram_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 8-gram Jaccard self-pairs above 0.6 — the brute-force ground
     truth for the MinHash+LSH path (SQL oracle)."""
-    d = _docs(spark, sf_dir)
+    d = _spread(_docs(spark, sf_dir), spark)
     ids = d.select(F.col("doc_id").alias("id"), F.col("text"))
     from hquery_php_spark.operators.dedup import char_shingles
 
@@ -329,7 +346,7 @@ def q_dedup_ngram_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash per doc (rows-only: xxhash64 is engine-specific)."""
-    return _docs(spark, sf_dir).select(
+    return _spread(_docs(spark, sf_dir), spark).select(
         "doc_id", simhash64(F.col("text")).alias("simhash")
     )
 

@@ -76,16 +76,23 @@ def minhash_signatures(
     num_perm: int = 32,
     shingle_k: int = 5,
 ) -> DataFrame:
-    """(id, sig: array<int>) — sig[i] = min over shingles of hash(shingle, i).
+    """(id, sig: array<long>) — sig[i] = min over shingles of hash_i(shingle).
 
-    ``F.hash(col, lit(seed))`` gives a cheap seeded hash family; all of it
-    runs inside whole-stage codegen (no Python).
-    """
-    sh = char_shingles(F.col(text_col), shingle_k).alias("__sh")
-    base = df.select(F.col(id_col).alias("id"), sh)
+    Two-level hash family keeps the string work O(shingles), not
+    O(shingles × perms): each *string* shingle is xxhash64'd exactly once
+    into a long array, then the seeded family remixes the cheap longs
+    (``xxhash64(h, seed)``).  Everything is whole-stage codegen; the
+    distinct-shingle projection sits behind its own ``select`` so Catalyst
+    cannot inline the expensive ``transform`` into every permutation
+    (CollapseProject refuses to duplicate non-cheap expressions)."""
+    hs = F.transform(
+        F.array_distinct(char_shingles(F.col(text_col), shingle_k)),
+        lambda s: F.xxhash64(s),
+    ).alias("__hs")
+    base = df.select(F.col(id_col).alias("id"), hs)
     sig = F.array(
         *[
-            F.array_min(F.transform(F.col("__sh"), lambda s, i=i: F.hash(s, F.lit(i))))
+            F.array_min(F.transform(F.col("__hs"), lambda h, i=i: F.xxhash64(h, F.lit(i))))
             for i in range(num_perm)
         ]
     ).alias("sig")
@@ -140,7 +147,10 @@ def ngram_jaccard_verify(
         F.array_distinct(char_shingles(F.col(text_col), k)).alias("sh"),
     )
     j = (
-        candidates.join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+        # candidate pairs are tiny vs the corpus — broadcast them so the
+        # shingle table is scanned once per side with no shuffle.
+        F.broadcast(candidates)
+        .join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
         .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
         .withColumn(
             "jaccard",
@@ -153,26 +163,43 @@ def ngram_jaccard_verify(
 
 
 def simhash64(col: Column, bits: int = 64) -> Column:
-    """64-bit SimHash of the whitespace tokens, JVM-side.
+    """64-bit SimHash of the whitespace tokens, JVM-side, single pass.
 
-    The per-bit loop is unrolled in Python (shift amounts must be
-    constants for Spark's shiftright/shiftleft); each bit is one
-    ``aggregate`` over the token array — all whole-stage codegen.
+    Each token is xxhash64'd exactly once; one ``aggregate`` carries an
+    ``array<long>`` of per-bit counters updated via ``zip_with`` +
+    ``getbit(h, i)`` (bit position as a lambda variable — no per-bit
+    unrolled aggregate passes).  The final signature is assembled from
+    the two 32-bit halves to stay inside long range under ANSI mode.
     """
     toks = F.split(F.trim(F.regexp_replace(F.lower(col), r"\s+", " ")), " ")
-    sig = F.lit(0).cast("long")
-
-    def _bit_acc(i: int):
-        return lambda acc, t: acc + F.when(
-            F.shiftright(F.xxhash64(t), i).bitwiseAND(F.lit(1)) == 1,
-            F.lit(1).cast("long"),
-        ).otherwise(F.lit(-1).cast("long"))
-
-    for i in range(bits):
-        bitsum = F.aggregate(toks, F.lit(0).cast("long"), _bit_acc(i))
-        weight = F.lit(-(1 << 63)).cast("long") if i == 63 else F.lit(1 << i).cast("long")
-        sig = sig + F.when(bitsum > 0, weight).otherwise(F.lit(0).cast("long"))
-    return sig
+    hs = F.transform(toks, lambda t: F.xxhash64(t))
+    seq = F.sequence(F.lit(0), F.lit(bits - 1))
+    zero = F.transform(seq, lambda i: F.lit(0).cast("long"))
+    counts = F.aggregate(
+        hs,
+        zero,
+        lambda acc, h: F.zip_with(
+            acc, seq, lambda a, i: a + F.getbit(h, i) * 2 - F.lit(1)
+        ),
+    )
+    bits_arr = F.transform(
+        counts, lambda c: F.when(c > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+    )
+    half = bits // 2
+    # MSB-first fold of each 32-bit half: acc*2+b never exceeds 2^32-1.
+    lo = F.aggregate(
+        F.reverse(F.slice(bits_arr, 1, half)),
+        F.lit(0).cast("long"),
+        lambda acc, b: acc * 2 + b,
+    )
+    hi = F.aggregate(
+        F.reverse(F.slice(bits_arr, half + 1, half)),
+        F.lit(0).cast("long"),
+        lambda acc, b: acc * 2 + b,
+    )
+    # two's-complement recombine: (hi - 2^32 if hi >= 2^31) * 2^32 + lo
+    hi_signed = F.when(hi >= F.lit(1 << 31), hi - F.lit(1 << 32)).otherwise(hi)
+    return hi_signed * F.lit(1 << 32).cast("long") + lo
 
 
 def cosine_sim(a: Column, b: Column) -> Column:
