@@ -37,6 +37,7 @@ from hquery_php_spark.operators.pipeline import (
 from hquery_php_spark.operators.similarity import brute_force_topk, ivf_topk
 from hquery_php_spark.sources.html_synth import (
     BASE_URL,
+    expected_main_text_sql as _main_text_sql,
     expected_spans_sql,
     synth_html_col,
 )
@@ -368,6 +369,274 @@ def q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------- #
+# Boilerplate strip / exclude / structured extraction / pseudo slices
+
+def q_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star boilerplate strip: nav/footer/head chrome dropped via
+    skip_inside + link-density suppression → exactly the main text."""
+    from hquery_php_spark.core.extract import ExtractOptions
+    from hquery_php_spark.sources.html_synth import synth_boiler_html_col
+
+    d = _spread(_docs(spark, sf_dir), spark).select(
+        "doc_id",
+        synth_boiler_html_col(F.col("doc_id"), F.col("text")).alias("html"),
+    )
+    opts = ExtractOptions(
+        skip_inside=("head", "nav", "footer"), media_tags=(("img", "src"),)
+    )
+    spans = extract_spans_df(d, base_url_col=None, opts=opts)
+    return explode_spans(spans).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "kind", "text", "offset"
+    )
+
+
+def q_exclude_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q21 `exclude`: subtract nav+footer from body's content view."""
+    from hquery_php_spark.core.doc import HDoc
+    from hquery_php_spark.sources.html_synth import synth_boiler_html_col
+    import pandas as pd
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    d = _spread(_docs(spark, sf_dir), spark).select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        synth_boiler_html_col(F.col("doc_id"), F.col("text")).alias("html"),
+    )
+    schema = StructType(
+        [StructField("doc_id", StringType()), StructField("main_text", StringType())]
+    )
+
+    def run(batches):
+        for pdf in batches:
+            rows = {"doc_id": [], "main_text": []}
+            for doc_id, html in zip(pdf["doc_id"], pdf["html"]):
+                body = HDoc(html.encode("utf-8")).find("body").first()
+                body.exclude("nav")
+                body.exclude("footer")
+                rows["doc_id"].append(doc_id)
+                rows["main_text"].append(body.text().strip())
+            yield pd.DataFrame(rows)
+
+    return d.mapInPandas(run, schema)
+
+
+def q_dl_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E9 dl() + E10 text2dl(): structured key→value extraction."""
+    from hquery_php_spark.core.doc import HDoc
+    from hquery_php_spark.sources.html_synth import synth_dl_html_col
+    import pandas as pd
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    d = _spread(_docs(spark, sf_dir), spark).select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        synth_dl_html_col(F.col("source"), F.col("lang")).alias("html"),
+    )
+    schema = StructType(
+        [
+            StructField("doc_id", StringType()),
+            StructField("dl_source", StringType()),
+            StructField("dl_lang", StringType()),
+            StructField("t2_source", StringType()),
+            StructField("t2_lang", StringType()),
+        ]
+    )
+
+    def run(batches):
+        for pdf in batches:
+            rows = {k: [] for k in schema.fieldNames()}
+            for doc_id, html in zip(pdf["doc_id"], pdf["html"]):
+                doc = HDoc(html.encode("utf-8"))
+                dl = doc.find("dl").first().dl("dt", "dd")
+                t2 = doc.find("pre").first().text2dl(":")
+                rows["doc_id"].append(doc_id)
+                rows["dl_source"].append(dl.get("source"))
+                rows["dl_lang"].append(dl.get("lang"))
+                rows["t2_source"].append(t2.get("source"))
+                rows["t2_lang"].append(t2.get("lang"))
+            yield pd.DataFrame(rows)
+
+    return d.mapInPandas(run, schema)
+
+
+def q_pseudo_slices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q3/Q12-Q18 pseudos: :lt/:gt/:last, :next/:prev/:parent, `~`
+    sibling, :children, OR comma groups — counts over per-word spans."""
+    from hquery_php_spark.core.doc import HDoc
+    import pandas as pd
+    from pyspark.sql.types import (
+        IntegerType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    d = _spread(_docs(spark, sf_dir), spark).select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        _wordwise_html().alias("html"),
+    )
+    fields = [
+        "n_lt3", "n_gt3", "n_next", "n_prev",
+        "n_parent", "n_tilde", "n_children", "n_or",
+    ]
+    schema = StructType(
+        [StructField("doc_id", StringType())]
+        + [StructField(f, IntegerType()) for f in fields]
+        + [StructField("last_w", StringType())]
+    )
+
+    def run(batches):
+        for pdf in batches:
+            rows = {k: [] for k in schema.fieldNames()}
+            for doc_id, html in zip(pdf["doc_id"], pdf["html"]):
+                doc = HDoc(html.encode("utf-8"))
+
+                def n(sel):
+                    r = doc.find(sel)
+                    return len(r) if r else 0
+
+                rows["doc_id"].append(doc_id)
+                rows["n_lt3"].append(n("span:lt(3)"))
+                rows["n_gt3"].append(n("span:gt(3)"))
+                rows["n_next"].append(n("span.w0:next"))
+                rows["n_prev"].append(n("span.w1:prev"))
+                rows["n_parent"].append(n("span:parent"))
+                rows["n_tilde"].append(n("span ~ span"))
+                rows["n_children"].append(n("div:children"))
+                rows["n_or"].append(n("span.w0, span.w1"))
+                rows["last_w"].append(doc.find("span:last").first().text())
+            yield pd.DataFrame(rows)
+
+    return d.mapInPandas(run, schema)
+
+
+# --------------------------------------------------------------------- #
+# Multimodal plumbing (binary payload → typed metadata / features)
+
+def _png_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic PNG headers synthesized JVM-side: signature + IHDR
+    with width/height derived from doc_id (29 bytes each)."""
+    w = (F.pmod(F.col("doc_id"), F.lit(64)) + 16).cast("int")
+    h = (F.pmod(F.col("doc_id"), F.lit(48)) + 16).cast("int")
+    hexstr = F.concat(
+        F.lit("89504E470D0A1A0A" + "0000000D" + "49484452"),
+        F.lpad(F.hex(w), 8, "0"),
+        F.lpad(F.hex(h), 8, "0"),
+        F.lit("0806000000"),
+    )
+    return _spread(_docs(spark, sf_dir), spark).select(
+        F.col("doc_id").cast("string").alias("media_id"),
+        F.unhex(hexstr).alias("payload"),
+    )
+
+
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Magic-byte sniff + PNG IHDR parse over binary payload columns."""
+    from hquery_php_spark.operators.multimodal import image_meta_df
+
+    return image_meta_df(_png_payloads(spark, sf_dir))
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode→embed plumbing with the stubbed codec (rows-only: the fake
+    feature values are engine-specific by design)."""
+    from hquery_php_spark.operators.multimodal import image_features_df
+
+    return image_features_df(_png_payloads(spark, sf_dir), dim=16)
+
+
+# --------------------------------------------------------------------- #
+# Embedding near-dup (exact oracle pairs + LSH-bucketed scale path)
+
+def _augmented_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Original vectors (as double) + a perturbed copy of every 10th one
+    (id + 1000000, first component shifted by +0.1) — deterministic
+    near-duplicates, reproducible in SQL."""
+    base = _embs(spark, sf_dir).select(
+        F.col("vec_id").alias("id"),
+        F.col("embedding").cast("array<double>").alias("v"),
+    )
+    dup = base.where(F.pmod(F.col("id"), F.lit(10)) == 0).select(
+        (F.col("id") + 1000000).alias("id"),
+        F.concat(
+            F.array(F.element_at(F.col("v"), 1) + F.lit(0.1)),
+            F.slice(F.col("v"), 2, 10_000),
+        ).alias("v"),
+    )
+    return base.unionByName(dup)
+
+
+def q_embed_near_dup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine near-dup pairs (≥0.98) on the augmented set — the
+    ground truth for the LSH path, with a SQL oracle."""
+    from hquery_php_spark.operators.dedup import cosine_sim
+
+    e = _augmented_embeddings(spark, sf_dir)
+    a, b = e.alias("a"), e.alias("b")
+    return (
+        a.join(b, F.col("a.id") < F.col("b.id"))
+        .withColumn("cos", cosine_sim(F.col("a.v"), F.col("b.v")))
+        .where(F.col("cos") >= 0.98)
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.round("cos", 4).alias("cos_r"),
+        )
+    )
+
+
+def q_embed_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH bucketed near-dup — the n²-free scale path (rows-only:
+    bucket hash family is engine-specific)."""
+    from hquery_php_spark.operators.dedup import embedding_near_dup
+
+    e = _augmented_embeddings(spark, sf_dir)
+    return embedding_near_dup(
+        e, vec_col="v", id_col="id", n_planes=4, threshold=0.98
+    )
+
+
+# --------------------------------------------------------------------- #
+# Relational breadth on the TPC-H-ish tables (join strategy + agg)
+
+def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lineitem ⋈ orders ⋈ customer ⋈ broadcast(nation) → revenue per
+    nation.  The two big joins shuffle on their keys; the 25-row nation
+    dim is explicitly broadcast."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    rev = (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).alias("r")
+    return (
+        li.select("l_orderkey", rev)
+        .join(o.select("o_orderkey", "o_custkey"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c.select("c_custkey", "c_nationkey"), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n.select("n_nationkey", "n_name")), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum("r"), 0).cast("long").alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style pricing summary (map-side partial agg, one
+    shuffle); sums rounded to integers for engine-independent compare."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 0).cast("long").alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 0).cast("long").alias("sum_base"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))), 0
+            ).cast("long").alias("sum_disc"),
+            F.count("*").alias("n_rows"),
+        )
+    )
+
+
+# --------------------------------------------------------------------- #
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
@@ -392,6 +661,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "events_window": q_events_window,
         "events_sessions": q_events_sessions,
+        "boilerplate_strip": q_boilerplate_strip,
+        "exclude_text": q_exclude_text,
+        "dl_extract": q_dl_extract,
+        "pseudo_slices": q_pseudo_slices,
+        "multimodal_meta": q_multimodal_meta,
+        "multimodal_features": q_multimodal_features,
+        "embed_near_dup_exact": q_embed_near_dup_exact,
+        "embed_near_dup_lsh": q_embed_near_dup_lsh,
+        "revenue_by_nation": q_revenue_by_nation,
+        "pricing_summary": q_pricing_summary,
     }
 
 
@@ -475,6 +754,79 @@ def oracle_sql() -> dict[str, str]:
         """,
         "events_window": _EV_TUMBLING_SQL,
         "events_sessions": _EV_SESSIONIZE_SQL,
+        "boilerplate_strip": (
+            "SELECT doc_id, kind, text, \"offset\" FROM ("
+            + _main_text_sql("documents")
+            + ")"
+        ),
+        "exclude_text": f"""
+            SELECT CAST(doc_id AS VARCHAR) AS doc_id, {norm} AS main_text
+            FROM documents
+        """,
+        "dl_extract": """
+            SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                   source AS dl_source, lang AS dl_lang,
+                   source AS t2_source, lang AS t2_lang
+            FROM documents
+        """,
+        "pseudo_slices": f"""
+            SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                   LEAST(W, 3) AS n_lt3,
+                   GREATEST(W - 3, 0) AS n_gt3,
+                   (W + 1) // 3 AS n_next,
+                   CASE WHEN W >= 2 THEN 1 ELSE 0 END AS n_prev,
+                   1 AS n_parent,
+                   W - 1 AS n_tilde,
+                   W AS n_children,
+                   (W + 2) // 3 + (W + 1) // 3 AS n_or,
+                   string_split({norm}, ' ')[W] AS last_w
+            FROM (SELECT doc_id, text, {wordcount} AS W FROM documents)
+        """,
+        "multimodal_meta": """
+            SELECT CAST(doc_id AS VARCHAR) AS media_id,
+                   'image/png' AS mime,
+                   CAST(16 + doc_id % 64 AS INTEGER) AS width,
+                   CAST(16 + doc_id % 48 AS INTEGER) AS height,
+                   29 AS n_bytes
+            FROM documents
+        """,
+        "embed_near_dup_exact": """
+            WITH e AS (
+              SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+              FROM embeddings
+            ),
+            aug AS (
+              SELECT id, v FROM e
+              UNION ALL
+              SELECT id + 1000000,
+                     list_concat([v[1] + 0.1], v[2:len(v)])
+              FROM e WHERE id % 10 = 0
+            )
+            SELECT a.id AS id_a, b.id AS id_b,
+                   round(list_cosine_similarity(a.v, b.v), 4) AS cos_r
+            FROM aug a, aug b
+            WHERE a.id < b.id
+              AND list_cosine_similarity(a.v, b.v) >= 0.98
+        """,
+        "revenue_by_nation": """
+            SELECT n_name,
+                   CAST(round(sum(l_extendedprice * (1.0 - l_discount)), 0) AS BIGINT) AS revenue,
+                   count(*) AS n_items
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name
+        """,
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(round(sum(l_quantity), 0) AS BIGINT) AS sum_qty,
+                   CAST(round(sum(l_extendedprice), 0) AS BIGINT) AS sum_base,
+                   CAST(round(sum(l_extendedprice * (1.0 - l_discount)), 0) AS BIGINT) AS sum_disc,
+                   count(*) AS n_rows
+            FROM lineitem
+            GROUP BY l_returnflag, l_linestatus
+        """,
         # rows-only (engine-specific hash families / approximate results):
         # selector engine internals exercised via selector_counts above.
         # "similarity_ivf", "dedup_minhash", "simhash" intentionally omitted.

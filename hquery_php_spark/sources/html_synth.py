@@ -122,3 +122,64 @@ SELECT doc_id, 3, 'media', '',
        'https://cdn.example.com/' || source || '/' || sid || '.png',
        183 + 4*L + T + S FROM m
 """
+
+
+# --------------------------------------------------------------------- #
+# Boilerplate-strip template: nav + footer chrome around the main text.
+# With ExtractOptions(skip_inside=('head','nav','footer')) and img-only
+# media, the expected output is exactly ONE text span per document — the
+# main text — at a length-arithmetic offset.
+
+_B_PRE = '<html><head><title>Doc '
+_B_MID = (
+    '</title></head><body>'
+    '<nav><a href="/">Home</a> <a href="/about.html">About</a></nav>'
+    '<div id="main"><p>'
+)
+_B_POST = (
+    '</p></div>'
+    '<footer><a href="/privacy.html">Privacy</a> (c) 2026 Example</footer>'
+    '</body></html>'
+)
+
+# main-text offset = |_B_PRE| + L + |_B_MID| + |'<p>' is inside _B_MID|
+_B_TEXT_OFFSET_CONST = len(_B_PRE) + len(_B_MID)
+
+
+def synth_boiler_html_col(doc_id: Column, text: Column) -> Column:
+    """Boilerplate-heavy page: title + nav + main + footer."""
+    sid = doc_id.cast("string")
+    return F.concat(
+        F.lit(_B_PRE), sid, F.lit(_B_MID), _norm_text(text), F.lit(_B_POST)
+    )
+
+
+def expected_main_text_sql(table: str = "documents") -> str:
+    """DuckDB oracle for the boilerplate-strip query: one row per doc —
+    (doc_id, kind='text', main text, offset)."""
+    norm = norm_text_sql("text")
+    return f"""
+SELECT doc_id,
+       'text' AS kind,
+       {norm} AS text,
+       {_B_TEXT_OFFSET_CONST} + LENGTH(CAST(doc_id AS VARCHAR)) AS "offset"
+FROM {table}
+"""
+
+
+# --------------------------------------------------------------------- #
+# Structured-extraction template: a <dl> plus a <pre> of key: value lines
+# (drives dl() — Node.php:353-420 — and text2dl — Node.php:1254-1302).
+
+_D_PRE = "<html><body><dl><dt>source</dt><dd>"
+_D_MID1 = "</dd><dt>lang</dt><dd>"
+_D_MID2 = "</dd></dl><pre>source: "
+_D_MID3 = "\nlang: "
+_D_POST = "</pre></body></html>"
+
+
+def synth_dl_html_col(source: Column, lang: Column) -> Column:
+    return F.concat(
+        F.lit(_D_PRE), source, F.lit(_D_MID1), lang,
+        F.lit(_D_MID2), source, F.lit(_D_MID3), lang, F.lit(_D_POST),
+    )
