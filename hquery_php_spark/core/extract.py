@@ -178,7 +178,10 @@ def _strip_markup_text(
             i = 0
     else:
         i = 0
-    for ms, me in masked[i:]:
+    nm = len(masked)
+    while i < nm:  # index walk — slicing masked[i:] would copy the tail
+        ms, me = masked[i]
+        i += 1
         if me <= pos:
             continue
         if ms >= e:
@@ -207,6 +210,10 @@ def _emit_text_run(
     depth_at,
 ) -> None:
     raw = html[start:stop]
+    # whitespace-only runs (the majority: inter-tag newlines/indent) can
+    # never survive collapse — skip the decode/unescape for them.
+    if opts.min_text_chars > 0 and not raw.strip():
+        return
     text = _collapse(_htmlmod.unescape(raw.decode("utf-8", "replace")))
     if len(text) < opts.min_text_chars:
         return

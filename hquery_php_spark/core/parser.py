@@ -92,11 +92,11 @@ def index_comments(s: bytes) -> Dict[int, int]:
 
 import re as _re
 
-# first of '>' / '"' / "'" — one C scan instead of three bytes.find calls
-_GTQ_RE = _re.compile(rb'[>"\']')
-# '>' or the specific closing quote, for the quoted-attr-NAME branch
-_GT_DQ_RE = _re.compile(rb'[>"]')
-_GT_SQ_RE = _re.compile(rb"[>']")
+# Whole attribute region in one C scan (possessive quantifiers — no
+# backtracking): plain runs / double-quoted / single-quoted, then '>'.
+# Used as a fast path only when provably equivalent to the reference's
+# quote rules (see find_tag_close).
+_ATTR_REGION_RE = _re.compile(rb"(?:[^>\"']++|\"[^\"]*+\"|'[^']*+')*+>")
 
 
 def find_tag_close(s: bytes, p: int, l: Optional[int] = None) -> int:
@@ -113,39 +113,49 @@ def find_tag_close(s: bytes, p: int, l: Optional[int] = None) -> int:
     if l is None:
         l = n
     find = s.find
-    search = _GTQ_RE.search
+    # Fast path: consume the whole attr region (quoted values skipped) in
+    # one scan.  The result provably equals the reference's quote rules
+    # when no skipped quote contained a '>': the only divergence between
+    # "skip as value" and the reference's no-'='-before-quote NAME rule is
+    # a '>' *inside* the quoted region — so if the first raw '>' is the
+    # one the regex landed on, the answer is exact.  Otherwise fall back.
+    m = _ATTR_REGION_RE.match(s, p, l)
+    if m is not None:
+        e = m.end() - 1
+        if find(b">", p, e) < 0:
+            return e
     gt = -1  # cached position of the next known '>' (≥ current scan point)
     while True:
         if p >= l:
             return l  # PHP: $p >= $l ⇒ strcspn degenerates ⇒ return $l
-        m = search(s, p)
-        if m is None:
-            return -1  # no '>' (nor quotes) ahead: tag never closes
-        qpos = m.start()
-        c = s[qpos]
-        if c == 0x3E:  # '>' with no quote before it terminates the tag
-            return qpos
-        # a quote before the next '>' — but the reference bails (tag never
-        # closes) when no '>' exists ahead at all, so confirm one exists
-        if gt < qpos:
-            gt = find(b">", qpos)
+        # first-of('>', '"', "'") from p via memchr: locate the next '>'
+        # once, then look for quotes only inside [p, gt) — quote-less tags
+        # (the overwhelmingly common case) cost three C scans, no regex.
+        if gt < p:
+            gt = find(b">", p)
             if gt < 0:
-                return -1
+                return -1  # no '>' ahead: tag never closes
+        dq = find(b'"', p, gt)
+        sq = find(b"'", p, gt)
+        if dq < 0:
+            if sq < 0:
+                return gt  # '>' with no quote before it terminates the tag
+            qpos = sq
+        elif sq < 0 or dq < sq:
+            qpos = dq
+        else:
+            qpos = sq
+        q = s[qpos]
         e = p
-        p = qpos
-        q = c
-        p += 1
+        p = qpos + 1
         # was there a '=' between the scan start and the quote?
-        if find(b"=", e, p) < 0:
+        if find(b"=", e, qpos) < 0:
             # quote opens an attribute *name*: a name must not contain '>',
-            # so the first of ('>' | closing quote) decides.
-            m2 = (_GT_DQ_RE if q == 0x22 else _GT_SQ_RE).search(s, p, l)
-            if m2 is None:
-                p = l
-            else:
-                p = m2.start()
-                if s[p] == 0x3E:
-                    return p
+            # so the first of ('>' | closing quote) decides — '>' is gt.
+            j = find(b'"' if q == 0x22 else b"'", p, l)
+            if j < 0 or gt < j:
+                return gt
+            p = j
         else:
             # quote opens an attribute value: skip to the closing quote
             j = find(b'"' if q == 0x22 else b"'", p, l)
@@ -173,11 +183,14 @@ class ParseResult:
 
 
 # classify-and-name in one C scan: group 1 = '/' for close tags,
-# group 2 = tag name (nameStartRange then nameRange+':'), group 3 = '!'/'?'
-# special tags.  Stray '<'s cannot start a match and are skipped by the
-# regex engine — the reference's continue-on-non-name behavior.
+# group 2 = tag name (nameStartRange then nameRange+':'), group 3 = a
+# directly-following `\s*/?>` — when it matches, the tag has no attributes
+# and its terminating '>' is known without a find_tag_close call (the
+# overwhelmingly common case: every close tag + bare opens), group 4 =
+# '!'/'?' special tags.  Stray '<'s cannot start a match and are skipped
+# by the regex engine — the reference's continue-on-non-name behavior.
 _SCAN_RE = _re.compile(
-    rb"<(?:(/?)([a-zA-Z_\x80-\xff][\-0-9:a-zA-Z_\x80-\xff]*)|([!?]))"
+    rb"<(?:(/?)([a-zA-Z_\x80-\xff][\-0-9:a-zA-Z_\x80-\xff]*)([ \t\r\n]*/?>)?|([!?]))"
 )
 
 
@@ -226,11 +239,11 @@ def parse_html(s: bytes) -> ParseResult:
         if m is None or m.start() >= l:
             break
         lt = m.start()
-        n = m.group(2)
+        cl, n, qc = m.group(1, 2, 3)
         if n is not None:
             # regular tag
-            is_close = m.group(1) == b"/"
-            i = m.end()
+            is_close = cl == b"/"
+            me = i = m.end()
             nl = lower_cache.get(n)
             if nl is None:
                 nl = lower_cache[n] = n.lower()
@@ -240,10 +253,14 @@ def parse_html(s: bytes) -> ParseResult:
                 # close of the unparsed tag: mask its body
                 extents.append((utn_from + 1, lt))
                 utn = None
-            e = find_tag_close(s, i, l)
-            if e < 0:
-                break  # tag never closes — malformed tail
-            i = e + 1
+            if qc is not None:
+                # attribute-less tag: the regex already consumed its '>'
+                e = me - 1
+            else:
+                e = find_tag_close(s, me, l)
+                if e < 0:
+                    break  # tag never closes — malformed tail
+                i = e + 1
             extents.append((lt, i))
             if not is_close:
                 ids[e] = e
@@ -251,20 +268,21 @@ def parse_html(s: bytes) -> ParseResult:
                 if ns is None:
                     ns = name_cache[n] = n.decode("latin-1")
                 tags[e] = ns
-                b = m.end()
-                while b < e and s[b] in _WS:
-                    b += 1
-                if b < e:
-                    at = s[b:e].strip(_PHP_TRIM)
-                    # PHP `if ($at)`: the 1-byte string "0" is falsy
-                    if at and at != b"0":
-                        prev = attr.get(at)
-                        if prev is None:
-                            attr[at] = e
-                        elif isinstance(prev, list):
-                            prev.append(e)
-                        else:
-                            attr[at] = [prev, e]
+                if qc is None:
+                    b = me
+                    while b < e and s[b] in _WS:
+                        b += 1
+                    if b < e:
+                        at = s[b:e].strip(_PHP_TRIM)
+                        # PHP `if ($at)`: the 1-byte string "0" is falsy
+                        if at and at != b"0":
+                            prev = attr.get(at)
+                            if prev is None:
+                                attr[at] = e
+                            elif isinstance(prev, list):
+                                prev.append(e)
+                            else:
+                                attr[at] = [prev, e]
                 # '/>' ⇒ self-closed: no stack push (Parser/HTML.php:135)
                 if s[e - 1] != 0x2F:
                     if nl in UNPARSED_TAGS:
