@@ -148,3 +148,48 @@ def test_brute_force_topk(spark):
     df = spark.createDataFrame(rows, ["vec_id", "embedding"])
     top = brute_force_topk(df, [1.0, 0.0, 0.0, 0.0], k=1).collect()
     assert top[0]["id"] == 0
+
+
+def test_resume_cycle_end_to_end(spark, corpus_df, tmp_path):
+    """Idempotent resume: a killed job's committed output is skipped on
+    re-run and the union equals a clean full run (north rule)."""
+    out_dir = str(tmp_path / "spans_out")
+    docs = corpus_df
+
+    # full run (the expected final state)
+    full = extract_spans_df(docs).select("doc_id", "n_tags").toPandas()
+
+    # "first run dies" after committing only docs with even-length ids:
+    # simulate by writing a committed subset
+    part1 = extract_spans_df(docs.where(F.length("doc_id") % 2 == 0))
+    part1.write.mode("overwrite").parquet(out_dir)
+
+    committed = spark.read.parquet(out_dir)
+    n_committed = committed.count()
+    assert 0 < n_committed < len(full)
+
+    # resume: anti-join against committed doc_ids, process the rest, append
+    todo = resume_filter(docs, committed.select("doc_id"))
+    extract_spans_df(todo).write.mode("append").parquet(out_dir)
+
+    final = spark.read.parquet(out_dir).select("doc_id", "n_tags").toPandas()
+    assert len(final) == len(full)
+    a = full.sort_values("doc_id").reset_index(drop=True)
+    b = final.sort_values("doc_id").reset_index(drop=True)
+    assert (a["doc_id"] == b["doc_id"]).all()
+    assert (a["n_tags"] == b["n_tags"]).all()
+
+    # resuming again is a no-op (idempotence)
+    assert resume_filter(docs, spark.read.parquet(out_dir).select("doc_id")).count() == 0
+
+
+def test_partition_metrics_lineage_roundtrip(spark, corpus_df, tmp_path):
+    """Metrics rows are writable/readable as the lineage table and
+    account for every input document exactly once."""
+    mdir = str(tmp_path / "metrics")
+    spans = extract_spans_df(corpus_df)
+    partition_metrics(spans).write.mode("overwrite").parquet(mdir)
+    m = spark.read.parquet(mdir).toPandas()
+    assert m["n_docs"].sum() == corpus_df.count()
+    assert (m["n_errors"] >= 0).all()
+    assert m["bytes"].sum() > 0

@@ -1,0 +1,69 @@
+"""Layer-3 parity: the reference's stress sweep on its real 3.1MB page.
+
+Ports tests/hQueryStress.Test.php: the 28-selector sweep with the
+context-invariance assertion count(doc.find(s)) == count(body.find(s))
+(reference :159), the >10k-tags/<5s big-synthetic gate (:224-238), and
+the committed benchmark-log golden counts (tests/README.md:21-33).
+"""
+
+import gzip
+import time
+
+import pytest
+
+import hquery_php_spark as hq
+
+GRANITO = "/root/reference/tests/data/big_granito_1.html.gz"
+
+# the reference's stress sweep list (tests/hQueryStress.Test.php:102-130)
+SELECTORS = [
+    "span", "span.glyphicon", "div", "p", "form", "td", "tr", "table",
+    "table tr", "table>tr", "tr td", "tr>td", ".ch-title", ".even",
+    ".row", "a", "a[href]", "img", "img[src]", "a img", "a>img",
+    "a>img:parent", "a[href]>img[src]:parent", ".first", ".first:parent",
+    ".first:next", "img.click", "script",
+]
+
+# golden counts committed in the reference's benchmark log
+# (/root/reference/tests/README.md:21-33, document context)
+GOLDEN = {
+    "span": 10131, ".ch-title": 5616, ".even": 2808, ".row": 1464,
+    "a": 2204, "img": 730, "a img": 727, "a>img": 727,
+    "a>img:parent": 727, ".first": 720, ".first:parent": 720,
+    ".first:next": 720, "img.click": 6,
+}
+
+
+@pytest.fixture(scope="module")
+def doc():
+    raw = gzip.open(GRANITO, "rb").read()
+    t0 = time.perf_counter()
+    d = hq.HDoc(raw, "https://granito.md/")
+    # the reference's CI gate: 3.1MB indexed in < 6s (hQueryStress:74-75)
+    assert time.perf_counter() - t0 < 6.0
+    assert len(d) == 50924
+    assert d.charset == "WINDOWS-1251"
+    return d
+
+
+def test_context_invariance(doc):
+    body = doc.find("body")
+    assert body
+    for sel in SELECTORS:
+        n_doc = len(doc.find(sel) or [])
+        n_body = len(body.find(sel) or [])
+        assert n_doc == n_body, (sel, n_doc, n_body)
+
+
+def test_golden_counts(doc):
+    for sel, want in GOLDEN.items():
+        got = len(doc.find(sel) or [])
+        assert got == want, (sel, got, want)
+
+
+def test_extract_spans_runs(doc):
+    spans = hq.extract_spans(doc)
+    assert len(spans) > 10000
+    # document order is strict on offsets
+    offs = [s.offset for s in spans]
+    assert offs == sorted(offs)
