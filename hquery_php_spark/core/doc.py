@@ -139,16 +139,19 @@ class HElement:
             strip_tags(self.html_bytes()).decode("utf-8", "replace")
         )
 
-    def outer_html(self) -> str:
+    def outer_html(self, tag_map: Optional[Dict[str, str]] = None) -> str:
         """Rebuild ``<name attrs…>…</name>`` with canonically-serialized
         attributes, preserving the source tag-close style ``>``, ``/>``,
-        `` />`` (Node.php:283-320)."""
+        `` />``; ``tag_map`` renames tags on output by lowercased name
+        (Node.php:283-320, map lookup at :299-303)."""
         doc = self.doc.index
         out = []
         for p, q in self.ids.items():
             a = doc.get_attr_by_id(p, None, raw=True)
             astr = attr2str(a) if a else ""
             n = doc.tags[p]
+            if tag_map:
+                n = tag_map.get(n.lower(), n)
             p1 = p + 1
             h: Union[bytes, bool] = (
                 False if p1 - 1 == q else (doc.html[p1:q] if p1 < q else b"")
@@ -357,8 +360,9 @@ class HDoc:
         html: Union[str, bytes],
         url: Optional[str] = None,
         headers: Optional[Union[str, Mapping[str, str]]] = None,
+        del_spaces: bool = False,
     ) -> None:
-        self.index = DocIndex(html, url=url, headers=headers)
+        self.index = DocIndex(html, url=url, headers=headers, del_spaces=del_spaces)
 
     @classmethod
     def from_html(cls, html, url=None, headers=None) -> "HDoc":

@@ -33,6 +33,7 @@ INDEX_ATTRIBS = ("href", "src")  # URL attrs with a dedicated index
 URL_ATTRIBS = ("href", "src")
 
 _WS_SPLIT = re.compile(r"\s+")
+_DEL_SPACES_RE = re.compile(rb"(>)?\s+(<)?")
 
 IdMap = Dict[int, int]
 
@@ -67,6 +68,7 @@ class DocIndex:
         html: Union[str, bytes],
         url: Optional[str] = None,
         headers: Optional[Union[str, Mapping[str, str]]] = None,
+        del_spaces: bool = False,
     ) -> None:
         if isinstance(html, str):
             html = html.encode("utf-8")
@@ -82,6 +84,10 @@ class DocIndex:
         # into UTF-8 text — the reference's offset convention
         # (HTML_Index.php:744-747).
         html, charset, errors = convert_to_utf8(html, headers)
+        if del_spaces:
+            # optional whitespace squeeze before indexing — the
+            # reference's static $del_spaces (HTML_Index.php:38,797-800)
+            html = _DEL_SPACES_RE.sub(rb"\1 \2", html)
         self.html: bytes = html
         self.charset = charset
         self.html_errors = errors

@@ -340,3 +340,19 @@ def test_from_file(tmp_path):
     p.write_bytes(gzip.compress(b"<html><body><a href='y.html'>y</a></body></html>"))
     d = HDoc.from_file(str(p), "https://h.io/base/")
     assert d.find("a").attr("href", True) == "https://h.io/base/y.html"
+
+
+def test_del_spaces_option():
+    """T14: optional whitespace squeeze before indexing
+    (HTML_Index.php:38,797-800) — off by default."""
+    raw = b"<div>\n   <p>a</p>\n</div>"
+    d = HDoc(raw, del_spaces=True)
+    assert d.index.html == b"<div> <p>a</p> </div>"
+    assert HDoc(raw).index.html == raw
+
+
+def test_outer_html_tag_map():
+    """E2: tag_map rename on output, lowercased lookup (Node.php:299-303)."""
+    el = HDoc(b'<B href="x">t</B>').find("b").first()
+    assert el.outer_html() == '<B href="x">t</B>'
+    assert el.outer_html({"b": "strong"}) == '<strong href="x">t</strong>'
