@@ -138,3 +138,22 @@ def test_streaming_extract(spark, tmp_path):
     # batch DataFrame is rejected
     with pytest.raises(ValueError):
         streaming_extract_spans(df)
+
+
+def test_revenue_join_uses_broadcast(spark):
+    """The 25-row nation dim must hash-broadcast, not sort-merge."""
+    import __spark_entry__ as E
+
+    df = E.q_revenue_by_nation(spark, "/root/testdata/sf0.001")
+    facts = plan_facts(df)
+    assert facts["broadcast_joins"] >= 1, facts["plan"]
+
+
+def test_extract_scan_prunes_columns(spark):
+    """Only the projected columns may reach the documents scan."""
+    import __spark_entry__ as E
+
+    df = E.q_token_count(spark, "/root/testdata/sf0.001")
+    facts = plan_facts(df)
+    # documents has 5 columns; token_count needs doc_id + text
+    assert 0 < facts["read_schema_cols"] <= 2, facts["plan"]
