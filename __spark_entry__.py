@@ -314,7 +314,9 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH candidates verified by exact n-gram Jaccard
     (rows-only check: hash family is engine-specific)."""
     d = _spread(_docs(spark, sf_dir), spark)
-    sigs = minhash_signatures(d, num_perm=16, shingle_k=8)
+    # signatures are tiny (id + 16 longs/doc): persist so the LSH self-
+    # join's two sides share one computation instead of re-shingling.
+    sigs = minhash_signatures(d, num_perm=16, shingle_k=8).persist()
     cands = minhash_lsh_candidates(sigs, bands=2, rows_per_band=8)
     return ngram_jaccard_verify(d, cands, k=8, threshold=0.6)
 

@@ -140,12 +140,31 @@ def ngram_jaccard_verify(
     id_col: str = "doc_id",
     k: int = 5,
     threshold: float = 0.8,
+    persist_shingles: bool = False,
 ) -> DataFrame:
-    """Exact char-k-gram Jaccard on candidate pairs only (verify stage)."""
-    sh = df.select(
-        F.col(id_col).alias("id"),
-        F.array_distinct(char_shingles(F.col(text_col), k)).alias("sh"),
+    """Exact char-k-gram Jaccard on candidate pairs only (verify stage).
+
+    Only documents that appear in a candidate pair are shingled: a
+    broadcast semi-join on the (small) candidate id set prunes the corpus
+    before the expensive shingle projection, so the verify stage is
+    O(candidates) whatever the corpus size.  ``persist_shingles``
+    additionally caches that pruned table so the id_a and id_b join sides
+    share one computation."""
+    ids_needed = (
+        candidates.select(F.col("id_a").alias("id"))
+        .unionByName(candidates.select(F.col("id_b").alias("id")))
+        .distinct()
     )
+    sh = (
+        df.select(F.col(id_col).alias("id"), F.col(text_col))
+        .join(F.broadcast(ids_needed), "id", "left_semi")
+        .select(
+            "id",
+            F.array_distinct(char_shingles(F.col(text_col), k)).alias("sh"),
+        )
+    )
+    if persist_shingles:
+        sh = sh.persist()
     j = (
         # candidate pairs are tiny vs the corpus — broadcast them so the
         # shingle table is scanned once per side with no shuffle.
