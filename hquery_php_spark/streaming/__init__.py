@@ -1,3 +1,7 @@
 """Structured Streaming variants of the extraction pipeline."""
 
-from .pipeline import streaming_extract_spans, streaming_span_metrics  # noqa: F401
+from .pipeline import (  # noqa: F401
+    streaming_extract_spans,
+    streaming_sessionize,
+    streaming_span_metrics,
+)

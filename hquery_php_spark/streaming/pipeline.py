@@ -23,7 +23,11 @@ from pyspark.sql import functions as F
 from ..core.extract import DEFAULT_OPTIONS, ExtractOptions
 from ..operators.pipeline import extract_spans_df
 
-__all__ = ["streaming_extract_spans", "streaming_span_metrics"]
+__all__ = [
+    "streaming_extract_spans",
+    "streaming_span_metrics",
+    "streaming_sessionize",
+]
 
 
 def streaming_extract_spans(
@@ -77,4 +81,106 @@ def streaming_span_metrics(
             ),
             F.sum("size_bytes").alias("bytes"),
         )
+    )
+
+
+def streaming_sessionize(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_minutes: int = 30,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Custom stateful operator: per-user gap sessionization on a stream
+    via ``applyInPandasWithState`` (the streaming twin of the batch
+    ``operators.events.sessionize``).
+
+    State per user = the open session (start, last_ts, n_events).  New
+    events extend it or close it (gap exceeded → emit); an event-time
+    timeout (last_ts + gap past the watermark) flushes idle sessions, so
+    state is bounded by the active-user set.
+    """
+    import pandas as pd  # noqa: F401  (worker-side)
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    from pyspark.sql.types import (
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    if not events.isStreaming:
+        raise ValueError("expected a streaming DataFrame (readStream source)")
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("session_start", TimestampType()),
+            StructField("session_end", TimestampType()),
+            StructField("n_events", IntegerType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("start_us", LongType()),
+            StructField("last_us", LongType()),
+            StructField("n", IntegerType()),
+        ]
+    )
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    def fn(key, pdfs, state):
+        import pandas as pd
+
+        user = key[0]
+        if state.hasTimedOut:
+            start_us, last_us, n = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [user],
+                    "session_start": [pd.Timestamp(start_us, unit="us")],
+                    "session_end": [pd.Timestamp(last_us, unit="us")],
+                    "n_events": [n],
+                }
+            )
+            return
+
+        ts_list = []
+        for pdf in pdfs:
+            ts_list.extend(
+                int(t.value // 1000) for t in pd.to_datetime(pdf["ts"])
+            )
+        ts_list.sort()
+        if state.exists:
+            start_us, last_us, n = state.get
+        else:
+            start_us = last_us = ts_list[0]
+            n = 0
+        closed = {"user_id": [], "session_start": [], "session_end": [], "n_events": []}
+        for t in ts_list:
+            if t - last_us > gap_us:
+                closed["user_id"].append(user)
+                closed["session_start"].append(pd.Timestamp(start_us, unit="us"))
+                closed["session_end"].append(pd.Timestamp(last_us, unit="us"))
+                closed["n_events"].append(n)
+                start_us, n = t, 0
+            last_us = t
+            n += 1
+        state.update((start_us, last_us, n))
+        state.setTimeoutTimestamp(last_us // 1000 + gap_minutes * 60 * 1000)
+        if closed["user_id"]:
+            yield pd.DataFrame(closed)
+
+    src = events.select(
+        F.col(user_col).cast("long").alias("user_id"),
+        F.col(ts_col).cast("timestamp").alias("ts"),
+    ).withWatermark("ts", watermark)
+    return src.groupBy("user_id").applyInPandasWithState(
+        fn,
+        out_schema,
+        state_schema,
+        "append",
+        GroupStateTimeout.EventTimeTimeout,
     )

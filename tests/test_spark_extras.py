@@ -157,3 +157,68 @@ def test_extract_scan_prunes_columns(spark):
     facts = plan_facts(df)
     # documents has 5 columns; token_count needs doc_id + text
     assert 0 < facts["read_schema_cols"] <= 2, facts["plan"]
+
+
+def test_streaming_stateful_sessionize(spark, tmp_path):
+    """applyInPandasWithState sessionization: gap-closed sessions are
+    emitted; idle sessions flush on event-time timeout."""
+    import time as _time
+
+    import pandas as pd
+
+    from hquery_php_spark.streaming import streaming_sessionize
+
+    src_dir = str(tmp_path / "ev_in")
+    ckpt = str(tmp_path / "ev_ckpt")
+
+    base = pd.Timestamp("2026-01-01 10:00:00")
+    rows1 = pd.DataFrame(
+        {
+            "user_id": [1, 1, 2],
+            "ts": [base, base + pd.Timedelta(minutes=5), base],
+        }
+    )
+    import os
+
+    os.makedirs(src_dir, exist_ok=True)
+    spark.createDataFrame(rows1).coalesce(1).write.mode("append").parquet(src_dir)
+
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp").parquet(src_dir)
+    )
+    out = streaming_sessionize(stream, gap_minutes=30, watermark="0 seconds")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sessions_out")
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # batch 2: user 1 returns after a 2-hour gap -> closes the first
+        # session; its timestamp also advances the watermark past user 2's
+        # timeout -> user 2's idle session flushes.
+        rows2 = pd.DataFrame(
+            {"user_id": [1], "ts": [base + pd.Timedelta(hours=2)]}
+        )
+        spark.createDataFrame(rows2).coalesce(1).write.mode("append").parquet(src_dir)
+        q.processAllAvailable()
+        # one more empty-ish advance to let timeouts fire
+        rows3 = pd.DataFrame(
+            {"user_id": [3], "ts": [base + pd.Timedelta(hours=3)]}
+        )
+        spark.createDataFrame(rows3).coalesce(1).write.mode("append").parquet(src_dir)
+        q.processAllAvailable()
+        got = spark.sql(
+            "SELECT user_id, n_events FROM sessions_out ORDER BY user_id"
+        ).collect()
+        by_user = {}
+        for r in got:
+            by_user.setdefault(r.user_id, []).append(r.n_events)
+        # user 1's first session (2 events) closed by the gap
+        assert 2 in by_user.get(1, []), got
+        # user 2's idle single-event session flushed by timeout
+        assert by_user.get(2) == [1], got
+    finally:
+        q.stop()
