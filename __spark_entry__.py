@@ -510,6 +510,36 @@ def q_pseudo_slices(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.mapInPandas(run, schema)
 
 
+_CS_PRE = '<html><head><meta charset="ISO-8859-1"></head><body><p>café '
+_CS_POST = "</p></body></html>"
+# span offset is a byte offset into the UTF-8-CONVERTED document (é = 2 bytes)
+_CS_OFFSET = len(_CS_PRE.encode("utf-8")) - len("café ".encode("utf-8"))
+
+
+def q_charset_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-rule charset-aware decoding end-to-end: documents arrive as
+    ISO-8859-1 *bytes* (0xE9 for é), the engine sniffs the meta charset,
+    converts to UTF-8, and indexes the converted string — offsets are
+    UTF-8 byte offsets, span text is proper UTF-8."""
+    d = _spread(_docs(spark, sf_dir), spark).select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.encode(
+            F.concat(
+                F.lit(_CS_PRE),
+                F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")),
+                F.lit(_CS_POST),
+            ),
+            "ISO-8859-1",
+        ).alias("html"),
+    )
+    spans = extract_spans_df(d, base_url_col=None)
+    return explode_spans(spans.select("doc_id", "spans")).where(
+        F.col("kind") == "text"
+    ).select("doc_id", "text", "offset").join(
+        spans.select("doc_id", "charset"), "doc_id"
+    )
+
+
 # --------------------------------------------------------------------- #
 # Multimodal plumbing (binary payload → typed metadata / features)
 
@@ -664,6 +694,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_window": q_events_window,
         "events_sessions": q_events_sessions,
         "boilerplate_strip": q_boilerplate_strip,
+        "charset_extract": q_charset_extract,
         "exclude_text": q_exclude_text,
         "dl_extract": q_dl_extract,
         "pseudo_slices": q_pseudo_slices,
@@ -756,6 +787,13 @@ def oracle_sql() -> dict[str, str]:
         """,
         "events_window": _EV_TUMBLING_SQL,
         "events_sessions": _EV_SESSIONIZE_SQL,
+        "charset_extract": f"""
+            SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                   'café ' || {norm} AS text,
+                   {_CS_OFFSET} AS "offset",
+                   'ISO-8859-1' AS charset
+            FROM documents
+        """,
         "boilerplate_strip": (
             "SELECT doc_id, kind, text, \"offset\" FROM ("
             + _main_text_sql("documents")
