@@ -433,6 +433,7 @@ class HDoc:
 
         groups = parse_selector(sel.strip())
         ra: Optional[IdMap] = None
+        merged = False
 
         for group in groups:
             rb: Optional[IdMap] = None
@@ -512,7 +513,14 @@ class HDoc:
                 else:
                     for k, v in rb.items():
                         ra.setdefault(k, v)
+                    merged = True
 
         if ra:
-            return HElement(self, dict(sorted(ra.items())))
+            if merged:
+                # union of OR groups: re-establish doc order (the
+                # reference's ksort, hQuery.php:447)
+                return HElement(self, dict(sorted(ra.items())))
+            # single contributing group: already doc-ordered by
+            # construction (every step emits begin-sorted maps)
+            return HElement(self, ra)
         return None
