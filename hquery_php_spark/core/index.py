@@ -35,6 +35,14 @@ URL_ATTRIBS = ("href", "src")
 _WS_SPLIT = re.compile(r"\s+")
 _DEL_SPACES_RE = re.compile(rb"(>)?\s+(<)?")
 
+# Cross-document interning cache: raw attribute bytes → (canonical key,
+# parsed items minus URL attrs, URL attr values).  Web corpora repeat the
+# same attribute strings across millions of template-generated pages, so
+# the parse+canonicalize cost is paid once per distinct string per worker.
+# The entry is immutable (tuples); per-document consumers copy.
+_RAW_ATTR_CACHE: Dict[bytes, tuple] = {}
+_RAW_ATTR_CACHE_MAX = 100_000
+
 IdMap = Dict[int, int]
 
 
@@ -156,19 +164,27 @@ class DocIndex:
         self.attrs: Dict[int, int] = {}
         self.attr_idx: Dict[int, Union[int, IdMap]] = {}
         i = 0
+        cache = _RAW_ATTR_CACHE
         for raw, v in raw_attrs.items():
-            a = parse_attr_str(raw.decode("utf-8", "replace"), True, False)
-            for atn in INDEX_ATTRIBS:
-                if atn in a:
-                    val = a.pop(atn)
-                    if isinstance(v, list):
-                        for e in v:
-                            iax[atn][e] = val  # type: ignore[assignment]
-                    else:
-                        iax[atn][v] = val  # type: ignore[assignment]
-            if not a:
+            ent = cache.get(raw)
+            if ent is None:
+                a0 = parse_attr_str(raw.decode("utf-8", "replace"), True, False)
+                url_vals = tuple(
+                    (atn, a0.pop(atn)) for atn in INDEX_ATTRIBS if atn in a0
+                )
+                key0 = attr2str(a0) if a0 else None
+                if len(cache) >= _RAW_ATTR_CACHE_MAX:
+                    cache.clear()
+                ent = cache[raw] = (key0, tuple(a0.items()), url_vals)
+            key, a_items, url_vals = ent
+            for atn, val in url_vals:
+                if isinstance(v, list):
+                    for e in v:
+                        iax[atn][e] = val  # type: ignore[assignment]
+                else:
+                    iax[atn][v] = val  # type: ignore[assignment]
+            if key is None:
                 continue
-            key = attr2str(a)
             if key in six:
                 aid = six[key]
                 cur = iix[aid]
@@ -182,7 +198,8 @@ class DocIndex:
             else:
                 aid = i
                 six[key] = aid
-                aix[aid] = a  # type: ignore[assignment]
+                # fresh per-document copy (the index owns and may serve it)
+                aix[aid] = dict(a_items)  # type: ignore[assignment]
                 iix[aid] = v
                 i += 1
         ids = self.ids
