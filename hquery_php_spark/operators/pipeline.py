@@ -44,6 +44,7 @@ __all__ = [
     "explode_spans",
     "byte_balanced_repartition",
     "salted_repartition",
+    "split_tail_repartition",
     "partition_metrics",
     "resume_filter",
 ]
@@ -199,6 +200,30 @@ def salted_repartition(
         bucket = F.ceil(F.log2(F.col(size_col).cast("double") + F.lit(1.0)))
         return df.repartition(num_partitions, bucket, salt)
     return df.repartition(num_partitions, salt)
+
+
+def split_tail_repartition(
+    df: DataFrame,
+    num_partitions: int,
+    size_col: str = "size_bytes",
+    tail_bytes: int = 4 << 20,
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Isolate the mega-document tail: docs above ``tail_bytes`` go to
+    single-doc round-robin partitions; the body is hash-salted as usual.
+
+    This is the scale-correct skew strategy when the tail is extreme
+    (a 20MB doc among 100KB batches): no global sort (unlike
+    ``byte_balanced_repartition``), no birthday-collision risk (unlike a
+    pure hash salt) — each tail doc occupies its own partition, so the
+    stage's critical path is max(one mega doc, one body partition).
+    The union keeps both sides' partitioning (no extra shuffle on top)."""
+    big = df.where(F.col(size_col) >= tail_bytes)
+    small = df.where(F.col(size_col) < tail_bytes)
+    body = salted_repartition(small, num_partitions, key_col=key_col)
+    # round-robin gives each tail doc its own partition deterministically
+    tail = big.repartition(num_partitions)
+    return body.unionByName(tail)
 
 
 def partition_metrics(spans_df: DataFrame) -> DataFrame:

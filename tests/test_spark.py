@@ -193,3 +193,26 @@ def test_partition_metrics_lineage_roundtrip(spark, corpus_df, tmp_path):
     assert m["n_docs"].sum() == corpus_df.count()
     assert (m["n_errors"] >= 0).all()
     assert m["bytes"].sum() > 0
+
+
+def test_split_tail_repartition_isolates_megas(spark):
+    """Each mega-doc lands alone; body stays salted — no global sort."""
+    from hquery_php_spark.operators.pipeline import split_tail_repartition
+
+    rows = [(f"s{i}", "x" * 100, 100) for i in range(200)] + [
+        (f"mega{i}", "y" * 100, 50_000_000) for i in range(6)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "html", "size_bytes"])
+    out = split_tail_repartition(df, 8, tail_bytes=1 << 20)
+    p = (
+        out.withColumn("pid", F.spark_partition_id())
+        .groupBy("pid")
+        .agg(
+            F.sum(F.when(F.col("size_bytes") >= 1 << 20, 1).otherwise(0)).alias("megas"),
+            F.count("*").alias("n"),
+        )
+        .toPandas()
+    )
+    assert p["megas"].max() <= 1, p.to_string()
+    assert int(p["megas"].sum()) == 6
+    assert int(p["n"].sum()) == 206
