@@ -106,19 +106,24 @@ def get_aids_by_attr(doc: DocIndex, attr, as_keys: bool = True, actx=None):
 
 
 def get_ids_by_aid(doc: DocIndex, aids, sort: bool = True) -> IdMap:
-    """Union of id-maps for a set of aids, ksorted (HTML_Index.php:1261-1285)."""
-    ret: IdMap = {}
+    """Union of id-maps for a set of aids, ksorted (HTML_Index.php:1261-1285).
+
+    Single-aid unions skip the sort (posting lists are begin-sorted by
+    construction); multi-aid unions concatenate the already-sorted item
+    lists and sort once instead of dict-merging then re-sorting."""
+    items: List[Tuple[int, int]] = []
+    n_maps = 0
     for aid, aix in aids.items():
-        if not isinstance(aix, dict):
-            aix = {aix: doc.ids[aix]}
-        if not ret:
-            ret = dict(aix)
+        n_maps += 1
+        if isinstance(aix, dict):
+            items.extend(aix.items())
         else:
-            for k, v in aix.items():
-                ret.setdefault(k, v)
-    if sort and ret:
-        ret = dict(sorted(ret.items()))
-    return ret
+            items.append((aix, doc.ids[aix]))
+    if n_maps <= 1:
+        return dict(items)
+    if sort:
+        items.sort()
+    return dict(items)
 
 
 # --------------------------------------------------------------------- #

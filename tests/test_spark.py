@@ -216,3 +216,41 @@ def test_split_tail_repartition_isolates_megas(spark):
     assert p["megas"].max() <= 1, p.to_string()
     assert int(p["megas"].sum()) == 6
     assert int(p["n"].sum()) == 206
+
+
+def test_minhash_recall_vs_exact(spark):
+    """Probe quality: verified MinHash+LSH pairs must be a subset of the
+    exact brute-force pairs, with recall ≥ 0.8 at these parameters."""
+    d = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    sigs = minhash_signatures(d, num_perm=16, shingle_k=8)
+    cands = minhash_lsh_candidates(sigs, bands=2, rows_per_band=8)
+    lsh = {
+        (r.id_a, r.id_b)
+        for r in ngram_jaccard_verify(d, cands, k=8, threshold=0.6).collect()
+    }
+
+    from hquery_php_spark.operators.dedup import char_shingles
+
+    sh = d.select(
+        F.col("doc_id").alias("id"),
+        F.array_distinct(char_shingles(F.col("text"), 8)).alias("sh"),
+    )
+    a, b = sh.alias("a"), sh.alias("b")
+    exact = {
+        (r.id_a, r.id_b)
+        for r in (
+            a.join(b, F.col("a.id") < F.col("b.id"))
+            .withColumn(
+                "j",
+                F.size(F.array_intersect("a.sh", "b.sh"))
+                / F.size(F.array_union("a.sh", "b.sh")),
+            )
+            .where(F.col("j") >= 0.6)
+            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+            .collect()
+        )
+    }
+    assert lsh <= exact  # no false positives (verify stage is exact)
+    assert exact, "fixture should contain near-dups"
+    recall = len(lsh) / len(exact)
+    assert recall >= 0.8, (recall, len(lsh), len(exact))
