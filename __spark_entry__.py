@@ -317,7 +317,9 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # signatures are tiny (id + 16 longs/doc): persist so the LSH self-
     # join's two sides share one computation instead of re-shingling.
     sigs = minhash_signatures(d, num_perm=16, shingle_k=8).persist()
-    cands = minhash_lsh_candidates(sigs, bands=2, rows_per_band=8)
+    # candidates feed the verify stage twice (the candidate-id semi-join
+    # prune and the pair join) — persist the small pair table as well.
+    cands = minhash_lsh_candidates(sigs, bands=2, rows_per_band=8).persist()
     return ngram_jaccard_verify(d, cands, k=8, threshold=0.6)
 
 
