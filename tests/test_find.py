@@ -356,3 +356,24 @@ def test_outer_html_tag_map():
     el = HDoc(b'<B href="x">t</B>').find("b").first()
     assert el.outer_html() == '<B href="x">t</B>'
     assert el.outer_html({"b": "strong"}) == '<strong href="x">t</strong>'
+
+
+def test_detect_charset_table():
+    """Port of the reference's charset table (hQueryCore.Test.php:746-759):
+    HTML/XML declarations, bad HTML, and HTTP headers in several shapes."""
+    from hquery_php_spark.core.charset import detect_charset
+    from hquery_php_spark.sources.fixtures import BAD_HTML_1, BAD_HTML_2
+
+    assert detect_charset(b" ") is None
+    assert detect_charset(BODY_HTML) == "ISO-8859-2"
+    assert (
+        detect_charset(EMPTY_BODY_HTML, {"content-type": "text/html; charset=UTF-8"})
+        == "WINDOWS-1251"
+    )
+    assert detect_charset(BAD_HTML_1) is None
+    assert detect_charset(BAD_HTML_2) == "UFT-8"  # the doc's own typo, kept
+
+    assert detect_charset(b"", "Content-Type: text/html; charset=UTF-8") == "UTF-8"
+    assert detect_charset(b"", {"Content-Type": "text/html; charset = utf-8 "}) == "UTF-8"
+    assert detect_charset(b"", {"content-type": 'text/html; charset = "utf-8"'}) == "UTF-8"
+    assert detect_charset(b"", {"CONTENT_TYPE": "text/html;charset='Utf-8'"}) == "UTF-8"
