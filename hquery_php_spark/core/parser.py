@@ -183,14 +183,19 @@ class ParseResult:
 
 
 # classify-and-name in one C scan: group 1 = '/' for close tags,
-# group 2 = tag name (nameStartRange then nameRange+':'), group 3 = a
-# directly-following `\s*/?>` — when it matches, the tag has no attributes
-# and its terminating '>' is known without a find_tag_close call (the
-# overwhelmingly common case: every close tag + bare opens), group 4 =
-# '!'/'?' special tags.  Stray '<'s cannot start a match and are skipped
-# by the regex engine — the reference's continue-on-non-name behavior.
+# group 2 = tag name (nameStartRange then nameRange+':'), group 3 = the
+# whole attribute region through the terminating '>' (possessive — plain
+# runs / quoted values / quoted names, no backtracking), so most tags
+# need no separate find_tag_close call at all; group 4 = '!'/'?' special
+# tags.  group 3 treats every quote as value-quoting — equivalent to the
+# reference's rules unless a skipped quote contained a '>', which the
+# loop detects (memchr) and sends to the slow path.  Stray '<'s cannot
+# start a match and are skipped by the regex engine — the reference's
+# continue-on-non-name behavior.
 _SCAN_RE = _re.compile(
-    rb"<(?:(/?)([a-zA-Z_\x80-\xff][\-0-9:a-zA-Z_\x80-\xff]*)([ \t\r\n]*/?>)?|([!?]))"
+    rb"<(?:(/?)([a-zA-Z_\x80-\xff][\-0-9:a-zA-Z_\x80-\xff]*)"
+    rb"((?:[^>\"']++|\"[^\"]*+\"|'[^']*+')*+>)?"
+    rb"|([!?]))"
 )
 
 
@@ -231,6 +236,7 @@ def parse_html(s: bytes) -> ParseResult:
     # (they cannot start a match), which is exactly the reference's
     # continue-on-non-name behavior.
     scan = _SCAN_RE.search
+    find = s.find
     lower_cache: Dict[bytes, bytes] = {}
     name_cache: Dict[bytes, str] = {}
     i = 0
@@ -249,15 +255,27 @@ def parse_html(s: bytes) -> ParseResult:
                 nl = lower_cache[n] = n.lower()
             if utn is not None:
                 if nl != utn or not is_close:
-                    continue  # opaque script/style body
+                    # opaque script/style body — resume right after the
+                    # NAME: the matched attr region may contain '<' and
+                    # could otherwise swallow the real closing tag
+                    i = m.end(2)
+                    continue
                 # close of the unparsed tag: mask its body
                 extents.append((utn_from + 1, lt))
                 utn = None
+            ne = m.end(2)  # name end = attr region start
             if qc is not None:
-                # attribute-less tag: the regex already consumed its '>'
+                # the regex consumed the whole attr region through '>';
+                # valid unless a quoted stretch swallowed a '>' (then the
+                # reference's no-'='-name rule may pick an earlier '>')
                 e = me - 1
+                if ne < e and find(b">", ne, e) >= 0:
+                    e = find_tag_close(s, ne, l)
+                    if e < 0:
+                        break
+                i = e + 1
             else:
-                e = find_tag_close(s, me, l)
+                e = find_tag_close(s, ne, l)
                 if e < 0:
                     break  # tag never closes — malformed tail
                 i = e + 1
@@ -268,21 +286,20 @@ def parse_html(s: bytes) -> ParseResult:
                 if ns is None:
                     ns = name_cache[n] = n.decode("latin-1")
                 tags[e] = ns
-                if qc is None:
-                    b = me
-                    while b < e and s[b] in _WS:
-                        b += 1
-                    if b < e:
-                        at = s[b:e].strip(_PHP_TRIM)
-                        # PHP `if ($at)`: the 1-byte string "0" is falsy
-                        if at and at != b"0":
-                            prev = attr.get(at)
-                            if prev is None:
-                                attr[at] = e
-                            elif isinstance(prev, list):
-                                prev.append(e)
-                            else:
-                                attr[at] = [prev, e]
+                b = ne
+                while b < e and s[b] in _WS:
+                    b += 1
+                if b < e:
+                    at = s[b:e].strip(_PHP_TRIM)
+                    # PHP `if ($at)`: the 1-byte string "0" is falsy
+                    if at and at != b"0":
+                        prev = attr.get(at)
+                        if prev is None:
+                            attr[at] = e
+                        elif isinstance(prev, list):
+                            prev.append(e)
+                        else:
+                            attr[at] = [prev, e]
                 # '/>' ⇒ self-closed: no stack push (Parser/HTML.php:135)
                 if s[e - 1] != 0x2F:
                     if nl in UNPARSED_TAGS:
