@@ -222,3 +222,48 @@ def test_streaming_stateful_sessionize(spark, tmp_path):
         assert by_user.get(2) == [1], got
     finally:
         q.stop()
+
+
+def test_streaming_checkpoint_resume(spark, tmp_path):
+    """Exactly-once resume: stop the stream, add input, restart with the
+    same checkpoint — every doc appears exactly once in the sink."""
+    from hquery_php_spark.streaming import streaming_extract_spans
+
+    src_dir = str(tmp_path / "cin")
+    out_dir = str(tmp_path / "cout")
+    ckpt = str(tmp_path / "cckpt")
+    import os
+
+    os.makedirs(src_dir, exist_ok=True)
+    sch = "doc_id string, html string, base_url string"
+
+    def write_batch(ids):
+        rows = [(i, f"<p>doc {i}</p>", "https://x/") for i in ids]
+        spark.createDataFrame(rows, sch.split(", ")[0] and sch).coalesce(1).write.mode(
+            "append"
+        ).parquet(src_dir)
+
+    def start():
+        src = spark.readStream.schema(sch).parquet(src_dir)
+        return (
+            streaming_extract_spans(src)
+            .writeStream.format("parquet")
+            .option("checkpointLocation", ckpt)
+            .option("path", out_dir)
+            .start()
+        )
+
+    write_batch(["a", "b"])
+    q = start()
+    q.processAllAvailable()
+    q.stop()
+
+    write_batch(["c", "d"])
+    q = start()  # resume from the same checkpoint
+    q.processAllAvailable()
+    q.stop()
+
+    got = sorted(
+        r.doc_id for r in spark.read.parquet(out_dir).select("doc_id").collect()
+    )
+    assert got == ["a", "b", "c", "d"], got
