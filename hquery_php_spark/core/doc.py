@@ -40,6 +40,15 @@ _COMMENT_RE = re.compile(rb"<!--.*?-->", re.S)
 _TAG_RE = re.compile(rb"<[^>]*>")
 _TRAILING_LT_RE = re.compile(rb"<[^>]*\Z")
 _WS_COLLAPSE = re.compile(r"\s+")
+_INT_PREFIX = re.compile(r"[+-]?\d+")
+
+
+def _php_int(v) -> int:
+    """PHP (int) cast: leading integer prefix, else 0 — never raises."""
+    if isinstance(v, int):
+        return v
+    m = _INT_PREFIX.match(str(v).strip())
+    return int(m.group()) if m else 0
 
 
 def strip_tags(html: bytes) -> bytes:
@@ -480,7 +489,13 @@ class HDoc:
                                 rb = dict(items)
                     elif isinstance(ps, dict):
                         (op, arg), = ps.items()
-                        narg = int(arg) if arg not in (None, "") else None
+                        if op not in ("<", ">", "-", "+", "|", "*"):
+                            # unknown pseudo (e.g. :not / :nth-child —
+                            # explicit TODOs in the reference): falls
+                            # through the switch silently (hQuery.php:
+                            # 404-426), result unchanged
+                            continue
+                        narg = _php_int(arg) if arg not in (None, "") else None
                         if op == "<":
                             if narg is not None:
                                 rb = dict(list(rb.items())[:narg])
