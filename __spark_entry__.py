@@ -49,6 +49,9 @@ from hquery_php_spark.operators.events import (  # noqa: E402
     TUMBLING_SQL as _TUMB_SQL_T,
 )
 
+from hquery_php_spark.operators.events import TOP_USERS_SQL as _TOPK_SQL_T  # noqa: E402
+
+_EV_TOPK_SQL = _TOPK_SQL_T.format(k=3)
 _EV_TUMBLING_SQL = _TUMB_SQL_T.format(width="hour")
 _EV_SESSIONIZE_SQL = _SESS_SQL_T.format(gap_minutes=30)
 
@@ -362,6 +365,14 @@ def q_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     return tumbling_counts(ev, "ts", "hour")
+
+
+def q_events_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranked window (row_number over partial-agg) — top users per type."""
+    from hquery_php_spark.operators.events import top_users
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return top_users(ev, k=3)
 
 
 def q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -695,6 +706,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "events_window": q_events_window,
         "events_sessions": q_events_sessions,
+        "events_topk": q_events_topk,
         "boilerplate_strip": q_boilerplate_strip,
         "charset_extract": q_charset_extract,
         "exclude_text": q_exclude_text,
@@ -789,6 +801,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "events_window": _EV_TUMBLING_SQL,
         "events_sessions": _EV_SESSIONIZE_SQL,
+        "events_topk": _EV_TOPK_SQL,
         "charset_extract": f"""
             SELECT CAST(doc_id AS VARCHAR) AS doc_id,
                    'café ' || {norm} AS text,

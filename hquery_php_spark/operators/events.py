@@ -106,3 +106,40 @@ SELECT strftime(date_trunc('{width}', ts), '%Y-%m-%d %H:%M:%S') AS w_start,
 FROM events
 GROUP BY 1, 2
 """
+
+
+def top_users(df: DataFrame, k: int = 3) -> DataFrame:
+    """Top-k users by total value within each event type — ranked window
+    over a pre-aggregated frame (partial agg → one shuffle → window).
+    Ties broken by user_id for a deterministic, oracle-checkable result."""
+    from pyspark.sql import Window
+
+    agg = df.groupBy("event_type", "user_id").agg(
+        F.round(F.sum("value"), 6).alias("total_value"),
+        F.count("*").alias("n_events"),
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("total_value").desc(), F.col("user_id")
+    )
+    return (
+        agg.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("event_type", "rank", "user_id", "total_value", "n_events")
+    )
+
+
+TOP_USERS_SQL = """
+SELECT event_type, rank, user_id, total_value, n_events
+FROM (
+  SELECT event_type, user_id,
+         round(sum(value), 6) AS total_value,
+         count(*) AS n_events,
+         row_number() OVER (
+           PARTITION BY event_type
+           ORDER BY round(sum(value), 6) DESC, user_id
+         ) AS rank
+  FROM events
+  GROUP BY event_type, user_id
+)
+WHERE rank <= {k}
+"""
