@@ -553,6 +553,38 @@ def q_charset_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship composition — the full training-data prep path in one
+    plan: render boilerplate-heavy HTML → engine-extract the main text
+    (boilerplate stripped) → token-count quality gate → exact dedup
+    keeping the canonical (min-id) copy.  Every step is SQL-expressible
+    through the template inversion, so the whole pipeline value-checks."""
+    from hquery_php_spark.core.extract import ExtractOptions
+    from hquery_php_spark.sources.html_synth import synth_boiler_html_col
+
+    d = _spread(_docs(spark, sf_dir), spark).select(
+        "doc_id",
+        synth_boiler_html_col(F.col("doc_id"), F.col("text")).alias("html"),
+    )
+    opts = ExtractOptions(
+        skip_inside=("head", "nav", "footer"), media_tags=(("img", "src"),)
+    )
+    spans = extract_spans_df(d, base_url_col=None, opts=opts)
+    texts = explode_spans(spans.select("doc_id", "spans")).where(
+        F.col("kind") == "text"
+    ).select(F.col("doc_id").cast("long").alias("doc_id"), F.col("text").alias("main_text"))
+    scored = texts.withColumn(
+        "n_tokens", F.size(F.split(F.col("main_text"), r"\s+"))
+    ).where(F.col("n_tokens") >= 5)
+    fp = scored.withColumn("fp", F.md5(F.lower(F.col("main_text"))))
+    kept = fp.groupBy("fp").agg(
+        F.min("doc_id").alias("doc_id"),
+        F.max("n_tokens").alias("n_tokens"),
+        F.count("*").alias("n_copies"),
+    )
+    return kept.select("doc_id", "fp", "n_tokens", "n_copies")
+
+
 # --------------------------------------------------------------------- #
 # Multimodal plumbing (binary payload → typed metadata / features)
 
@@ -707,6 +739,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_window": q_events_window,
         "events_sessions": q_events_sessions,
         "events_topk": q_events_topk,
+        "training_pipeline": q_training_pipeline,
         "boilerplate_strip": q_boilerplate_strip,
         "charset_extract": q_charset_extract,
         "exclude_text": q_exclude_text,
@@ -802,6 +835,22 @@ def oracle_sql() -> dict[str, str]:
         "events_window": _EV_TUMBLING_SQL,
         "events_sessions": _EV_SESSIONIZE_SQL,
         "events_topk": _EV_TOPK_SQL,
+        "training_pipeline": f"""
+            WITH t AS (
+              SELECT doc_id, {norm} AS main_text FROM documents
+            ),
+            s AS (
+              SELECT doc_id, main_text,
+                     len(string_split_regex(main_text, '\\s+')) AS n_tokens
+              FROM t
+            )
+            SELECT min(doc_id) AS doc_id,
+                   md5(lower(main_text)) AS fp,
+                   max(n_tokens) AS n_tokens,
+                   count(*) AS n_copies
+            FROM s WHERE n_tokens >= 5
+            GROUP BY md5(lower(main_text))
+        """,
         "charset_extract": f"""
             SELECT CAST(doc_id AS VARCHAR) AS doc_id,
                    'café ' || {norm} AS text,
