@@ -237,22 +237,23 @@ def parse_html(s: bytes) -> ParseResult:
     # continue-on-non-name behavior.
     scan = _SCAN_RE.search
     find = s.find
-    lower_cache: Dict[bytes, bytes] = {}
-    name_cache: Dict[bytes, str] = {}
+    # n -> (lowercased bytes, decoded original-case str): one probe per tag
+    name_cache: Dict[bytes, Tuple[bytes, str]] = {}
     i = 0
     while i < l:
         m = scan(s, i)
         if m is None or m.start() >= l:
             break
-        lt = m.start()
+        lt, me = m.span()
         cl, n, qc = m.group(1, 2, 3)
         if n is not None:
             # regular tag
             is_close = cl == b"/"
-            me = i = m.end()
-            nl = lower_cache.get(n)
-            if nl is None:
-                nl = lower_cache[n] = n.lower()
+            i = me
+            ent = name_cache.get(n)
+            if ent is None:
+                ent = name_cache[n] = (n.lower(), n.decode("latin-1"))
+            nl, ns = ent
             if utn is not None:
                 if nl != utn or not is_close:
                     # opaque script/style body — resume right after the
@@ -282,9 +283,6 @@ def parse_html(s: bytes) -> ParseResult:
             extents.append((lt, i))
             if not is_close:
                 ids[e] = e
-                ns = name_cache.get(n)
-                if ns is None:
-                    ns = name_cache[n] = n.decode("latin-1")
                 tags[e] = ns
                 b = ne
                 while b < e and s[b] in _WS:
