@@ -102,3 +102,18 @@ def test_vs_stdlib_htmlparser(doc):
     # conservative CI-safe gate (measured ~1.7x; the reference gates 5x
     # against DOMCrawler at DOMCrawlerStress.Test.php:221)
     assert t_ours < t_std * 1.2, (t_ours, t_std)
+
+
+def test_real_attr_html_fixture():
+    """Exact assertions from hQueryCore.Test.php:341-362 on the actual
+    reference fixture file (quoted attribute NAMES, misplaced quotes)."""
+    ff = hq.HDoc.from_file("/root/reference/tests/data/attr.html.gz")
+    assert len(ff.find("a.aa")) == 3
+    assert len(ff.find("input")) == 3
+    inp = ff.find("input[name=title]")
+    assert len(inp) == 1
+    assert inp.value == "the title"
+    assert len(ff.find("input[type=text]")) == 2
+    inp = ff.find("input[type=text][name=text]")
+    assert len(inp) == 1
+    assert inp.first().attr("value") == "the text"
