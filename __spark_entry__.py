@@ -620,6 +620,39 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_features_df(_png_payloads(spark, sf_dir), dim=16)
 
 
+def q_pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-rule PDF/layout parse: deterministic real PDFs (valid xref,
+    half Flate-compressed) generated per row, then structurally parsed —
+    layout-ordered (x, y, text) spans with a SQL oracle."""
+    from hquery_php_spark.operators.pdf import make_pdf, pdf_extract_df
+    import pandas as pd
+    from pyspark.sql.types import BinaryType, StringType, StructField, StructType
+
+    d = _spread(_docs(spark, sf_dir), spark).select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")).alias("norm"),
+    )
+    gen_schema = StructType(
+        [StructField("doc_id", StringType()), StructField("payload", BinaryType())]
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            out = {"doc_id": [], "payload": []}
+            for doc_id, norm in zip(pdf["doc_id"], pdf["norm"]):
+                blocks = [
+                    (50.0, 750.0, f"Doc {doc_id}"),
+                    (50.0, 700.0, norm),
+                    (50.0, 50.0, "page footer"),
+                ]
+                out["doc_id"].append(doc_id)
+                out["payload"].append(make_pdf(blocks, compress=int(doc_id) % 2 == 0))
+            yield pd.DataFrame(out)
+
+    pdfs = d.mapInPandas(gen, gen_schema)
+    return pdf_extract_df(pdfs)
+
+
 # --------------------------------------------------------------------- #
 # Embedding near-dup (exact oracle pairs + LSH-bucketed scale path)
 
@@ -740,6 +773,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessions": q_events_sessions,
         "events_topk": q_events_topk,
         "training_pipeline": q_training_pipeline,
+        "pdf_extract": q_pdf_extract,
         "boilerplate_strip": q_boilerplate_strip,
         "charset_extract": q_charset_extract,
         "exclude_text": q_exclude_text,
@@ -835,6 +869,16 @@ def oracle_sql() -> dict[str, str]:
         "events_window": _EV_TUMBLING_SQL,
         "events_sessions": _EV_SESSIONIZE_SQL,
         "events_topk": _EV_TOPK_SQL,
+        "pdf_extract": f"""
+            SELECT CAST(doc_id AS VARCHAR) AS doc_id, '1.4' AS version,
+                   1 AS n_pages, ord,
+                   CAST(50.0 AS FLOAT) AS x,
+                   CAST(CASE ord WHEN 0 THEN 750.0 WHEN 1 THEN 700.0 ELSE 50.0 END AS FLOAT) AS y,
+                   CASE ord WHEN 0 THEN 'Doc ' || doc_id
+                            WHEN 1 THEN {norm}
+                            ELSE 'page footer' END AS text
+            FROM documents, (SELECT unnest([0,1,2]) AS ord)
+        """,
         "training_pipeline": f"""
             WITH t AS (
               SELECT doc_id, {norm} AS main_text FROM documents

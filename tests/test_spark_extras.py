@@ -267,3 +267,29 @@ def test_streaming_checkpoint_resume(spark, tmp_path):
         r.doc_id for r in spark.read.parquet(out_dir).select("doc_id").collect()
     )
     assert got == ["a", "b", "c", "d"], got
+
+
+def test_pdf_layout_roundtrip(spark):
+    """PDF layout parse: valid single-page PDFs (xref-correct, half
+    Flate) → layout-ordered spans with coordinates."""
+    import pandas as pd
+
+    from hquery_php_spark.operators.pdf import (
+        extract_pdf_spans,
+        make_pdf,
+        pdf_extract_df,
+        sniff_pdf,
+    )
+
+    pdf = make_pdf([(50, 750, "T (x)"), (50, 700, "body"), (50, 50, "f")])
+    assert sniff_pdf(pdf) == "1.4"
+    n, spans = extract_pdf_spans(pdf)
+    assert n == 1 and [s[2] for s in spans] == ["T (x)", "body", "f"]
+    nz, sz = extract_pdf_spans(make_pdf([(1, 2, "zz")], compress=True))
+    assert sz == [(1.0, 2.0, "zz")]
+
+    rows = [("a", make_pdf([(10, 100, "hello")])), ("b", b"not a pdf")]
+    df = spark.createDataFrame(rows, "doc_id string, payload binary")
+    got = pdf_extract_df(df).toPandas()
+    assert list(got["doc_id"]) == ["a"]  # non-PDF skipped, not fatal
+    assert got.iloc[0]["text"] == "hello"
