@@ -46,3 +46,60 @@ def test_never_crashes_and_invariants_hold(raw):
 def test_pure_random_bytes(raw):
     doc = hq.HDoc(raw)
     extract_spans(doc)
+
+
+# ---- differential fuzz vs stdlib html.parser ------------------------- #
+# On well-formed (properly nested, properly quoted) HTML the reference's
+# repair semantics coincide with a plain event parser, so stdlib
+# html.parser is a usable independent oracle for tag counting.
+
+_tags = st.sampled_from(["div", "p", "span", "a", "b", "script", "style"])
+_word = st.text(alphabet="abc xyz0", min_size=0, max_size=8).map(
+    lambda s: s.replace("<", "").replace("&", "")
+)
+_attrval = st.text(
+    alphabet="ab >/'c", min_size=0, max_size=6
+).map(lambda s: s.replace('"', ""))
+
+
+@st.composite
+def _element(draw, depth=0):
+    tag = draw(_tags)
+    attrs = ""
+    if draw(st.booleans()):
+        attrs = f' class="{draw(_attrval)}"'
+    if draw(st.booleans()):
+        attrs += f" data-x=\"{draw(_attrval)}\""
+    if tag in ("script", "style"):
+        body = draw(_word).replace("<", "")
+        return f"<{tag}{attrs}>{body}</{tag}>"
+    if depth >= 3 or draw(st.booleans()):
+        return f"<{tag}{attrs}>{draw(_word)}</{tag}>"
+    kids = draw(st.lists(_element(depth=depth + 1), min_size=0, max_size=3))
+    return f"<{tag}{attrs}>{draw(_word)}{''.join(kids)}</{tag}>"
+
+
+@st.composite
+def _doc(draw):
+    body = "".join(draw(st.lists(_element(), min_size=0, max_size=5)))
+    return f"<html><body>{body}</body></html>"
+
+
+@settings(max_examples=200, deadline=None)
+@given(_doc())
+def test_differential_vs_stdlib(html_text):
+    from html.parser import HTMLParser
+
+    class Counter(HTMLParser):
+        def __init__(self):
+            super().__init__(convert_charrefs=False)
+            self.by = {}
+
+        def handle_starttag(self, tag, attrs):
+            self.by[tag] = self.by.get(tag, 0) + 1
+
+    c = Counter()
+    c.feed(html_text)
+    doc = hq.HDoc(html_text.encode("utf-8"))
+    ours = {n: len(ids) for n, ids in doc.index.tag_idx.items()}
+    assert ours == c.by, (html_text, ours, c.by)
