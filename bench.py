@@ -29,7 +29,10 @@ def main() -> None:
         .config("spark.sql.shuffle.partitions", str(max(int(cpus), 8)))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "256")
+        # 1024-record Arrow batches: +15% on ~KB docs vs 256 (fewer batch
+        # boundaries); mega-docs are isolated one-per-partition by
+        # split_tail_repartition, so record-count batching cannot blow memory
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "1024")
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
