@@ -620,6 +620,20 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_features_df(_png_payloads(spark, sf_dir), dim=16)
 
 
+def q_find_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level selector probe via plans.compile.find_count_df:
+    selectors compiled/validated driver-side, each doc indexed once."""
+    from hquery_php_spark.plans.compile import find_count_df
+
+    d = _spread(_docs(spark, sf_dir), spark).select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        _wordwise_html().alias("html"),
+    )
+    return find_count_df(
+        d, ["span", "span.w0", "div > span", "span + span", "span:lt(3)"]
+    )
+
+
 def q_pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """North-rule PDF/layout parse: deterministic real PDFs (valid xref,
     half Flate-compressed) generated per row, then structurally parsed —
@@ -774,6 +788,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_topk": q_events_topk,
         "training_pipeline": q_training_pipeline,
         "pdf_extract": q_pdf_extract,
+        "find_counts": q_find_counts,
         "boilerplate_strip": q_boilerplate_strip,
         "charset_extract": q_charset_extract,
         "exclude_text": q_exclude_text,
@@ -869,6 +884,18 @@ def oracle_sql() -> dict[str, str]:
         "events_window": _EV_TUMBLING_SQL,
         "events_sessions": _EV_SESSIONIZE_SQL,
         "events_topk": _EV_TOPK_SQL,
+        "find_counts": f"""
+            SELECT CAST(doc_id AS VARCHAR) AS doc_id, selector,
+                   CASE selector
+                        WHEN 'span' THEN W
+                        WHEN 'span.w0' THEN (W + 2) // 3
+                        WHEN 'div > span' THEN W
+                        WHEN 'span + span' THEN W - 1
+                        ELSE LEAST(W, 3) END AS n_matches
+            FROM (SELECT doc_id, {wordcount} AS W FROM documents),
+                 (SELECT unnest(['span','span.w0','div > span',
+                                 'span + span','span:lt(3)']) AS selector)
+        """,
         "pdf_extract": f"""
             SELECT CAST(doc_id AS VARCHAR) AS doc_id, '1.4' AS version,
                    1 AS n_pages, ord,
