@@ -293,3 +293,35 @@ def test_pdf_layout_roundtrip(spark):
     got = pdf_extract_df(df).toPandas()
     assert list(got["doc_id"]) == ["a"]  # non-PDF skipped, not fatal
     assert got.iloc[0]["text"] == "hello"
+
+
+def test_bucketed_join_avoids_shuffle(spark, tmp_path):
+    """Pre-bucketed tables on the join key sort-merge-join with NO
+    exchange on either side — the co-located-join strategy for repeated
+    big-big joins at scale."""
+    import uuid
+
+    wh = spark.conf.get("spark.sql.warehouse.dir", "")
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(5000)
+    o = spark.read.parquet("/root/testdata/sf0.001/orders.parquet").limit(2000)
+    t1 = f"li_b_{uuid.uuid4().hex[:8]}"
+    t2 = f"o_b_{uuid.uuid4().hex[:8]}"
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # force a non-broadcast join so the bucketed layout is what
+        # eliminates the exchange (at real scale both sides are too big
+        # to broadcast anyway)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable(t1)
+        o.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable(t2)
+        j = spark.table(t1).join(
+            spark.table(t2), F.col("l_orderkey") == F.col("o_orderkey")
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan
+        assert "Exchange hashpartitioning" not in plan, plan
+        assert j.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql(f"DROP TABLE IF EXISTS {t1}")
+        spark.sql(f"DROP TABLE IF EXISTS {t2}")
