@@ -103,3 +103,52 @@ def test_differential_vs_stdlib(html_text):
     doc = hq.HDoc(html_text.encode("utf-8"))
     ours = {n: len(ids) for n, ids in doc.index.tag_idx.items()}
     assert ours == c.by, (html_text, ours, c.by)
+
+
+@settings(max_examples=150, deadline=None)
+@given(_doc())
+def test_differential_text_extraction_vs_stdlib(html_text):
+    """The sequence of inter-tag text runs (whitespace-collapsed,
+    script/style bodies excluded) must match an independent event
+    parser run-for-run."""
+    import re as _re
+    from html.parser import HTMLParser
+
+    class TextGrab(HTMLParser):
+        def __init__(self):
+            super().__init__(convert_charrefs=False)
+            self.runs = []
+            self.buf = []
+            self.opaque = 0
+
+        def _flush(self):
+            if self.buf:
+                t = _re.sub(r"\s+", " ", "".join(self.buf)).strip()
+                if t:
+                    self.runs.append(t)
+                self.buf = []
+
+        def handle_starttag(self, tag, attrs):
+            self._flush()
+            if tag in ("script", "style"):
+                self.opaque += 1
+
+        def handle_endtag(self, tag):
+            self._flush()
+            if tag in ("script", "style") and self.opaque:
+                self.opaque -= 1
+
+        def handle_data(self, data):
+            if not self.opaque:
+                self.buf.append(data)
+
+    g = TextGrab()
+    g.feed(html_text)
+    g._flush()
+
+    doc = hq.HDoc(html_text.encode("utf-8"))
+    spans = extract_spans(
+        doc, ExtractOptions(include_link_text_spans=True)
+    )
+    got = [s.text for s in spans if s.kind == "text"]
+    assert got == g.runs, (html_text, got, g.runs)
