@@ -143,11 +143,10 @@ def extract_spans(doc: HDoc, opts: ExtractOptions = DEFAULT_OPTIONS) -> List[Spa
                 continue
             ref = idx.url2abs(raw)
             if tag == "a":
-                el_text = _collapse(
-                    _htmlmod.unescape(
-                        _strip_markup_text(html, b, idx.ids[b], masked, mask_starts)
-                    )
-                )
+                el_text = _strip_markup_text(html, b, idx.ids[b], masked, mask_starts)
+                if "&" in el_text:
+                    el_text = _htmlmod.unescape(el_text)
+                el_text = _collapse(el_text)
             else:
                 el_text = ""
             spans.append(Span("media", el_text, ref, b))
@@ -214,7 +213,10 @@ def _emit_text_run(
     # never survive collapse — skip the decode/unescape for them.
     if opts.min_text_chars > 0 and not raw.strip():
         return
-    text = _collapse(_htmlmod.unescape(raw.decode("utf-8", "replace")))
+    text = raw.decode("utf-8", "replace")
+    if "&" in text:  # entity decode only when entities can exist
+        text = _htmlmod.unescape(text)
+    text = _collapse(text)
     if len(text) < opts.min_text_chars:
         return
     if in_link(start):

@@ -152,3 +152,67 @@ def test_differential_text_extraction_vs_stdlib(html_text):
     )
     got = [s.text for s in spans if s.kind == "text"]
     assert got == g.runs, (html_text, got, g.runs)
+
+
+# media + attribute differential: a/img refs and full attr dicts must
+# agree with stdlib on well-formed input (single/double/bare/valueless)
+_url = st.text(alphabet="abc/.:-", min_size=1, max_size=12)
+
+
+@st.composite
+def _media_doc(draw):
+    parts = []
+    for _ in range(draw(st.integers(0, 6))):
+        kind = draw(st.sampled_from(["a", "img", "p"]))
+        if kind == "a":
+            parts.append(f'<a href="{draw(_url)}" id=x{draw(st.integers(0,9))}>t</a>')
+        elif kind == "img":
+            q = draw(st.sampled_from(['"', "'", ""]))
+            # NB 'hidden />' not 'hidden/>': the reference's attr-name
+            # scan includes '/' (strcspn break set, Parser/HTML.php:299),
+            # so a valueless attr flush against '/>' is named 'hidden/'
+            # there — a faithful quirk where stdlib normalizes.
+            parts.append(f"<img src={q}{draw(_url)}{q} hidden />")
+        else:
+            parts.append(f"<p title='{draw(_url)}'>{draw(_word)}</p>")
+    return f"<html><body>{''.join(parts)}</body></html>"
+
+
+@settings(max_examples=200, deadline=None)
+@given(_media_doc())
+def test_differential_media_and_attrs_vs_stdlib(html_text):
+    from html.parser import HTMLParser
+
+    class Grab(HTMLParser):
+        def __init__(self):
+            super().__init__(convert_charrefs=False)
+            self.tags = []
+
+        def handle_starttag(self, tag, attrs):
+            self.tags.append((tag, dict(attrs)))
+
+        handle_startendtag = handle_starttag
+
+    g = Grab()
+    g.feed(html_text)
+
+    doc = hq.HDoc(html_text.encode("utf-8"))
+    idx = doc.index
+    ours = []
+    for b in sorted(idx.ids):
+        a = idx.get_attr_by_id(b, None, raw=True) or {}
+        extra = {}
+        for attr_name in ("href", "src"):
+            v = idx.idx_attr.get(attr_name, {}).get(b)
+            if v is not None:
+                extra[attr_name] = v
+        ours.append((idx.tags[b].lower(), {**a, **extra}))
+    assert ours == g.tags, (html_text, ours, g.tags)
+
+    # media spans in document order = stdlib's a/img refs in event order
+    expected_refs = [
+        d.get("href") or d.get("src") for t, d in g.tags if t in ("a", "img")
+    ]
+    spans = extract_spans(doc)
+    got_refs = [s.media_ref for s in spans if s.kind == "media"]
+    assert got_refs == expected_refs, (html_text, got_refs, expected_refs)
