@@ -51,6 +51,8 @@ from hquery_php_spark.operators.events import (  # noqa: E402
 
 from hquery_php_spark.operators.events import TOP_USERS_SQL as _TOPK_SQL_T  # noqa: E402
 
+from hquery_php_spark.operators.events import HOPPING_SQL as _EV_HOPPING_SQL  # noqa: E402
+
 _EV_TOPK_SQL = _TOPK_SQL_T.format(k=3)
 _EV_TUMBLING_SQL = _TUMB_SQL_T.format(width="hour")
 _EV_SESSIONIZE_SQL = _SESS_SQL_T.format(gap_minutes=30)
@@ -365,6 +367,14 @@ def q_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     return tumbling_counts(ev, "ts", "hour")
+
+
+def q_events_hopping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping (overlapping) window rollup — 1h windows sliding 30m."""
+    from hquery_php_spark.operators.events import hopping_counts
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return hopping_counts(ev)
 
 
 def q_events_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -786,6 +796,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_window": q_events_window,
         "events_sessions": q_events_sessions,
         "events_topk": q_events_topk,
+        "events_hopping": q_events_hopping,
         "training_pipeline": q_training_pipeline,
         "pdf_extract": q_pdf_extract,
         "find_counts": q_find_counts,
@@ -884,6 +895,7 @@ def oracle_sql() -> dict[str, str]:
         "events_window": _EV_TUMBLING_SQL,
         "events_sessions": _EV_SESSIONIZE_SQL,
         "events_topk": _EV_TOPK_SQL,
+        "events_hopping": _EV_HOPPING_SQL,
         "find_counts": f"""
             SELECT CAST(doc_id AS VARCHAR) AS doc_id, selector,
                    CASE selector

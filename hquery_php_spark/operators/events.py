@@ -143,3 +143,34 @@ FROM (
 )
 WHERE rank <= {k}
 """
+
+
+def hopping_counts(
+    df: DataFrame, ts_col: str = "ts", width: str = "1 hour", slide: str = "30 minutes"
+) -> DataFrame:
+    """Overlapping (hopping) window rollup — each event lands in
+    width/slide windows; Spark's ``window()`` generates the assignments
+    map-side, so the shuffle still carries only partial aggregates."""
+    w = F.window(F.col(ts_col), width, slide)
+    return df.groupBy(
+        F.date_format(w.start, "yyyy-MM-dd HH:mm:ss").alias("w_start"),
+        F.col("event_type"),
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    )
+
+
+HOPPING_SQL = """
+SELECT strftime(w_start, '%Y-%m-%d %H:%M:%S') AS w_start,
+       event_type,
+       count(*) AS n_events,
+       round(sum(value), 4) AS sum_value
+FROM (
+  SELECT time_bucket(INTERVAL '30 minutes', ts)
+           - off * INTERVAL '30 minutes' AS w_start,
+         event_type, value
+  FROM events, (SELECT unnest([0, 1]) AS off)
+)
+GROUP BY 1, 2
+"""
