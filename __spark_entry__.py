@@ -294,6 +294,32 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_occurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc occurrence count of a literal needle (JVM-side)."""
+    from hquery_php_spark.functions.text import occurrence_count
+
+    return _docs(spark, sf_dir).select(
+        "doc_id", occurrence_count(F.col("text"), "the").alias("n_the")
+    )
+
+
+def q_vocab_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary: explode tokens → count → top-20 by frequency
+    (map-side partial agg, one shuffle; deterministic tie-break)."""
+    d = _docs(spark, sf_dir)
+    toks = d.select(
+        F.explode(
+            F.split(F.lower(F.trim(F.regexp_replace(F.col("text"), r"\s+", " "))), " ")
+        ).alias("tok")
+    ).where(F.col("tok") != "")
+    return (
+        toks.groupBy("tok")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("tok"))
+        .limit(20)
+    )
+
+
 def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     embs = _embs(spark, sf_dir)
     qvec = (
@@ -789,6 +815,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "fingerprint": q_fingerprint,
         "similarity_topk": q_similarity_topk,
+        "occurrence": q_occurrence,
+        "vocab_top": q_vocab_top,
         "similarity_ivf": q_similarity_ivf,
         "dedup_minhash": q_dedup_minhash,
         "dedup_ngram_exact": q_dedup_ngram_exact,
@@ -863,6 +891,19 @@ def oracle_sql() -> dict[str, str]:
             + " FROM documents"
         ),
         "fingerprint": f"SELECT doc_id, {TSQL.fingerprint('text')} AS fp FROM documents",
+        "occurrence": f"""
+            SELECT doc_id, {TSQL.occurrence_count("text", "the")} AS n_the
+            FROM documents
+        """,
+        "vocab_top": f"""
+            SELECT tok, count(*) AS n
+            FROM (SELECT unnest(string_split(lower({norm}), ' ')) AS tok
+                  FROM documents)
+            WHERE tok != ''
+            GROUP BY tok
+            ORDER BY n DESC, tok
+            LIMIT 20
+        """,
         "similarity_topk": """
             SELECT vec_id AS id,
                    round(list_cosine_similarity(
