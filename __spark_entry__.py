@@ -53,6 +53,13 @@ from hquery_php_spark.operators.events import TOP_USERS_SQL as _TOPK_SQL_T  # no
 
 from hquery_php_spark.operators.events import HOPPING_SQL as _EV_HOPPING_SQL  # noqa: E402
 
+from hquery_php_spark.operators.dedup import (  # noqa: E402
+    WINNOW_SQL_TEMPLATE as _WINNOW_T,
+)
+
+_WINNOW_SQL = _WINNOW_T.format(
+    k=8, km1=7, wm1=3, mod=1_000_000_007
+).replace("{powers}", str([pow(31, 7 - j, 1_000_000_007) for j in range(8)]))
 _EV_TOPK_SQL = _TOPK_SQL_T.format(k=3)
 _EV_TUMBLING_SQL = _TUMB_SQL_T.format(width="hour")
 _EV_SESSIONIZE_SQL = _SESS_SQL_T.format(gap_minutes=30)
@@ -377,6 +384,17 @@ def q_dedup_ngram_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.id").alias("id_b"),
             F.round("jaccard", 6).alias("jaccard"),
         )
+    )
+
+
+def q_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash document fingerprints (winnowing/MOSS): portable
+    polynomial k-gram hashes, min-per-window selection — the
+    cross-system dedup-ledger fingerprint, value-checked in SQL."""
+    from hquery_php_spark.operators.dedup import winnow_fingerprints
+
+    return winnow_fingerprints(
+        _spread(_docs(spark, sf_dir), spark), k=8, window=4
     )
 
 
@@ -821,6 +839,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash": q_dedup_minhash,
         "dedup_ngram_exact": q_dedup_ngram_exact,
         "simhash": q_simhash,
+        "winnow_fp": q_winnow,
         "events_window": q_events_window,
         "events_sessions": q_events_sessions,
         "events_topk": q_events_topk,
@@ -933,6 +952,7 @@ def oracle_sql() -> dict[str, str]:
               AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
                   / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.6
         """,
+        "winnow_fp": _WINNOW_SQL,
         "events_window": _EV_TUMBLING_SQL,
         "events_sessions": _EV_SESSIONIZE_SQL,
         "events_topk": _EV_TOPK_SQL,

@@ -34,6 +34,8 @@ __all__ = [
     "simhash64",
     "cosine_sim",
     "embedding_near_dup",
+    "winnow_fingerprints",
+    "WINNOW_SQL_TEMPLATE",
 ]
 
 
@@ -263,3 +265,81 @@ def embedding_near_dup(
             F.round("cos", 6).alias("cos"),
         )
     )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    window: int = 4,
+    base: int = 31,
+    mod: int = 1_000_000_007,
+) -> DataFrame:
+    """Winnowing document fingerprints (the MOSS scheme): polynomial
+    rolling hash of char k-grams, min-of-each-window selection, distinct.
+
+    The hash is an ENGINE-NEUTRAL polynomial (Σ code·B^i mod M with all
+    intermediates < 2^53), so an ANSI-SQL twin computes identical values
+    — unlike xxhash/murmur families this fingerprint is portable, which
+    is what makes cross-system dedup ledgers possible.  Entirely JVM
+    expressions: one shuffle only if the caller aggregates.
+
+    Returns (id, fp) exploded — one row per distinct selected fingerprint.
+    """
+    powers = [pow(base, k - 1 - j, mod) for j in range(k)]
+    n = F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")))
+    # texts shorter than one gram are right-padded (identically in the
+    # SQL twin) so every gram has exactly k characters
+    n = F.when(F.length(n) < k, F.rpad(n, k, " ")).otherwise(n)
+
+    def gram_hash(g: Column) -> Column:
+        chars = F.split(g, "")
+        # split('abc','') in Spark yields ['a','b','c']; guard the
+        # occasional trailing '' with a when()
+        acc = F.lit(0).cast("long")
+        for j, p in enumerate(powers):
+            acc = acc + F.ascii(F.element_at(chars, j + 1)).cast("long") * F.lit(p)
+        return F.pmod(acc, F.lit(mod))
+
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(n) - F.lit(k - 1), F.lit(1))),
+        lambda i: n.substr(i, F.lit(k)),
+    )
+    hashes = F.transform(grams, gram_hash)
+    sel = F.array_distinct(
+        F.transform(
+            F.sequence(
+                F.lit(1),
+                F.greatest(F.size(hashes) - F.lit(window - 1), F.lit(1)),
+            ),
+            lambda i: F.array_min(F.slice(hashes, i, window)),
+        )
+    )
+    return df.select(F.col(id_col).alias("id"), F.explode(sel).alias("fp"))
+
+
+WINNOW_SQL_TEMPLATE = """
+SELECT id, unnest(fps) AS fp FROM (
+  SELECT doc_id AS id,
+         list_distinct([
+           list_min(hs[i : i + {wm1}])
+           for i in range(1, greatest(len(hs) - {wm1}, 1) + 1)
+         ]) AS fps
+  FROM (
+    SELECT doc_id,
+           [CAST(list_sum([CAST(ascii(g[j + 1 : j + 1]) AS BIGINT) * {{powers}}[j + 1]
+                           for j in range(0, {k})]) AS BIGINT) % {mod}
+            for g in grams] AS hs
+    FROM (
+      SELECT doc_id,
+             [norm[i : i + {km1}]
+              for i in range(1, greatest(length(norm) - {km1}, 1) + 1)] AS grams
+      FROM (SELECT doc_id,
+                   CASE WHEN length(n0) < {k} THEN rpad(n0, {k}, ' ') ELSE n0 END AS norm
+            FROM (SELECT doc_id, lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS n0
+                  FROM documents))
+    )
+  )
+)
+"""
