@@ -254,3 +254,38 @@ def test_minhash_recall_vs_exact(spark):
     assert exact, "fixture should contain near-dups"
     recall = len(lsh) / len(exact)
     assert recall >= 0.8, (recall, len(lsh), len(exact))
+
+
+def test_spark_path_equals_direct_engine(spark, corpus_df):
+    """The Arrow/mapInPandas plumbing must not change a single span:
+    Spark output == direct per-doc engine output, field for field."""
+    from hquery_php_spark.core.doc import HDoc
+    from hquery_php_spark.core.extract import extract_spans as direct
+
+    rows = corpus_df.collect()
+    expected = {}
+    for r in rows:
+        html = r.html if isinstance(r.html, (bytes, bytearray)) else str(r.html).encode("utf-8")
+        doc = HDoc(html, r.base_url if "base_url" in r.__fields__ else None)
+        expected[str(r.doc_id)] = [tuple(s) for s in direct(doc)]
+
+    got = {}
+    for r in extract_spans_df(corpus_df).collect():
+        got[r.doc_id] = [(s.kind, s.text, s.media_ref, s.offset) for s in r.spans]
+    assert got == expected
+
+
+def test_spans_survive_parquet_roundtrip(spark, corpus_df, tmp_path):
+    """Nested span structs written to parquet read back identical."""
+    out = str(tmp_path / "rt")
+    spans = extract_spans_df(corpus_df)
+    before = {
+        r.doc_id: [(s.kind, s.text, s.media_ref, s.offset) for s in r.spans]
+        for r in spans.collect()
+    }
+    spans.write.mode("overwrite").parquet(out)
+    after = {
+        r.doc_id: [(s.kind, s.text, s.media_ref, s.offset) for s in r.spans]
+        for r in spark.read.parquet(out).collect()
+    }
+    assert after == before
