@@ -289,3 +289,19 @@ def test_spans_survive_parquet_roundtrip(spark, corpus_df, tmp_path):
         for r in spark.read.parquet(out).collect()
     }
     assert after == before
+
+
+def test_ivf_recall_vs_brute_force(spark):
+    """The LSH-bucketed IVF path must recover most of the exact top-k at
+    the query parameters used by the driver contract."""
+    from hquery_php_spark.operators.similarity import brute_force_topk, ivf_topk
+
+    embs = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    qvec = embs.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    rest = embs.where(F.col("vec_id") != 0)
+    exact = [r.id for r in brute_force_topk(rest, qvec, k=10).collect()]
+    approx = [
+        r.id for r in ivf_topk(rest, qvec, k=10, n_planes=6, hamming_radius=2).collect()
+    ]
+    recall = len(set(exact) & set(approx)) / len(exact)
+    assert recall >= 0.6, (recall, exact, approx)
