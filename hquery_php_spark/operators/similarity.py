@@ -49,31 +49,30 @@ def bucket_of(vec_col: Column, n_planes: int = 12) -> Column:
 
     Hyperplane p's coefficient for dimension i is a deterministic
     pseudo-random value in [-1, 1) derived from Murmur3 ``hash(i, p)``.
-    The plane loop is unrolled in Python (constant shift amounts)."""
-    dim = F.size(vec_col)
-    sig = F.lit(0).cast("long")
-
-    def _coef(p: int):
-        # pseudo-random coefficient in [-1, 1) for (dimension i, plane p)
-        return lambda x, i: x * (
-            (F.pmod(F.hash(i, F.lit(p)), F.lit(2000)) - F.lit(1000)).cast("double")
-            / 1000.0
-        )
-
-    for p in range(n_planes):
-        dot = F.aggregate(
-            F.zip_with(
-                vec_col.cast("array<double>"),
-                F.sequence(F.lit(0), dim - 1),
-                _coef(p),
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        sig = sig + F.when(dot > 0, F.lit(1 << p).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
-    return sig
+    Single pass over the vector: one ``aggregate`` carries all plane
+    dot-products as an ``array<double>`` accumulator (term order per
+    plane is unchanged, so bucket values are bit-identical to the
+    previous per-plane formulation — co-bucketed tables stay valid)."""
+    v = vec_col.cast("array<double>")
+    planes = F.sequence(F.lit(0), F.lit(n_planes - 1))
+    zeros = F.transform(planes, lambda p: F.lit(0.0))
+    dots = F.aggregate(
+        F.sequence(F.lit(0), F.size(v) - 1),
+        zeros,
+        lambda acc, i: F.zip_with(
+            acc,
+            planes,
+            lambda a, p: a
+            + F.element_at(v, i + 1)
+            * ((F.pmod(F.hash(i, p), F.lit(2000)) - F.lit(1000)).cast("double") / 1000.0),
+        ),
+    )
+    # MSB-first fold: bucket = Σ (dot_p > 0) · 2^p, safe in long (p < 63)
+    return F.aggregate(
+        F.reverse(dots),
+        F.lit(0).cast("long"),
+        lambda acc, d: acc * 2 + F.when(d > 0, 1).otherwise(0).cast("long"),
+    )
 
 
 def _bucket_of_py(q: Sequence[float], n_planes: int = 12) -> int:
