@@ -305,3 +305,61 @@ def test_ivf_recall_vs_brute_force(spark):
     ]
     recall = len(set(exact) & set(approx)) / len(exact)
     assert recall >= 0.6, (recall, exact, approx)
+
+
+def test_ivf_partition_pruning(spark, tmp_path):
+    """Pre-partitioning the vector table by coarse bucket turns the IVF
+    bucket filter into scan-level partition pruning."""
+    from hquery_php_spark.operators.similarity import bucket_of
+    from hquery_php_spark.plans.explain import explain_str
+
+    out = str(tmp_path / "vecs")
+    embs = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    (
+        embs.withColumn("bucket", bucket_of(F.col("embedding"), 4))
+        .write.partitionBy("bucket")
+        .mode("overwrite")
+        .parquet(out)
+    )
+    t = spark.read.parquet(out)
+    pruned = t.where(F.col("bucket").isin(3, 5, 9))
+    plan = explain_str(pruned, "formatted")
+    assert "PartitionFilters" in plan and "bucket" in plan, plan
+    # pruned scan reads fewer rows than the full table
+    assert pruned.count() < t.count()
+
+
+def test_streaming_span_metrics(spark, tmp_path):
+    """Windowed streaming metrics aggregate over the extraction stream."""
+    from hquery_php_spark.streaming import (
+        streaming_extract_spans,
+        streaming_span_metrics,
+    )
+
+    src = str(tmp_path / "m_in")
+    ckpt = str(tmp_path / "m_ckpt")
+    import os
+
+    os.makedirs(src, exist_ok=True)
+    sch = "doc_id string, html string, base_url string"
+    spark.createDataFrame(
+        [("a", "<p>x</p><a href='/l'>L</a>", "https://s/"), ("b", "<p>y</p>", "https://s/")],
+        sch,
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema(sch).parquet(src)
+    metrics = streaming_span_metrics(streaming_extract_spans(stream))
+    q = (
+        metrics.writeStream.format("memory")
+        .queryName("span_metrics_out")
+        .option("checkpointLocation", ckpt)
+        .outputMode("update")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = spark.sql("SELECT * FROM span_metrics_out").collect()
+        assert sum(r.n_docs for r in got) == 2
+        assert sum(r.n_media for r in got) == 1
+    finally:
+        q.stop()
