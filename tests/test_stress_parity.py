@@ -117,3 +117,33 @@ def test_real_attr_html_fixture():
     inp = ff.find("input[type=text][name=text]")
     assert len(inp) == 1
     assert inp.first().attr("value") == "the text"
+
+
+def test_megabyte_malformed_document():
+    """Repair megabytes of invalid HTML in one document (north star):
+    2MB of interleaved mis-nesting, misplaced quotes, unterminated
+    comments/scripts — index + extract complete fast with invariants."""
+    chunk = (
+        '<div class="x"><b><i>bold</b></i>'
+        '<a href="/l" broken=">weird>" >text</a>'
+        "<p>para<span>s</p></span>"
+        "<script>var a = '<div>not a tag</div>';</script>"
+        "<!-- comment --><img src=//cdn/x.png>"
+        "<td rows=3 cols='4>5'>cell</td>"
+    )
+    raw = ("<html><body>" + chunk * 9000 + "</body></html>").encode()
+    assert len(raw) > 1_800_000
+    t0 = time.perf_counter()
+    doc = hq.HDoc(raw, "https://m.example/")
+    el = time.perf_counter() - t0
+    assert el < 10.0, el
+    assert len(doc) > 50_000
+    t0 = time.perf_counter()
+    spans = hq.extract_spans(doc)
+    assert time.perf_counter() - t0 < 10.0
+    offs = [s.offset for s in spans]
+    assert offs == sorted(offs)
+    assert sum(1 for s in spans if s.kind == "media") > 0
+    # selectors still work over the repaired soup
+    assert len(doc.find("b")) == 9000
+    assert len(doc.find("a[href]")) == 9000
