@@ -1,0 +1,78 @@
+#!/usr/bin/env python
+"""Production entrypoint: documents table → span table, resumable.
+
+Submit (north rule: spark-submit --py-files on a multi-executor cluster):
+
+    python -c "import shutil; shutil.make_archive('/tmp/hquery_php_spark', 'zip', '.', 'hquery_php_spark')"
+    spark-submit --py-files /tmp/hquery_php_spark.zip \
+        jobs/extract_job.py \
+        --input  /path/docs.parquet  \
+        --output /path/spans_out     \
+        --metrics /path/spans_metrics \
+        [--partitions 4096] [--tail-bytes 4194304] [--html-col html]
+
+Behavior:
+* salted size-bucket repartition with mega-doc tail isolation
+  (``split_tail_repartition``);
+* idempotent resume: doc_ids already present in --output are skipped
+  (anti-join), so re-running after a failure completes the remainder;
+* per-partition lineage/metrics appended to --metrics AFTER the data
+  commit (metrics row present ⇒ partition data committed).
+"""
+
+import argparse
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--metrics", default=None)
+    ap.add_argument("--partitions", type=int, default=0)
+    ap.add_argument("--tail-bytes", type=int, default=4 << 20)
+    ap.add_argument("--doc-id-col", default="doc_id")
+    ap.add_argument("--html-col", default="html")
+    ap.add_argument("--base-url-col", default="base_url")
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    spark = SparkSession.builder.appName("hquery-extract").getOrCreate()
+
+    from hquery_php_spark.operators.pipeline import (
+        extract_spans_df,
+        split_tail_repartition,
+    )
+    from hquery_php_spark.sources.reader import read_done_ids, write_spans
+
+    docs = spark.read.parquet(args.input)
+    n_parts = args.partitions or spark.sparkContext.defaultParallelism * 3
+
+    done = read_done_ids(spark, args.output)
+    if done is not None:
+        docs = docs.join(
+            done.withColumnRenamed("doc_id", "__done").distinct(),
+            docs[args.doc_id_col] == F.col("__done"),
+            "left_anti",
+        )
+
+    docs = docs.withColumn(
+        "__size", F.length(F.col(args.html_col)).cast("long")
+    )
+    docs = split_tail_repartition(
+        docs, n_parts, size_col="__size", tail_bytes=args.tail_bytes,
+        key_col=args.doc_id_col,
+    )
+    spans = extract_spans_df(
+        docs,
+        doc_id_col=args.doc_id_col,
+        html_col=args.html_col,
+        base_url_col=args.base_url_col if args.base_url_col in docs.columns else None,
+    )
+    write_spans(spans, args.output, metrics_path=args.metrics)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
