@@ -363,3 +363,22 @@ def test_streaming_span_metrics(spark, tmp_path):
         assert sum(r.n_media for r in got) == 1
     finally:
         q.stop()
+
+
+def test_write_spans_partitioned_layout(spark, corpus_df, tmp_path):
+    """write_spans with partition columns produces a pruned-readable
+    layout and the metrics sidecar accounts for every row."""
+    import os
+
+    from hquery_php_spark.sources.reader import write_spans
+
+    out = str(tmp_path / "p_out")
+    met = str(tmp_path / "p_met")
+    spans = extract_spans_df(corpus_df)
+    write_spans(spans, out, metrics_path=met, partition_cols=("charset",))
+    subdirs = [d for d in os.listdir(out) if d.startswith("charset=")]
+    assert subdirs, os.listdir(out)
+    back = spark.read.parquet(out)
+    assert back.count() == corpus_df.count()
+    m = spark.read.parquet(met)
+    assert m.agg(F.sum("n_docs")).collect()[0][0] == corpus_df.count()
