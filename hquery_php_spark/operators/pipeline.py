@@ -109,6 +109,8 @@ def extract_spans_df(
                 charset = None
                 size = 0
                 try:
+                    if raw is None:
+                        raise ValueError("null html payload")
                     data = raw if isinstance(raw, (bytes, bytearray)) else str(raw).encode(encoding)
                     size = len(data)
                     doc = HDoc(data, url)

@@ -382,3 +382,16 @@ def test_write_spans_partitioned_layout(spark, corpus_df, tmp_path):
     assert back.count() == corpus_df.count()
     m = spark.read.parquet(met)
     assert m.agg(F.sum("n_docs")).collect()[0][0] == corpus_df.count()
+
+
+def test_null_html_recorded_as_error(spark):
+    """A null payload is a recorded per-row error, never literal 'None'
+    text and never a stage failure (fault tolerance)."""
+    df = spark.createDataFrame(
+        [("ok", "<p>x</p>", "https://s/"), ("bad", None, "https://s/")],
+        "doc_id string, html string, base_url string",
+    )
+    rows = {r.doc_id: r for r in extract_spans_df(df).collect()}
+    assert rows["ok"].error is None and rows["ok"].n_tags == 1
+    assert rows["bad"].error is not None
+    assert rows["bad"].spans == []
