@@ -395,3 +395,27 @@ def test_null_html_recorded_as_error(spark):
     assert rows["ok"].error is None and rows["ok"].n_tags == 1
     assert rows["bad"].error is not None
     assert rows["bad"].spans == []
+
+
+def test_read_html_files_binary_ingestion(spark, tmp_path):
+    """S2's Spark path: whole-file binary ingestion keeps original bytes
+    (charset conversion happens in the engine, not the reader)."""
+    from hquery_php_spark.sources.reader import read_html_files
+
+    d = tmp_path / "pages"
+    d.mkdir()
+    (d / "a.html").write_bytes(
+        '<html><head><meta charset="ISO-8859-1"></head>'
+        "<body><p>caf\xe9 page</p></body></html>".encode("latin-1")
+    )
+    (d / "b.html").write_bytes(b"<html><body><p>plain</p></body></html>")
+    df = read_html_files(spark, str(d / "*.html"))
+    spans = explode_spans(
+        extract_spans_df(df, base_url_col=None).select("doc_id", "spans")
+    )
+    texts = {
+        r.doc_id.rsplit("/", 1)[-1]: r.text
+        for r in spans.where(F.col("kind") == "text").collect()
+    }
+    assert texts["a.html"] == "café page"  # latin-1 bytes converted
+    assert texts["b.html"] == "plain"
