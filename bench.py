@@ -51,6 +51,10 @@ def main() -> None:
         "similarity_topk",
         "dedup_minhash",
         "simhash",
+        "boilerplate_strip",
+        "training_pipeline",
+        "pdf_extract",
+        "winnow_fp",
     ]
 
     timings = {}

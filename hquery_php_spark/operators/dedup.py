@@ -293,20 +293,31 @@ def winnow_fingerprints(
     # SQL twin) so every gram has exactly k characters
     n = F.when(F.length(n) < k, F.rpad(n, k, " ")).otherwise(n)
 
-    def gram_hash(g: Column) -> Column:
-        chars = F.split(g, "")
-        # split('abc','') in Spark yields ['a','b','c']; guard the
-        # occasional trailing '' with a when()
+    # char codes are materialized as a real column so every lambda below
+    # references a bound column (evaluated once per row) — inlining the
+    # split into each element_at would recompute it per gram element
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.transform(F.split(n, ""), lambda ch: F.ascii(ch).cast("long")).alias(
+            "__codes"
+        ),
+    )
+    codes = F.col("__codes")
+
+    def gram_hash(i: Column) -> Column:
         acc = F.lit(0).cast("long")
         for j, p in enumerate(powers):
-            acc = acc + F.ascii(F.element_at(chars, j + 1)).cast("long") * F.lit(p)
+            acc = acc + F.element_at(codes, i + j) * F.lit(p)
         return F.pmod(acc, F.lit(mod))
 
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.length(n) - F.lit(k - 1), F.lit(1))),
-        lambda i: n.substr(i, F.lit(k)),
+    hashed = base.select(
+        "id",
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(codes) - F.lit(k - 1), F.lit(1))),
+            gram_hash,
+        ).alias("__hashes"),
     )
-    hashes = F.transform(grams, gram_hash)
+    hashes = F.col("__hashes")
     sel = F.array_distinct(
         F.transform(
             F.sequence(
@@ -316,7 +327,7 @@ def winnow_fingerprints(
             lambda i: F.array_min(F.slice(hashes, i, window)),
         )
     )
-    return df.select(F.col(id_col).alias("id"), F.explode(sel).alias("fp"))
+    return hashed.select("id", F.explode(sel).alias("fp"))
 
 
 WINNOW_SQL_TEMPLATE = """
