@@ -291,6 +291,8 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("q.avg_token_len").alias("avg_token_len"),
         F.col("q.alpha_ratio").alias("alpha_ratio"),
         F.col("q.digit_ratio").alias("digit_ratio"),
+        F.col("q.punct_ratio").alias("punct_ratio"),
+        F.col("q.stopword_ratio").alias("stopword_ratio"),
         F.col("q.n_spaces").alias("n_spaces"),
     )
 

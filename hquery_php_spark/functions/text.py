@@ -75,15 +75,27 @@ def quality_score(col: Column) -> Column:
     alpha = F.length(F.regexp_replace(n, r"[^a-zA-Z]", ""))
     digits = F.length(F.regexp_replace(n, r"[^0-9]", ""))
     spaces = F.length(n) - F.length(F.replace(n, F.lit(" "), F.lit("")))
+    punct = F.length(
+        F.regexp_replace(n, r"[^!-/:-@\[-`{-~]", "")
+    )  # ASCII punctuation classes
+    padded = F.concat(F.lit(" "), F.lower(n), F.lit(" "))
+    stop_hits = None
+    for m in _EN_MARKERS:
+        c = occurrence_count(padded, m)
+        stop_hits = c if stop_hits is None else (stop_hits + c)
     avg_tok = F.when(toks > 0, F.round(length.cast("double") / toks, 6)).otherwise(F.lit(0.0))
     alpha_ratio = F.when(length > 0, F.round(alpha.cast("double") / length, 6)).otherwise(F.lit(0.0))
     digit_ratio = F.when(length > 0, F.round(digits.cast("double") / length, 6)).otherwise(F.lit(0.0))
+    punct_ratio = F.when(length > 0, F.round(punct.cast("double") / length, 6)).otherwise(F.lit(0.0))
+    stopword_ratio = F.when(toks > 0, F.round(stop_hits.cast("double") / toks, 6)).otherwise(F.lit(0.0))
     return F.struct(
         length.alias("n_chars"),
         toks.alias("n_tokens"),
         avg_tok.alias("avg_token_len"),
         alpha_ratio.alias("alpha_ratio"),
         digit_ratio.alias("digit_ratio"),
+        punct_ratio.alias("punct_ratio"),
+        stopword_ratio.alias("stopword_ratio"),
         spaces.alias("n_spaces"),
     )
 
@@ -147,5 +159,22 @@ class SQL:
                 f"length(regexp_replace({n}, '[^0-9]', '', 'g')) AS DOUBLE)"
                 f" / length({n}), 6) ELSE 0.0 END"
             ),
+            "punct_ratio": (
+                f"CASE WHEN length({n}) > 0 THEN round(CAST("
+                f"length(regexp_replace({n}, '[^!-/:-@\\[-`{{-~]', '', 'g')) AS DOUBLE)"
+                f" / length({n}), 6) ELSE 0.0 END"
+            ),
+            "stopword_ratio": SQL._stopword_ratio(col),
             "n_spaces": f"length({n}) - length(replace({n}, ' ', ''))",
         }
+
+    @staticmethod
+    def _stopword_ratio(col: str) -> str:
+        n = SQL.norm_ws(col)
+        toks = SQL.token_count(col)
+        padded = f"(' ' || lower({n}) || ' ')"
+        hits = " + ".join(SQL.occurrence_count(padded, m) for m in _EN_MARKERS)
+        return (
+            f"CASE WHEN ({toks}) > 0 THEN "
+            f"round(CAST(({hits}) AS DOUBLE) / ({toks}), 6) ELSE 0.0 END"
+        )
