@@ -38,6 +38,8 @@ __all__ = [
     "sniff_media_type",
     "image_meta_df",
     "image_features_df",
+    "image_resize_df",
+    "video_frame_sample_df",
 ]
 
 MEDIA_SCHEMA = StructType(
@@ -167,6 +169,97 @@ def image_features_df(
                 payload = bytes(p) if p is not None else b""
                 out["media_id"].append(mid)
                 out["embedding"].append(_fake_features(payload, dim))
+            yield pd.DataFrame(out)
+
+    return narrow.mapInPandas(run, schema)
+
+
+def image_resize_df(
+    df: DataFrame,
+    payload_col: str = "payload",
+    target: int = 64,
+    allow_stub: bool = True,
+) -> DataFrame:
+    """Resize plumbing: header-aware target dimensions computed for real
+    (aspect-preserving fit into ``target``×``target``), the pixel resample
+    itself STUBBED (deterministic passthrough payload) — wire
+    PIL/libvips where available."""
+    if not allow_stub:
+        raise NotImplementedError(
+            "pixel resampling requires an image codec not present here; "
+            "pass allow_stub=True for the header-only deterministic path"
+        )
+    schema = StructType(
+        [
+            StructField("media_id", StringType()),
+            StructField("out_w", IntegerType()),
+            StructField("out_h", IntegerType()),
+            StructField("payload", BinaryType()),
+        ]
+    )
+    narrow = df.select(F.col("media_id").cast("string"), F.col(payload_col).alias("p"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in schema.fieldNames()}
+            for mid, p in zip(pdf["media_id"], pdf["p"]):
+                payload = bytes(p) if p is not None else b""
+                dims = (
+                    _png_dims(payload)
+                    if sniff_media_type(payload) == "image/png"
+                    else None
+                )
+                if dims:
+                    w, h = dims
+                    scale = min(target / w, target / h, 1.0)
+                    ow, oh = max(1, round(w * scale)), max(1, round(h * scale))
+                else:
+                    ow = oh = 0
+                out["media_id"].append(mid)
+                out["out_w"].append(ow)
+                out["out_h"].append(oh)
+                out["payload"].append(payload)  # STUB: pixels unchanged
+            yield pd.DataFrame(out)
+
+    return narrow.mapInPandas(run, schema)
+
+
+def video_frame_sample_df(
+    df: DataFrame,
+    payload_col: str = "payload",
+    every_n: int = 10,
+    max_frames: int = 8,
+    frame_bytes: int = 256,
+) -> DataFrame:
+    """Frame-sampling plumbing for video columns: container sniffing is
+    real; without a demuxer, "frames" are deterministic fixed-stride byte
+    windows of the payload — the schema, batching and fan-out (one row
+    per sampled frame) are exactly what a real decoder drops into."""
+    schema = StructType(
+        [
+            StructField("media_id", StringType()),
+            StructField("frame_no", IntegerType()),
+            StructField("mime", StringType()),
+            StructField("frame", BinaryType()),
+        ]
+    )
+    narrow = df.select(F.col("media_id").cast("string"), F.col(payload_col).alias("p"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in schema.fieldNames()}
+            for mid, p in zip(pdf["media_id"], pdf["p"]):
+                payload = bytes(p) if p is not None else b""
+                mime = sniff_media_type(payload)
+                stride = frame_bytes * every_n
+                for fno in range(max_frames):
+                    start = fno * stride
+                    if start >= len(payload):
+                        break
+                    out["media_id"].append(mid)
+                    out["frame_no"].append(fno)
+                    out["mime"].append(mime)
+                    out["frame"].append(payload[start : start + frame_bytes])
             yield pd.DataFrame(out)
 
     return narrow.mapInPandas(run, schema)

@@ -325,3 +325,36 @@ def test_bucketed_join_avoids_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql(f"DROP TABLE IF EXISTS {t1}")
         spark.sql(f"DROP TABLE IF EXISTS {t2}")
+
+
+def test_multimodal_resize_and_frame_sample(spark):
+    """Resize target-dim math and per-frame fan-out plumbing."""
+    import struct
+
+    from hquery_php_spark.operators.multimodal import (
+        image_resize_df,
+        video_frame_sample_df,
+    )
+
+    png = (
+        b"\x89PNG\r\n\x1a\n" + b"\x00\x00\x00\x0dIHDR"
+        + struct.pack(">II", 200, 100) + b"\x08\x06\x00\x00\x00"
+    )
+    rows = [("i1", png), ("i2", b"junk")]
+    out = {
+        r.media_id: (r.out_w, r.out_h)
+        for r in image_resize_df(
+            spark.createDataFrame(rows, "media_id string, payload binary"), target=64
+        ).collect()
+    }
+    assert out["i1"] == (64, 32)  # aspect preserved, fit into 64
+    assert out["i2"] == (0, 0)
+
+    vid = [("v1", b"RIFFxxxxWEBP" + bytes(8000))]
+    frames = video_frame_sample_df(
+        spark.createDataFrame(vid, "media_id string, payload binary"),
+        every_n=4, max_frames=3, frame_bytes=100,
+    ).collect()
+    assert [f.frame_no for f in frames] == [0, 1, 2]
+    assert all(len(f.frame) == 100 for f in frames)
+    assert frames[0].mime == "image/webp"
