@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 
 from .dedup import cosine_sim
 
-__all__ = ["brute_force_topk", "bucket_of", "ivf_topk"]
+__all__ = ["brute_force_topk", "brute_force_topk_pandas", "bucket_of", "ivf_topk"]
 
 
 def _vec_lit(q: Sequence[float]) -> Column:
@@ -126,4 +126,45 @@ def ivf_topk(
             cosine_sim(F.col(vec_col).cast("array<double>"), qv).alias("cos"),
         )
     )
+    return scored.orderBy(F.col("cos").desc(), F.col("id")).limit(k)
+
+
+def brute_force_topk_pandas(
+    df: DataFrame,
+    query_vec: Sequence[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Vectorized Pandas-UDF twin of ``brute_force_topk``: per Arrow
+    batch, one numpy matrix-vector product scores every row at once —
+    the faster path for high-dimensional embeddings, where the JVM
+    per-element ``aggregate`` pays interpretation cost per dimension.
+    Same result set (cosine in float64, same tie-break)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    q = np.asarray(list(query_vec), dtype=np.float64)
+    qn = np.linalg.norm(q)
+    schema = StructType(
+        [StructField("id", LongType()), StructField("cos", DoubleType())]
+    )
+    narrow = df.select(
+        F.col(id_col).cast("long").alias("id"), F.col(vec_col).alias("v")
+    )
+
+    def run(batches):
+        for pdf in batches:
+            m = np.stack(pdf["v"].map(lambda a: np.asarray(a, dtype=np.float64)))
+            dots = m @ q
+            norms = np.linalg.norm(m, axis=1) * qn
+            yield pd.DataFrame({"id": pdf["id"], "cos": dots / norms})
+
+    scored = narrow.mapInPandas(run, schema)
     return scored.orderBy(F.col("cos").desc(), F.col("id")).limit(k)

@@ -419,3 +419,21 @@ def test_read_html_files_binary_ingestion(spark, tmp_path):
     }
     assert texts["a.html"] == "café page"  # latin-1 bytes converted
     assert texts["b.html"] == "plain"
+
+
+def test_pandas_topk_matches_jvm(spark):
+    """The numpy-batched scorer returns the same top-k (ids and cosine
+    to 1e-9) as the JVM aggregate implementation."""
+    from hquery_php_spark.operators.similarity import (
+        brute_force_topk,
+        brute_force_topk_pandas,
+    )
+
+    embs = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    qvec = embs.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    rest = embs.where(F.col("vec_id") != 0)
+    jvm = brute_force_topk(rest, qvec, k=10).collect()
+    pdu = brute_force_topk_pandas(rest, qvec, k=10).collect()
+    assert [r.id for r in jvm] == [r.id for r in pdu]
+    for a, b in zip(jvm, pdu):
+        assert abs(a.cos - b.cos) < 1e-9
