@@ -13,7 +13,7 @@
 
 from __future__ import annotations
 
-from typing import List, Sequence
+from typing import Sequence
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -73,16 +73,6 @@ def bucket_of(vec_col: Column, n_planes: int = 12) -> Column:
         F.lit(0).cast("long"),
         lambda acc, d: acc * 2 + F.when(d > 0, 1).otherwise(0).cast("long"),
     )
-
-
-def _bucket_of_py(q: Sequence[float], n_planes: int = 12) -> int:
-    """Driver-side twin of bucket_of for the (tiny) query vector.
-
-    Must match the JVM expression bit-for-bit: uses the same seeded
-    Murmur3 ``hash(i, p)`` — so we compute it via a 1-row DataFrame when
-    exactness matters; this helper is only used through ``ivf_topk``.
-    """
-    raise NotImplementedError("computed via a 1-row DataFrame in ivf_topk")
 
 
 def ivf_topk(
