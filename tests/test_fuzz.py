@@ -216,3 +216,32 @@ def test_differential_media_and_attrs_vs_stdlib(html_text):
     spans = extract_spans(doc)
     got_refs = [s.media_ref for s in spans if s.kind == "media"]
     assert got_refs == expected_refs, (html_text, got_refs, expected_refs)
+
+
+# ---- PDF make→extract roundtrip property ------------------------------ #
+_pdf_text = st.text(
+    alphabet="abc (x)\\/-.", min_size=1, max_size=20
+).map(lambda s: s.strip() or "x")
+_pdf_blocks = st.lists(
+    st.tuples(
+        st.integers(0, 600), st.integers(0, 780).map(float), _pdf_text
+    ).map(lambda t: (float(t[0]), t[1], t[2])),
+    min_size=0,
+    max_size=6,
+)
+
+
+@settings(max_examples=150, deadline=None)
+@given(_pdf_blocks, st.booleans())
+def test_pdf_roundtrip_property(blocks, compress):
+    from hquery_php_spark.operators.pdf import extract_pdf_spans, make_pdf
+
+    pdf = make_pdf(blocks, compress=compress)
+    n, spans = extract_pdf_spans(pdf)
+    assert n == 1
+    expected = sorted(
+        ((x, y, t) for x, y, t in blocks), key=lambda b: (-b[1], b[0])
+    )
+    got = sorted(spans, key=lambda b: (-b[1], b[0]))
+    # y-sorted multisets equal (ties on (x,y) may reorder equal keys)
+    assert sorted(got) == sorted(expected), (blocks, spans)
