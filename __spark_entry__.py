@@ -75,10 +75,10 @@ def _spread(df: DataFrame, spark: SparkSession, key: str = "doc_id") -> DataFram
     The driver's test parquet is a single row group (one input split); on
     a real cluster the scan arrives pre-split, but the north rule's
     salted size-bucket repartition before the extract UDF is part of the
-    design either way.  Skipped when the scan is already wide enough."""
+    design either way.  Unconditional: probing the current partition count
+    costs a driver-side df.rdd conversion per query, which is more
+    expensive than the (AQE-coalescible) Exchange it would avoid."""
     n = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= n:
-        return df
     return salted_repartition(df, n, key_col=key)
 
 
@@ -358,9 +358,15 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # join's two sides share one computation instead of re-shingling.
     sigs = minhash_signatures(d, num_perm=16, shingle_k=8).persist()
     # candidates feed the verify stage twice (the candidate-id semi-join
-    # prune and the pair join) — persist the small pair table as well.
+    # prune and the pair join) — persist and materialize the small pair
+    # table eagerly so sigs can be released before the verify runs.
     cands = minhash_lsh_candidates(sigs, bands=2, rows_per_band=8).persist()
-    return ngram_jaccard_verify(d, cands, k=8, threshold=0.6)
+    cands.count()
+    sigs.unpersist()
+    # persist_shingles: without it the plan contains two identical
+    # scan→semi-join→shingle subtrees (one per join side) — a double
+    # corpus scan at 100 TB.
+    return ngram_jaccard_verify(d, cands, k=8, threshold=0.6, persist_shingles=True)
 
 
 def q_dedup_ngram_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -670,10 +676,28 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode→embed plumbing with the stubbed codec (rows-only: the fake
-    feature values are engine-specific by design)."""
+    feature values are engine-specific by design).  The array<float>
+    embedding is digested to md5(to_json(...)) so every column is
+    harness-hashable; dim/l2 prove the vector shape survived the batch
+    boundary."""
     from hquery_php_spark.operators.multimodal import image_features_df
 
-    return image_features_df(_png_payloads(spark, sf_dir), dim=16)
+    feats = image_features_df(_png_payloads(spark, sf_dir), dim=16)
+    return feats.select(
+        "media_id",
+        F.size("embedding").alias("dim"),
+        F.md5(F.to_json(F.col("embedding"))).alias("emb_md5"),
+        F.round(
+            F.sqrt(
+                F.aggregate(
+                    "embedding",
+                    F.lit(0.0),
+                    lambda acc, x: acc + x.cast("double") * x.cast("double"),
+                )
+            ),
+            4,
+        ).alias("l2_norm"),
+    )
 
 
 def q_find_counts(spark: SparkSession, sf_dir: str) -> DataFrame:

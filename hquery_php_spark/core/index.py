@@ -209,6 +209,13 @@ class DocIndex:
                 if len(v) == 1:
                     v = v[0]
                 elif v:
+                    # Distinct raw attr strings can canonicalize to the same
+                    # interned key (attr2str ksorts names), so the merged
+                    # list interleaves out of document order — sort to keep
+                    # the begin-sorted invariant the reference's ksort
+                    # guarantees (HTML_Index.php:1261-1285) and that
+                    # get_ids_by_aid's single-map fast path relies on.
+                    v.sort()
                     u: IdMap = {}
                     for e in v:
                         u[e] = ids[e]

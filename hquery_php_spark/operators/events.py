@@ -46,6 +46,10 @@ def sessionize(
     stats.  One shuffle (window partitioned by user), then one aggregate.
     """
     w = Window.partitionBy(user_col).orderBy(ts_col)
+    # Explicit ROWS frame for the running sum: Spark's default frame with an
+    # ORDER BY is RANGE, which treats duplicate-timestamp rows as peers and
+    # would diverge from the oracle's ROWS UNBOUNDED PRECEDING on ties.
+    w_rows = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     prev = F.lag(F.col(ts_col)).over(w)
     # interval comparison — timezone-free, works for TIMESTAMP_NTZ columns
     new_session = F.when(
@@ -54,7 +58,7 @@ def sessionize(
         F.lit(1),
     ).otherwise(F.lit(0))
     sessions = df.withColumn("__new", new_session).withColumn(
-        "session_id", F.sum("__new").over(w)
+        "session_id", F.sum("__new").over(w_rows)
     )
     return (
         sessions.groupBy(user_col, "session_id")
@@ -93,7 +97,7 @@ per_session AS (
 )
 SELECT user_id,
        count(*) AS n_sessions,
-       sum(n_events) AS n_events,
+       CAST(sum(n_events) AS BIGINT) AS n_events,
        max(n_events) AS max_session_events
 FROM per_session GROUP BY user_id
 """

@@ -153,6 +153,18 @@ def streaming_sessionize(
                 int(t.value // 1000) for t in pd.to_datetime(pdf["ts"])
             )
         ts_list.sort()
+        # watermark floor (ms): timeout timestamps at or below the current
+        # watermark are rejected by Spark — clamp below.
+        wm_ms = state.getCurrentWatermarkMs()
+        if not ts_list:
+            # empty batch iterator for this key (no new data, no timeout):
+            # keep state, refresh the timeout, emit nothing.
+            if state.exists:
+                _, last_us, _ = state.get
+                state.setTimeoutTimestamp(
+                    max(last_us // 1000 + gap_minutes * 60 * 1000, wm_ms + 1)
+                )
+            return
         if state.exists:
             start_us, last_us, n = state.get
         else:
@@ -166,10 +178,15 @@ def streaming_sessionize(
                 closed["session_end"].append(pd.Timestamp(last_us, unit="us"))
                 closed["n_events"].append(n)
                 start_us, n = t, 0
-            last_us = t
+            # a late-but-in-watermark event (t < last_us across batches)
+            # joins the open session without moving its end backwards
+            start_us = min(start_us, t)
+            last_us = max(last_us, t)
             n += 1
         state.update((start_us, last_us, n))
-        state.setTimeoutTimestamp(last_us // 1000 + gap_minutes * 60 * 1000)
+        state.setTimeoutTimestamp(
+            max(last_us // 1000 + gap_minutes * 60 * 1000, wm_ms + 1)
+        )
         if closed["user_id"]:
             yield pd.DataFrame(closed)
 

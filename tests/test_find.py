@@ -377,3 +377,23 @@ def test_detect_charset_table():
     assert detect_charset(b"", {"Content-Type": "text/html; charset = utf-8 "}) == "UTF-8"
     assert detect_charset(b"", {"content-type": 'text/html; charset = "utf-8"'}) == "UTF-8"
     assert detect_charset(b"", {"CONTENT_TYPE": "text/html;charset='Utf-8'"}) == "UTF-8"
+
+
+def test_attr_order_collision_document_order():
+    """Distinct raw attr strings that canonicalize to one interned key
+    (attr2str ksorts names, so reordered attrs collide) must keep the
+    merged posting list in document order — the reference ksorts
+    (HTML_Index.php:1261-1285); regression for the single-aid fast path
+    in get_ids_by_aid skipping the sort."""
+    html = (
+        b"<html><body>"
+        b'<i class="x" title="t">A</i>'
+        b'<i title="t" class="x">B</i>'
+        b'<i class="x" title="t">C</i>'
+        b"</body></html>"
+    )
+    d = HDoc(html)
+    r = d.find(".x")
+    assert [e.text() for e in r] == ["A", "B", "C"]
+    assert [e.text() for e in d.find(".x:lt(2)")] == ["A", "B"]
+    assert d.find(".x:eq(1)").text() == "B"
