@@ -60,6 +60,14 @@ from hquery_php_spark.operators.dedup import (  # noqa: E402
 _WINNOW_SQL = _WINNOW_T.format(
     k=8, km1=7, wm1=3, mod=1_000_000_007
 ).replace("{powers}", str([pow(31, 7 - j, 1_000_000_007) for j in range(8)]))
+
+from hquery_php_spark.operators.dedup import (  # noqa: E402
+    minhash_verify_oracle_sql as _mh_sql,
+    simhash_oracle_sql as _sh_sql,
+)
+
+_MINHASH_SQL = _mh_sql(num_perm=16, shingle_k=8, bands=2, rows_per_band=8, threshold=0.6)
+_SIMHASH_SQL = _sh_sql(k=8)
 _EV_TOPK_SQL = _TOPK_SQL_T.format(k=3)
 _EV_TUMBLING_SQL = _TUMB_SQL_T.format(width="hour")
 _EV_SESSIONIZE_SQL = _SESS_SQL_T.format(gap_minutes=30)
@@ -351,16 +359,20 @@ def q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH candidates verified by exact n-gram Jaccard
-    (rows-only check: hash family is engine-specific)."""
+    """MinHash+LSH candidates verified by exact n-gram Jaccard — the
+    portable polynomial/affine hash family with injective band keys, so
+    the whole probe→verify pipeline has an exact DuckDB value oracle
+    (minhash_verify_oracle_sql)."""
     d = _spread(_docs(spark, sf_dir), spark)
     # signatures are tiny (id + 16 longs/doc): persist so the LSH self-
     # join's two sides share one computation instead of re-shingling.
-    sigs = minhash_signatures(d, num_perm=16, shingle_k=8).persist()
+    sigs = minhash_signatures(d, num_perm=16, shingle_k=8, portable=True).persist()
     # candidates feed the verify stage twice (the candidate-id semi-join
     # prune and the pair join) — persist and materialize the small pair
     # table eagerly so sigs can be released before the verify runs.
-    cands = minhash_lsh_candidates(sigs, bands=2, rows_per_band=8).persist()
+    cands = minhash_lsh_candidates(
+        sigs, bands=2, rows_per_band=8, exact_buckets=True
+    ).persist()
     cands.count()
     sigs.unpersist()
     # persist_shingles: without it the plan contains two identical
@@ -407,10 +419,14 @@ def q_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """64-bit SimHash per doc (rows-only: xxhash64 is engine-specific)."""
-    return _spread(_docs(spark, sf_dir), spark).select(
-        "doc_id", simhash64(F.col("text")).alias("simhash")
-    )
+    """64-bit set-SimHash per doc over the portable char-8-gram family —
+    exact DuckDB value oracle (simhash_oracle_sql); the xxhash64 fast
+    path stays available as operators.dedup.simhash64."""
+    from hquery_php_spark.operators.dedup import simhash64_portable_df
+
+    return simhash64_portable_df(
+        _spread(_docs(spark, sf_dir), spark), k=8
+    ).select(F.col("id").alias("doc_id"), "simhash")
 
 
 def q_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -979,6 +995,8 @@ def oracle_sql() -> dict[str, str]:
                   / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.6
         """,
         "winnow_fp": _WINNOW_SQL,
+        "dedup_minhash": _MINHASH_SQL,
+        "simhash": _SIMHASH_SQL,
         "events_window": _EV_TUMBLING_SQL,
         "events_sessions": _EV_SESSIONIZE_SQL,
         "events_topk": _EV_TOPK_SQL,

@@ -28,15 +28,36 @@ from pyspark.sql import functions as F
 __all__ = [
     "dedup_exact",
     "char_shingles",
+    "char_gram_hashes",
     "minhash_signatures",
     "minhash_lsh_candidates",
     "ngram_jaccard_verify",
     "simhash64",
+    "simhash64_portable_df",
     "cosine_sim",
     "embedding_near_dup",
     "winnow_fingerprints",
     "WINNOW_SQL_TEMPLATE",
+    "minhash_verify_oracle_sql",
+    "simhash_oracle_sql",
 ]
+
+_POLY_BASE = 31
+_POLY_MOD = 1_000_000_007
+
+
+def _affine_consts(n: int, seed: int = 0x5D1B) -> tuple:
+    """Deterministic (a_i, b_i) pairs for the portable affine remix family
+    h_i(x) = (a_i·x + b_i) mod M — a plain LCG so the identical constants
+    can be embedded into the generated SQL oracle.  a_i is odd and < 2^31,
+    so a_i·x < 2^61 for x < 2^30: exact in BIGINT in every engine."""
+    a, b, x = [], [], seed
+    for _ in range(n):
+        x = (1103515245 * x + 12345) % (1 << 31)
+        a.append(x | 1)
+        x = (1103515245 * x + 12345) % (1 << 31)
+        b.append(x)
+    return a, b
 
 
 def dedup_exact(
@@ -77,24 +98,55 @@ def minhash_signatures(
     id_col: str = "doc_id",
     num_perm: int = 32,
     shingle_k: int = 5,
+    portable: bool = False,
 ) -> DataFrame:
     """(id, sig: array<long>) — sig[i] = min over shingles of hash_i(shingle).
 
     Two-level hash family keeps the string work O(shingles), not
-    O(shingles × perms): each *string* shingle is xxhash64'd exactly once
-    into a long array, then the seeded family remixes the cheap longs
-    (``xxhash64(h, seed)``).  Everything is whole-stage codegen; the
-    distinct-shingle projection sits behind its own ``select`` so Catalyst
-    cannot inline the expensive ``transform`` into every permutation
-    (CollapseProject refuses to duplicate non-cheap expressions)."""
+    O(shingles × perms): each *string* shingle is hashed exactly once
+    into a long array, then the seeded family remixes the cheap longs.
+    Everything is whole-stage codegen; the distinct-shingle projection
+    sits behind its own ``select`` so Catalyst cannot inline the
+    expensive ``transform`` into every permutation (CollapseProject
+    refuses to duplicate non-cheap expressions).
+
+    ``portable=False`` (default): xxhash64 base + xxhash64(h, seed)
+    remix — fastest, engine-specific.  ``portable=True``: the
+    engine-neutral polynomial gram hash (``char_gram_hashes``) + affine
+    remix (a_i·h + b_i) mod M, value-reproducible in ANSI SQL
+    (``MINHASH_VERIFY_SQL_TEMPLATE``)."""
+    # NB: the per-permutation remix lambdas are built by closure factories,
+    # never `lambda h, i=i: ...` — PySpark binds higher-order-function
+    # lambdas by PARAMETER COUNT, so a default arg turns a 1-arg lambda
+    # into a 2-arg (value, index) one and the "seed" silently becomes the
+    # element index, collapsing every permutation to the same function.
+    if portable:
+        hashed = char_gram_hashes(df, text_col, id_col, shingle_k)
+        base = hashed.select("id", F.array_distinct(F.col("__hashes")).alias("__hs"))
+        a_c, b_c = _affine_consts(num_perm)
+
+        def affine(a: int, b: int):
+            return lambda h: F.pmod(h * F.lit(a) + F.lit(b), F.lit(_POLY_MOD))
+
+        sig = F.array(
+            *[
+                F.array_min(F.transform(F.col("__hs"), affine(a, b)))
+                for a, b in zip(a_c, b_c)
+            ]
+        ).alias("sig")
+        return base.select("id", sig)
     hs = F.transform(
         F.array_distinct(char_shingles(F.col(text_col), shingle_k)),
         lambda s: F.xxhash64(s),
     ).alias("__hs")
     base = df.select(F.col(id_col).alias("id"), hs)
+
+    def remix(i: int):
+        return lambda h: F.xxhash64(h, F.lit(i))
+
     sig = F.array(
         *[
-            F.array_min(F.transform(F.col("__hs"), lambda h, i=i: F.xxhash64(h, F.lit(i))))
+            F.array_min(F.transform(F.col("__hs"), remix(i)))
             for i in range(num_perm)
         ]
     ).alias("sig")
@@ -102,23 +154,33 @@ def minhash_signatures(
 
 
 def minhash_lsh_candidates(
-    sig_df: DataFrame, bands: int = 8, rows_per_band: Optional[int] = None
+    sig_df: DataFrame,
+    bands: int = 8,
+    rows_per_band: Optional[int] = None,
+    exact_buckets: bool = False,
 ) -> DataFrame:
     """Banded LSH: docs sharing any band bucket become candidate pairs
-    (id_a < id_b).  Shuffle key = (band, hash-of-band-rows)."""
+    (id_a < id_b).  Shuffle key = (band, hash-of-band-rows).
+
+    ``exact_buckets`` serializes the band slice itself as the bucket key
+    (injective — candidate set is exactly "some band slice equal"), which
+    an ANSI-SQL twin can reproduce; the default 32-bit murmur bucket is
+    cheaper to shuffle but admits (verify-filtered) hash collisions."""
     if rows_per_band is None:
         first = sig_df.select(F.size("sig").alias("n")).limit(1).collect()
         n = first[0]["n"] if first else 0
         rows_per_band = max(1, n // bands) if n else 4
+
+    def band_key(b: int) -> Column:
+        sl = F.slice("sig", b * rows_per_band + 1, rows_per_band)
+        if exact_buckets:
+            return F.concat_ws(",", sl.cast("array<string>"))
+        return F.hash(sl.cast("string"))
+
     buckets = sig_df.select(
         "id",
         F.posexplode(
-            F.array(
-                *[
-                    F.hash(F.slice("sig", b * rows_per_band + 1, rows_per_band).cast("string"))
-                    for b in range(bands)
-                ]
-            )
+            F.array(*[band_key(b) for b in range(bands)])
         ).alias("band", "bucket"),
     )
     a = buckets.alias("a")
@@ -203,6 +265,12 @@ def simhash64(col: Column, bits: int = 64) -> Column:
             acc, seq, lambda a, i: a + F.getbit(h, i) * 2 - F.lit(1)
         ),
     )
+    return _fold_bits_to_long(counts, bits)
+
+
+def _fold_bits_to_long(counts: Column, bits: int = 64) -> Column:
+    """Bit-majority counters → signed 64-bit value, assembled from two
+    32-bit halves to stay inside long range under ANSI mode."""
     bits_arr = F.transform(
         counts, lambda c: F.when(c > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
     )
@@ -221,6 +289,58 @@ def simhash64(col: Column, bits: int = 64) -> Column:
     # two's-complement recombine: (hi - 2^32 if hi >= 2^31) * 2^32 + lo
     hi_signed = F.when(hi >= F.lit(1 << 31), hi - F.lit(1 << 32)).otherwise(hi)
     return hi_signed * F.lit(1 << 32).cast("long") + lo
+
+
+_SIMHASH_SEED = 0x51C6
+
+
+def simhash64_portable_df(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    bits: int = 64,
+) -> DataFrame:
+    """(id, simhash) — set-SimHash over the portable char-k-gram hash
+    family: bit i of feature h is ((a_i·h + b_i) mod M) mod 2, so an
+    ANSI-SQL twin (``SIMHASH_SQL_TEMPLATE``) computes identical 64-bit
+    signatures, unlike the xxhash64 fast path in ``simhash64``.
+
+    The distinct gram hashes, bit-index sequence, and remix-constant
+    arrays are all materialized as real columns first: expressions
+    referenced inside higher-order-function lambdas get no
+    common-subexpression elimination, so an inlined outer expression
+    would be recomputed per array element."""
+    a_c, b_c = _affine_consts(bits, seed=_SIMHASH_SEED)
+    hashed = char_gram_hashes(df, text_col, id_col, k)
+    base = hashed.select(
+        "id",
+        F.array_distinct(F.col("__hashes")).alias("__hs"),
+        F.sequence(F.lit(0), F.lit(bits - 1)).alias("__seq"),
+        F.array(*[F.lit(a) for a in a_c]).alias("__A"),
+        F.array(*[F.lit(b) for b in b_c]).alias("__B"),
+    )
+    seqc, ac, bc = F.col("__seq"), F.col("__A"), F.col("__B")
+    zero = F.transform(seqc, lambda i: F.lit(0).cast("long"))
+    counts = F.aggregate(
+        F.col("__hs"),
+        zero,
+        lambda acc, h: F.zip_with(
+            acc,
+            seqc,
+            lambda a, i: a
+            + F.pmod(
+                F.pmod(
+                    h * F.element_at(ac, i + 1) + F.element_at(bc, i + 1),
+                    F.lit(_POLY_MOD),
+                ),
+                F.lit(2),
+            )
+            * 2
+            - F.lit(1),
+        ),
+    )
+    return base.select("id", _fold_bits_to_long(counts, bits).alias("simhash"))
 
 
 def cosine_sim(a: Column, b: Column) -> Column:
@@ -267,26 +387,20 @@ def embedding_near_dup(
     )
 
 
-def winnow_fingerprints(
+def char_gram_hashes(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     k: int = 8,
-    window: int = 4,
-    base: int = 31,
-    mod: int = 1_000_000_007,
+    base: int = _POLY_BASE,
+    mod: int = _POLY_MOD,
 ) -> DataFrame:
-    """Winnowing document fingerprints (the MOSS scheme): polynomial
-    rolling hash of char k-grams, min-of-each-window selection, distinct.
-
-    The hash is an ENGINE-NEUTRAL polynomial (Σ code·B^i mod M with all
-    intermediates < 2^53), so an ANSI-SQL twin computes identical values
-    — unlike xxhash/murmur families this fingerprint is portable, which
-    is what makes cross-system dedup ledgers possible.  Entirely JVM
-    expressions: one shuffle only if the caller aggregates.
-
-    Returns (id, fp) exploded — one row per distinct selected fingerprint.
-    """
+    """(id, __hashes: array<long>) — ENGINE-NEUTRAL polynomial hashes
+    (Σ code·B^i mod M, all intermediates < 2^53) of the char k-grams of
+    the normalized text.  The shared feature-hash front end for the
+    portable winnowing / MinHash / SimHash family: an ANSI-SQL twin
+    computes identical values, which is what makes cross-system dedup
+    ledgers possible."""
     powers = [pow(base, k - 1 - j, mod) for j in range(k)]
     n = F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")))
     # texts shorter than one gram are right-padded (identically in the
@@ -296,7 +410,7 @@ def winnow_fingerprints(
     # char codes are materialized as a real column so every lambda below
     # references a bound column (evaluated once per row) — inlining the
     # split into each element_at would recompute it per gram element
-    base = df.select(
+    base_df = df.select(
         F.col(id_col).alias("id"),
         F.transform(F.split(n, ""), lambda ch: F.ascii(ch).cast("long")).alias(
             "__codes"
@@ -310,13 +424,34 @@ def winnow_fingerprints(
             acc = acc + F.element_at(codes, i + j) * F.lit(p)
         return F.pmod(acc, F.lit(mod))
 
-    hashed = base.select(
+    return base_df.select(
         "id",
         F.transform(
             F.sequence(F.lit(1), F.greatest(F.size(codes) - F.lit(k - 1), F.lit(1))),
             gram_hash,
         ).alias("__hashes"),
     )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    window: int = 4,
+    base: int = _POLY_BASE,
+    mod: int = _POLY_MOD,
+) -> DataFrame:
+    """Winnowing document fingerprints (the MOSS scheme): polynomial
+    rolling hash of char k-grams, min-of-each-window selection, distinct.
+
+    Built on the portable ``char_gram_hashes`` family, so an ANSI-SQL
+    twin computes identical values.  Entirely JVM expressions: one
+    shuffle only if the caller aggregates.
+
+    Returns (id, fp) exploded — one row per distinct selected fingerprint.
+    """
+    hashed = char_gram_hashes(df, text_col, id_col, k, base, mod)
     hashes = F.col("__hashes")
     sel = F.array_distinct(
         F.transform(
@@ -352,5 +487,114 @@ SELECT id, unnest(fps) AS fp FROM (
                   FROM documents))
     )
   )
+)
+"""
+
+
+def _poly_hash_list_sql(k: int, base: int = _POLY_BASE, mod: int = _POLY_MOD) -> str:
+    """DuckDB expression: list of portable polynomial gram hashes from a
+    ``grams`` list column — the SQL twin of ``char_gram_hashes``."""
+    powers = [pow(base, k - 1 - j, mod) for j in range(k)]
+    return (
+        f"[CAST(list_sum([CAST(ascii(g[j + 1 : j + 1]) AS BIGINT) * {powers}[j + 1] "
+        f"for j in range(0, {k})]) AS BIGINT) % {mod} for g in grams]"
+    )
+
+
+def _norm_grams_sql(k: int, table: str, extra_cols: str = "") -> str:
+    """DuckDB subquery producing (doc_id, grams[, extra]) with the same
+    normalization + short-text padding as ``char_gram_hashes``."""
+    return f"""
+      SELECT doc_id, [norm[i : i + {k - 1}]
+              for i in range(1, greatest(length(norm) - {k - 1}, 1) + 1)] AS grams{extra_cols}
+      FROM (SELECT doc_id, n0,
+                   CASE WHEN length(n0) < {k} THEN rpad(n0, {k}, ' ') ELSE n0 END AS norm
+            FROM (SELECT doc_id, lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS n0
+                  FROM {table}))
+    """
+
+
+def minhash_verify_oracle_sql(
+    num_perm: int = 16,
+    shingle_k: int = 8,
+    bands: int = 2,
+    rows_per_band: int = 8,
+    threshold: float = 0.6,
+    table: str = "documents",
+    mod: int = _POLY_MOD,
+) -> str:
+    """ANSI-SQL twin of the portable MinHash→LSH→exact-Jaccard pipeline
+    (``minhash_signatures(portable=True)`` + ``minhash_lsh_candidates(
+    exact_buckets=True)`` + ``ngram_jaccard_verify``): identical
+    signature values, identical band-slice-equality candidate set,
+    identical verified pairs."""
+    a_c, b_c = _affine_consts(num_perm)
+    band_cond = " OR ".join(
+        f"a.sig[{b * rows_per_band + 1}:{(b + 1) * rows_per_band}]"
+        f" = b.sig[{b * rows_per_band + 1}:{(b + 1) * rows_per_band}]"
+        for b in range(bands)
+    )
+    jacc = (
+        "CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)"
+        " / len(list_distinct(list_concat(a.sh, b.sh)))"
+    )
+    # verify shingles: unpadded distinct k-gram strings of the normalized
+    # text (char_shingles semantics: texts shorter than k yield the whole
+    # text as the single shingle)
+    sh_expr = (
+        f"list_distinct([n0[i : i + {shingle_k - 1}] "
+        f"for i in range(1, greatest(length(n0) - {shingle_k - 2}, 2))])"
+    )
+    return f"""
+WITH g AS ({_norm_grams_sql(shingle_k, table, extra_cols=", n0")}),
+hs AS (
+  SELECT doc_id AS id,
+         list_distinct({_poly_hash_list_sql(shingle_k, mod=mod)}) AS hsd,
+         {sh_expr} AS sh
+  FROM g
+),
+sigs AS (
+  SELECT id, sh,
+         [CAST(list_min([(h * {a_c}[p + 1] + {b_c}[p + 1]) % {mod} for h in hsd]) AS BIGINT)
+          for p in range(0, {num_perm})] AS sig
+  FROM hs
+)
+SELECT a.id AS id_a, b.id AS id_b, round({jacc}, 6) AS jaccard
+FROM sigs a, sigs b
+WHERE a.id < b.id AND ({band_cond}) AND {jacc} >= {threshold}
+"""
+
+
+def simhash_oracle_sql(
+    k: int = 8, bits: int = 64, table: str = "documents", mod: int = _POLY_MOD
+) -> str:
+    """ANSI-SQL twin of ``simhash64_portable_df`` — identical signed
+    64-bit signatures via the same affine bit family and two-halves
+    two's-complement fold."""
+    a_c, b_c = _affine_consts(bits, seed=_SIMHASH_SEED)
+    half = bits // 2
+    p2 = [1 << i for i in range(half)]
+    return f"""
+WITH g AS ({_norm_grams_sql(k, table)}),
+hs AS (
+  SELECT doc_id AS id, list_distinct({_poly_hash_list_sql(k, mod=mod)}) AS hsd
+  FROM g
+),
+bitsv AS (
+  SELECT id,
+         [CASE WHEN c > 0 THEN 1 ELSE 0 END
+          for c in [CAST(list_sum([(((h * {a_c}[i + 1] + {b_c}[i + 1]) % {mod}) % 2) * 2 - 1
+                                   for h in hsd]) AS BIGINT)
+                    for i in range(0, {bits})]] AS b
+  FROM hs
+)
+SELECT id AS doc_id,
+       CAST((CASE WHEN hi >= 2147483648 THEN hi - 4294967296 ELSE hi END) * 4294967296
+            + lo AS BIGINT) AS simhash
+FROM (
+  SELECT id,
+         CAST(list_sum([CAST(b[i + 1] AS BIGINT) * {p2}[i + 1] for i in range(0, {half})]) AS BIGINT) AS lo,
+         CAST(list_sum([CAST(b[{half} + i + 1] AS BIGINT) * {p2}[i + 1] for i in range(0, {half})]) AS BIGINT) AS hi
+  FROM bitsv
 )
 """

@@ -437,3 +437,67 @@ def test_pandas_topk_matches_jvm(spark):
     assert [r.id for r in jvm] == [r.id for r in pdu]
     for a, b in zip(jvm, pdu):
         assert abs(a.cos - b.cos) < 1e-9
+
+
+def test_minhash_permutations_distinct(spark):
+    """Regression: PySpark binds HOF lambdas by parameter count, so a
+    `lambda h, i=i:` remix silently received the ELEMENT INDEX as i and
+    every permutation collapsed to the same function.  A healthy sig has
+    (mostly) distinct values across permutations."""
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog " * 3)],
+        ["doc_id", "text"],
+    )
+    for portable in (False, True):
+        sig = minhash_signatures(
+            df, num_perm=16, shingle_k=5, portable=portable
+        ).collect()[0]["sig"]
+        assert len(set(sig)) > 8, (portable, sig)
+
+
+def test_portable_minhash_simhash_match_duckdb(spark):
+    """The portable polynomial/affine family must produce IDENTICAL
+    values in DuckDB — that is the whole point of the family (cross-
+    system dedup ledgers)."""
+    import duckdb
+    import pandas as pd
+    from hquery_php_spark.operators.dedup import (
+        minhash_verify_oracle_sql,
+        simhash64_portable_df,
+        simhash_oracle_sql,
+    )
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog again and again"),
+        (2, "the quick brown fox jumps over the lazy dog again and again!"),
+        (3, "completely unrelated text about database query optimization"),
+        (4, "Tiny"),
+        (5, "the quick brown fox jumps over the lazy dog again & again"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame(rows, columns=["doc_id", "text"]))
+
+    s_sim = {
+        r.id: r.simhash for r in simhash64_portable_df(df, k=8).collect()
+    }
+    o_sim = {
+        r[0]: r[1] for r in con.execute(simhash_oracle_sql(k=8)).fetchall()
+    }
+    assert s_sim == o_sim
+
+    sigs = minhash_signatures(df, num_perm=16, shingle_k=8, portable=True)
+    cands = minhash_lsh_candidates(sigs, bands=2, rows_per_band=8, exact_buckets=True)
+    got = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in ngram_jaccard_verify(df, cands, k=8, threshold=0.3).collect()
+    }
+    want = {
+        tuple(r)
+        for r in con.execute(
+            minhash_verify_oracle_sql(
+                num_perm=16, shingle_k=8, bands=2, rows_per_band=8, threshold=0.3
+            )
+        ).fetchall()
+    }
+    assert got == want and got, got
