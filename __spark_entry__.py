@@ -68,6 +68,39 @@ from hquery_php_spark.operators.dedup import (  # noqa: E402
 
 _MINHASH_SQL = _mh_sql(num_perm=16, shingle_k=8, bands=2, rows_per_band=8, threshold=0.6)
 _SIMHASH_SQL = _sh_sql(k=8)
+
+from hquery_php_spark.operators.similarity import (  # noqa: E402
+    ivf_oracle_sql as _ivf_sql,
+)
+
+_IVF_SQL = _ivf_sql(n_planes=6, hamming_radius=2, k=10, query_id=0)
+
+from hquery_php_spark.operators.similarity import (  # noqa: E402
+    portable_bucket_sql as _pb_sql,
+)
+
+# augmented set (original + perturbed every-10th copy) → portable sign-LSH
+# buckets → exact cosine within equal buckets: the SQL twin of
+# q_embed_near_dup_lsh (embedding_near_dup with portable=True, 4 planes)
+_NEAR_DUP_LSH_SQL = f"""
+WITH e AS (
+  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+aug AS (
+  SELECT id, v FROM e
+  UNION ALL
+  SELECT id + 1000000, list_concat([v[1] + 0.1], v[2:len(v)])
+  FROM e WHERE id % 10 = 0
+),
+bk AS (
+  SELECT id, v, {_pb_sql(4)} AS bucket FROM aug
+)
+SELECT x.id AS id_a, y.id AS id_b,
+       round(list_cosine_similarity(x.v, y.v), 4) AS cos_r
+FROM bk x, bk y
+WHERE x.id < y.id AND x.bucket = y.bucket
+  AND list_cosine_similarity(x.v, y.v) >= 0.98
+"""
 _EV_TOPK_SQL = _TOPK_SQL_T.format(k=3)
 _EV_TUMBLING_SQL = _TUMB_SQL_T.format(width="hour")
 _EV_SESSIONIZE_SQL = _SESS_SQL_T.format(gap_minutes=30)
@@ -348,14 +381,28 @@ def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate NN (LSH-bucketed IVF) — rows-only check by design."""
+    """Approximate NN over a MATERIALIZED IVF index: the embeddings are
+    written once, partitioned by the portable sign-LSH bucket, and the
+    query's Hamming-ball filter prunes partitions at planning time —
+    the actual 100 TB path, value-checked against ivf_oracle_sql."""
+    import os
+
+    from hquery_php_spark.operators.similarity import (
+        ivf_topk_indexed,
+        write_ivf_index,
+    )
+
     embs = _embs(spark, sf_dir)
     qvec = (
         embs.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
     )
-    return ivf_topk(
-        embs.where(F.col("vec_id") != 0), qvec, k=10, n_planes=6, hamming_radius=2
-    )
+    idx = f"/tmp/spark_graft_ivf/{os.path.basename(os.path.normpath(sf_dir))}_p6"
+    if not os.path.exists(os.path.join(idx, "_SUCCESS")):
+        write_ivf_index(embs, idx, n_planes=6, portable=True)
+    return ivf_topk_indexed(
+        spark, idx, qvec, k=10, n_planes=6, hamming_radius=2,
+        portable=True, exclude_id=0,
+    ).select("id", F.round("cos", 4).alias("cos_r"))
 
 
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -804,14 +851,15 @@ def q_embed_near_dup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embed_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sign-LSH bucketed near-dup — the n²-free scale path (rows-only:
-    bucket hash family is engine-specific)."""
+    """Sign-LSH bucketed near-dup — the n²-free scale path, on the
+    portable plane family so the bucketed pair set is value-checked in
+    DuckDB (same buckets, same pairs, same cosines)."""
     from hquery_php_spark.operators.dedup import embedding_near_dup
 
     e = _augmented_embeddings(spark, sf_dir)
     return embedding_near_dup(
-        e, vec_col="v", id_col="id", n_planes=4, threshold=0.98
-    )
+        e, vec_col="v", id_col="id", n_planes=4, threshold=0.98, portable=True
+    ).select("id_a", "id_b", F.round("cos", 4).alias("cos_r"))
 
 
 # --------------------------------------------------------------------- #
@@ -997,6 +1045,7 @@ def oracle_sql() -> dict[str, str]:
         "winnow_fp": _WINNOW_SQL,
         "dedup_minhash": _MINHASH_SQL,
         "simhash": _SIMHASH_SQL,
+        "similarity_ivf": _IVF_SQL,
         "events_window": _EV_TUMBLING_SQL,
         "events_sessions": _EV_SESSIONIZE_SQL,
         "events_topk": _EV_TOPK_SQL,
@@ -1100,6 +1149,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE a.id < b.id
               AND list_cosine_similarity(a.v, b.v) >= 0.98
         """,
+        "embed_near_dup_lsh": _NEAR_DUP_LSH_SQL,
         "revenue_by_nation": """
             SELECT n_name,
                    CAST(round(sum(l_extendedprice * (1.0 - l_discount)), 0) AS BIGINT) AS revenue,

@@ -361,14 +361,17 @@ def embedding_near_dup(
     id_col: str = "vec_id",
     n_planes: int = 12,
     threshold: float = 0.95,
+    portable: bool = False,
 ) -> DataFrame:
     """Near-duplicate vectors: sign-LSH bucket (n_planes pseudo-random
     hyperplanes derived from seeded per-dimension hashes) then exact
-    cosine within buckets — avoids the n² cross join."""
+    cosine within buckets — avoids the n² cross join.  With ``portable``
+    the bucket family is the engine-neutral affine one (SQL twin via
+    similarity.portable_bucket_sql)."""
     from .similarity import bucket_of
 
     b = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")).withColumn(
-        "bucket", bucket_of(F.col("v"), n_planes)
+        "bucket", bucket_of(F.col("v"), n_planes, portable=portable)
     )
     x = b.alias("x")
     y = b.alias("y")

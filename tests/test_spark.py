@@ -501,3 +501,57 @@ def test_portable_minhash_simhash_match_duckdb(spark):
         ).fetchall()
     }
     assert got == want and got, got
+
+
+def test_ivf_index_partition_pruning(spark, tmp_path):
+    """The materialized IVF index must turn the Hamming-ball filter into
+    real partition pruning: the pruned read touches a strict subset of
+    the index files, and the result equals the scan-time IVF path."""
+    from hquery_php_spark.operators.similarity import (
+        hamming_ball,
+        ivf_topk,
+        ivf_topk_indexed,
+        write_ivf_index,
+    )
+
+    embs = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    qvec = embs.where(F.col("vec_id") == 0).collect()[0]["embedding"]
+    idx = str(tmp_path / "ivf")
+    write_ivf_index(embs, idx, n_planes=6, portable=True)
+
+    # count the files ACTUALLY read (inputFiles() lists pre-pruning):
+    def files_read(df):
+        return df.select(F.input_file_name()).distinct().count()
+
+    total_files = files_read(spark.read.parquet(idx))
+    qb = spark.read.parquet(idx)  # same reader the indexed path uses
+    got = ivf_topk_indexed(
+        spark, idx, qvec, k=10, n_planes=6, hamming_radius=2,
+        portable=True, exclude_id=0,
+    )
+    from hquery_php_spark.operators.similarity import bucket_of
+
+    qbucket = (
+        spark.range(1)
+        .select(bucket_of(F.array(*[F.lit(float(x)) for x in qvec]), 6, portable=True).alias("b"))
+        .collect()[0]["b"]
+    )
+    pruned_files = files_read(qb.where(F.col("bucket").isin(*hamming_ball(qbucket, 6, 2))))
+    # radius-2 ball over 6 planes = 1 + 6 + 15 = 22 of 64 buckets
+    assert pruned_files < total_files, (pruned_files, total_files)
+    assert pruned_files <= 22
+    # and the pruning is visible in the physical plan
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "bucket" in plan
+
+    want = ivf_topk(
+        embs.where(F.col("vec_id") != 0), qvec,
+        k=10, n_planes=6, hamming_radius=2, portable=True,
+    )
+    assert [(r.id, round(r.cos, 6)) for r in got.collect()] == [
+        (r.id, round(r.cos, 6)) for r in want.collect()
+    ]
+
+    # ball enumeration sanity: closed under the radius, includes center
+    ball = hamming_ball(0b101010, 6, 2)
+    assert 0b101010 in ball and len(ball) == 22
