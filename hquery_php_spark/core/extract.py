@@ -108,15 +108,13 @@ def extract_spans(doc: HDoc, opts: ExtractOptions = DEFAULT_OPTIONS) -> List[Spa
 
     # -- tag depth at a position (for max_tag_depth) --------------------- #
     begins, ends = idx.begins_ends()
+    # #{(b,e): b < pos <= e} = #{b < pos} − #{e < pos}: every interval has
+    # e >= b, so e < pos implies b < pos — two binary searches, not a scan
+    # (which was quadratic on deep mega-docs when max_tag_depth is set)
+    ends_sorted = sorted(ends) if opts.max_tag_depth is not None else ()
 
     def depth_at(pos: int) -> int:
-        # number of intervals (b, e) with b < pos <= e
-        d = 0
-        i = bisect_right(begins, pos - 1)
-        for j in range(i):
-            if ends[j] >= pos:
-                d += 1
-        return d
+        return bisect_right(begins, pos - 1) - bisect_right(ends_sorted, pos - 1)
 
     spans: List[Span] = []
 

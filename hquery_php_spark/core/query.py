@@ -108,22 +108,22 @@ def get_aids_by_attr(doc: DocIndex, attr, as_keys: bool = True, actx=None):
 def get_ids_by_aid(doc: DocIndex, aids, sort: bool = True) -> IdMap:
     """Union of id-maps for a set of aids, ksorted (HTML_Index.php:1261-1285).
 
-    Single-aid unions skip the sort (posting lists are begin-sorted by
-    construction); multi-aid unions concatenate the already-sorted item
-    lists and sort once instead of dict-merging then re-sorting."""
-    items: List[Tuple[int, int]] = []
-    n_maps = 0
-    for aid, aix in aids.items():
-        n_maps += 1
+    Single-aid unions are a plain C-level dict copy — posting lists are
+    begin-sorted by construction (index.py sorts merged postings), so no
+    sort and no per-item tuple materialization.  Multi-aid unions merge
+    via ``dict.update`` (no tuple churn) and rebuild in key order once."""
+    if len(aids) == 1:
+        aix = next(iter(aids.values()))
+        return dict(aix) if isinstance(aix, dict) else {aix: doc.ids[aix]}
+    m: IdMap = {}
+    for aix in aids.values():
         if isinstance(aix, dict):
-            items.extend(aix.items())
+            m.update(aix)
         else:
-            items.append((aix, doc.ids[aix]))
-    if n_maps <= 1:
-        return dict(items)
+            m[aix] = doc.ids[aix]
     if sort:
-        items.sort()
-    return dict(items)
+        return {k: m[k] for k in sorted(m)}
+    return m
 
 
 # --------------------------------------------------------------------- #
