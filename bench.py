@@ -125,6 +125,61 @@ def main() -> None:
         scaled_best = dt if scaled_best is None else min(scaled_best, dt)
     docs8.unpersist()
 
+    # Mega-doc skew row: the regular body corpus + 8 synthetic ~1MB-text
+    # mega docs (span-per-word: ~300k tags each) routed through
+    # split_tail_repartition.  Each mega parses alone in its own
+    # partition, so the stage wall should track max(tail, body), not
+    # their sum — reported as three walls so the relation is checkable.
+    from hquery_php_spark.operators.pipeline import split_tail_repartition
+    import __spark_entry__ as _E
+
+    base = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    mega_chars = 1_000_000
+    mega_text = F.substring(
+        F.expr(
+            f"repeat(concat(text, ' '), CAST(ceil({mega_chars} / (length(text) + 1)) AS INT) + 1)"
+        ),
+        1,
+        mega_chars,
+    )
+    megas = (
+        base.orderBy("doc_id").limit(8)
+        .select(
+            F.concat(F.lit("mega_"), F.col("doc_id")).alias("doc_id"),
+            mega_text.alias("text"),
+        )
+        .select(
+            "doc_id",
+            _E._wordwise_html().alias("html"),
+            F.lit(BASE_URL).alias("base_url"),
+        )
+        .withColumn("size_bytes", F.length("html").cast("long"))
+    )
+    body = (
+        base.select(
+            F.col("doc_id").cast("string").alias("doc_id"),
+            synth_html_col(F.col("doc_id"), F.col("text"), F.col("source")).alias("html"),
+            F.lit(BASE_URL).alias("base_url"),
+        )
+        .withColumn("size_bytes", F.length("html").cast("long"))
+    )
+    corpus = body.unionByName(megas).persist()
+    corpus.count()
+
+    def _wall(frame, parts):
+        best = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            extract_spans_df(split_tail_repartition(frame, parts, tail_bytes=1 << 21)).count()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        return round(best, 4)
+
+    wall_mix = _wall(corpus, int(cpus) * 3)
+    wall_body = _wall(corpus.where(~F.col("doc_id").startswith("mega_")), int(cpus) * 3)
+    wall_tail = _wall(corpus.where(F.col("doc_id").startswith("mega_")), int(cpus) * 3)
+    corpus.unpersist()
+
     out = {
         "metric": "total_bench_wall",
         "value": round(total, 4),
@@ -137,6 +192,13 @@ def main() -> None:
         "extract_docs_per_sec": spans_docs_per_sec,
         "extract_docs_per_sec_steady": round(n8 / scaled_best, 2),
         "steady_n_docs": n8,
+        "mega_skew": {
+            "mix_wall": wall_mix,
+            "body_wall": wall_body,
+            "tail_wall": wall_tail,
+            "n_megas": 8,
+            "note": "split_tail isolation: mix ≈ max(body, tail) + overhead, not sum",
+        },
     }
     print(json.dumps(out))
     spark.stop()
