@@ -1,0 +1,105 @@
+"""spark-submit-level resume test for jobs/extract_job.py: the packaged
+job (north rule: ``spark-submit --py-files``) is SIGKILLed mid-write and
+re-submitted; the final output must equal one clean run — every doc
+exactly once, zero duplicates — and a third submit must be a no-op.
+
+The in-process resume cycle is covered in test_spark.py; this exercises
+the real process boundary: leftover _temporary dirs, read_done_ids on a
+half-written output, and the --py-files packaging path.
+"""
+
+import os
+import shutil
+import subprocess
+import time
+
+import duckdb
+import pandas as pd
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+N_DOCS = 4000
+
+
+def _spark_submit_cmd(zipf, inp, out, metrics):
+    return [
+        "spark-submit",
+        "--master",
+        "local[4]",
+        "--py-files",
+        zipf,
+        os.path.join(REPO, "jobs", "extract_job.py"),
+        "--input",
+        inp,
+        "--output",
+        out,
+        "--metrics",
+        metrics,
+        "--partitions",
+        "8",
+    ]
+
+
+def test_spark_submit_kill_resume(tmp_path):
+    docs = pd.DataFrame(
+        {
+            "doc_id": [f"d{i:05d}" for i in range(N_DOCS)],
+            "html": [
+                f'<html><body><div id="x{i}">'
+                + " ".join(f"<span class=\"w{j % 3}\">w{j}</span>" for j in range(60))
+                + f'<a href="/p/{i}">link</a></div></body></html>'
+                for i in range(N_DOCS)
+            ],
+        }
+    )
+    inp = str(tmp_path / "docs.parquet")
+    docs.to_parquet(inp)
+    out = str(tmp_path / "out")
+    metrics = str(tmp_path / "metrics")
+    zipf = shutil.make_archive(str(tmp_path / "pkg"), "zip", REPO, "hquery_php_spark")
+    cmd = _spark_submit_cmd(zipf, inp, out, metrics)
+    log = open(tmp_path / "submit.log", "wb")
+
+    # run 1: SIGKILL as soon as the output write starts (_temporary dir
+    # appears at write-job setup, before any task commits)
+    p = subprocess.Popen(cmd, cwd=REPO, stdout=log, stderr=log)
+    deadline = time.time() + 240
+    while (
+        time.time() < deadline
+        and p.poll() is None
+        and not os.path.exists(os.path.join(out, "_temporary"))
+    ):
+        time.sleep(0.1)
+    killed_midway = p.poll() is None
+    if killed_midway:
+        p.kill()  # SIGKILL — no cleanup, no committer shutdown
+        p.wait()
+
+    # run 2: resume to completion
+    r = subprocess.run(cmd, cwd=REPO, capture_output=True, timeout=600)
+    assert r.returncode == 0, r.stderr[-3000:]
+
+    con = duckdb.connect()
+    tot, dist = con.execute(
+        f"SELECT count(*), count(DISTINCT doc_id) FROM '{out}/*.parquet'"
+    ).fetchone()
+    assert tot == N_DOCS and dist == N_DOCS, (tot, dist, killed_midway)
+
+    # every doc's span payload made it (60 text words + 1 link per doc)
+    (n_bad,) = con.execute(
+        f"SELECT count(*) FROM '{out}/*.parquet' WHERE n_tags < 60"
+    ).fetchone()
+    assert n_bad == 0
+
+    # run 3: idempotence — a re-submit on a complete output adds nothing
+    r3 = subprocess.run(cmd, cwd=REPO, capture_output=True, timeout=600)
+    assert r3.returncode == 0, r3.stderr[-3000:]
+    tot3, dist3 = con.execute(
+        f"SELECT count(*), count(DISTINCT doc_id) FROM '{out}/*.parquet'"
+    ).fetchone()
+    assert (tot3, dist3) == (N_DOCS, N_DOCS)
+
+    # metrics sidecar accounts for committed docs exactly once
+    (m_docs,) = con.execute(
+        f"SELECT sum(n_docs) FROM '{metrics}/*.parquet'"
+    ).fetchone()
+    assert m_docs == N_DOCS
