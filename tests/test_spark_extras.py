@@ -358,3 +358,53 @@ def test_multimodal_resize_and_frame_sample(spark):
     assert [f.frame_no for f in frames] == [0, 1, 2]
     assert all(len(f.frame) == 100 for f in frames)
     assert frames[0].mime == "image/webp"
+
+
+def test_streaming_sessionize_late_event(spark, tmp_path):
+    """A late-but-within-watermark event joins the open session without
+    dragging session_end backwards (regression: last_us was overwritten
+    unconditionally, shrinking the session and mis-timing the flush)."""
+    import os
+
+    import pandas as pd
+
+    from hquery_php_spark.streaming import streaming_sessionize
+
+    src_dir = str(tmp_path / "late_in")
+    ckpt = str(tmp_path / "late_ckpt")
+    os.makedirs(src_dir, exist_ok=True)
+    base = pd.Timestamp("2026-01-01 10:00:00")
+
+    def push(ts_list):
+        pdf = pd.DataFrame({"user_id": [1] * len(ts_list), "ts": ts_list})
+        spark.createDataFrame(pdf).coalesce(1).write.mode("append").parquet(src_dir)
+
+    push([base, base + pd.Timedelta(minutes=5)])
+    stream = spark.readStream.schema("user_id long, ts timestamp").parquet(src_dir)
+    out = streaming_sessionize(stream, gap_minutes=30, watermark="3 hours")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("late_sessions")
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # late event: 10 min BEFORE the session start, within the 3h watermark
+        push([base - pd.Timedelta(minutes=10)])
+        q.processAllAvailable()
+        # big gap closes the session
+        push([base + pd.Timedelta(hours=2)])
+        q.processAllAvailable()
+        got = spark.sql(
+            "SELECT user_id, session_start, session_end, n_events "
+            "FROM late_sessions"
+        ).collect()
+        assert len(got) == 1, got
+        r = got[0]
+        assert r.n_events == 3, got
+        assert r.session_start == (base - pd.Timedelta(minutes=10)).to_pydatetime(), got
+        assert r.session_end == (base + pd.Timedelta(minutes=5)).to_pydatetime(), got
+    finally:
+        q.stop()
