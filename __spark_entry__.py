@@ -101,6 +101,12 @@ FROM bk x, bk y
 WHERE x.id < y.id AND x.bucket = y.bucket
   AND list_cosine_similarity(x.v, y.v) >= 0.98
 """
+
+from hquery_php_spark.operators.dedup import (  # noqa: E402
+    connected_components_oracle_sql as _cc_sql,
+)
+
+_CLUSTERS_SQL = _cc_sql(_NEAR_DUP_LSH_SQL)
 _EV_TOPK_SQL = _TOPK_SQL_T.format(k=3)
 _EV_TUMBLING_SQL = _TUMB_SQL_T.format(width="hour")
 _EV_SESSIONIZE_SQL = _SESS_SQL_T.format(gap_minutes=30)
@@ -850,6 +856,22 @@ def q_embed_near_dup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive dedup clusters: portable near-dup pairs → connected
+    components (min-label propagation) → (id, cluster_id), the keep-one-
+    per-cluster closer.  Value-checked against a recursive-CTE oracle."""
+    from hquery_php_spark.operators.dedup import (
+        connected_components,
+        embedding_near_dup,
+    )
+
+    e = _augmented_embeddings(spark, sf_dir)
+    pairs = embedding_near_dup(
+        e, vec_col="v", id_col="id", n_planes=4, threshold=0.98, portable=True
+    )
+    return connected_components(pairs)
+
+
 def q_embed_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sign-LSH bucketed near-dup — the n²-free scale path, on the
     portable plane family so the bucketed pair set is value-checked in
@@ -946,6 +968,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": q_multimodal_features,
         "embed_near_dup_exact": q_embed_near_dup_exact,
         "embed_near_dup_lsh": q_embed_near_dup_lsh,
+        "dedup_clusters": q_dedup_clusters,
         "revenue_by_nation": q_revenue_by_nation,
         "pricing_summary": q_pricing_summary,
     }
@@ -1150,6 +1173,7 @@ def oracle_sql() -> dict[str, str]:
               AND list_cosine_similarity(a.v, b.v) >= 0.98
         """,
         "embed_near_dup_lsh": _NEAR_DUP_LSH_SQL,
+        "dedup_clusters": _CLUSTERS_SQL,
         "revenue_by_nation": """
             SELECT n_name,
                    CAST(round(sum(l_extendedprice * (1.0 - l_discount)), 0) AS BIGINT) AS revenue,

@@ -40,6 +40,8 @@ __all__ = [
     "WINNOW_SQL_TEMPLATE",
     "minhash_verify_oracle_sql",
     "simhash_oracle_sql",
+    "connected_components",
+    "connected_components_oracle_sql",
 ]
 
 _POLY_BASE = 31
@@ -600,4 +602,78 @@ FROM (
          CAST(list_sum([CAST(b[{half} + i + 1] AS BIGINT) * {p2}[i + 1] for i in range(0, {half})]) AS BIGINT) AS hi
   FROM bitsv
 )
+"""
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """(id, cluster_id) — connected components of the undirected near-dup
+    pair graph via min-label propagation: each round every node takes the
+    minimum label among itself and its neighbors; fixpoint = components
+    labeled by their smallest member.
+
+    The dedup-cluster closer: LSH/verify emits PAIRS, but keep-one-per-
+    cluster needs transitive closure (a~b, b~c ⇒ keep one of {a,b,c}).
+    Scale shape: each iteration is one join + one min-aggregate, shuffle
+    ∝ |edges|; rounds ∝ cluster diameter, which for near-dup clusters is
+    small.  Driver only orchestrates (no .collect of data) — the per-
+    round convergence probe is a limit(1).count() on the changed set."""
+    nodes = (
+        edges.select(F.col(src).alias("id"))
+        .unionByName(edges.select(F.col(dst).alias("id")))
+        .distinct()
+    )
+    und = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .unionByName(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .persist()
+    )
+    labels = nodes.select("id", F.col("id").alias("label")).persist()
+    labels.count()
+    for _ in range(max_iter):
+        nbr = und.join(
+            labels.withColumnRenamed("id", "v"), "v"
+        ).select(F.col("u").alias("id"), "label")
+        new = (
+            labels.unionByName(nbr)
+            .groupBy("id")
+            .agg(F.min("label").alias("label"))
+            .persist()
+        )
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), "id")
+            .where(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new
+        if changed == 0:
+            break
+    und.unpersist()
+    return labels.select("id", F.col("label").alias("cluster_id"))
+
+
+def connected_components_oracle_sql(pairs_sql: str) -> str:
+    """ANSI-SQL twin: recursive reachable-label closure over the same
+    pair set, min label per node (DuckDB WITH RECURSIVE; UNION dedups so
+    the fixpoint is bounded)."""
+    return f"""
+WITH RECURSIVE pairs AS ({pairs_sql}),
+und AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+),
+reach(id, label) AS (
+  SELECT u, u FROM und
+  UNION
+  SELECT e.u, reach.label FROM reach JOIN und e ON reach.id = e.v
+)
+SELECT id, min(label) AS cluster_id FROM reach GROUP BY id
 """

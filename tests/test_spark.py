@@ -555,3 +555,17 @@ def test_ivf_index_partition_pruning(spark, tmp_path):
     # ball enumeration sanity: closed under the radius, includes center
     ball = hamming_ball(0b101010, 6, 2)
     assert 0b101010 in ball and len(ball) == 22
+
+
+def test_connected_components(spark):
+    """Min-label propagation closes transitive near-dup chains: a~b, b~c
+    ⇒ one cluster labeled by the smallest member; disjoint components
+    stay separate; a chain longer than one hop converges."""
+    from hquery_php_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(2, 7), (7, 9), (9, 11), (20, 21), (40, 3), (3, 2)],
+        ["id_a", "id_b"],
+    )
+    got = {r.id: r.cluster_id for r in connected_components(edges).collect()}
+    assert got == {2: 2, 3: 2, 7: 2, 9: 2, 11: 2, 40: 2, 20: 20, 21: 20}
