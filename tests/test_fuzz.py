@@ -2,6 +2,8 @@
 its structural invariants on ARBITRARY byte input (north star: repair
 megabytes of invalid HTML; reference asserts survival on badHTML1/2)."""
 
+import pytest
+
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
@@ -245,3 +247,58 @@ def test_pdf_roundtrip_property(blocks, compress):
     got = sorted(spans, key=lambda b: (-b[1], b[0]))
     # y-sorted multisets equal (ties on (x,y) may reorder equal keys)
     assert sorted(got) == sorted(expected), (blocks, spans)
+
+
+# --------------------------------------------------------------------- #
+# Cross-engine parity fuzz: the portable hash family must produce
+# IDENTICAL values in DuckDB on arbitrary text — that is the contract
+# that makes cross-system dedup ledgers possible.
+
+@pytest.fixture(scope="module")
+def spark():
+    pytest.importorskip("pyspark")
+    from pyspark.sql import SparkSession
+
+    s = (
+        SparkSession.builder.master("local[2]")
+        .config("spark.sql.shuffle.partitions", "2")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    s.sparkContext.setLogLevel("ERROR")
+    yield s
+
+
+_texts = st.lists(
+    st.text(
+        alphabet=st.characters(
+            min_codepoint=0x20,
+            max_codepoint=0x2FFF,
+            blacklist_categories=("Cs",),
+        ),
+        min_size=0,
+        max_size=120,
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(texts=_texts)
+def test_portable_simhash_cross_engine_fuzz(spark, texts):
+    import duckdb
+    import pandas as pd
+
+    from hquery_php_spark.operators.dedup import (
+        simhash64_portable_df,
+        simhash_oracle_sql,
+    )
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.id: r.simhash for r in simhash64_portable_df(df, k=8).collect()}
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame(rows, columns=["doc_id", "text"]))
+    want = {r[0]: r[1] for r in con.execute(simhash_oracle_sql(k=8)).fetchall()}
+    assert got == want
