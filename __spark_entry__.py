@@ -107,6 +107,22 @@ from hquery_php_spark.operators.dedup import (  # noqa: E402
 )
 
 _CLUSTERS_SQL = _cc_sql(_NEAR_DUP_LSH_SQL)
+
+from hquery_php_spark.functions.text import (  # noqa: E402
+    portable_row_hash_sql as _prh_sql,
+)
+
+_SAMPLE_STRATA = {"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.1}
+_MOD = 1_000_000_007
+_CORPUS_SAMPLE_SQL = (
+    "SELECT doc_id, source FROM documents WHERE "
+    + _prh_sql("doc_id")
+    + " < CASE source "
+    + " ".join(
+        f"WHEN '{k}' THEN {int(v * _MOD)}" for k, v in sorted(_SAMPLE_STRATA.items())
+    )
+    + " ELSE 0 END"
+)
 _EV_TOPK_SQL = _TOPK_SQL_T.format(k=3)
 _EV_TUMBLING_SQL = _TUMB_SQL_T.format(width="hour")
 _EV_SESSIONIZE_SQL = _SESS_SQL_T.format(gap_minutes=30)
@@ -769,6 +785,45 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corpus_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified DETERMINISTIC sampling on the portable row hash: the
+    same sample falls out on any engine / partitioning / cluster size
+    (df.sample cannot promise that) — value-checked against the SQL
+    threshold twin."""
+    from hquery_php_spark.functions.text import deterministic_sample
+
+    return deterministic_sample(
+        _docs(spark, sf_dir), strata=_SAMPLE_STRATA
+    ).select("doc_id", "source")
+
+
+def q_interleaved_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-rule interleaved assembly: the ordered span sequence with
+    every img media ref RESOLVED against the media table (png header
+    metadata joined in; text spans pass through with NULL media columns).
+    Spans ≫ media → the metadata dim is broadcast."""
+    from hquery_php_spark.operators.multimodal import image_meta_df
+    from hquery_php_spark.operators.pipeline import resolve_media_refs
+
+    spans = explode_spans(extract_spans_df(_synth(spark, sf_dir))).select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        "ord",
+        "kind",
+        "text",
+        "media_ref",
+        "offset",
+    )
+    meta = image_meta_df(_png_payloads(spark, sf_dir))
+    return resolve_media_refs(
+        spans,
+        meta.select("media_id", "mime", "width", "height"),
+        key_expr=F.regexp_extract(F.col("media_ref"), r"/(\d+)\.png$", 1),
+    ).select(
+        "doc_id", "ord", "kind", "text", "media_ref", "offset",
+        "mime", "width", "height",
+    )
+
+
 def q_find_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-level selector probe via plans.compile.find_count_df:
     selectors compiled/validated driver-side, each doc indexed once."""
@@ -964,6 +1019,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exclude_text": q_exclude_text,
         "dl_extract": q_dl_extract,
         "pseudo_slices": q_pseudo_slices,
+        "corpus_sample": q_corpus_sample,
+        "interleaved_docs": q_interleaved_docs,
         "multimodal_meta": q_multimodal_meta,
         "multimodal_features": q_multimodal_features,
         "embed_near_dup_exact": q_embed_near_dup_exact,
@@ -1146,6 +1203,17 @@ def oracle_sql() -> dict[str, str]:
                    string_split({norm}, ' ')[W] AS last_w
             FROM (SELECT doc_id, text, {wordcount} AS W FROM documents)
         """,
+        "corpus_sample": _CORPUS_SAMPLE_SQL,
+        "interleaved_docs": (
+            "SELECT s.doc_id, s.ord, s.kind, s.text, s.media_ref, s.\"offset\", "
+            "m.mime, m.width, m.height "
+            "FROM (SELECT CAST(doc_id AS VARCHAR) AS doc_id, ord, kind, text, "
+            "media_ref, \"offset\" FROM (" + expected_spans_sql("documents") + ")) s "
+            "LEFT JOIN (SELECT CAST(doc_id AS VARCHAR) AS media_id, "
+            "'image/png' AS mime, CAST(16 + doc_id % 64 AS INTEGER) AS width, "
+            "CAST(16 + doc_id % 48 AS INTEGER) AS height FROM documents) m "
+            "ON regexp_extract(s.media_ref, '/(\\d+)\\.png$', 1) = m.media_id"
+        ),
         "multimodal_meta": """
             SELECT CAST(doc_id AS VARCHAR) AS media_id,
                    'image/png' AS mime,

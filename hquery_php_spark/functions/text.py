@@ -178,3 +178,66 @@ class SQL:
             f"CASE WHEN ({toks}) > 0 THEN "
             f"round(CAST(({hits}) AS DOUBLE) / ({toks}), 6) ELSE 0.0 END"
         )
+
+
+# avalanche constants for the row-hash remix (odd, < 2^31: a·h < 2^61)
+_REMIX_A = 0x6B8B4567 | 1
+_REMIX_B = 0x327B23C6
+
+
+def portable_row_hash(col, mod: int = 1_000_000_007, base: int = 31):
+    """Engine-neutral row hash of a string id: sequential polynomial fold
+    h = (h·B + code) mod M over the characters — identical in ANSI SQL
+    (``portable_row_hash_sql``), the basis for DETERMINISTIC sampling
+    that reproduces byte-for-byte across engines and reruns (unlike
+    ``df.sample``, whose seed is partition-layout dependent).
+
+    A final affine remix spreads the value over [0, M): the raw fold of
+    a short id (e.g. "42") is a small number, which would defeat
+    threshold sampling."""
+    from pyspark.sql import functions as F
+
+    fold = F.aggregate(
+        F.split(col.cast("string"), ""),
+        F.lit(0).cast("long"),
+        lambda acc, ch: F.pmod(acc * base + F.ascii(ch), F.lit(mod)),
+    )
+    return F.pmod(fold * _REMIX_A + _REMIX_B, F.lit(mod))
+
+
+def portable_row_hash_sql(expr: str, mod: int = 1_000_000_007, base: int = 31) -> str:
+    """DuckDB twin of ``portable_row_hash``: Σ code_i·B^(n−1−i) mod M via
+    a precomputed power table (strings up to 64 chars)."""
+    powers = [pow(base, j, mod) for j in range(64)]
+    s = f"CAST({expr} AS VARCHAR)"
+    fold = (
+        f"CAST(list_sum([CAST(ascii({s}[i + 1 : i + 1]) AS BIGINT)"
+        f" * {powers}[length({s}) - i] for i in range(0, length({s}))])"
+        f" AS BIGINT) % {mod}"
+    )
+    return f"(({fold}) * {_REMIX_A} + {_REMIX_B}) % {mod}"
+
+
+def deterministic_sample(df, fraction=None, key_col: str = "doc_id", strata=None,
+                         strata_col: str = "source", mod: int = 1_000_000_007):
+    """Reproducible corpus (sub)sampling: keep a row iff its portable id
+    hash falls under the fraction threshold — stable across engines,
+    reruns, partitionings, and cluster sizes, so a sample defined once is
+    the SAME sample everywhere (required for train/val splits at scale).
+
+    ``strata``: {stratum_value: fraction} for per-source rates (e.g.
+    downsample web, keep all of wiki); rows of unlisted strata drop."""
+    from pyspark.sql import functions as F
+
+    h = portable_row_hash(F.col(key_col), mod=mod)
+    if strata is not None:
+        frac = None
+        for val, fr in sorted(strata.items()):
+            cond = F.when(F.col(strata_col) == val, F.lit(int(fr * mod)))
+            frac = cond if frac is None else frac.when(
+                F.col(strata_col) == val, F.lit(int(fr * mod))
+            )
+        frac = frac.otherwise(F.lit(0))
+    else:
+        frac = F.lit(int(float(fraction) * mod))
+    return df.where(h < frac)

@@ -257,3 +257,27 @@ def resume_filter(
     small, AQE converts to broadcast at runtime otherwise)."""
     done = done_df.select(F.col(doc_id_col).alias("__done_id")).distinct()
     return df.join(done, df[doc_id_col] == F.col("__done_id"), "left_anti")
+
+
+def resolve_media_refs(
+    spans: DataFrame,
+    media_meta: DataFrame,
+    key_expr,
+    meta_key: str = "media_id",
+    broadcast_meta: bool = True,
+) -> DataFrame:
+    """Interleaved-document assembly: attach media metadata to each media
+    span by joining the span's extracted ref key against the media table,
+    preserving the (doc_id, ord) span sequence — text spans pass through
+    with NULL media columns.
+
+    ``key_expr`` is a Column deriving the media key from ``media_ref``
+    (e.g. a regexp_extract of the URL).  Scale shape: spans ≫ media dims
+    → broadcast the metadata (default); for a media table too large to
+    broadcast pass ``broadcast_meta=False`` and the join shuffles on the
+    key with spans' own partitioning intact elsewhere."""
+    keyed = spans.withColumn("__mkey", key_expr)
+    meta = media_meta.withColumnRenamed(meta_key, "__mkey")
+    if broadcast_meta:
+        meta = F.broadcast(meta)
+    return keyed.join(meta, "__mkey", "left").drop("__mkey")

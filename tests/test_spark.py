@@ -569,3 +569,27 @@ def test_connected_components(spark):
     )
     got = {r.id: r.cluster_id for r in connected_components(edges).collect()}
     assert got == {2: 2, 3: 2, 7: 2, 9: 2, 11: 2, 40: 2, 20: 20, 21: 20}
+
+
+def test_deterministic_sample(spark):
+    """Portable threshold sampling: fraction lands near target at scale,
+    the selected id set is identical under any repartitioning (unlike
+    df.sample), and strata rates apply per source."""
+    from hquery_php_spark.functions.text import deterministic_sample
+
+    ids = spark.range(20_000).select(
+        F.concat(F.lit("doc_"), F.col("id")).alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, "a").otherwise("b").alias("source"),
+    )
+    s = deterministic_sample(ids, fraction=0.25)
+    n = s.count()
+    assert abs(n - 5000) < 300, n
+    # partitioning-invariant: identical set after an arbitrary reshuffle
+    s2 = deterministic_sample(ids.repartition(17, "source"), fraction=0.25)
+    assert s2.count() == n
+    assert s.join(s2, "doc_id", "left_anti").count() == 0
+
+    st = deterministic_sample(ids, strata={"a": 0.5, "b": 0.0})
+    counts = {r.source: r.n for r in st.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert "b" not in counts
+    assert abs(counts["a"] - 5000) < 300, counts
