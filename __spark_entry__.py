@@ -123,6 +123,12 @@ _CORPUS_SAMPLE_SQL = (
     )
     + " ELSE 0 END"
 )
+
+from hquery_php_spark.operators.pipeline import (  # noqa: E402
+    pack_sequences_oracle_sql as _pack_sql,
+)
+
+_PACK_SQL = _pack_sql(max_tokens=512, tokens_expr=TSQL.token_count("text"), n_shards=8)
 _EV_TOPK_SQL = _TOPK_SQL_T.format(k=3)
 _EV_TUMBLING_SQL = _TUMB_SQL_T.format(width="hour")
 _EV_SESSIONIZE_SQL = _SESS_SQL_T.format(gap_minutes=30)
@@ -797,6 +803,15 @@ def q_corpus_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "source")
 
 
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for training batches: shard → deterministic
+    order → running-token-count pack cuts, value-checked in SQL."""
+    from hquery_php_spark.operators.pipeline import pack_sequences
+
+    d = _docs(spark, sf_dir).select("doc_id", token_count(F.col("text")).alias("n_tokens"))
+    return pack_sequences(d, max_tokens=512, n_shards=8)
+
+
 def q_interleaved_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """North-rule interleaved assembly: the ordered span sequence with
     every img media ref RESOLVED against the media table (png header
@@ -1020,6 +1035,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dl_extract": q_dl_extract,
         "pseudo_slices": q_pseudo_slices,
         "corpus_sample": q_corpus_sample,
+        "pack_sequences": q_pack_sequences,
         "interleaved_docs": q_interleaved_docs,
         "multimodal_meta": q_multimodal_meta,
         "multimodal_features": q_multimodal_features,
@@ -1204,6 +1220,7 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT doc_id, text, {wordcount} AS W FROM documents)
         """,
         "corpus_sample": _CORPUS_SAMPLE_SQL,
+        "pack_sequences": _PACK_SQL,
         "interleaved_docs": (
             "SELECT s.doc_id, s.ord, s.kind, s.text, s.media_ref, s.\"offset\", "
             "m.mime, m.width, m.height "

@@ -281,3 +281,61 @@ def resolve_media_refs(
     if broadcast_meta:
         meta = F.broadcast(meta)
     return keyed.join(meta, "__mkey", "left").drop("__mkey")
+
+
+def pack_sequences(
+    df: DataFrame,
+    max_tokens: int,
+    token_col: str = "n_tokens",
+    id_col: str = "doc_id",
+    n_shards: int = 64,
+) -> DataFrame:
+    """Assign documents to ≤max_tokens training sequences (sequence
+    packing): shard by the portable row hash, order deterministically
+    within the shard, and cut packs at running-token-count boundaries —
+    pack_no = floor((cumsum − n_tokens) / max_tokens).
+
+    Contiguous offset packing: a pack may overflow by less than one
+    document's tokens (the standard streaming-packer tradeoff), in
+    exchange for ONE shuffle (the shard hash) and per-shard window sums
+    instead of a global sort — the shape that survives 10^12 docs.
+    Deterministic: same shards, same order, same packs on every engine
+    and cluster size."""
+    from ..functions.text import portable_row_hash
+
+    shard = F.pmod(portable_row_hash(F.col(id_col)), F.lit(n_shards))
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = df.withColumn("shard", shard).withColumn(
+        "pack_no",
+        F.floor(
+            (F.sum(token_col).over(w) - F.col(token_col)) / F.lit(max_tokens)
+        ),
+    )
+    return out.select(id_col, token_col, "shard", "pack_no")
+
+
+def pack_sequences_oracle_sql(
+    max_tokens: int,
+    tokens_expr: str,
+    n_shards: int = 64,
+    table: str = "documents",
+) -> str:
+    """ANSI-SQL twin of ``pack_sequences`` over a token-count expression."""
+    from ..functions.text import portable_row_hash_sql
+
+    h = portable_row_hash_sql("doc_id")
+    return f"""
+WITH t AS (
+  SELECT doc_id, {tokens_expr} AS n_tokens, ({h}) % {n_shards} AS shard
+  FROM {table}
+)
+SELECT doc_id, n_tokens, shard,
+       CAST(floor((sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                    ROWS UNBOUNDED PRECEDING) - n_tokens)
+                   / {max_tokens}) AS BIGINT) AS pack_no
+FROM t
+"""

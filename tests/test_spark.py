@@ -593,3 +593,38 @@ def test_deterministic_sample(spark):
     counts = {r.source: r.n for r in st.groupBy("source").agg(F.count("*").alias("n")).collect()}
     assert "b" not in counts
     assert abs(counts["a"] - 5000) < 300, counts
+
+
+def test_pack_sequences_bounds(spark):
+    """Every pack's token total stays under max_tokens + one doc's
+    tokens (contiguous offset packing bound), packs are dense per shard,
+    and the assignment is partitioning-invariant."""
+    from hquery_php_spark.operators.pipeline import pack_sequences
+
+    docs = spark.range(2000).select(
+        F.concat(F.lit("d"), F.col("id")).alias("doc_id"),
+        (F.pmod(F.col("id") * 37, F.lit(90)) + 10).alias("n_tokens"),
+    )
+    MAX = 256
+    out = pack_sequences(docs, max_tokens=MAX, n_shards=4)
+    packs = (
+        out.groupBy("shard", "pack_no")
+        .agg(F.sum("n_tokens").alias("tot"), F.max("n_tokens").alias("mx"))
+        .collect()
+    )
+    assert packs
+    for p in packs:
+        assert p.tot < MAX + p.mx, (p.shard, p.pack_no, p.tot)
+    # dense pack numbering per shard: 0..max with no holes
+    for sh in {p.shard for p in packs}:
+        nos = sorted(p.pack_no for p in packs if p.shard == sh)
+        assert nos == list(range(len(nos))), (sh, nos)
+    # invariant under an arbitrary input repartitioning
+    out2 = pack_sequences(docs.repartition(13), max_tokens=MAX, n_shards=4)
+    diff = (
+        out.withColumnRenamed("pack_no", "a")
+        .join(out2.withColumnRenamed("pack_no", "b"), ["doc_id", "shard", "n_tokens"])
+        .where(F.col("a") != F.col("b"))
+        .count()
+    )
+    assert diff == 0
