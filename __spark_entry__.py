@@ -81,7 +81,7 @@ from hquery_php_spark.operators.similarity import (  # noqa: E402
 
 # augmented set (original + perturbed every-10th copy) → portable sign-LSH
 # buckets → exact cosine within equal buckets: the SQL twin of
-# q_embed_near_dup_lsh (embedding_near_dup with portable=True, 4 planes)
+# q_embed_near_dup_lsh (embedding_near_dup with portable=True, 8 planes)
 _NEAR_DUP_LSH_SQL = f"""
 WITH e AS (
   SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
@@ -93,7 +93,7 @@ aug AS (
   FROM e WHERE id % 10 = 0
 ),
 bk AS (
-  SELECT id, v, {_pb_sql(4)} AS bucket FROM aug
+  SELECT id, v, {_pb_sql(8)} AS bucket FROM aug
 )
 SELECT x.id AS id_a, y.id AS id_b,
        round(list_cosine_similarity(x.v, y.v), 4) AS cos_r
@@ -893,7 +893,7 @@ def _augmented_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Original vectors (as double) + a perturbed copy of every 10th one
     (id + 1000000, first component shifted by +0.1) — deterministic
     near-duplicates, reproducible in SQL."""
-    base = _embs(spark, sf_dir).select(
+    base = _spread(_embs(spark, sf_dir), spark, key="vec_id").select(
         F.col("vec_id").alias("id"),
         F.col("embedding").cast("array<double>").alias("v"),
     )
@@ -937,7 +937,7 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = _augmented_embeddings(spark, sf_dir)
     pairs = embedding_near_dup(
-        e, vec_col="v", id_col="id", n_planes=4, threshold=0.98, portable=True
+        e, vec_col="v", id_col="id", n_planes=8, threshold=0.98, portable=True
     )
     return connected_components(pairs)
 
@@ -950,7 +950,7 @@ def q_embed_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = _augmented_embeddings(spark, sf_dir)
     return embedding_near_dup(
-        e, vec_col="v", id_col="id", n_planes=4, threshold=0.98, portable=True
+        e, vec_col="v", id_col="id", n_planes=8, threshold=0.98, portable=True
     ).select("id_a", "id_b", F.round("cos", 4).alias("cos_r"))
 
 

@@ -55,6 +55,9 @@ def main() -> None:
         "training_pipeline",
         "pdf_extract",
         "winnow_fp",
+        "interleaved_docs",
+        "dedup_clusters",
+        "pack_sequences",
     ]
 
     timings = {}

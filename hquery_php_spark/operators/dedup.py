@@ -372,17 +372,37 @@ def embedding_near_dup(
     similarity.portable_bucket_sql)."""
     from .similarity import bucket_of
 
-    b = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")).withColumn(
-        "bucket", bucket_of(F.col("v"), n_planes, portable=portable)
+    # Pre-normalize ONCE per vector (n rows), so the per-PAIR work inside
+    # the bucket join is a single dot product instead of dot + two norms:
+    # higher-order array expressions are interpreted (no codegen), and the
+    # pair count is what explodes — 3× less per-pair work matters.  The
+    # norm is materialized as its own column first: referencing it inline
+    # inside the transform lambda would recompute the aggregate per
+    # element (no CSE inside HOF lambdas).
+    b = (
+        df.select(
+            F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
+        )
+        .withColumn("bucket", bucket_of(F.col("v"), n_planes, portable=portable))
+        .withColumn(
+            "__norm", F.sqrt(F.aggregate("v", F.lit(0.0), lambda a, x: a + x * x))
+        )
+        .withColumn("nv", F.transform("v", lambda x: x / F.col("__norm")))
+        .select("id", "bucket", "nv")
     )
     x = b.alias("x")
     y = b.alias("y")
+    dot = F.aggregate(
+        F.zip_with(F.col("x.nv"), F.col("y.nv"), lambda p, q: p * q),
+        F.lit(0.0),
+        lambda acc, t: acc + t,
+    )
     return (
         x.join(
             y,
             (F.col("x.bucket") == F.col("y.bucket")) & (F.col("x.id") < F.col("y.id")),
         )
-        .withColumn("cos", cosine_sim(F.col("x.v"), F.col("y.v")))
+        .withColumn("cos", dot)
         .where(F.col("cos") >= threshold)
         .select(
             F.col("x.id").alias("id_a"),
@@ -622,18 +642,22 @@ def connected_components(
     ∝ |edges|; rounds ∝ cluster diameter, which for near-dup clusters is
     small.  Driver only orchestrates (no .collect of data) — the per-
     round convergence probe is a limit(1).count() on the changed set."""
-    nodes = (
-        edges.select(F.col(src).alias("id"))
-        .unionByName(edges.select(F.col(dst).alias("id")))
-        .distinct()
-    )
+    # one pass over the (possibly expensive) edge plan: a two-branch
+    # union would compute it once per direction
     und = (
-        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-        .unionByName(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        edges.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col(src).alias("u"), F.col(dst).alias("v")),
+                    F.struct(F.col(dst).alias("u"), F.col(src).alias("v")),
+                )
+            ).alias("e")
+        )
+        .select("e.u", "e.v")
         .persist()
     )
+    nodes = und.select(F.col("u").alias("id")).distinct()
     labels = nodes.select("id", F.col("id").alias("label")).persist()
-    labels.count()
     for _ in range(max_iter):
         nbr = und.join(
             labels.withColumnRenamed("id", "v"), "v"
