@@ -404,7 +404,7 @@ def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         embs.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
     )
     return brute_force_topk(
-        embs.where(F.col("vec_id") != 0), qvec, k=10
+        _spread(embs.where(F.col("vec_id") != 0), spark, key="vec_id"), qvec, k=10
     ).select("id", F.round("cos", 4).alias("cos_r"))
 
 
@@ -426,7 +426,12 @@ def q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     idx = f"/tmp/spark_graft_ivf/{os.path.basename(os.path.normpath(sf_dir))}_p6"
     if not os.path.exists(os.path.join(idx, "_SUCCESS")):
-        write_ivf_index(embs, idx, n_planes=6, portable=True)
+        # spread before the per-row bucket compute: the test parquet is a
+        # single input split, and write_ivf_index's own repartition("bucket")
+        # only kicks in AFTER the buckets are computed
+        write_ivf_index(
+            _spread(embs, spark, key="vec_id"), idx, n_planes=6, portable=True
+        )
     return ivf_topk_indexed(
         spark, idx, qvec, k=10, n_planes=6, hamming_radius=2,
         portable=True, exclude_id=0,
