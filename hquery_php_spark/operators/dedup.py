@@ -630,18 +630,22 @@ def connected_components(
     src: str = "id_a",
     dst: str = "id_b",
     max_iter: int = 25,
+    pointer_jump: bool = True,
 ) -> DataFrame:
     """(id, cluster_id) — connected components of the undirected near-dup
-    pair graph via min-label propagation: each round every node takes the
-    minimum label among itself and its neighbors; fixpoint = components
-    labeled by their smallest member.
+    pair graph: each round every node takes the minimum label among
+    itself, its neighbors, AND its label's label (pointer jumping / path
+    doubling); fixpoint = components labeled by their smallest member.
 
     The dedup-cluster closer: LSH/verify emits PAIRS, but keep-one-per-
     cluster needs transitive closure (a~b, b~c ⇒ keep one of {a,b,c}).
-    Scale shape: each iteration is one join + one min-aggregate, shuffle
-    ∝ |edges|; rounds ∝ cluster diameter, which for near-dup clusters is
-    small.  Driver only orchestrates (no .collect of data) — the per-
-    round convergence probe is a limit(1).count() on the changed set."""
+    Scale shape: each iteration is joins + one min-aggregate, shuffle
+    ∝ |edges| + |nodes|.  Plain neighbor propagation needs O(diameter)
+    rounds — pathological for the gradual-drift chains near-dup graphs
+    actually produce; the l(l(u)) jump doubles the reach per round so
+    convergence is O(log n) (a 512-chain closes in ~7 rounds, not 511).
+    Driver only orchestrates (no .collect of data) — the per-round
+    convergence probe is a limit(1).count() on the changed set."""
     # one pass over the (possibly expensive) edge plan: a two-branch
     # union would compute it once per direction
     und = (
@@ -662,12 +666,24 @@ def connected_components(
         nbr = und.join(
             labels.withColumnRenamed("id", "v"), "v"
         ).select(F.col("u").alias("id"), "label")
-        new = (
-            labels.unionByName(nbr)
-            .groupBy("id")
-            .agg(F.min("label").alias("label"))
-            .persist()
-        )
+        cand = labels.unionByName(nbr)
+        if pointer_jump:
+            # l(l(u)): follow the current label one hop — path doubling
+            jump = (
+                labels.alias("a")
+                .join(
+                    labels.select(
+                        F.col("id").alias("__jid"), F.col("label").alias("__jlabel")
+                    ),
+                    F.col("a.label") == F.col("__jid"),
+                )
+                .select(F.col("a.id").alias("id"), F.col("__jlabel").alias("label"))
+            )
+            cand = cand.unionByName(jump)
+        # localCheckpoint TRUNCATES lineage: with pointer jumping each
+        # round references labels twice, so an un-truncated logical plan
+        # doubles per round and blows up the driver after ~10 rounds.
+        new = cand.groupBy("id").agg(F.min("label").alias("label")).localCheckpoint()
         changed = (
             new.alias("n")
             .join(labels.alias("o"), "id")

@@ -628,3 +628,18 @@ def test_pack_sequences_bounds(spark):
         .count()
     )
     assert diff == 0
+
+
+def test_connected_components_long_chain(spark):
+    """Pointer jumping makes long-chain convergence logarithmic: a
+    512-node path (the gradual-drift near-dup shape) must close into
+    one cluster well inside the 25-round budget — plain neighbor
+    propagation would need 511 rounds."""
+    from hquery_php_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(511)], ["id_a", "id_b"]
+    )
+    out = connected_components(edges, max_iter=25).collect()
+    assert len(out) == 512
+    assert {r.cluster_id for r in out} == {0}
