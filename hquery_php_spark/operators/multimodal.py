@@ -60,6 +60,10 @@ _MAGIC = [
     (b"RIFF", "audio/wav-or-webp"),  # refined below
     (b"ID3", "audio/mpeg"),
     (b"OggS", "audio/ogg"),
+    (b"fLaC", "audio/flac"),
+    (b"\x1a\x45\xdf\xa3", "video/x-matroska-or-webm"),  # EBML, refined below
+    (b"%PDF-", "application/pdf"),
+    (b"BM", "image/bmp"),
 ]
 
 
@@ -67,6 +71,14 @@ def sniff_media_type(payload: Optional[bytes]) -> Optional[str]:
     """Magic-byte sniffing — real logic, no codec needed."""
     if not payload:
         return None
+    # ISO-BMFF (mp4/mov/m4a...): size(4) + 'ftyp' + major brand at 8..12
+    if len(payload) >= 12 and payload[4:8] == b"ftyp":
+        brand = payload[8:12]
+        if brand in (b"M4A ", b"M4B "):
+            return "audio/mp4"
+        if brand == b"qt  ":
+            return "video/quicktime"
+        return "video/mp4"
     for magic, mime in _MAGIC:
         if payload.startswith(magic):
             if mime == "audio/wav-or-webp":
@@ -74,7 +86,15 @@ def sniff_media_type(payload: Optional[bytes]) -> Optional[str]:
                     return "image/webp"
                 if payload[8:12] == b"WAVE":
                     return "audio/wav"
+                if payload[8:12] == b"AVI ":
+                    return "video/x-msvideo"
                 return "application/riff"
+            if mime == "video/x-matroska-or-webm":
+                # EBML DocType string distinguishes webm from mkv
+                head = payload[:64]
+                if b"webm" in head:
+                    return "video/webm"
+                return "video/x-matroska"
             return mime
     return "application/octet-stream"
 

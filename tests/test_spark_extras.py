@@ -53,6 +53,14 @@ def test_sniff_media_type():
     assert sniff_media_type(b"RIFF....WEBP") == "image/webp"
     assert sniff_media_type(b"garbage") == "application/octet-stream"
     assert sniff_media_type(None) is None
+    assert sniff_media_type(b"\x00\x00\x00\x18ftypisom....") == "video/mp4"
+    assert sniff_media_type(b"\x00\x00\x00\x18ftypM4A ....") == "audio/mp4"
+    assert sniff_media_type(b"\x00\x00\x00\x14ftypqt  ....") == "video/quicktime"
+    assert sniff_media_type(b"RIFF....AVI LIST") == "video/x-msvideo"
+    assert sniff_media_type(b"\x1a\x45\xdf\xa3...B\x82\x88webm...") == "video/webm"
+    assert sniff_media_type(b"\x1a\x45\xdf\xa3...B\x82\x88matroska") == "video/x-matroska"
+    assert sniff_media_type(b"fLaC\x00\x00") == "audio/flac"
+    assert sniff_media_type(b"%PDF-1.4") == "application/pdf"
 
 
 def test_image_meta_and_features(spark):
