@@ -110,7 +110,7 @@ class SQL:
 
     @staticmethod
     def norm_ws(col: str) -> str:
-        return f"trim(regexp_replace({col}, '\\s+', ' ', 'g'))"
+        return f"trim(regexp_replace({col}, '\\s+', ' ', 'g'), ' ')"
 
     @staticmethod
     def token_count(col: str) -> str:

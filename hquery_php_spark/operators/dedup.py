@@ -508,7 +508,7 @@ SELECT id, unnest(fps) AS fp FROM (
               for i in range(1, greatest(length(norm) - {km1}, 1) + 1)] AS grams
       FROM (SELECT doc_id,
                    CASE WHEN length(n0) < {k} THEN rpad(n0, {k}, ' ') ELSE n0 END AS norm
-            FROM (SELECT doc_id, lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS n0
+            FROM (SELECT doc_id, lower(trim(regexp_replace(text, '\\s+', ' ', 'g'), ' ')) AS n0
                   FROM documents))
     )
   )
@@ -534,7 +534,7 @@ def _norm_grams_sql(k: int, table: str, extra_cols: str = "") -> str:
               for i in range(1, greatest(length(norm) - {k - 1}, 1) + 1)] AS grams{extra_cols}
       FROM (SELECT doc_id, n0,
                    CASE WHEN length(n0) < {k} THEN rpad(n0, {k}, ' ') ELSE n0 END AS norm
-            FROM (SELECT doc_id, lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS n0
+            FROM (SELECT doc_id, lower(trim(regexp_replace(text, '\\s+', ' ', 'g'), ' ')) AS n0
                   FROM {table}))
     """
 

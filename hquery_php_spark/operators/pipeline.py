@@ -80,6 +80,7 @@ def extract_spans_df(
     base_url_col: Optional[str] = "base_url",
     encoding: str = "utf-8",
     opts: ExtractOptions = DEFAULT_OPTIONS,
+    headers_col: Optional[str] = None,
 ) -> DataFrame:
     """documents(doc_id, html[, base_url]) → (doc_id, spans, …metrics).
 
@@ -87,21 +88,30 @@ def extract_spans_df(
     the scan); the per-batch loop runs the engine per document — the
     parse itself is inherently per-document, but all batch transfer is
     Arrow and all scanning inside uses C-speed byte primitives.
-    """
+
+    ``headers_col``: optional per-row HTTP response headers (string, e.g.
+    "Content-Type: text/html; charset=ISO-8859-2") fed to the engine's
+    charset detection — the crawl-archive (WARC) envelope handoff,
+    mirroring the reference's HTTP-client → hQuery path
+    (hQuery.php:190-205)."""
     cols = [F.col(doc_id_col).cast("string").alias("doc_id"), F.col(html_col).alias("__html")]
     has_url = base_url_col is not None and base_url_col in df.columns
     if has_url:
         cols.append(F.col(base_url_col).alias("__url"))
+    if headers_col is not None:
+        cols.append(F.col(headers_col).alias("__headers"))
     narrow = df.select(*cols)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = {k: [] for k in SPANS_SCHEMA.fieldNames()}
             urls = pdf["__url"] if "__url" in pdf.columns else None
+            hdrs_s = pdf["__headers"] if "__headers" in pdf.columns else None
             for i in range(len(pdf)):
                 doc_id = pdf["doc_id"].iat[i]
                 raw = pdf["__html"].iat[i]
                 url = urls.iat[i] if urls is not None else None
+                hdrs = hdrs_s.iat[i] if hdrs_s is not None else None
                 t0 = time.perf_counter_ns()
                 err = None
                 spans = []
@@ -113,7 +123,7 @@ def extract_spans_df(
                         raise ValueError("null html payload")
                     data = raw if isinstance(raw, (bytes, bytearray)) else str(raw).encode(encoding)
                     size = len(data)
-                    doc = HDoc(data, url)
+                    doc = HDoc(data, url, headers=hdrs)
                     charset = doc.charset
                     n_tags = len(doc)
                     spans = extract_spans(doc, opts)

@@ -90,7 +90,7 @@ def synth_html_py(doc_id, text: str, source: str) -> str:
 
 
 def norm_text_sql(col: str = "text") -> str:
-    return f"trim(regexp_replace({col}, '\\s+', ' ', 'g'))"
+    return f"trim(regexp_replace({col}, '\\s+', ' ', 'g'), ' ')"
 
 
 def expected_spans_sql(table: str = "documents") -> str:

@@ -1,0 +1,246 @@
+"""WARC crawl-archive ingestion — the batch-native replacement for the
+reference's live HTTP client (`hQuery::fromURL` / `sendRequest`,
+/root/reference/src/hQuery.php:136-291): a 100 TB extraction engine
+reads pre-crawled WARC archives, so the "HTTP" surface this engine
+needs is the response envelope already on disk.
+
+Pure-python WARC/1.x parsing (no warcio in this container):
+
+* record framing via ``Content-Length`` (exact per the spec: header
+  block, CRLF CRLF, Content-Length payload bytes, CRLF CRLF);
+* ``response`` records additionally split the embedded HTTP/1.x message
+  into status + headers + body — the headers feed the engine's
+  charset detection (`core/charset.py`), exactly where the reference's
+  HTTP client handed its response headers to hQuery;
+* multi-member gzip (.warc.gz stores one gzip member per record) is
+  handled by a ``zlib`` loop over ``unused_data``.
+
+Spark surface: ``read_warc_files`` = binaryFile scan → one
+``mapInPandas`` crossing that explodes each archive into records —
+archives parallelize per file; for giant single archives, split
+upstream (the per-record gzip layout exists precisely so archives can
+be range-split; this reader takes whole members).
+"""
+
+from __future__ import annotations
+
+import zlib
+from typing import Iterator, List, NamedTuple, Optional, Tuple
+
+__all__ = ["WarcRecord", "gunzip_members", "parse_warc", "read_warc_files"]
+
+_CRLF = b"\r\n"
+
+
+class WarcRecord(NamedTuple):
+    warc_type: str
+    record_id: Optional[str]
+    target_uri: Optional[str]
+    warc_date: Optional[str]
+    content_type: Optional[str]  # WARC block content type
+    http_status: Optional[int]  # response records only
+    http_content_type: Optional[str]  # from the embedded HTTP headers
+    payload: bytes  # HTTP body for response records, else the block
+
+
+def gunzip_members(data: bytes) -> bytes:
+    """Decompress concatenated gzip members (the .warc.gz layout) —
+    plain ``gzip.decompress`` stops after the first member in some
+    implementations; loop on ``unused_data`` to take them all.
+    Pass-through when the input is not gzip."""
+    if len(data) < 2 or data[:2] != b"\x1f\x8b":
+        return data
+    out: List[bytes] = []
+    rest = data
+    while rest[:2] == b"\x1f\x8b":
+        d = zlib.decompressobj(16 + zlib.MAX_WBITS)
+        out.append(d.decompress(rest))
+        out.append(d.flush())
+        if not d.unused_data or d.unused_data is rest:
+            break
+        rest = d.unused_data
+    return b"".join(out)
+
+
+def _parse_headers(block: bytes) -> Tuple[dict, int]:
+    """Parse a CRLF header block; returns ({lower-name: value}, end)
+    where end is the offset just past the blank line."""
+    hdrs: dict = {}
+    pos = 0
+    n = len(block)
+    while pos < n:
+        eol = block.find(_CRLF, pos)
+        if eol < 0:
+            eol = n
+        line = block[pos:eol]
+        pos = eol + 2
+        if not line:
+            break
+        if b":" in line:
+            k, v = line.split(b":", 1)
+            hdrs[k.strip().lower().decode("latin-1")] = v.strip().decode(
+                "latin-1", "replace"
+            )
+    return hdrs, pos
+
+
+def parse_warc(data: bytes) -> List[WarcRecord]:
+    """All records of a WARC archive (gzip members handled)."""
+    data = gunzip_members(data)
+    records: List[WarcRecord] = []
+    pos = 0
+    n = len(data)
+    while pos < n:
+        # skip inter-record CRLFs
+        while data[pos : pos + 2] == _CRLF:
+            pos += 2
+        if pos >= n:
+            break
+        if not data.startswith(b"WARC/", pos):
+            break  # not a record boundary — stop rather than misparse
+        ver_end = data.find(_CRLF, pos)
+        if ver_end < 0:
+            break
+        hdrs, hdr_len = _parse_headers(data[ver_end + 2 :])
+        body_start = ver_end + 2 + hdr_len
+        try:
+            length = int(hdrs.get("content-length", ""))
+        except ValueError:
+            break
+        block = data[body_start : body_start + length]
+        pos = body_start + length
+
+        wtype = hdrs.get("warc-type", "")
+        status: Optional[int] = None
+        http_ct: Optional[str] = None
+        payload = block
+        ctype = hdrs.get("content-type")
+        if wtype == "response" and block.startswith(b"HTTP/"):
+            line_end = block.find(_CRLF)
+            try:
+                status = int(block[:line_end].split(b" ", 2)[1])
+            except (IndexError, ValueError):
+                status = None
+            http_hdrs, http_len = _parse_headers(block[line_end + 2 :])
+            http_ct = http_hdrs.get("content-type")
+            payload = block[line_end + 2 + http_len :]
+        records.append(
+            WarcRecord(
+                warc_type=wtype,
+                record_id=hdrs.get("warc-record-id"),
+                target_uri=hdrs.get("warc-target-uri"),
+                warc_date=hdrs.get("warc-date"),
+                content_type=ctype,
+                http_status=status,
+                http_content_type=http_ct,
+                payload=payload,
+            )
+        )
+    return records
+
+
+def make_warc(
+    responses: List[Tuple[str, int, str, bytes]],
+    gzip_members: bool = False,
+) -> bytes:
+    """Deterministic WARC builder for tests: (url, status, content_type,
+    body) → response records (plus a warcinfo header record).
+    ``gzip_members`` emits the standard one-gzip-member-per-record
+    layout."""
+    import gzip as _gzip
+
+    def rec(warc_headers: List[Tuple[str, str]], block: bytes) -> bytes:
+        head = b"WARC/1.0\r\n"
+        hs = warc_headers + [("Content-Length", str(len(block)))]
+        head += b"".join(
+            f"{k}: {v}".encode("latin-1") + _CRLF for k, v in hs
+        )
+        return head + _CRLF + block + _CRLF + _CRLF
+
+    out: List[bytes] = []
+    info = b"software: hquery-php-spark-tests\r\n"
+    out.append(
+        rec(
+            [("WARC-Type", "warcinfo"), ("Content-Type", "application/warc-fields")],
+            info,
+        )
+    )
+    for i, (url, status, ctype, body) in enumerate(responses):
+        http = (
+            f"HTTP/1.1 {status} OK\r\nContent-Type: {ctype}\r\n"
+            f"Content-Length: {len(body)}\r\n\r\n"
+        ).encode("latin-1") + body
+        out.append(
+            rec(
+                [
+                    ("WARC-Type", "response"),
+                    ("WARC-Record-ID", f"<urn:test:{i}>"),
+                    ("WARC-Target-URI", url),
+                    ("WARC-Date", "2026-01-01T00:00:00Z"),
+                    ("Content-Type", "application/http; msgtype=response"),
+                ],
+                http,
+            )
+        )
+    if gzip_members:
+        return b"".join(_gzip.compress(r) for r in out)
+    return b"".join(out)
+
+
+def read_warc_files(spark, glob_path: str):
+    """binaryFile scan of WARC archives → one row per response record:
+    (archive, url, warc_date, http_status, content_type, payload,
+    charset) — charset sniffed from the HTTP headers + payload bytes by
+    the engine's own detector, the same handoff the reference makes from
+    its HTTP client into hQuery (hQuery.php:190-205)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import (
+        BinaryType,
+        IntegerType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from ..core.charset import detect_charset
+
+    schema = StructType(
+        [
+            StructField("archive", StringType()),
+            StructField("url", StringType()),
+            StructField("warc_date", StringType()),
+            StructField("http_status", IntegerType()),
+            StructField("content_type", StringType()),
+            StructField("payload", BinaryType()),
+            StructField("charset", StringType()),
+        ]
+    )
+    raw = (
+        spark.read.format("binaryFile")
+        .load(glob_path)
+        .select(F.col("path").alias("archive"), F.col("content"))
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in schema.fieldNames()}
+            for path, content in zip(pdf["archive"], pdf["content"]):
+                for r in parse_warc(bytes(content)):
+                    if r.warc_type != "response":
+                        continue
+                    headers = (
+                        {"content-type": r.http_content_type}
+                        if r.http_content_type
+                        else None
+                    )
+                    out["archive"].append(path)
+                    out["url"].append(r.target_uri)
+                    out["warc_date"].append(r.warc_date)
+                    out["http_status"].append(r.http_status)
+                    out["content_type"].append(r.http_content_type)
+                    out["payload"].append(r.payload)
+                    out["charset"].append(detect_charset(r.payload, headers))
+            yield pd.DataFrame(out)
+
+    return raw.mapInPandas(run, schema)
