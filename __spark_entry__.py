@@ -461,6 +461,16 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_verify(d, cands, k=8, threshold=0.6, persist_shingles=True)
 
 
+def q_text_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full text-dedup closure: portable MinHash→LSH→verified pairs →
+    connected components → (id, cluster_id) keep-one-per-cluster map.
+    Oracle = recursive CTE over the same verified-pair SQL."""
+    from hquery_php_spark.operators.dedup import connected_components
+
+    pairs = q_dedup_minhash(spark, sf_dir)
+    return connected_components(pairs)
+
+
 def q_dedup_ngram_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 8-gram Jaccard self-pairs above 0.6 — the brute-force ground
     truth for the MinHash+LSH path (SQL oracle)."""
@@ -1024,6 +1034,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_top": q_vocab_top,
         "similarity_ivf": q_similarity_ivf,
         "dedup_minhash": q_dedup_minhash,
+        "text_dedup_clusters": q_text_dedup_clusters,
         "dedup_ngram_exact": q_dedup_ngram_exact,
         "simhash": q_simhash,
         "winnow_fp": q_winnow,
@@ -1145,6 +1156,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "winnow_fp": _WINNOW_SQL,
         "dedup_minhash": _MINHASH_SQL,
+        "text_dedup_clusters": _cc_sql(
+            f"SELECT id_a, id_b FROM ({_MINHASH_SQL})"
+        ),
         "simhash": _SIMHASH_SQL,
         "similarity_ivf": _IVF_SQL,
         "events_window": _EV_TUMBLING_SQL,
