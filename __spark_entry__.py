@@ -339,8 +339,14 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace token count plus the BPE-ish (GPT-2 pretokenizer
+    pattern) piece count — both with exact SQL twins."""
+    from hquery_php_spark.functions.text import bpe_token_count
+
     return _docs(spark, sf_dir).select(
-        "doc_id", token_count(F.col("text")).alias("n_tokens")
+        "doc_id",
+        token_count(F.col("text")).alias("n_tokens"),
+        bpe_token_count(F.col("text")).alias("n_bpe_tokens"),
     )
 
 
@@ -1104,7 +1110,8 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT {TSQL.fingerprint('text')} AS fp, min(doc_id) AS keep_id, "
             "count(*) AS n_dups FROM documents GROUP BY 1"
         ),
-        "token_count": f"SELECT doc_id, {wordcount} AS n_tokens FROM documents",
+        "token_count": f"SELECT doc_id, {wordcount} AS n_tokens, "
+        f"{TSQL.bpe_token_count('text')} AS n_bpe_tokens FROM documents",
         "lang_id": f"SELECT doc_id, {TSQL.lang_id_en('text')} AS lang FROM documents",
         "text_quality": (
             "SELECT doc_id, "

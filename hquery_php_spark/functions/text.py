@@ -241,3 +241,26 @@ def deterministic_sample(df, fraction=None, key_col: str = "doc_id", strata=None
     else:
         frac = F.lit(int(float(fraction) * mod))
     return df.where(h < frac)
+
+
+# GPT-2-style pre-tokenizer pattern with explicit ASCII classes only, so
+# the Java (Spark) and RE2 (DuckDB) regex dialects agree char for char;
+# whitespace is collapsed to single spaces FIRST so the " ?" prefixes
+# behave identically in both engines.
+_BPE_PAT = r"'(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^ a-zA-Z0-9]+"
+
+
+def bpe_token_count(col: Column) -> Column:
+    """BPE-ish token count: number of GPT-2-pretokenizer-style pieces
+    (contractions, letter runs, digit runs, symbol runs) in the
+    normalized text — the closer-to-model-cost counter next to the
+    whitespace ``token_count``; exact SQL twin in ``SQL.bpe_token_count``."""
+    return F.regexp_count(norm_ws(col), F.lit(_BPE_PAT))
+
+
+def _bpe_token_count_sql(col: str) -> str:
+    pat = _BPE_PAT.replace("'", "''")
+    return f"len(regexp_extract_all({SQL.norm_ws(col)}, '{pat}'))"
+
+
+SQL.bpe_token_count = staticmethod(_bpe_token_count_sql)
