@@ -416,3 +416,26 @@ def test_streaming_sessionize_late_event(spark, tmp_path):
         assert r.session_end == (base + pd.Timedelta(minutes=5)).to_pydatetime(), got
     finally:
         q.stop()
+
+
+def test_resolve_media_refs_broadcasts_meta(spark):
+    """The interleaved assembly must broadcast the media metadata dim —
+    spans ≫ media, so a shuffle join here would be the wrong plan."""
+    import pandas as pd
+
+    from hquery_php_spark.operators.pipeline import resolve_media_refs
+
+    spans = spark.createDataFrame(
+        [(f"d{i}", i, "media", f"https://cdn/x/{i}.png") for i in range(100)],
+        ["doc_id", "ord", "kind", "media_ref"],
+    )
+    meta = spark.createDataFrame(
+        [(str(i), 10 + i) for i in range(10)], ["media_id", "width"]
+    )
+    out = resolve_media_refs(
+        spans, meta, key_expr=F.regexp_extract(F.col("media_ref"), r"/(\d+)\.png$", 1)
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
+    got = {r.doc_id: r.width for r in out.collect()}
+    assert got["d3"] == 13 and got["d50"] is None
