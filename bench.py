@@ -89,6 +89,9 @@ def main() -> None:
             best = dt if best is None else min(best, dt)
         timings[name] = round(best, 4)
         total += best
+        # queries that persist intermediates (minhash, clusters) would
+        # otherwise leak cached frames into later queries' timings
+        spark.catalog.clearCache()
         if name == "extract_spans":
             spans_docs_per_sec = round(n_docs / best, 2)
 
