@@ -1150,7 +1150,7 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id AS id,
                      list_distinct([substring(text, i, 8)
                                     for i in range(1, greatest(length(text) - 6, 2))]) AS sh
-              FROM (SELECT doc_id, lower(trim(regexp_replace(text, '\\s+', ' ', 'g'), ' ')) AS text
+              FROM (SELECT doc_id, translate(trim(regexp_replace(text, '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'), ' '), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz') AS text
                     FROM documents)
             )
             SELECT a.id AS id_a, b.id AS id_b,

@@ -47,6 +47,16 @@ __all__ = [
 _POLY_BASE = 31
 _POLY_MOD = 1_000_000_007
 
+# Portable-family normalization avoids the engines' Unicode tables
+# entirely: DuckDB's lower() (utf8proc) and the JVM's toLowerCase ship
+# different Unicode versions (found by fuzz: U+2C2F folds on the JVM but
+# not in DuckDB), and Java's \s includes \x0B while RE2's does not.  An
+# explicit ASCII translate + explicit whitespace class is identical
+# everywhere, forever — which is the whole point of a cross-system hash.
+_UPPER = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+_LOWER = "abcdefghijklmnopqrstuvwxyz"
+_WS_CLASS = "[ \\t\\n\\x0B\\f\\r]+"
+
 
 def _affine_consts(n: int, seed: int = 0x5D1B) -> tuple:
     """Deterministic (a_i, b_i) pairs for the portable affine remix family
@@ -83,9 +93,11 @@ def dedup_exact(
 
 
 def char_shingles(col: Column, k: int = 5) -> Column:
-    """Array of k-char shingles of the normalized text (JVM-side)."""
-    n = F.trim(F.regexp_replace(col, r"\s+", " "))
-    n = F.lower(n)
+    """Array of k-char shingles of the normalized text (JVM-side).
+    Normalization is the portable explicit form (ASCII fold + explicit
+    whitespace class) so shingles line up with ``char_gram_hashes``."""
+    n = F.trim(F.regexp_replace(col, _WS_CLASS, " "))
+    n = F.translate(n, _UPPER, _LOWER)
     return F.when(F.length(n) < k, F.array(n)).otherwise(
         F.transform(
             F.sequence(F.lit(1), F.length(n) - F.lit(k - 1)),
@@ -427,7 +439,13 @@ def char_gram_hashes(
     computes identical values, which is what makes cross-system dedup
     ledgers possible."""
     powers = [pow(base, k - 1 - j, mod) for j in range(k)]
-    n = F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")))
+    # explicit whitespace class + ASCII-only case fold: no dependence on
+    # either engine's Unicode tables (see _WS_CLASS note above)
+    n = F.translate(
+        F.trim(F.regexp_replace(F.col(text_col), _WS_CLASS, " ")),
+        _UPPER,
+        _LOWER,
+    )
     # texts shorter than one gram are right-padded (identically in the
     # SQL twin) so every gram has exactly k characters
     n = F.when(F.length(n) < k, F.rpad(n, k, " ")).otherwise(n)
@@ -508,7 +526,7 @@ SELECT id, unnest(fps) AS fp FROM (
               for i in range(1, greatest(length(norm) - {km1}, 1) + 1)] AS grams
       FROM (SELECT doc_id,
                    CASE WHEN length(n0) < {k} THEN rpad(n0, {k}, ' ') ELSE n0 END AS norm
-            FROM (SELECT doc_id, lower(trim(regexp_replace(text, '\\s+', ' ', 'g'), ' ')) AS n0
+            FROM (SELECT doc_id, translate(trim(regexp_replace(text, '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'), ' '), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz') AS n0
                   FROM documents))
     )
   )
@@ -534,7 +552,9 @@ def _norm_grams_sql(k: int, table: str, extra_cols: str = "") -> str:
               for i in range(1, greatest(length(norm) - {k - 1}, 1) + 1)] AS grams{extra_cols}
       FROM (SELECT doc_id, n0,
                    CASE WHEN length(n0) < {k} THEN rpad(n0, {k}, ' ') ELSE n0 END AS norm
-            FROM (SELECT doc_id, lower(trim(regexp_replace(text, '\\s+', ' ', 'g'), ' ')) AS n0
+            FROM (SELECT doc_id,
+                         translate(trim(regexp_replace(text, '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'), ' '),
+                                   '{_UPPER}', '{_LOWER}') AS n0
                   FROM {table}))
     """
 

@@ -28,6 +28,14 @@ def main() -> None:
     ap.add_argument("--input", required=True)
     ap.add_argument("--output", required=True)
     ap.add_argument("--metrics", default=None)
+    ap.add_argument(
+        "--input-format",
+        choices=("parquet", "warc"),
+        default="parquet",
+        help="warc: --input is a glob of WARC archives; 200 text/html "
+        "responses become documents (url→doc_id, HTTP headers feed "
+        "charset detection)",
+    )
     ap.add_argument("--partitions", type=int, default=0)
     ap.add_argument("--tail-bytes", type=int, default=4 << 20)
     ap.add_argument("--doc-id-col", default="doc_id")
@@ -46,7 +54,28 @@ def main() -> None:
     )
     from hquery_php_spark.sources.reader import read_done_ids, write_spans
 
-    docs = spark.read.parquet(args.input)
+    headers_col = None
+    if args.input_format == "warc":
+        from hquery_php_spark.sources.warc import read_warc_files
+
+        docs = (
+            read_warc_files(spark, args.input)
+            .where(
+                (F.col("http_status") == 200)
+                & F.col("content_type").startswith("text/html")
+            )
+            .select(
+                F.col("url").alias(args.doc_id_col),
+                F.col("payload").alias(args.html_col),
+                F.col("url").alias(args.base_url_col),
+                F.concat(F.lit("Content-Type: "), F.col("content_type")).alias(
+                    "__headers"
+                ),
+            )
+        )
+        headers_col = "__headers"
+    else:
+        docs = spark.read.parquet(args.input)
     n_parts = args.partitions or spark.sparkContext.defaultParallelism * 3
 
     done = read_done_ids(spark, args.output)
@@ -69,6 +98,7 @@ def main() -> None:
         doc_id_col=args.doc_id_col,
         html_col=args.html_col,
         base_url_col=args.base_url_col if args.base_url_col in docs.columns else None,
+        headers_col=headers_col,
     )
     write_spans(spans, args.output, metrics_path=args.metrics)
     spark.stop()

@@ -272,7 +272,7 @@ def spark():
 _texts = st.lists(
     st.text(
         alphabet=st.characters(
-            min_codepoint=0x20,
+            min_codepoint=0x09,  # include the whitespace-class chars
             max_codepoint=0x2FFF,
             blacklist_categories=("Cs",),
         ),

@@ -101,3 +101,48 @@ def test_read_warc_files_spark(tmp_path):
     assert spans["https://b.example/y"].charset == "ISO-8859-2"
     texts = [s["text"] for s in spans["https://b.example/y"].spans]
     assert "privét" in " ".join(texts)
+
+
+def test_extract_job_warc_input(tmp_path, monkeypatch):
+    """jobs/extract_job.py --input-format warc: crawl archives straight
+    to the span table through the packaged job (in-process main())."""
+    pytest.importorskip("pyspark")
+    import sys
+
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master("local[2]")
+        .config("spark.sql.shuffle.partitions", "2")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    d = tmp_path / "crawl"
+    os.makedirs(d)
+    (d / "a.warc").write_bytes(make_warc(RESPONSES))
+    out = str(tmp_path / "spans")
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "jobs"))
+    import extract_job
+
+    # the job calls spark.stop() — keep the shared test session alive
+    monkeypatch.setattr(type(spark), "stop", lambda self: None)
+    monkeypatch.setattr(
+        sys,
+        "argv",
+        [
+            "extract_job.py",
+            "--input", str(d) + "/*",
+            "--input-format", "warc",
+            "--output", out,
+            "--partitions", "2",
+        ],
+    )
+    extract_job.main()
+
+    got = {r.doc_id: r for r in SparkSession.builder.getOrCreate().read.parquet(out).collect()}
+    # only the two 200 text/html responses become documents
+    assert set(got) == {"https://a.example/x", "https://b.example/y"}
+    assert got["https://b.example/y"].charset == "ISO-8859-2"
