@@ -302,3 +302,48 @@ def test_portable_simhash_cross_engine_fuzz(spark, texts):
     con.register("documents", pd.DataFrame(rows, columns=["doc_id", "text"]))
     want = {r[0]: r[1] for r in con.execute(simhash_oracle_sql(k=8)).fetchall()}
     assert got == want
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    ids=st.lists(
+        st.text(
+            alphabet=st.characters(
+                min_codepoint=0x21, max_codepoint=0x2FFF, blacklist_categories=("Cs",)
+            ),
+            min_size=1,
+            max_size=24,
+        ),
+        min_size=1,
+        max_size=20,
+        unique=True,
+    )
+)
+def test_portable_row_hash_cross_engine_fuzz(spark, ids):
+    """deterministic_sample / pack_sequences rest on this hash being the
+    same number in every engine — fuzz it over arbitrary id strings."""
+    import duckdb
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from hquery_php_spark.functions.text import (
+        portable_row_hash,
+        portable_row_hash_sql,
+    )
+
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id string")
+    got = {
+        r.doc_id: r.h
+        for r in df.select(
+            "doc_id", portable_row_hash(F.col("doc_id")).alias("h")
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame({"doc_id": ids}))
+    want = {
+        r[0]: r[1]
+        for r in con.execute(
+            f"SELECT doc_id, {portable_row_hash_sql('doc_id')} AS h FROM t"
+        ).fetchall()
+    }
+    assert got == want
