@@ -860,6 +860,19 @@ def q_interleaved_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_interleaved_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consume the north-rule interleaved table shape directly:
+    (doc_id, spans:array<struct<kind,text,media_ref,offset>>) → per-doc
+    text reassembly, media-ref join, span/char accounting — one pass of
+    JVM array expressions, no explode, no shuffle."""
+    from hquery_php_spark.operators.pipeline import interleaved_doc_stats
+
+    spans = extract_spans_df(_synth(spark, sf_dir)).select(
+        F.col("doc_id").cast("string").alias("doc_id"), "spans"
+    )
+    return interleaved_doc_stats(spans)
+
+
 def q_find_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-level selector probe via plans.compile.find_count_df:
     selectors compiled/validated driver-side, each doc indexed once."""
@@ -1059,6 +1072,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_sample": q_corpus_sample,
         "pack_sequences": q_pack_sequences,
         "interleaved_docs": q_interleaved_docs,
+        "interleaved_stats": q_interleaved_stats,
         "multimodal_meta": q_multimodal_meta,
         "multimodal_features": q_multimodal_features,
         "embed_near_dup_exact": q_embed_near_dup_exact,
@@ -1256,6 +1270,19 @@ def oracle_sql() -> dict[str, str]:
             "'image/png' AS mime, CAST(16 + doc_id % 64 AS INTEGER) AS width, "
             "CAST(16 + doc_id % 48 AS INTEGER) AS height FROM documents) m "
             "ON regexp_extract(s.media_ref, '/(\\d+)\\.png$', 1) = m.media_id"
+        ),
+        "interleaved_stats": (
+            "SELECT doc_id, "
+            "string_agg(text, ' ' ORDER BY ord) FILTER (WHERE kind = 'text') AS main_text, "
+            "CAST(count(*) FILTER (WHERE kind = 'text') AS INT) AS n_text_spans, "
+            "CAST(count(*) FILTER (WHERE kind = 'media') AS INT) AS n_media_spans, "
+            "coalesce(string_agg(media_ref, '|' ORDER BY ord) "
+            "  FILTER (WHERE kind = 'media'), '') AS media_refs, "
+            "CAST(sum(length(text)) AS BIGINT) AS span_chars, "
+            "max(\"offset\") AS max_offset "
+            "FROM (SELECT CAST(doc_id AS VARCHAR) AS doc_id, ord, kind, text, "
+            "media_ref, \"offset\" FROM (" + expected_spans_sql("documents") + ")) "
+            "GROUP BY doc_id"
         ),
         "multimodal_meta": """
             SELECT CAST(doc_id AS VARCHAR) AS media_id,

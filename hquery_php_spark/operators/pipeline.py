@@ -349,3 +349,28 @@ SELECT doc_id, n_tokens, shard,
                    / {max_tokens}) AS BIGINT) AS pack_no
 FROM t
 """
+
+
+def interleaved_doc_stats(spans_df: DataFrame) -> DataFrame:
+    """Consume the north-rule interleaved table SHAPE directly —
+    (doc_id: string, spans: array<struct<kind,text,media_ref,offset>>) —
+    with pure JVM array expressions: per-doc main text reassembly, span
+    counts, media-ref join, character accounting, and offset bounds in
+    ONE pass per row.  No explode, no shuffle: at 10^12 docs this runs
+    entirely inside the scan's whole-stage pipeline."""
+    sp = F.col("spans")
+    texts = F.filter(sp, lambda s: s["kind"] == "text")
+    medias = F.filter(sp, lambda s: s["kind"] == "media")
+    return spans_df.select(
+        "doc_id",
+        F.concat_ws(" ", F.transform(texts, lambda s: s["text"])).alias("main_text"),
+        F.size(texts).alias("n_text_spans"),
+        F.size(medias).alias("n_media_spans"),
+        F.concat_ws("|", F.transform(medias, lambda s: s["media_ref"])).alias(
+            "media_refs"
+        ),
+        F.aggregate(
+            sp, F.lit(0).cast("long"), lambda acc, s: acc + F.length(s["text"])
+        ).alias("span_chars"),
+        F.array_max(F.transform(sp, lambda s: s["offset"])).alias("max_offset"),
+    )
