@@ -20,7 +20,7 @@ All shapes are Spark-native and shuffle-aware:
 
 from __future__ import annotations
 
-from typing import List, Optional
+from typing import Optional
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
