@@ -347,3 +347,31 @@ def test_portable_row_hash_cross_engine_fuzz(spark, ids):
         ).fetchall()
     }
     assert got == want
+
+
+@settings(max_examples=8, deadline=None)
+@given(texts=_texts)
+def test_portable_winnow_cross_engine_fuzz(spark, texts):
+    """WINNOW_SQL_TEMPLATE is maintained separately from the
+    char_gram_hashes Spark expressions — fuzz them in lockstep so the
+    normalization and hash arithmetic cannot drift apart."""
+    import duckdb
+    import pandas as pd
+
+    from hquery_php_spark.operators.dedup import (
+        WINNOW_SQL_TEMPLATE,
+        winnow_fingerprints,
+    )
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.id, r.fp) for r in winnow_fingerprints(df, k=8, window=4).collect()
+    }
+    sql = WINNOW_SQL_TEMPLATE.format(
+        k=8, km1=7, wm1=3, mod=1_000_000_007
+    ).replace("{powers}", str([pow(31, 7 - j, 1_000_000_007) for j in range(8)]))
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame(rows, columns=["doc_id", "text"]))
+    want = {tuple(r) for r in con.execute(sql).fetchall()}
+    assert got == want
