@@ -430,7 +430,12 @@ def q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     qvec = (
         embs.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
     )
-    idx = f"/tmp/spark_graft_ivf/{os.path.basename(os.path.normpath(sf_dir))}_p6"
+    # cache key includes the source file's identity (size+mtime): a stale
+    # index from a regenerated testdata set must never be reused
+    src = f"{sf_dir}/embeddings.parquet"
+    st_ = os.stat(src)
+    tag = f"{os.path.basename(os.path.normpath(sf_dir))}_p6_{st_.st_size}_{int(st_.st_mtime)}"
+    idx = f"/tmp/spark_graft_ivf/{tag}"
     if not os.path.exists(os.path.join(idx, "_SUCCESS")):
         # spread before the per-row bucket compute: the test parquet is a
         # single input split, and write_ivf_index's own repartition("bucket")
