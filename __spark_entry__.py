@@ -1278,7 +1278,10 @@ def oracle_sql() -> dict[str, str]:
         ),
         "interleaved_stats": (
             "SELECT doc_id, "
-            "string_agg(text, ' ' ORDER BY ord) FILTER (WHERE kind = 'text') AS main_text, "
+            # coalesce matches Spark's concat_ws (which yields '' for a
+            # media-only doc where string_agg FILTER yields NULL)
+            "coalesce(string_agg(text, ' ' ORDER BY ord) "
+            "  FILTER (WHERE kind = 'text'), '') AS main_text, "
             "CAST(count(*) FILTER (WHERE kind = 'text') AS INT) AS n_text_spans, "
             "CAST(count(*) FILTER (WHERE kind = 'media') AS INT) AS n_media_spans, "
             "coalesce(string_agg(media_ref, '|' ORDER BY ord) "
@@ -1336,7 +1339,7 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem
             GROUP BY l_returnflag, l_linestatus
         """,
-        # rows-only (engine-specific hash families / approximate results):
-        # selector engine internals exercised via selector_counts above.
-        # "similarity_ivf", "dedup_minhash", "simhash" intentionally omitted.
+        # Every query above is value-checked. The single rows-only entry is
+        # "multimodal_features" when payloads are not decodable PNGs; the
+        # driver query synthesizes full PNGs, so it too has an oracle now.
     }

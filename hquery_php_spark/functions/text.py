@@ -27,9 +27,16 @@ __all__ = [
 ]
 
 
+# Explicit ASCII whitespace class instead of \s: Java's \s is exactly
+# [ \t\n\x0B\f\r] but RE2's (DuckDB) excludes \x0B — a document with a
+# vertical tab would otherwise normalize differently in the two engines
+# and break every value oracle built on norm_ws (same fix as dedup._WS_CLASS).
+_WS = "[ \\t\\n\\x0B\\f\\r]+"
+
+
 def norm_ws(col: Column) -> Column:
     """Whitespace-normalized text (collapse runs, trim)."""
-    return F.trim(F.regexp_replace(col, r"\s+", " "))
+    return F.trim(F.regexp_replace(col, _WS, " "))
 
 
 def token_count(col: Column) -> Column:
@@ -110,7 +117,8 @@ class SQL:
 
     @staticmethod
     def norm_ws(col: str) -> str:
-        return f"trim(regexp_replace({col}, '\\s+', ' ', 'g'), ' ')"
+        # explicit class, not \s: RE2's \s excludes \x0B, Java's includes it
+        return f"trim(regexp_replace({col}, '{_WS}', ' ', 'g'), ' ')"
 
     @staticmethod
     def token_count(col: str) -> str:
@@ -206,14 +214,17 @@ def portable_row_hash(col, mod: int = 1_000_000_007, base: int = 31):
 
 
 def portable_row_hash_sql(expr: str, mod: int = 1_000_000_007, base: int = 31) -> str:
-    """DuckDB twin of ``portable_row_hash``: Σ code_i·B^(n−1−i) mod M via
-    a precomputed power table (strings up to 64 chars)."""
-    powers = [pow(base, j, mod) for j in range(64)]
+    """DuckDB twin of ``portable_row_hash``: the same sequential fold
+    h = (h·B + code) mod M via ``list_reduce`` (0 prepended as the init
+    value) — no precomputed power table, so ids of ANY length hash
+    identically to the Spark side (a fixed table silently NULLed the
+    out-of-range terms for ids over its size: WARC corpora use URLs as
+    doc_id, routinely longer than any fixed cap)."""
     s = f"CAST({expr} AS VARCHAR)"
     fold = (
-        f"CAST(list_sum([CAST(ascii({s}[i + 1 : i + 1]) AS BIGINT)"
-        f" * {powers}[length({s}) - i] for i in range(0, length({s}))])"
-        f" AS BIGINT) % {mod}"
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"[CAST(ascii({s}[i + 1 : i + 1]) AS BIGINT) for i in range(0, length({s}))]), "
+        f"(acc, c) -> (acc * {base} + c) % {mod})"
     )
     return f"(({fold}) * {_REMIX_A} + {_REMIX_B}) % {mod}"
 

@@ -254,9 +254,13 @@ def ngram_jaccard_verify(
             F.size(F.array_intersect("sh_a", "sh_b"))
             / F.size(F.array_union("sh_a", "sh_b")),
         )
+        # threshold the RAW jaccard (the oracle's WHERE uses the raw value
+        # too — rounding first would keep pairs in [t−5e-7, t) that the
+        # oracle drops); round only in the projection.
+        .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
     )
-    return j.where(F.col("jaccard") >= threshold)
+    return j
 
 
 def simhash64(col: Column, bits: int = 64) -> Column:

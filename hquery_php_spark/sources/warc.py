@@ -64,8 +64,12 @@ def gunzip_members(data: bytes) -> bytes:
 
 def _parse_headers(block: bytes) -> Tuple[dict, int]:
     """Parse a CRLF header block; returns ({lower-name: value}, end)
-    where end is the offset just past the blank line."""
+    where end is the offset just past the blank line.  Folded
+    continuation lines (obs-fold: leading SP/HT, RFC 7230 §3.2.4) are
+    joined onto the previous header's value — real crawl archives store
+    the raw on-the-wire message, folds included."""
     hdrs: dict = {}
+    last_key: Optional[str] = None
     pos = 0
     n = len(block)
     while pos < n:
@@ -76,12 +80,48 @@ def _parse_headers(block: bytes) -> Tuple[dict, int]:
         pos = eol + 2
         if not line:
             break
+        if line[:1] in (b" ", b"\t"):
+            if last_key is not None:
+                cont = line.strip().decode("latin-1", "replace")
+                hdrs[last_key] = (hdrs[last_key] + " " + cont).strip()
+            continue
         if b":" in line:
             k, v = line.split(b":", 1)
-            hdrs[k.strip().lower().decode("latin-1")] = v.strip().decode(
-                "latin-1", "replace"
-            )
+            last_key = k.strip().lower().decode("latin-1")
+            hdrs[last_key] = v.strip().decode("latin-1", "replace")
     return hdrs, pos
+
+
+def _dechunk(body: bytes) -> bytes:
+    """Decode a chunked Transfer-Encoding body (chunk-size lines in hex,
+    optional ;extensions, trailers ignored) — the reference's raw-socket
+    client does this too (hQuery.php http_wr).  Fault-tolerant: malformed
+    framing returns the chunks decoded so far plus nothing else; a body
+    that never parses as chunked at all is returned unchanged."""
+    out: List[bytes] = []
+    pos = 0
+    n = len(body)
+    first = True
+    while pos < n:
+        eol = body.find(_CRLF, pos)
+        if eol < 0:
+            break
+        size_tok = body[pos:eol].split(b";", 1)[0].strip()
+        try:
+            size = int(size_tok, 16)
+        except ValueError:
+            if first:
+                return body  # not actually chunked framing
+            break
+        first = False
+        if size == 0:
+            break  # last-chunk; trailers (if any) are dropped
+        start = eol + 2
+        out.append(body[start : start + size])
+        pos = start + size + 2  # skip chunk-data CRLF
+    if first:
+        return body
+    return b"".join(out)
 
 
 def parse_warc(data: bytes) -> List[WarcRecord]:
@@ -124,6 +164,8 @@ def parse_warc(data: bytes) -> List[WarcRecord]:
             http_hdrs, http_len = _parse_headers(block[line_end + 2 :])
             http_ct = http_hdrs.get("content-type")
             payload = block[line_end + 2 + http_len :]
+            if "chunked" in http_hdrs.get("transfer-encoding", "").lower():
+                payload = _dechunk(payload)
         records.append(
             WarcRecord(
                 warc_type=wtype,

@@ -312,7 +312,9 @@ def test_portable_simhash_cross_engine_fuzz(spark, texts):
                 min_codepoint=0x21, max_codepoint=0x2FFF, blacklist_categories=("Cs",)
             ),
             min_size=1,
-            max_size=24,
+            # WARC corpora use URLs as doc_id — routinely over 64 chars,
+            # which the old fixed-powers-table SQL twin silently mis-hashed
+            max_size=160,
         ),
         min_size=1,
         max_size=20,
@@ -374,4 +376,42 @@ def test_portable_winnow_cross_engine_fuzz(spark, texts):
     con = duckdb.connect()
     con.register("documents", pd.DataFrame(rows, columns=["doc_id", "text"]))
     want = {tuple(r) for r in con.execute(sql).fetchall()}
+    assert got == want
+
+
+@settings(max_examples=10, deadline=None)
+@given(texts=_texts)
+def test_bpe_and_tokens_cross_engine_fuzz(spark, texts):
+    """token_count / bpe_token_count twins in lockstep — norm_ws must
+    collapse the SAME characters in both engines (Java's \\s includes
+    \\x0B, RE2's does not; both now use the explicit class)."""
+    import duckdb
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from hquery_php_spark.functions.text import (
+        SQL as TSQL,
+        bpe_token_count,
+        token_count,
+    )
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n, r.nb)
+        for r in df.select(
+            "doc_id",
+            token_count(F.col("text")).alias("n"),
+            bpe_token_count(F.col("text")).alias("nb"),
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame(rows, columns=["doc_id", "text"]))
+    want = {
+        r[0]: (r[1], r[2])
+        for r in con.execute(
+            f"SELECT doc_id, {TSQL.token_count('text')} AS n, "
+            f"{TSQL.bpe_token_count('text')} AS nb FROM documents"
+        ).fetchall()
+    }
     assert got == want

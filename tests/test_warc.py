@@ -52,6 +52,56 @@ def test_warc_truncated_and_garbage():
     assert parse_warc(b"not a warc") == []
 
 
+def test_chunked_transfer_encoding_dechunked():
+    """Crawl archives store the raw on-the-wire message: chunk-size
+    framing must not leak into the HTML engine as text."""
+    body = b"5\r\n<p>he\r\n9\r\nllo</p>!!\r\n0\r\n\r\n"
+    http = (
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+        b"Transfer-Encoding: chunked\r\n\r\n" + body
+    )
+    rec = (
+        b"WARC/1.0\r\nWARC-Type: response\r\n"
+        b"WARC-Target-URI: https://x.example/\r\n"
+        b"Content-Type: application/http; msgtype=response\r\n"
+        + f"Content-Length: {len(http)}\r\n\r\n".encode()
+        + http
+        + b"\r\n\r\n"
+    )
+    recs = parse_warc(rec)
+    assert len(recs) == 1
+    assert recs[0].payload == b"<p>hello</p>!!"
+
+
+def test_dechunk_fault_tolerance():
+    from hquery_php_spark.sources.warc import _dechunk
+
+    # not chunked framing at all → unchanged
+    assert _dechunk(b"<p>plain</p>") == b"<p>plain</p>"
+    # chunk extensions are dropped; truncated tail keeps decoded prefix
+    assert _dechunk(b"4;ext=1\r\nabcd\r\n0\r\n\r\n") == b"abcd"
+    assert _dechunk(b"4\r\nabcd\r\nZZZ") == b"abcd"
+
+
+def test_folded_continuation_headers():
+    """obs-fold continuation lines join onto the previous header."""
+    http = (
+        b"HTTP/1.1 200 OK\r\n"
+        b"Content-Type: text/html;\r\n charset=ISO-8859-2\r\n"
+        b"Content-Length: 3\r\n\r\nabc"
+    )
+    rec = (
+        b"WARC/1.0\r\nWARC-Type: response\r\n"
+        b"WARC-Target-URI: https://f.example/\r\n"
+        + f"Content-Length: {len(http)}\r\n\r\n".encode()
+        + http
+        + b"\r\n\r\n"
+    )
+    recs = parse_warc(rec)
+    assert recs[0].http_content_type == "text/html; charset=ISO-8859-2"
+    assert recs[0].payload == b"abc"
+
+
 def test_read_warc_files_spark(tmp_path):
     pytest.importorskip("pyspark")
     from pyspark.sql import SparkSession
