@@ -791,29 +791,78 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_meta_df(_png_payloads(spark, sf_dir))
 
 
-def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Decode→embed plumbing with the stubbed codec (rows-only: the fake
-    feature values are engine-specific by design).  The array<float>
-    embedding is digested to md5(to_json(...)) so every column is
-    harness-hashable; dim/l2 prove the vector shape survived the batch
-    boundary."""
-    from hquery_php_spark.operators.multimodal import image_features_df
+# RGBA pixel template for the synthesized full PNGs — every pixel derives
+# from (x, y, doc_id), so the decoded statistics invert to closed-form SQL
+_PX_R = "(3*X + 5*Y + {d}) % 256"
+_PX_G = "(7*X + 11*Y + 2*{d}) % 256"
+_PX_B = "(13*X + 17*Y + 3*{d}) % 256"
 
-    feats = image_features_df(_png_payloads(spark, sf_dir), dim=16)
-    return feats.select(
+
+def _png_full_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMPLETE deterministic PNGs (signature/IHDR/IDAT/IEND, valid
+    CRCs, zlib-compressed pixel data): w,h and every RGBA pixel derive
+    from doc_id via the _PX_* template; the scanline filter cycles
+    0,1,2,3,4 by row so decoding exercises every unfilter path."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import BinaryType, StringType, StructField, StructType
+
+    from hquery_php_spark.operators.multimodal import encode_png
+
+    d = _spread(_docs(spark, sf_dir), spark).select(
+        F.col("doc_id").cast("long").alias("did")
+    )
+    schema = StructType(
+        [StructField("media_id", StringType()), StructField("payload", BinaryType())]
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            out = {"media_id": [], "payload": []}
+            for did in pdf["did"]:
+                did = int(did)
+                w, h = 16 + did % 64, 16 + did % 48
+                y, x = np.mgrid[0:h, 0:w]
+                px = np.stack(
+                    [
+                        (3 * x + 5 * y + did) % 256,
+                        (7 * x + 11 * y + 2 * did) % 256,
+                        (13 * x + 17 * y + 3 * did) % 256,
+                        np.full((h, w), 255),
+                    ],
+                    axis=-1,
+                ).astype(np.uint8)
+                out["media_id"].append(str(did))
+                out["payload"].append(encode_png(px, row_filter=lambda yy: yy % 5))
+            yield pd.DataFrame(out)
+
+    return d.mapInPandas(gen, schema)
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image features end-to-end: full PNGs are synthesized
+    (encode), then decoded by the stdlib codec (zlib inflate + per-spec
+    unfiltering, all five scanline filters exercised) and reduced to
+    exact per-channel pixel sums + dimensions.  The template inversion
+    gives a closed-form SQL oracle, so this is value-checked — no more
+    stub-codec rows-only row.  Means derive from the sums JVM-side
+    (identical rounding semantics in both engines)."""
+    from hquery_php_spark.operators.multimodal import image_pixel_stats_df
+
+    stats = image_pixel_stats_df(_png_full_payloads(spark, sf_dir), allow_stub=False)
+    npx = F.col("n_px").cast("double")
+    return stats.select(
         "media_id",
-        F.size("embedding").alias("dim"),
-        F.md5(F.to_json(F.col("embedding"))).alias("emb_md5"),
-        F.round(
-            F.sqrt(
-                F.aggregate(
-                    "embedding",
-                    F.lit(0.0),
-                    lambda acc, x: acc + x.cast("double") * x.cast("double"),
-                )
-            ),
-            4,
-        ).alias("l2_norm"),
+        "width",
+        "height",
+        "n_px",
+        "sum_r",
+        "sum_g",
+        "sum_b",
+        "sum_a",
+        F.round(F.col("sum_r") / npx, 4).alias("mean_r"),
+        F.round(F.col("sum_g") / npx, 4).alias("mean_g"),
+        F.round(F.col("sum_b") / npx, 4).alias("mean_b"),
     )
 
 
@@ -1299,6 +1348,29 @@ def oracle_sql() -> dict[str, str]:
                    CAST(16 + doc_id % 48 AS INTEGER) AS height,
                    29 AS n_bytes
             FROM documents
+        """,
+        # template inversion of _png_full_payloads: the decoded pixel sums
+        # equal the sums of the generating formula over the (x, y) grid
+        "multimodal_features": f"""
+            SELECT media_id, width, height, n_px, sum_r, sum_g, sum_b, sum_a,
+                   round(CAST(sum_r AS DOUBLE) / n_px, 4) AS mean_r,
+                   round(CAST(sum_g AS DOUBLE) / n_px, 4) AS mean_g,
+                   round(CAST(sum_b AS DOUBLE) / n_px, 4) AS mean_b
+            FROM (
+              SELECT CAST(doc_id AS VARCHAR) AS media_id,
+                     CAST(w AS INTEGER) AS width,
+                     CAST(h AS INTEGER) AS height,
+                     CAST(w * h AS INTEGER) AS n_px,
+                     CAST(list_sum([{_PX_R.format(d="doc_id").replace("X", "(i % w)").replace("Y", "(i // w)")}
+                                    for i in range(0, w * h)]) AS BIGINT) AS sum_r,
+                     CAST(list_sum([{_PX_G.format(d="doc_id").replace("X", "(i % w)").replace("Y", "(i // w)")}
+                                    for i in range(0, w * h)]) AS BIGINT) AS sum_g,
+                     CAST(list_sum([{_PX_B.format(d="doc_id").replace("X", "(i % w)").replace("Y", "(i // w)")}
+                                    for i in range(0, w * h)]) AS BIGINT) AS sum_b,
+                     CAST(255 * w * h AS BIGINT) AS sum_a
+              FROM (SELECT doc_id, 16 + doc_id % 64 AS w, 16 + doc_id % 48 AS h
+                    FROM documents)
+            )
         """,
         "embed_near_dup_exact": """
             WITH e AS (

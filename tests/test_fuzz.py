@@ -379,6 +379,38 @@ def test_portable_winnow_cross_engine_fuzz(spark, texts):
     assert got == want
 
 
+@settings(max_examples=40, deadline=None)
+@given(
+    w=st.integers(1, 13),
+    h=st.integers(1, 9),
+    ch=st.sampled_from([1, 2, 3, 4]),
+    seed=st.integers(0, 2**31 - 1),
+    filt_mode=st.sampled_from(["cycle", "zero", "sub", "up", "avg", "paeth"]),
+)
+def test_png_codec_roundtrip_property(w, h, ch, seed, filt_mode):
+    """encode_png → decode_png is pixel-exact for every size, channel
+    count, and scanline filter type (incl. Paeth chains)."""
+    import numpy as np
+
+    from hquery_php_spark.operators.multimodal import decode_png, encode_png
+
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 256, size=(h, w, ch), dtype=np.uint8)
+    filters = {
+        "cycle": lambda y: y % 5,
+        "zero": lambda y: 0,
+        "sub": lambda y: 1,
+        "up": lambda y: 2,
+        "avg": lambda y: 3,
+        "paeth": lambda y: 4,
+    }
+    out = decode_png(encode_png(px, row_filter=filters[filt_mode]))
+    assert out is not None
+    dw, dh, dch, dpx = out
+    assert (dw, dh, dch) == (w, h, ch)
+    assert dpx.tolist() == px.tolist()
+
+
 @settings(max_examples=10, deadline=None)
 @given(texts=_texts)
 def test_bpe_and_tokens_cross_engine_fuzz(spark, texts):

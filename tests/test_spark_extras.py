@@ -81,6 +81,88 @@ def test_image_meta_and_features(spark):
         image_features_df(df, allow_stub=False)
 
 
+def test_png_decode_rejects():
+    import numpy as np
+
+    from hquery_php_spark.operators.multimodal import decode_png, encode_png
+
+    px = np.arange(4 * 3 * 4, dtype=np.uint8).reshape(3, 4, 4)
+    good = encode_png(px)
+    assert decode_png(good)[3].tolist() == px.tolist()
+    # corrupt a CRC byte → reject (None), never garbage pixels
+    bad = bytearray(good)
+    bad[-5] ^= 0xFF  # inside IEND CRC
+    assert decode_png(bytes(bad)) is None
+    # flip a bit inside IDAT data → CRC catches it
+    idat_at = good.index(b"IDAT")
+    bad2 = bytearray(good)
+    bad2[idat_at + 6] ^= 0x01
+    assert decode_png(bytes(bad2)) is None
+    # truncation and non-PNG input
+    assert decode_png(good[:20]) is None
+    assert decode_png(b"not a png") is None
+    assert decode_png(None) is None
+
+
+def test_png_palette_decode():
+    import struct as _s
+    import zlib as _z
+
+    import numpy as np
+
+    from hquery_php_spark.operators.multimodal import decode_png
+
+    # hand-built 2x2 paletted PNG: indices [[0,1],[1,0]]
+    def chunk(t, d):
+        return _s.pack(">I", len(d)) + t + d + _s.pack(">I", _z.crc32(t + d))
+
+    sig = b"\x89PNG\r\n\x1a\n"
+    ihdr = chunk(b"IHDR", _s.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0))
+    plte = chunk(b"PLTE", bytes([255, 0, 0, 0, 0, 255]))  # red, blue
+    raw = b"\x00" + bytes([0, 1]) + b"\x00" + bytes([1, 0])
+    idat = chunk(b"IDAT", _z.compress(raw))
+    png = sig + ihdr + plte + idat + chunk(b"IEND", b"")
+    w, h, ch, px = decode_png(png)
+    assert (w, h, ch) == (2, 2, 3)
+    assert px.tolist() == [
+        [[255, 0, 0], [0, 0, 255]],
+        [[0, 0, 255], [255, 0, 0]],
+    ]
+    assert np.asarray(px).dtype == np.uint8
+
+
+def test_image_pixel_stats_df(spark):
+    import numpy as np
+
+    from hquery_php_spark.operators.multimodal import (
+        encode_png,
+        image_pixel_stats_df,
+    )
+
+    rng = np.random.default_rng(7)
+    px_a = rng.integers(0, 256, size=(9, 11, 4), dtype=np.uint8)
+    px_b = rng.integers(0, 256, size=(5, 6, 1), dtype=np.uint8)  # grayscale
+    rows = [
+        ("a", encode_png(px_a, row_filter=lambda y: y % 5)),
+        ("b", encode_png(px_b)),
+        ("j", b"\xff\xd8\xffnot-a-png"),
+    ]
+    df = spark.createDataFrame(rows, ["media_id", "payload"])
+    got = {r["media_id"]: r for r in image_pixel_stats_df(df).collect()}
+    assert (got["a"]["width"], got["a"]["height"], got["a"]["n_px"]) == (11, 9, 99)
+    assert got["a"]["sum_r"] == int(px_a[:, :, 0].sum())
+    assert got["a"]["sum_g"] == int(px_a[:, :, 1].sum())
+    assert got["a"]["sum_b"] == int(px_a[:, :, 2].sum())
+    assert got["a"]["sum_a"] == int(px_a[:, :, 3].sum())
+    # grayscale promotes to r=g=b, opaque alpha
+    assert got["b"]["sum_r"] == got["b"]["sum_g"] == int(px_b.sum())
+    assert got["b"]["sum_a"] == 255 * 30
+    # undecodable payload: NULL stats under allow_stub, raises without
+    assert got["j"]["width"] is None and got["j"]["sum_r"] is None
+    with pytest.raises(Exception, match="codec"):
+        image_pixel_stats_df(df, allow_stub=False).collect()
+
+
 def test_compile_selector_fails_fast():
     with pytest.raises(SelectorError):
         compile_selector("div )p(")
