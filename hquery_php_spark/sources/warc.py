@@ -16,10 +16,11 @@ Pure-python WARC/1.x parsing (no warcio in this container):
   handled by a ``zlib`` loop over ``unused_data``.
 
 Spark surface: ``read_warc_files`` = binaryFile scan → one
-``mapInPandas`` crossing that explodes each archive into records —
-archives parallelize per file; for giant single archives, split
-upstream (the per-record gzip layout exists precisely so archives can
-be range-split; this reader takes whole members).
+``mapInPandas`` crossing that explodes each archive into records
+(parallelism = one task per archive); ``read_warc_files_split`` =
+streaming offset-index pass over gzip-member / record boundaries →
+(archive, offset, length) slice table → distributed range fetch+parse,
+so a single giant archive fans out instead of serializing to one task.
 """
 
 from __future__ import annotations
@@ -27,7 +28,14 @@ from __future__ import annotations
 import zlib
 from typing import Iterator, List, NamedTuple, Optional, Tuple
 
-__all__ = ["WarcRecord", "gunzip_members", "parse_warc", "read_warc_files"]
+__all__ = [
+    "WarcRecord",
+    "gunzip_members",
+    "parse_warc",
+    "read_warc_files",
+    "index_warc_slices",
+    "read_warc_files_split",
+]
 
 _CRLF = b"\r\n"
 
@@ -229,14 +237,136 @@ def make_warc(
     return b"".join(out)
 
 
-def read_warc_files(spark, glob_path: str):
-    """binaryFile scan of WARC archives → one row per response record:
-    (archive, url, warc_date, http_status, content_type, payload,
-    charset) — charset sniffed from the HTTP headers + payload bytes by
-    the engine's own detector, the same handoff the reference makes from
-    its HTTP client into hQuery (hQuery.php:190-205)."""
-    import pandas as pd
-    from pyspark.sql import functions as F
+# ------------------------------------------------------------------ #
+# Range-splitting: one giant .warc.gz must not serialize to one task.
+# The standard one-gzip-member-per-record layout exists precisely so
+# archives can be split at member boundaries; an offset-index pass
+# (streaming, O(chunk) memory) emits (archive, offset, length) slices,
+# and the expensive parse/extract work then distributes per slice.
+
+
+def _gzip_member_spans(f, chunk_size: int = 1 << 20) -> Iterator[Tuple[int, int]]:
+    """Stream a .warc.gz file object and yield (offset, length) of each
+    gzip member — bounded memory: decompressed output is produced in
+    64 KiB bites and discarded; only boundary arithmetic is kept.
+    A truncated final member is dropped (resumable-crawl semantics)."""
+    abs_off = 0
+    pending = b""
+    while True:
+        if not pending:
+            pending = f.read(chunk_size)
+            if not pending:
+                return
+        if pending[:2] != b"\x1f\x8b":
+            return  # trailing garbage — stop at the last clean boundary
+        d = zlib.decompressobj(16 + zlib.MAX_WBITS)
+        fed = 0
+        truncated = False
+        while not d.eof:
+            if not pending:
+                pending = f.read(chunk_size)
+                if not pending:
+                    truncated = True
+                    break
+            buf = pending
+            pending = b""
+            fed += len(buf)
+            d.decompress(buf, 1 << 16)
+            while d.unconsumed_tail and not d.eof:
+                d.decompress(d.unconsumed_tail, 1 << 16)
+        if truncated:
+            return
+        fed -= len(d.unused_data)
+        pending = d.unused_data
+        yield (abs_off, fed)
+        abs_off += fed
+
+
+def _plain_record_spans(f) -> Iterator[Tuple[int, int]]:
+    """Record-boundary spans of an UNcompressed WARC: walk the header
+    blocks (readline) and seek over each Content-Length payload —
+    no payload bytes are ever materialized."""
+    while True:
+        start = f.tell()
+        line = f.readline()
+        while line in (b"\r\n", b"\n"):
+            start = f.tell()
+            line = f.readline()
+        if not line or not line.startswith(b"WARC/"):
+            return
+        clen = None
+        while True:
+            hl = f.readline()
+            if not hl or hl in (b"\r\n", b"\n"):
+                break
+            if hl.lower().startswith(b"content-length:"):
+                try:
+                    clen = int(hl.split(b":", 1)[1])
+                except ValueError:
+                    return
+        if clen is None:
+            return
+        f.seek(clen, 1)
+        # consume the record-terminating CRLFs (spec: two)
+        while True:
+            probe = f.read(2)
+            if probe != _CRLF:
+                f.seek(-len(probe), 1)
+                break
+        yield (start, f.tell() - start)
+
+
+def _local_path(path: str) -> str:
+    if path.startswith("file:"):
+        path = path[5:]
+        while path.startswith("//"):
+            path = path[1:]
+    return path
+
+
+def index_warc_slices(path: str, target_slice_bytes: int = 4 << 20) -> List[Tuple[int, int, int]]:
+    """(offset, length, n_members) slices of one archive: consecutive
+    record/member spans greedily packed up to ``target_slice_bytes``.
+    Every slice starts on a record boundary by construction, so slices
+    parse independently.  Degrades gracefully: an archive gzipped as a
+    single member yields one whole-file slice."""
+    slices: List[Tuple[int, int, int]] = []
+    with open(_local_path(path), "rb") as f:
+        head = f.read(2)
+        f.seek(0)
+        spans = _gzip_member_spans(f) if head == b"\x1f\x8b" else _plain_record_spans(f)
+        cur_off = cur_len = cur_n = 0
+        for off, ln in spans:
+            if cur_n and cur_len + ln > target_slice_bytes:
+                slices.append((cur_off, cur_len, cur_n))
+                cur_off, cur_len, cur_n = off, 0, 0
+            if cur_n == 0:
+                cur_off = off
+            cur_len += ln
+            cur_n += 1
+        if cur_n:
+            slices.append((cur_off, cur_len, cur_n))
+    return slices
+
+
+def _response_rows(path: str, data: bytes, out: dict, detect_charset) -> None:
+    """Shared record→row conversion for both WARC readers."""
+    for r in parse_warc(data):
+        if r.warc_type != "response":
+            continue
+        headers = (
+            {"content-type": r.http_content_type} if r.http_content_type else None
+        )
+        out["archive"].append(path)
+        out["url"].append(r.target_uri)
+        out["warc_date"].append(r.warc_date)
+        out["http_status"].append(r.http_status)
+        out["content_type"].append(r.http_content_type)
+        out["payload"].append(r.payload)
+        out["charset"].append(detect_charset(r.payload, headers))
+
+
+def _record_schema():
     from pyspark.sql.types import (
         BinaryType,
         IntegerType,
@@ -245,9 +375,7 @@ def read_warc_files(spark, glob_path: str):
         StructType,
     )
 
-    from ..core.charset import detect_charset
-
-    schema = StructType(
+    return StructType(
         [
             StructField("archive", StringType()),
             StructField("url", StringType()),
@@ -258,6 +386,100 @@ def read_warc_files(spark, glob_path: str):
             StructField("charset", StringType()),
         ]
     )
+
+
+def read_warc_files_split(
+    spark,
+    paths,
+    target_slice_bytes: int = 4 << 20,
+):
+    """Range-split WARC reader: index pass (cheap, streaming, one task
+    per archive) → explode to (archive, offset, length) slices →
+    repartition → fetch+parse per slice.  One 1 GB archive becomes
+    ~256 independent 4 MB parse tasks instead of a single straggler;
+    the heavy work (record parse, charset detection, downstream HTML
+    extraction) is what distributes.
+
+    ``paths``: a glob string or explicit list of archive paths (local /
+    file: URIs in this sandbox; swap ``open`` for the object-store
+    client range-GET on a real cluster — the slice schema is the same).
+    """
+    import glob as _glob
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import (
+        IntegerType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from ..core.charset import detect_charset
+
+    if isinstance(paths, str):
+        paths = sorted(_glob.glob(_local_path(paths)))
+    pdf_paths = spark.createDataFrame([(p,) for p in paths], "path string")
+
+    idx_schema = StructType(
+        [
+            StructField("archive", StringType()),
+            StructField("offset", LongType()),
+            StructField("length", LongType()),
+            StructField("n_members", IntegerType()),
+        ]
+    )
+
+    def index(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in idx_schema.fieldNames()}
+            for p in pdf["path"]:
+                for off, ln, n in index_warc_slices(p, target_slice_bytes):
+                    out["archive"].append(p)
+                    out["offset"].append(off)
+                    out["length"].append(ln)
+                    out["n_members"].append(n)
+            yield pd.DataFrame(out)
+
+    n_parts = spark.sparkContext.defaultParallelism
+    slices = (
+        pdf_paths.repartition(min(n_parts, max(1, len(paths))))
+        .mapInPandas(index, idx_schema)
+        .repartition(n_parts)
+    )
+
+    schema = _record_schema()
+
+    def fetch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in schema.fieldNames()}
+            for p, off, ln in zip(pdf["archive"], pdf["offset"], pdf["length"]):
+                with open(_local_path(p), "rb") as f:
+                    f.seek(int(off))
+                    data = f.read(int(ln))
+                _response_rows(p, data, out, detect_charset)
+            yield pd.DataFrame(out)
+
+    return slices.mapInPandas(fetch, schema)
+
+
+def read_warc_files(spark, glob_path: str):
+    """binaryFile scan of WARC archives → one row per response record:
+    (archive, url, warc_date, http_status, content_type, payload,
+    charset) — charset sniffed from the HTTP headers + payload bytes by
+    the engine's own detector, the same handoff the reference makes from
+    its HTTP client into hQuery (hQuery.php:190-205).
+
+    Parallelizes per archive file (whole-file tasks); for archives big
+    enough that one file = one straggler, use ``read_warc_files_split``,
+    which range-splits at record/member boundaries."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from ..core.charset import detect_charset
+
+    schema = _record_schema()
     raw = (
         spark.read.format("binaryFile")
         .load(glob_path)
@@ -268,21 +490,7 @@ def read_warc_files(spark, glob_path: str):
         for pdf in batches:
             out = {k: [] for k in schema.fieldNames()}
             for path, content in zip(pdf["archive"], pdf["content"]):
-                for r in parse_warc(bytes(content)):
-                    if r.warc_type != "response":
-                        continue
-                    headers = (
-                        {"content-type": r.http_content_type}
-                        if r.http_content_type
-                        else None
-                    )
-                    out["archive"].append(path)
-                    out["url"].append(r.target_uri)
-                    out["warc_date"].append(r.warc_date)
-                    out["http_status"].append(r.http_status)
-                    out["content_type"].append(r.http_content_type)
-                    out["payload"].append(r.payload)
-                    out["charset"].append(detect_charset(r.payload, headers))
+                _response_rows(path, bytes(content), out, detect_charset)
             yield pd.DataFrame(out)
 
     return raw.mapInPandas(run, schema)

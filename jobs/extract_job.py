@@ -36,6 +36,14 @@ def main() -> None:
         "responses become documents (url→doc_id, HTTP headers feed "
         "charset detection)",
     )
+    ap.add_argument(
+        "--warc-slice-bytes",
+        type=int,
+        default=0,
+        help="with --input-format warc: range-split archives into slices "
+        "of ~this many compressed bytes (0 = whole-file tasks); a giant "
+        "single .warc.gz then fans out instead of serializing to one task",
+    )
     ap.add_argument("--partitions", type=int, default=0)
     ap.add_argument("--tail-bytes", type=int, default=4 << 20)
     ap.add_argument("--doc-id-col", default="doc_id")
@@ -56,10 +64,19 @@ def main() -> None:
 
     headers_col = None
     if args.input_format == "warc":
-        from hquery_php_spark.sources.warc import read_warc_files
+        from hquery_php_spark.sources.warc import (
+            read_warc_files,
+            read_warc_files_split,
+        )
 
+        if args.warc_slice_bytes > 0:
+            recs = read_warc_files_split(
+                spark, args.input, target_slice_bytes=args.warc_slice_bytes
+            )
+        else:
+            recs = read_warc_files(spark, args.input)
         docs = (
-            read_warc_files(spark, args.input)
+            recs
             .where(
                 (F.col("http_status") == 200)
                 & F.col("content_type").startswith("text/html")

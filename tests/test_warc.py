@@ -153,9 +153,104 @@ def test_read_warc_files_spark(tmp_path):
     assert "privét" in " ".join(texts)
 
 
-def test_extract_job_warc_input(tmp_path, monkeypatch):
+def test_gzip_member_spans_streaming(tmp_path):
+    """Offset index finds every member boundary without holding the
+    archive (or its decompressed form) in memory."""
+    import gzip
+
+    from hquery_php_spark.sources.warc import _gzip_member_spans
+
+    parts = [gzip.compress(bytes([i]) * (100 + i * 37)) for i in range(9)]
+    data = b"".join(parts)
+    p = tmp_path / "m.gz"
+    p.write_bytes(data)
+    with open(p, "rb") as f:
+        spans = list(_gzip_member_spans(f, chunk_size=64))  # tiny chunks
+    # spans tile the file exactly, in order
+    assert spans[0][0] == 0
+    assert sum(ln for _, ln in spans) == len(data)
+    assert [ln for _, ln in spans] == [len(x) for x in parts]
+    # every span decompresses standalone to the right payload
+    for i, (off, ln) in enumerate(spans):
+        assert gzip.decompress(data[off : off + ln]) == bytes([i]) * (100 + i * 37)
+    # truncated final member is dropped, clean prefix kept
+    p2 = tmp_path / "t.gz"
+    p2.write_bytes(data[:-10])  # cuts into the last member only
+    with open(p2, "rb") as f:
+        assert len(list(_gzip_member_spans(f, chunk_size=64))) == len(parts) - 1
+
+
+@pytest.mark.parametrize("gz", [False, True])
+def test_index_warc_slices_boundaries(tmp_path, gz):
+    from hquery_php_spark.sources.warc import index_warc_slices
+
+    many = [
+        (f"https://s.example/{i}", 200, "text/html", f"<p>doc {i}</p>".encode() * 20)
+        for i in range(40)
+    ]
+    p = tmp_path / ("x.warc.gz" if gz else "x.warc")
+    p.write_bytes(make_warc(many, gzip_members=gz))
+    slices = index_warc_slices(str(p), target_slice_bytes=600)
+    assert len(slices) > 1  # actually split
+    # slices are contiguous and tile the indexable region
+    for (o1, l1, _), (o2, _, _) in zip(slices, slices[1:]):
+        assert o1 + l1 == o2
+    # each slice parses standalone; union of records == whole-archive parse
+    data = p.read_bytes()
+    got = []
+    for off, ln, n in slices:
+        recs = parse_warc(data[off : off + ln])
+        assert len(recs) == n
+        got.extend(r.target_uri for r in recs if r.warc_type == "response")
+    assert got == [u for u, _, _, _ in many]
+
+
+def test_read_warc_files_split_spark(tmp_path):
+    """One multi-record .warc.gz parsed across >1 partition with
+    records identical to the whole-file reader."""
+    pytest.importorskip("pyspark")
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    spark = (
+        SparkSession.builder.master("local[4]")
+        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from hquery_php_spark.sources.warc import (
+        read_warc_files,
+        read_warc_files_split,
+    )
+
+    many = [
+        (f"https://s.example/{i}", 200, "text/html", f"<p>doc {i}</p>".encode() * 30)
+        for i in range(60)
+    ]
+    d = tmp_path / "crawl"
+    os.makedirs(d)
+    (d / "big.warc.gz").write_bytes(make_warc(many, gzip_members=True))
+
+    split = read_warc_files_split(
+        spark, str(d) + "/*.warc.gz", target_slice_bytes=1000
+    ).withColumn("pid", F.spark_partition_id())
+    rows = split.collect()
+    n_parts_used = len({r.pid for r in rows})
+    assert n_parts_used > 1, "single archive must fan out across partitions"
+
+    whole = read_warc_files(spark, str(d) + "/*").collect()
+    key = lambda r: (r.url, r.http_status, bytes(r.payload))  # noqa: E731
+    assert sorted(key(r) for r in rows) == sorted(key(r) for r in whole)
+    assert len(rows) == len(many)
+
+
+@pytest.mark.parametrize("slice_bytes", [0, 400])
+def test_extract_job_warc_input(tmp_path, monkeypatch, slice_bytes):
     """jobs/extract_job.py --input-format warc: crawl archives straight
-    to the span table through the packaged job (in-process main())."""
+    to the span table through the packaged job (in-process main()),
+    with and without range-splitting."""
     pytest.importorskip("pyspark")
     import sys
 
@@ -171,7 +266,10 @@ def test_extract_job_warc_input(tmp_path, monkeypatch):
 
     d = tmp_path / "crawl"
     os.makedirs(d)
-    (d / "a.warc").write_bytes(make_warc(RESPONSES))
+    suffix = ".warc.gz" if slice_bytes else ".warc"
+    (d / f"a{suffix}").write_bytes(
+        make_warc(RESPONSES, gzip_members=bool(slice_bytes))
+    )
     out = str(tmp_path / "spans")
 
     sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "jobs"))
@@ -186,6 +284,7 @@ def test_extract_job_warc_input(tmp_path, monkeypatch):
             "extract_job.py",
             "--input", str(d) + "/*",
             "--input-format", "warc",
+            "--warc-slice-bytes", str(slice_bytes),
             "--output", out,
             "--partitions", "2",
         ],
