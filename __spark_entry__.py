@@ -469,7 +469,21 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # persist_shingles: without it the plan contains two identical
     # scan→semi-join→shingle subtrees (one per join side) — a double
     # corpus scan at 100 TB.
-    return ngram_jaccard_verify(d, cands, k=8, threshold=0.6, persist_shingles=True)
+    reg: list = []
+    out = ngram_jaccard_verify(
+        d, cands, k=8, threshold=0.6, persist_shingles=True, persist_registry=reg
+    )
+    # Materialize the verified pairs — the SMALL end of the probe→verify
+    # funnel (LSH-pruned, threshold-filtered) — then release every cached
+    # intermediate deterministically: without this, each invocation in a
+    # long-lived session leaks its shingle/candidate caches.  A scale
+    # deployment writes `out` to a table and unpersists the registry; the
+    # harness equivalent of that sink is this driver materialization.
+    rows = out.collect()
+    cands.unpersist()
+    for cached in reg:
+        cached.unpersist()
+    return spark.createDataFrame(rows, out.schema)
 
 
 def q_text_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -219,6 +219,7 @@ def ngram_jaccard_verify(
     k: int = 5,
     threshold: float = 0.8,
     persist_shingles: bool = False,
+    persist_registry: Optional[list] = None,
 ) -> DataFrame:
     """Exact char-k-gram Jaccard on candidate pairs only (verify stage).
 
@@ -227,7 +228,10 @@ def ngram_jaccard_verify(
     before the expensive shingle projection, so the verify stage is
     O(candidates) whatever the corpus size.  ``persist_shingles``
     additionally caches that pruned table so the id_a and id_b join sides
-    share one computation."""
+    share one computation — pass ``persist_registry`` (a list) to
+    receive every DataFrame this function persists, and unpersist them
+    once the verify output is materialized (a long-lived session would
+    otherwise accumulate shingle caches across invocations)."""
     ids_needed = (
         candidates.select(F.col("id_a").alias("id"))
         .unionByName(candidates.select(F.col("id_b").alias("id")))
@@ -243,6 +247,8 @@ def ngram_jaccard_verify(
     )
     if persist_shingles:
         sh = sh.persist()
+        if persist_registry is not None:
+            persist_registry.append(sh)
     j = (
         # candidate pairs are tiny vs the corpus — broadcast them so the
         # shingle table is scanned once per side with no shuffle.
@@ -377,16 +383,34 @@ def embedding_near_dup(
     df: DataFrame,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
-    n_planes: int = 12,
+    n_planes: Optional[int] = None,
     threshold: float = 0.95,
     portable: bool = False,
+    bands: int = 1,
+    n_vectors: Optional[int] = None,
 ) -> DataFrame:
     """Near-duplicate vectors: sign-LSH bucket (n_planes pseudo-random
     hyperplanes derived from seeded per-dimension hashes) then exact
     cosine within buckets — avoids the n² cross join.  With ``portable``
     the bucket family is the engine-neutral affine one (SQL twin via
-    similarity.portable_bucket_sql)."""
-    from .similarity import bucket_of
+    similarity.portable_bucket_sql).
+
+    ``n_planes=None`` auto-sizes to the corpus: p ≈ log2(n/occupancy)
+    (see ``similarity.auto_n_planes`` for the occupancy bound — a fixed
+    plane count leaves within-bucket joins at n²/2^p, which explodes as
+    n grows).  Pass ``n_vectors`` to skip the sizing count() scan.
+
+    ``bands`` > 1 amplifies recall the MinHash-LSH way: B independent
+    plane families of n_planes each; a pair is a candidate when it
+    collides in ANY band (recall 1−(1−s^p)^B vs the single table's s^p,
+    s = 1−θ/π), then exact cosine verifies candidates only.  More
+    planes per band ⇒ fewer false candidates; more bands ⇒ higher
+    recall: scale p with the corpus, recover recall with B."""
+    from .similarity import auto_n_planes, bucket_of
+
+    if n_planes is None:
+        n = n_vectors if n_vectors is not None else df.count()
+        n_planes = auto_n_planes(n)
 
     # Pre-normalize ONCE per vector (n rows), so the per-PAIR work inside
     # the bucket join is a single dot product instead of dot + two norms:
@@ -395,36 +419,77 @@ def embedding_near_dup(
     # norm is materialized as its own column first: referencing it inline
     # inside the transform lambda would recompute the aggregate per
     # element (no CSE inside HOF lambdas).
-    b = (
+    nv = (
         df.select(
             F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
         )
-        .withColumn("bucket", bucket_of(F.col("v"), n_planes, portable=portable))
         .withColumn(
             "__norm", F.sqrt(F.aggregate("v", F.lit(0.0), lambda a, x: a + x * x))
         )
         .withColumn("nv", F.transform("v", lambda x: x / F.col("__norm")))
-        .select("id", "bucket", "nv")
+        .select("id", "v", "nv")
     )
-    x = b.alias("x")
-    y = b.alias("y")
     dot = F.aggregate(
         F.zip_with(F.col("x.nv"), F.col("y.nv"), lambda p, q: p * q),
         F.lit(0.0),
         lambda acc, t: acc + t,
     )
-    return (
+    if bands <= 1:
+        b = nv.withColumn(
+            "bucket", bucket_of(F.col("v"), n_planes, portable=portable)
+        ).select("id", "bucket", "nv")
+        x, y = b.alias("x"), b.alias("y")
+        return (
+            x.join(
+                y,
+                (F.col("x.bucket") == F.col("y.bucket"))
+                & (F.col("x.id") < F.col("y.id")),
+            )
+            .withColumn("cos", dot)
+            .where(F.col("cos") >= threshold)
+            .select(
+                F.col("x.id").alias("id_a"),
+                F.col("y.id").alias("id_b"),
+                F.round("cos", 6).alias("cos"),
+            )
+        )
+    # banded: candidates from ANY-band collisions (ids only — no vector
+    # payload in the exploded/shuffled table), dedup, then verify once
+    buckets = nv.select(
+        "id",
+        F.posexplode(
+            F.array(
+                *[
+                    bucket_of(F.col("v"), n_planes, portable=portable, band=b)
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "bucket"),
+    )
+    x, y = buckets.alias("x"), buckets.alias("y")
+    cand = (
         x.join(
             y,
-            (F.col("x.bucket") == F.col("y.bucket")) & (F.col("x.id") < F.col("y.id")),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bucket") == F.col("y.bucket"))
+            & (F.col("x.id") < F.col("y.id")),
         )
-        .withColumn("cos", dot)
+        .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+        .distinct()
+    )
+    va = nv.select(F.col("id").alias("id_a"), F.col("nv").alias("__nva"))
+    vb = nv.select(F.col("id").alias("id_b"), F.col("nv").alias("__nvb"))
+    pair_dot = F.aggregate(
+        F.zip_with(F.col("__nva"), F.col("__nvb"), lambda p, q: p * q),
+        F.lit(0.0),
+        lambda acc, t: acc + t,
+    )
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn("cos", pair_dot)
         .where(F.col("cos") >= threshold)
-        .select(
-            F.col("x.id").alias("id_a"),
-            F.col("y.id").alias("id_b"),
-            F.round("cos", 6).alias("cos"),
-        )
+        .select("id_a", "id_b", F.round("cos", 6).alias("cos"))
     )
 
 
@@ -655,6 +720,7 @@ def connected_components(
     dst: str = "id_b",
     max_iter: int = 25,
     pointer_jump: bool = True,
+    checkpoint_dir: Optional[str] = None,
 ) -> DataFrame:
     """(id, cluster_id) — connected components of the undirected near-dup
     pair graph: each round every node takes the minimum label among
@@ -669,7 +735,18 @@ def connected_components(
     actually produce; the l(l(u)) jump doubles the reach per round so
     convergence is O(log n) (a 512-chain closes in ~7 rounds, not 511).
     Driver only orchestrates (no .collect of data) — the per-round
-    convergence probe is a limit(1).count() on the changed set."""
+    convergence probe is a limit(1).count() on the changed set.
+
+    ``checkpoint_dir``: when given, per-round labels are RELIABLY
+    checkpointed there (HDFS/object-store path on a real cluster)
+    instead of ``localCheckpoint``-ed.  localCheckpoint blocks live on
+    executors only — losing one executor mid-iteration kills the whole
+    job at 100 TB rather than recomputing; a reliable checkpoint
+    survives executor loss.  Default stays localCheckpoint (no-setup,
+    right for local mode / short-lived jobs)."""
+    reliable = checkpoint_dir is not None
+    if reliable:
+        edges.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
     # one pass over the (possibly expensive) edge plan: a two-branch
     # union would compute it once per direction
     und = (
@@ -704,10 +781,11 @@ def connected_components(
                 .select(F.col("a.id").alias("id"), F.col("__jlabel").alias("label"))
             )
             cand = cand.unionByName(jump)
-        # localCheckpoint TRUNCATES lineage: with pointer jumping each
+        # checkpointing TRUNCATES lineage: with pointer jumping each
         # round references labels twice, so an un-truncated logical plan
         # doubles per round and blows up the driver after ~10 rounds.
-        new = cand.groupBy("id").agg(F.min("label").alias("label")).localCheckpoint()
+        agg = cand.groupBy("id").agg(F.min("label").alias("label"))
+        new = agg.checkpoint() if reliable else agg.localCheckpoint()
         changed = (
             new.alias("n")
             .join(labels.alias("o"), "id")

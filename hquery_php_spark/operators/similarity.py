@@ -23,6 +23,7 @@ from .dedup import _POLY_MOD, _affine_consts, cosine_sim
 __all__ = [
     "brute_force_topk",
     "brute_force_topk_pandas",
+    "auto_n_planes",
     "bucket_of",
     "hamming_ball",
     "ivf_topk",
@@ -32,6 +33,30 @@ __all__ = [
 ]
 
 _PLANE_SEED = 0xB0C4
+
+
+def auto_n_planes(
+    n_vectors: int,
+    target_occupancy: int = 512,
+    min_planes: int = 4,
+    max_planes: int = 30,
+) -> int:
+    """Plane count sized to the corpus: p = ⌈log2(n / target_occupancy)⌉.
+
+    Occupancy bound: 2^p buckets give expected bucket size
+    E[occ] ≈ n / 2^p ≤ target_occupancy, so the within-bucket pair join
+    does ≈ n·occ ≈ n·target total pair work — linear in n, not n².  A
+    FIXED plane count silently degrades: 8 planes = 256 buckets means
+    n²/256 pairs, which still explodes at 10⁹ vectors; auto-sizing keeps
+    occupancy flat as the corpus grows (10⁹ vectors → p = 21).  Recall
+    per near-dup pair is (1−θ/π)^p, which FALLS as p grows — recover it
+    with banding (``embedding_near_dup(bands=B)``), the same
+    probe-amplification trick as MinHash LSH."""
+    import math
+
+    n = max(int(n_vectors), 1)
+    p = math.ceil(math.log2(max(n / max(target_occupancy, 1), 2.0)))
+    return min(max_planes, max(min_planes, p))
 
 
 def _vec_lit(q: Sequence[float]) -> Column:
@@ -54,7 +79,9 @@ def brute_force_topk(
     return scored.orderBy(F.col("cos").desc(), F.col("id")).limit(k)
 
 
-def bucket_of(vec_col: Column, n_planes: int = 12, portable: bool = False) -> Column:
+def bucket_of(
+    vec_col: Column, n_planes: int = 12, portable: bool = False, band: int = 0
+) -> Column:
     """Sign-LSH coarse bucket id (shares the hyperplane family with
     dedup.embedding_near_dup so tables can be co-bucketed).
 
@@ -66,12 +93,16 @@ def bucket_of(vec_col: Column, n_planes: int = 12, portable: bool = False) -> Co
     the vector: one ``aggregate`` carries all plane dot-products as an
     ``array<double>`` accumulator (term order per plane is unchanged, so
     bucket values are bit-identical to the previous per-plane
-    formulation — co-bucketed tables stay valid)."""
+    formulation — co-bucketed tables stay valid).
+
+    ``band`` selects an independent plane family per LSH band (banded
+    near-dup amplification); band=0 reproduces the historical bucket
+    values exactly, so existing co-bucketed tables stay valid."""
     v = vec_col.cast("array<double>")
     planes = F.sequence(F.lit(0), F.lit(n_planes - 1))
     zeros = F.transform(planes, lambda p: F.lit(0.0))
     if portable:
-        a_c, b_c = _affine_consts(n_planes, seed=_PLANE_SEED)
+        a_c, b_c = _affine_consts(n_planes, seed=_PLANE_SEED + 0x9E37 * band)
         # long literals: a_p·(i+1) overflows INT under ANSI mode otherwise
         ac = F.array(*[F.lit(a).cast("long") for a in a_c])
         bc = F.array(*[F.lit(b).cast("long") for b in b_c])
@@ -86,9 +117,9 @@ def bucket_of(vec_col: Column, n_planes: int = 12, portable: bool = False) -> Co
     else:
 
         def coeff(i: Column, p: Column) -> Column:
-            return (
-                F.pmod(F.hash(i, p), F.lit(2000)) - F.lit(1000)
-            ).cast("double") / 1000.0
+            # band 0 keeps the historical 2-arg hash (co-bucketed tables)
+            h = F.hash(i, p) if band == 0 else F.hash(i, p, F.lit(band))
+            return (F.pmod(h, F.lit(2000)) - F.lit(1000)).cast("double") / 1000.0
 
     dots = F.aggregate(
         F.sequence(F.lit(0), F.size(v) - 1),

@@ -571,6 +571,31 @@ def test_connected_components(spark):
     assert got == {2: 2, 3: 2, 7: 2, 9: 2, 11: 2, 40: 2, 20: 20, 21: 20}
 
 
+def test_connected_components_reliable_checkpoint(spark, tmp_path):
+    """checkpoint_dir switches per-round lineage truncation from
+    executor-local blocks to a reliable checkpoint (survives executor
+    loss at scale): identical labels, and checkpoint data actually
+    written under the given dir."""
+    import os
+
+    from hquery_php_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(2, 7), (7, 9), (9, 11), (20, 21), (40, 3), (3, 2)],
+        ["id_a", "id_b"],
+    )
+    ckpt = str(tmp_path / "cc_ckpt")
+    got = {
+        r.id: r.cluster_id
+        for r in connected_components(edges, checkpoint_dir=ckpt).collect()
+    }
+    assert got == {2: 2, 3: 2, 7: 2, 9: 2, 11: 2, 40: 2, 20: 20, 21: 20}
+    written = [
+        os.path.join(dp, f) for dp, _, fs in os.walk(ckpt) for f in fs
+    ]
+    assert written, "reliable checkpoint must write under checkpoint_dir"
+
+
 def test_deterministic_sample(spark):
     """Portable threshold sampling: fraction lands near target at scale,
     the selected id set is identical under any repartitioning (unlike
@@ -628,6 +653,87 @@ def test_pack_sequences_bounds(spark):
         .count()
     )
     assert diff == 0
+
+
+def test_minhash_query_releases_caches(spark):
+    """q_dedup_minhash persists signatures/candidates/shingles for the
+    verify funnel but must release every one of them after the pairs
+    materialize — a long-lived session must not accumulate caches."""
+    import __spark_entry__ as E
+
+    spark.catalog.clearCache()
+    before = set(spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray())
+    out = E.q_dedup_minhash(spark, "/root/testdata/sf0.001")
+    n = out.count()
+    assert n > 0
+    after = set(spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray())
+    assert after <= before, f"leaked persisted RDDs: {after - before}"
+
+
+def test_auto_n_planes_occupancy_bound():
+    """Plane count scales with the corpus: occupancy n/2^p stays ≤ the
+    target instead of freezing at a fixed 2^8=256 buckets (n²/256 pair
+    work at 10⁹ vectors)."""
+    import math
+
+    from hquery_php_spark.operators.similarity import auto_n_planes
+
+    for n in (10_000, 10**6, 10**9, 10**12):
+        p = auto_n_planes(n)
+        if p < 30:  # below the cap the bound must hold
+            assert n / (1 << p) <= 512, (n, p)
+        assert p >= 4
+    assert auto_n_planes(10**9) == math.ceil(math.log2(10**9 / 512))
+    # monotonic in n
+    ps = [auto_n_planes(10**k) for k in range(3, 13)]
+    assert ps == sorted(ps)
+
+
+def test_lsh_banding_recovers_recall(spark):
+    """More planes per table cuts pair work but kills recall
+    ((1−θ/π)^p per pair); banding recovers it (1−(1−s^p)^B) — the
+    recall-vs-planes tradeoff pinned so scale calibration can't silently
+    regress."""
+    import numpy as np
+
+    from hquery_php_spark.operators.dedup import embedding_near_dup
+
+    rng = np.random.default_rng(11)
+    dim, n_base = 16, 240
+    base = rng.normal(size=(n_base, dim))
+    rows, true_pairs = [], set()
+    for i, v in enumerate(base):
+        rows.append((i, [float(x) for x in v]))
+        if i % 4 == 0:
+            dup = v + rng.normal(scale=0.02, size=dim)  # cos ≈ 0.999
+            rows.append((10_000 + i, [float(x) for x in dup]))
+    # exact ground truth (numpy n² — fine at test size)
+    ids = [r[0] for r in rows]
+    m = np.stack([np.asarray(r[1]) for r in rows])
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    cos = mn @ mn.T
+    for a in range(len(ids)):
+        for b in range(a + 1, len(ids)):
+            if cos[a, b] >= 0.98:
+                true_pairs.add((min(ids[a], ids[b]), max(ids[a], ids[b])))
+    assert len(true_pairs) >= 50
+
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+    def recall(**kw):
+        got = {
+            (r.id_a, r.id_b)
+            for r in embedding_near_dup(df, threshold=0.98, **kw).collect()
+        }
+        assert got <= true_pairs  # exact verify ⇒ no false positives
+        return len(got & true_pairs) / len(true_pairs)
+
+    r_single = recall(n_planes=16, bands=1)
+    r_banded = recall(n_planes=8, bands=4)
+    assert r_banded > r_single, (r_banded, r_single)
+    assert r_banded >= 0.85, r_banded
+    # auto-sizing path runs end-to-end (count() → planes)
+    assert 0.0 <= recall(n_planes=None, bands=4) <= 1.0
 
 
 def test_connected_components_long_chain(spark):
