@@ -137,8 +137,20 @@ class DocIndex:
     def _index_tags(self) -> None:
         ix: Dict[str, IdMap] = {}
         ids = self.ids
+        # run cache: tag names are interned via the parser's name_cache,
+        # so `is` comparison is exact — consecutive same-named tags (the
+        # common case in template HTML) skip the dict probe, and the miss
+        # path avoids setdefault's throwaway-{} allocation per tag
+        last_n: Optional[str] = None
+        d: Optional[IdMap] = None
+        get = ix.get
         for id_, n in self.tags.items():
-            ix.setdefault(n, {})[id_] = ids[id_]
+            if n is not last_n:
+                d = get(n)
+                if d is None:
+                    d = ix[n] = {}
+                last_n = n
+            d[id_] = ids[id_]  # type: ignore[index]
         nix: Dict[str, IdMap] = {}
         merged: List[str] = []
         for n, v in ix.items():

@@ -234,21 +234,38 @@ def parse_html(s: bytes) -> ParseResult:
     # name: group 1 = '/' for close tags, group 2 = name, group 3 = '!'/'?'
     # for special tags.  Stray '<'s are skipped by the regex engine itself
     # (they cannot start a match), which is exactly the reference's
-    # continue-on-non-name behavior.
-    scan = _SCAN_RE.search
+    # continue-on-non-name behavior.  The scan advances through a C-level
+    # ``finditer`` (no per-match Python re-invocation of search); the rare
+    # paths that move the cursor somewhere other than the match end —
+    # script-body resume, earlier-'>' fallback, forward jumps over
+    # comments/unparsed regions — recreate the iterator at the new cursor,
+    # and a discarded match that STRADDLES the cursor also recreates it
+    # (candidates inside its span would otherwise be skipped).
     find = s.find
+    finditer = _SCAN_RE.finditer
     # n -> (lowercased bytes, decoded original-case str): one probe per tag
     name_cache: Dict[bytes, Tuple[bytes, str]] = {}
     i = 0
-    while i < l:
-        m = scan(s, i)
-        if m is None or m.start() >= l:
+    it = finditer(s)
+    while True:
+        m = next(it, None)
+        if m is None:
             break
         lt, me = m.span()
-        cl, n, qc = m.group(1, 2, 3)
+        if lt < i:
+            if me > i:
+                it = finditer(s, i)
+            continue
+        if lt >= l:
+            break
+        n = m.group(2)
         if n is not None:
-            # regular tag
-            is_close = cl == b"/"
+            # regular tag; classification comes from offset arithmetic
+            # instead of further Match-object calls — group(3) (the whole
+            # attribute region) is never materialized as bytes, and the
+            # name end is lt + '<' + optional '/' + len(name)
+            is_close = s[lt + 1] == 0x2F
+            ne = lt + 1 + is_close + len(n)  # name end = attr region start
             i = me
             ent = name_cache.get(n)
             if ent is None:
@@ -259,13 +276,14 @@ def parse_html(s: bytes) -> ParseResult:
                     # opaque script/style body — resume right after the
                     # NAME: the matched attr region may contain '<' and
                     # could otherwise swallow the real closing tag
-                    i = m.end(2)
+                    i = ne
+                    if ne < me:
+                        it = finditer(s, ne)
                     continue
                 # close of the unparsed tag: mask its body
                 extents.append((utn_from + 1, lt))
                 utn = None
-            ne = m.end(2)  # name end = attr region start
-            if qc is not None:
+            if me != ne:  # group 3 matched iff the match extends past the name
                 # the regex consumed the whole attr region through '>';
                 # valid unless a quoted stretch swallowed a '>' (then the
                 # reference's no-'='-name rule may pick an earlier '>')
@@ -275,6 +293,8 @@ def parse_html(s: bytes) -> ParseResult:
                     if e < 0:
                         break
                 i = e + 1
+                if i < me:
+                    it = finditer(s, i)
             else:
                 e = find_tag_close(s, ne, l)
                 if e < 0:
