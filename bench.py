@@ -186,6 +186,80 @@ def main() -> None:
     wall_tail = _wall(corpus.where(F.col("doc_id").startswith("mega_")), int(cpus) * 3)
     corpus.unpersist()
 
+    # WARC ingestion leg: crawl archives → range-split slices → records →
+    # HTML engine → spans, end to end.  The archive corpus (one gzip
+    # member per record, the standard layout) is built once per sf and
+    # cached — building it is corpus prep, not the measured pipeline.
+    import glob as _glob
+
+    from hquery_php_spark.sources.warc import read_warc_files_split
+
+    warc_dir = f"/tmp/spark_graft_warc/{os.path.basename(os.path.normpath(sf_dir))}_{n_docs}"
+    if not os.path.exists(os.path.join(warc_dir, "_SUCCESS")):
+        os.makedirs(warc_dir, exist_ok=True)
+        from pyspark import TaskContext
+
+        def _write_archives(batches):
+            import pandas as pd
+
+            from hquery_php_spark.sources.warc import make_warc
+
+            responses = []
+            for pdf in batches:
+                for doc_id, html in zip(pdf["doc_id"], pdf["html"]):
+                    responses.append(
+                        (
+                            f"https://bench.example/{doc_id}",
+                            200,
+                            "text/html; charset=UTF-8",
+                            html.encode("utf-8"),
+                        )
+                    )
+            pid = TaskContext.get().partitionId()
+            if responses:
+                with open(f"{warc_dir}/part-{pid:05d}.warc.gz", "wb") as f:
+                    f.write(make_warc(responses, gzip_members=True))
+            yield __import__("pandas").DataFrame({"n": [len(responses)]})
+
+        (
+            base.select(
+                F.col("doc_id").cast("string").alias("doc_id"),
+                synth_html_col(F.col("doc_id"), F.col("text"), F.col("source")).alias(
+                    "html"
+                ),
+            )
+            .repartition(16)
+            .mapInPandas(_write_archives, "n long")
+            .count()
+        )
+        open(os.path.join(warc_dir, "_SUCCESS"), "w").close()
+    n_archives = len(_glob.glob(f"{warc_dir}/*.warc.gz"))
+
+    def _warc_pipeline():
+        recs = read_warc_files_split(
+            spark, f"{warc_dir}/*.warc.gz", target_slice_bytes=1 << 20
+        )
+        docs = recs.where(
+            (F.col("http_status") == 200)
+            & F.col("content_type").startswith("text/html")
+        ).select(
+            F.col("url").alias("doc_id"),
+            F.col("payload").alias("html"),
+            F.col("url").alias("base_url"),
+            F.concat(F.lit("Content-Type: "), F.col("content_type")).alias("hdrs"),
+        )
+        return extract_spans_df(docs, headers_col="hdrs")
+
+    warc_best = None
+    warc_docs = 0
+    for _ in range(2):
+        t0 = time.perf_counter()
+        warc_docs = _warc_pipeline().count()
+        dt = time.perf_counter() - t0
+        warc_best = dt if warc_best is None else min(warc_best, dt)
+    timings["warc_extract"] = round(warc_best, 4)
+    total += warc_best
+
     out = {
         "metric": "total_bench_wall",
         "value": round(total, 4),
@@ -204,6 +278,14 @@ def main() -> None:
             "tail_wall": wall_tail,
             "n_megas": 8,
             "note": "split_tail isolation: mix ≈ max(body, tail) + overhead, not sum",
+        },
+        "warc_extract": {
+            "wall": round(warc_best, 4),
+            "n_docs": warc_docs,
+            "docs_per_sec": round(warc_docs / warc_best, 2),
+            "n_archives": n_archives,
+            "note": "crawl archives → range-split slices → HTTP envelope → "
+            "charset handoff → tokenize/index/extract spans",
         },
     }
     print(json.dumps(out))
