@@ -449,11 +449,13 @@ def q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("id", F.round("cos", 4).alias("cos_r"))
 
 
-def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH candidates verified by exact n-gram Jaccard — the
-    portable polynomial/affine hash family with injective band keys, so
-    the whole probe→verify pipeline has an exact DuckDB value oracle
-    (minhash_verify_oracle_sql)."""
+def _dedup_minhash_verify_df(
+    spark: SparkSession, sf_dir: str, registry: list
+) -> DataFrame:
+    """The LAZY distributed probe→verify pipeline (used by
+    q_dedup_minhash and by tools/dump_plans.py, whose PLANS.md exhibit is
+    this plan).  Every DataFrame it persists is appended to ``registry``
+    — the caller releases them once the output is materialized."""
     d = _spread(_docs(spark, sf_dir), spark)
     # signatures are tiny (id + 16 longs/doc): persist so the LSH self-
     # join's two sides share one computation instead of re-shingling.
@@ -464,15 +466,25 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     cands = minhash_lsh_candidates(
         sigs, bands=2, rows_per_band=8, exact_buckets=True
     ).persist()
+    registry.append(cands)
     cands.count()
     sigs.unpersist()
     # persist_shingles: without it the plan contains two identical
     # scan→semi-join→shingle subtrees (one per join side) — a double
     # corpus scan at 100 TB.
-    reg: list = []
-    out = ngram_jaccard_verify(
-        d, cands, k=8, threshold=0.6, persist_shingles=True, persist_registry=reg
+    return ngram_jaccard_verify(
+        d, cands, k=8, threshold=0.6, persist_shingles=True,
+        persist_registry=registry,
     )
+
+
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH candidates verified by exact n-gram Jaccard — the
+    portable polynomial/affine hash family with injective band keys, so
+    the whole probe→verify pipeline has an exact DuckDB value oracle
+    (minhash_verify_oracle_sql)."""
+    reg: list = []
+    out = _dedup_minhash_verify_df(spark, sf_dir, reg)
     # Materialize the verified pairs — the SMALL end of the probe→verify
     # funnel (LSH-pruned, threshold-filtered) — then release every cached
     # intermediate deterministically: without this, each invocation in a
@@ -480,7 +492,6 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # deployment writes `out` to a table and unpersists the registry; the
     # harness equivalent of that sink is this driver materialization.
     rows = out.collect()
-    cands.unpersist()
     for cached in reg:
         cached.unpersist()
     return spark.createDataFrame(rows, out.schema)
