@@ -112,6 +112,12 @@ from hquery_php_spark.functions.text import (  # noqa: E402
     portable_row_hash_sql as _prh_sql,
 )
 
+from hquery_php_spark.operators.decontaminate import (  # noqa: E402
+    decontaminate_oracle_sql as _decon_sql,
+)
+
+_DECON_SQL = _decon_sql(n=8)
+
 _SAMPLE_STRATA = {"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.1}
 _MOD = 1_000_000_007
 _CORPUS_SAMPLE_SQL = (
@@ -891,6 +897,36 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: training docs sharing any word 8-gram
+    with the benchmark slice (doc_id % 10 == 0) — broadcast the (small)
+    benchmark gram set, one scan of the training side."""
+    from hquery_php_spark.operators.decontaminate import ngram_decontaminate
+
+    d = _spread(_docs(spark, sf_dir), spark)
+    bench = d.where(F.pmod(F.col("doc_id"), F.lit(10)) == 0)
+    train = d.where(F.pmod(F.col("doc_id"), F.lit(10)) != 0)
+    return ngram_decontaminate(train, bench, n=8)
+
+
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/C4-style repetition quality gates (distinct-token ratio,
+    duplicate/top bigram fractions) — pure JVM expressions."""
+    from hquery_php_spark.functions.text import repetition_stats
+
+    r = _docs(spark, sf_dir).select(
+        "doc_id", repetition_stats(F.col("text")).alias("r")
+    )
+    return r.select(
+        "doc_id",
+        F.col("r.n_tokens").alias("n_tokens"),
+        F.col("r.n_distinct_tokens").alias("n_distinct_tokens"),
+        F.col("r.distinct_ratio").alias("distinct_ratio"),
+        F.col("r.dup_bigram_frac").alias("dup_bigram_frac"),
+        F.col("r.top_bigram_frac").alias("top_bigram_frac"),
+    )
+
+
 def q_corpus_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stratified DETERMINISTIC sampling on the portable row hash: the
     same sample falls out on any engine / partitioning / cluster size
@@ -1148,6 +1184,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exclude_text": q_exclude_text,
         "dl_extract": q_dl_extract,
         "pseudo_slices": q_pseudo_slices,
+        "decontaminate": q_decontaminate,
+        "repetition_stats": q_repetition_stats,
         "corpus_sample": q_corpus_sample,
         "pack_sequences": q_pack_sequences,
         "interleaved_docs": q_interleaved_docs,
@@ -1338,6 +1376,15 @@ def oracle_sql() -> dict[str, str]:
                    string_split({norm}, ' ')[W] AS last_w
             FROM (SELECT doc_id, text, {wordcount} AS W FROM documents)
         """,
+        "decontaminate": _DECON_SQL,
+        "repetition_stats": (
+            "SELECT doc_id, "
+            + ", ".join(
+                f"{expr} AS {name}"
+                for name, expr in TSQL.repetition_fields("text").items()
+            )
+            + " FROM documents"
+        ),
         "corpus_sample": _CORPUS_SAMPLE_SQL,
         "pack_sequences": _PACK_SQL,
         "interleaved_docs": (

@@ -52,6 +52,8 @@ def main() -> None:
         "dedup_minhash",
         "simhash",
         "boilerplate_strip",
+        "decontaminate",
+        "repetition_stats",
         "training_pipeline",
         "pdf_extract",
         "winnow_fp",

@@ -22,6 +22,8 @@ __all__ = [
     "occurrence_count",
     "lang_id_en",
     "quality_score",
+    "repetition_stats",
+    "word_ngrams",
     "fingerprint",
     "SQL",
 ]
@@ -259,6 +261,111 @@ def deterministic_sample(df, fraction=None, key_col: str = "doc_id", strata=None
 # whitespace is collapsed to single spaces FIRST so the " ?" prefixes
 # behave identically in both engines.
 _BPE_PAT = r"'(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^ a-zA-Z0-9]+"
+
+
+# portable ASCII case fold (see dedup._WS_CLASS note: engine lower()
+# implementations ship different Unicode tables; translate is identical
+# everywhere, which a cross-engine value oracle requires)
+_UPPER = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+_LOWERC = "abcdefghijklmnopqrstuvwxyz"
+
+
+def word_ngrams(col: Column, n: int = 8) -> Column:
+    """Array of word n-grams (space-joined) of the portably-normalized
+    text: explicit whitespace class collapse + ASCII case fold, so the
+    gram STRINGS are engine-neutral join keys (SQL twin:
+    ``SQL.word_ngrams``).  Documents shorter than n words yield an
+    empty array (a guard, not sequence(1,0) — which Spark evaluates as
+    the DESCENDING sequence [1, 0])."""
+    norm = F.translate(norm_ws(F.col(col) if isinstance(col, str) else col), _UPPER, _LOWERC)
+    toks = F.split(norm, " ")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1)),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+    return F.when(F.size(toks) < n, F.array().cast("array<string>")).otherwise(grams)
+
+
+def repetition_stats(col: Column) -> Column:
+    """Gopher/C4-style repetition signals as a struct — the quality
+    gates a pretraining pipeline runs before tokenization:
+
+    * ``n_tokens`` / ``n_distinct_tokens`` / ``distinct_ratio``
+    * ``dup_bigram_frac`` — fraction of word bigrams that are repeats
+      (1 − distinct/total): catches looping boilerplate
+    * ``top_bigram_frac`` — share of the single most frequent bigram:
+      catches "click here click here …" spam
+
+    All JVM expressions (O(n·d) per doc on the distinct-bigram count —
+    documents are token-bounded so this stays tiny); exact SQL twin in
+    ``SQL.repetition_fields``."""
+    norm = F.translate(norm_ws(col), _UPPER, _LOWERC)
+    toks = F.split(norm, " ")
+    n_tok = F.when(F.length(norm) == 0, F.lit(0)).otherwise(F.size(toks))
+    n_dis = F.when(F.length(norm) == 0, F.lit(0)).otherwise(
+        F.size(F.array_distinct(toks))
+    )
+    bg = word_ngrams(col, 2)
+    n_bg = F.size(bg)
+    dis_bg = F.array_distinct(bg)
+    top = F.when(
+        n_bg > 0,
+        F.array_max(
+            F.transform(dis_bg, lambda g: F.size(F.filter(bg, lambda x: x == g)))
+        ),
+    ).otherwise(F.lit(0))
+    ratio = lambda a, b: F.when(b > 0, F.round(a.cast("double") / b, 6)).otherwise(  # noqa: E731
+        F.lit(0.0)
+    )
+    return F.struct(
+        n_tok.alias("n_tokens"),
+        n_dis.alias("n_distinct_tokens"),
+        ratio(n_dis, n_tok).alias("distinct_ratio"),
+        ratio(n_bg - F.size(dis_bg), n_bg).alias("dup_bigram_frac"),
+        ratio(top, n_bg).alias("top_bigram_frac"),
+    )
+
+
+def _word_ngrams_sql(col: str, n: int = 8) -> str:
+    norm = f"translate({SQL.norm_ws(col)}, '{_UPPER}', '{_LOWERC}')"
+    toks = f"string_split({norm}, ' ')"
+    return (
+        f"CASE WHEN len({toks}) < {n} THEN CAST([] AS VARCHAR[]) "
+        f"ELSE [array_to_string(({toks})[i : i + {n - 1}], ' ') "
+        f"for i in range(1, len({toks}) - {n - 2})] END"
+    )
+
+
+def _repetition_fields_sql(col: str) -> dict:
+    norm = f"translate({SQL.norm_ws(col)}, '{_UPPER}', '{_LOWERC}')"
+    toks = f"string_split({norm}, ' ')"
+    n_tok = f"CASE WHEN length({norm}) = 0 THEN 0 ELSE len({toks}) END"
+    n_dis = f"CASE WHEN length({norm}) = 0 THEN 0 ELSE len(list_distinct({toks})) END"
+    bg = _word_ngrams_sql(col, 2)
+    n_bg = f"len({bg})"
+    n_dbg = f"len(list_distinct({bg}))"
+    top = (
+        f"CASE WHEN {n_bg} > 0 THEN list_max([len(list_filter({bg}, x -> x = g)) "
+        f"for g in list_distinct({bg})]) ELSE 0 END"
+    )
+
+    def ratio(a: str, b: str) -> str:
+        return (
+            f"CASE WHEN ({b}) > 0 THEN round(CAST(({a}) AS DOUBLE) / ({b}), 6) "
+            f"ELSE 0.0 END"
+        )
+
+    return {
+        "n_tokens": n_tok,
+        "n_distinct_tokens": n_dis,
+        "distinct_ratio": ratio(n_dis, n_tok),
+        "dup_bigram_frac": ratio(f"({n_bg}) - ({n_dbg})", n_bg),
+        "top_bigram_frac": ratio(top, n_bg),
+    }
+
+
+SQL.word_ngrams = staticmethod(_word_ngrams_sql)
+SQL.repetition_fields = staticmethod(_repetition_fields_sql)
 
 
 def bpe_token_count(col: Column) -> Column:

@@ -411,6 +411,37 @@ def test_png_codec_roundtrip_property(w, h, ch, seed, filt_mode):
     assert dpx.tolist() == px.tolist()
 
 
+@settings(max_examples=8, deadline=None)
+@given(texts=_texts)
+def test_repetition_stats_cross_engine_fuzz(spark, texts):
+    """word_ngrams / repetition_stats twins in lockstep (normalization +
+    gram-string assembly + ratio arithmetic must agree exactly)."""
+    import duckdb
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from hquery_php_spark.functions.text import SQL as TSQL, repetition_stats
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (
+            r.n_tokens, r.n_distinct_tokens, r.distinct_ratio,
+            r.dup_bigram_frac, r.top_bigram_frac,
+        )
+        for r in df.select("doc_id", repetition_stats(F.col("text")).alias("r"))
+        .select("doc_id", "r.*")
+        .collect()
+    }
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame(rows, columns=["doc_id", "text"]))
+    sql = "SELECT doc_id, " + ", ".join(
+        f"{e} AS {n}" for n, e in TSQL.repetition_fields("text").items()
+    ) + " FROM documents"
+    want = {r[0]: tuple(r[1:]) for r in con.execute(sql).fetchall()}
+    assert got == want
+
+
 @settings(max_examples=10, deadline=None)
 @given(texts=_texts)
 def test_bpe_and_tokens_cross_engine_fuzz(spark, texts):

@@ -655,6 +655,66 @@ def test_pack_sequences_bounds(spark):
     assert diff == 0
 
 
+def test_ngram_decontaminate(spark):
+    """A train doc sharing one 3-gram with the benchmark is flagged
+    with the right hit count; clean mode drops exactly the flagged
+    rows; the benchmark gram set is broadcast (no shuffle of it)."""
+    from hquery_php_spark.operators.decontaminate import ngram_decontaminate
+
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps")], ["doc_id", "text"]
+    )
+    train = spark.createDataFrame(
+        [
+            (1, "look at The Quick Brown fox here"),  # case-folded overlap
+            (2, "completely different words entirely"),
+            (3, "quick   brown\tfox jumps again"),  # ws-normalized overlap
+            (4, "too few"),  # shorter than n
+        ],
+        ["doc_id", "text"],
+    )
+    flagged = ngram_decontaminate(train, bench, n=3, mode="flag")
+    got = {r.id: r.n_hits for r in flagged.collect()}
+    # doc 1 contains "the quick brown" + "quick brown fox";
+    # doc 3 contains "quick brown fox" + "brown fox jumps"
+    assert got == {1: 2, 3: 2}
+    plan = flagged._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+    clean = ngram_decontaminate(train, bench, n=3, mode="clean")
+    assert sorted(r.doc_id for r in clean.collect()) == [2, 4]
+
+
+def test_repetition_stats(spark):
+    """Hand-computed Gopher-style signals on crafted docs."""
+    from hquery_php_spark.functions.text import repetition_stats
+
+    df = spark.createDataFrame(
+        [
+            (1, "spam ham spam ham spam ham"),  # bigram loop
+            (2, "all words here are unique tokens"),
+            (3, ""),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {
+        r.doc_id: r
+        for r in df.select(
+            "doc_id", repetition_stats(F.col("text")).alias("r")
+        ).select("doc_id", "r.*").collect()
+    }
+    r1 = rows[1]
+    # 6 tokens, 2 distinct; bigrams: [spam ham, ham spam]*... 5 bigrams,
+    # 2 distinct -> dup frac 3/5; top bigram "spam ham" count 3 -> 3/5
+    assert (r1.n_tokens, r1.n_distinct_tokens) == (6, 2)
+    assert abs(r1.dup_bigram_frac - 0.6) < 1e-9
+    assert abs(r1.top_bigram_frac - 0.6) < 1e-9
+    r2 = rows[2]
+    assert r2.distinct_ratio == 1.0 and r2.dup_bigram_frac == 0.0
+    r3 = rows[3]
+    assert (r3.n_tokens, r3.dup_bigram_frac, r3.top_bigram_frac) == (0, 0.0, 0.0)
+
+
 def test_minhash_query_releases_caches(spark):
     """q_dedup_minhash persists signatures/candidates/shingles for the
     verify funnel but must release every one of them after the pairs
