@@ -118,6 +118,10 @@ from hquery_php_spark.operators.decontaminate import (  # noqa: E402
 
 _DECON_SQL = _decon_sql(n=8)
 
+from hquery_php_spark.operators.dedup import (  # noqa: E402
+    paragraph_dedup_oracle_sql as _para_dedup_sql,
+)
+
 _SAMPLE_STRATA = {"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.1}
 _MOD = 1_000_000_007
 _CORPUS_SAMPLE_SQL = (
@@ -897,6 +901,33 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style cross-document paragraph dedup: texts are chunked
+    into 10-word paragraphs (deterministic, SQL-invertible), every
+    occurrence after the corpus-wide first is removed, docs reassembled
+    in position order."""
+    from hquery_php_spark.operators.dedup import paragraph_dedup
+
+    norm = F.translate(
+        F.trim(F.regexp_replace(F.col("text"), r"[ \t\n\x0B\f\r]+", " ")),
+        "ABCDEFGHIJKLMNOPQRSTUVWXYZ",
+        "abcdefghijklmnopqrstuvwxyz",
+    )
+    toks = F.split(norm, " ")
+    paras = F.transform(
+        F.sequence(F.lit(0), F.ceil(F.size(toks) / F.lit(10.0)).cast("int") - 1),
+        lambda i: F.concat_ws(" ", F.slice(toks, i * 10 + 1, 10)),
+    )
+    d = _spread(_docs(spark, sf_dir), spark).select("doc_id", paras.alias("paras"))
+    out = paragraph_dedup(d, para_col="paras", id_col="doc_id")
+    return out.select(
+        "id",
+        "n_paras",
+        "n_kept",
+        F.concat_ws("|", "kept").alias("kept"),
+    )
+
+
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: training docs sharing any word 8-gram
     with the benchmark slice (doc_id % 10 == 0) — broadcast the (small)
@@ -1184,6 +1215,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exclude_text": q_exclude_text,
         "dl_extract": q_dl_extract,
         "pseudo_slices": q_pseudo_slices,
+        "paragraph_dedup": q_paragraph_dedup,
         "decontaminate": q_decontaminate,
         "repetition_stats": q_repetition_stats,
         "corpus_sample": q_corpus_sample,
@@ -1376,6 +1408,19 @@ def oracle_sql() -> dict[str, str]:
                    string_split({norm}, ' ')[W] AS last_w
             FROM (SELECT doc_id, text, {wordcount} AS W FROM documents)
         """,
+        "paragraph_dedup": _para_dedup_sql(
+            """
+            SELECT doc_id,
+                   [array_to_string(toks[i * 10 + 1 : i * 10 + 10], ' ')
+                    for i in range(0, CAST(ceil(len(toks) / 10.0) AS INT))] AS paras
+            FROM (SELECT doc_id,
+                         string_split(translate(trim(regexp_replace(text,
+                             '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'), ' '),
+                             'ABCDEFGHIJKLMNOPQRSTUVWXYZ',
+                             'abcdefghijklmnopqrstuvwxyz'), ' ') AS toks
+                  FROM documents)
+            """
+        ),
         "decontaminate": _DECON_SQL,
         "repetition_stats": (
             "SELECT doc_id, "

@@ -37,6 +37,8 @@ __all__ = [
     "cosine_sim",
     "embedding_near_dup",
     "winnow_fingerprints",
+    "paragraph_dedup",
+    "paragraph_dedup_oracle_sql",
     "WINNOW_SQL_TEMPLATE",
     "minhash_verify_oracle_sql",
     "simhash_oracle_sql",
@@ -711,6 +713,89 @@ FROM (
          CAST(list_sum([CAST(b[{half} + i + 1] AS BIGINT) * {p2}[i + 1] for i in range(0, {half})]) AS BIGINT) AS hi
   FROM bitsv
 )
+"""
+
+
+def paragraph_dedup(
+    df: DataFrame,
+    para_col: str = "paras",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cross-document paragraph deduplication (the CCNet/RefinedWeb
+    recipe): every paragraph occurrence except the corpus-wide FIRST
+    (ordered by (doc_id, position)) is removed, and documents are
+    reassembled from their surviving paragraphs in original order.
+
+    Input: (id, paras: array<string>).  Output: (id, n_paras, n_kept,
+    kept: array<string>) — kept in position order; docs can come back
+    empty (fully-duplicated boilerplate docs), which is the point.
+
+    Scale shape: ONE shuffle keyed by the 16-byte md5 of the paragraph
+    (the window partition key — never the paragraph text) to rank
+    occurrences, one shuffle by id to reassemble.  Both are linear in
+    paragraph count; nothing is quadratic and nothing collects."""
+    from pyspark.sql import Window
+
+    ex = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.col(para_col)).alias("idx", "para"),
+    ).withColumn("__h", F.md5("para"))
+    w = Window.partitionBy("__h").orderBy("id", "idx")
+    kept = (
+        ex.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select("id", "idx", "para")
+    )
+    counts = df.select(
+        F.col(id_col).alias("id"), F.size(F.col(para_col)).alias("n_paras")
+    )
+    re = kept.groupBy("id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("idx", "para"))),
+            lambda s: s.getField("para"),
+        ).alias("kept"),
+        F.count("*").cast("int").alias("n_kept"),
+    )
+    return (
+        counts.join(re, "id", "left")
+        .select(
+            "id",
+            "n_paras",
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            F.coalesce("kept", F.array().cast("array<string>")).alias("kept"),
+        )
+    )
+
+
+def paragraph_dedup_oracle_sql(paras_sql: str) -> str:
+    """DuckDB twin over a subquery producing (doc_id, paras) — identical
+    first-occurrence ranking and positional reassembly.  ``kept`` is
+    projected as a '|'-joined string (the harness canonicalizer hashes
+    scalars)."""
+    return f"""
+WITH c AS ({paras_sql}),
+ex AS (
+  SELECT doc_id, u.idx AS idx, u.para AS para FROM (
+    SELECT doc_id,
+           unnest([{{'idx': i, 'para': paras[i + 1]}}
+                   for i in range(0, len(paras))]) AS u
+    FROM c
+  )
+),
+k AS (
+  SELECT doc_id, idx, para,
+         row_number() OVER (PARTITION BY md5(para) ORDER BY doc_id, idx) AS rn
+  FROM ex
+)
+SELECT c.doc_id AS id,
+       len(c.paras) AS n_paras,
+       CAST(coalesce(r.n_kept, 0) AS INT) AS n_kept,
+       coalesce(r.kept, '') AS kept
+FROM c LEFT JOIN (
+  SELECT doc_id, CAST(count(*) AS INT) AS n_kept,
+         string_agg(para, '|' ORDER BY idx) AS kept
+  FROM k WHERE rn = 1 GROUP BY doc_id
+) r ON c.doc_id = r.doc_id
 """
 
 

@@ -655,6 +655,26 @@ def test_pack_sequences_bounds(spark):
     assert diff == 0
 
 
+def test_paragraph_dedup(spark):
+    """Corpus-wide first occurrence survives; later repeats vanish
+    (within AND across docs); fully-duplicated docs come back empty."""
+    from hquery_php_spark.operators.dedup import paragraph_dedup
+
+    df = spark.createDataFrame(
+        [
+            (1, ["alpha", "beta", "alpha"]),       # in-doc repeat
+            (2, ["beta", "gamma"]),                # cross-doc repeat of beta
+            (3, ["alpha", "beta"]),                # fully duplicated
+        ],
+        ["doc_id", "paras"],
+    )
+    got = {r.id: r for r in paragraph_dedup(df).collect()}
+    assert list(got[1].kept) == ["alpha", "beta"]
+    assert list(got[2].kept) == ["gamma"]
+    assert list(got[3].kept) == [] and got[3].n_kept == 0
+    assert (got[1].n_paras, got[2].n_paras, got[3].n_paras) == (3, 2, 2)
+
+
 def test_ngram_decontaminate(spark):
     """A train doc sharing one 3-gram with the benchmark is flagged
     with the right hit count; clean mode drops exactly the flagged
