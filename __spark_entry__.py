@@ -928,6 +928,38 @@ def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub over texts with deterministic synthetic PII appended
+    (template inversion: doc_id%3 selects email / phone+ip / clean), so
+    the redaction does real work and the oracle is closed-form."""
+    from hquery_php_spark.functions.text import redact_pii
+
+    suffix = (
+        F.when(
+            F.pmod(F.col("doc_id"), F.lit(3)) == 0,
+            F.concat(F.lit(" contact user"), F.col("doc_id").cast("string"),
+                     F.lit("@example.com")),
+        )
+        .when(
+            F.pmod(F.col("doc_id"), F.lit(3)) == 1,
+            F.concat(F.lit(" call +1 555-000-"), F.col("doc_id").cast("string"),
+                     F.lit(" from 10.1.2.3")),
+        )
+        .otherwise(F.lit(""))
+    )
+    d = _docs(spark, sf_dir).select(
+        "doc_id", F.concat(F.col("text"), suffix).alias("t")
+    )
+    r = d.select("doc_id", redact_pii(F.col("t")).alias("r"))
+    return r.select(
+        "doc_id",
+        F.col("r.redacted").alias("redacted"),
+        F.col("r.n_email").alias("n_email"),
+        F.col("r.n_ip").alias("n_ip"),
+        F.col("r.n_phone").alias("n_phone"),
+    )
+
+
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: training docs sharing any word 8-gram
     with the benchmark slice (doc_id % 10 == 0) — broadcast the (small)
@@ -1215,6 +1247,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exclude_text": q_exclude_text,
         "dl_extract": q_dl_extract,
         "pseudo_slices": q_pseudo_slices,
+        "redact_pii": q_redact_pii,
         "paragraph_dedup": q_paragraph_dedup,
         "decontaminate": q_decontaminate,
         "repetition_stats": q_repetition_stats,
@@ -1408,6 +1441,20 @@ def oracle_sql() -> dict[str, str]:
                    string_split({norm}, ' ')[W] AS last_w
             FROM (SELECT doc_id, text, {wordcount} AS W FROM documents)
         """,
+        "redact_pii": (
+            lambda rf: (
+                "SELECT doc_id, "
+                + ", ".join(f"{rf[k]} AS {k}" for k in
+                            ("redacted", "n_email", "n_ip", "n_phone"))
+                + """ FROM (
+                  SELECT doc_id, text ||
+                    CASE doc_id % 3
+                      WHEN 0 THEN ' contact user' || doc_id || '@example.com'
+                      WHEN 1 THEN ' call +1 555-000-' || doc_id || ' from 10.1.2.3'
+                      ELSE '' END AS t
+                  FROM documents)"""
+            )
+        )(TSQL.redact_pii_fields("t")),
         "paragraph_dedup": _para_dedup_sql(
             """
             SELECT doc_id,

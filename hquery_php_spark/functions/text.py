@@ -24,6 +24,8 @@ __all__ = [
     "quality_score",
     "repetition_stats",
     "word_ngrams",
+    "redact_pii",
+    "PII_PATTERNS",
     "fingerprint",
     "SQL",
 ]
@@ -254,6 +256,45 @@ def deterministic_sample(df, fraction=None, key_col: str = "doc_id", strata=None
     else:
         frac = F.lit(int(float(fraction) * mod))
     return df.where(h < frac)
+
+
+# PII patterns with explicit ASCII classes only (Java and RE2 agree
+# character for character — no \d/\w/\b shorthand, whose semantics
+# differ across dialects).  Applied IN ORDER; counts are taken against
+# the text as it stands before that pattern's replacement, so the
+# reported counts equal the number of replacements made.
+PII_PATTERNS = (
+    ("email", r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z][a-zA-Z]+", "<EMAIL>"),
+    ("ip", r"([0-9]{1,3}\.){3}[0-9]{1,3}", "<IP>"),
+    ("phone", r"\+?[0-9][0-9()./ -]{6,}[0-9]", "<PHONE>"),
+)
+
+
+def redact_pii(col: Column) -> Column:
+    """Scrub emails / IPv4 literals / phone-shaped digit runs — the
+    standard pre-release hygiene pass over a web corpus.  Returns a
+    struct (redacted, n_email, n_ip, n_phone); pure JVM regexp
+    expressions with an exact SQL twin (``SQL.redact_pii_fields``)."""
+    cur = col
+    fields = []
+    for name, pat, token in PII_PATTERNS:
+        fields.append(F.regexp_count(cur, F.lit(pat)).alias(f"n_{name}"))
+        cur = F.regexp_replace(cur, pat, token)
+    return F.struct(cur.alias("redacted"), *fields)
+
+
+def _redact_pii_fields_sql(col: str) -> dict:
+    cur = col
+    out = {}
+    for name, pat, token in PII_PATTERNS:
+        p = pat.replace("'", "''")
+        out[f"n_{name}"] = f"len(regexp_extract_all({cur}, '{p}'))"
+        cur = f"regexp_replace({cur}, '{p}', '{token}', 'g')"
+    out["redacted"] = cur
+    return out
+
+
+SQL.redact_pii_fields = staticmethod(_redact_pii_fields_sql)
 
 
 # GPT-2-style pre-tokenizer pattern with explicit ASCII classes only, so

@@ -411,6 +411,51 @@ def test_png_codec_roundtrip_property(w, h, ch, seed, filt_mode):
     assert dpx.tolist() == px.tolist()
 
 
+_pii_texts = st.lists(
+    st.text(
+        alphabet=list("abcXY012345 @.+-()/%_\t\n"),
+        min_size=0,
+        max_size=80,
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(texts=_pii_texts)
+def test_redact_pii_cross_engine_fuzz(spark, texts):
+    """redact_pii twins in lockstep over PII-shaped character soup —
+    the explicit ASCII classes must behave identically in Java and RE2,
+    including the sequential count-then-replace order."""
+    import duckdb
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from hquery_php_spark.functions.text import SQL as TSQL, redact_pii
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, t string")
+    got = {
+        r.doc_id: (r.redacted, r.n_email, r.n_ip, r.n_phone)
+        for r in df.select("doc_id", redact_pii(F.col("t")).alias("r"))
+        .select("doc_id", "r.*")
+        .collect()
+    }
+    rf = TSQL.redact_pii_fields("t")
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame(rows, columns=["doc_id", "t"]))
+    want = {
+        r[0]: tuple(r[1:])
+        for r in con.execute(
+            "SELECT doc_id, " + ", ".join(
+                f"{rf[k]} AS {k}" for k in ("redacted", "n_email", "n_ip", "n_phone")
+            ) + " FROM documents"
+        ).fetchall()
+    }
+    assert got == want
+
+
 @settings(max_examples=8, deadline=None)
 @given(texts=_texts)
 def test_repetition_stats_cross_engine_fuzz(spark, texts):
