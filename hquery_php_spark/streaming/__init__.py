@@ -1,6 +1,7 @@
 """Structured Streaming variants of the extraction pipeline."""
 
 from .pipeline import (  # noqa: F401
+    streaming_dedup_exact,
     streaming_extract_spans,
     streaming_sessionize,
     streaming_span_metrics,

@@ -27,6 +27,7 @@ __all__ = [
     "streaming_extract_spans",
     "streaming_span_metrics",
     "streaming_sessionize",
+    "streaming_dedup_exact",
 ]
 
 
@@ -81,6 +82,95 @@ def streaming_span_metrics(
             ),
             F.sum("size_bytes").alias("bytes"),
         )
+    )
+
+
+def streaming_dedup_exact(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ttl_minutes: Optional[int] = None,
+) -> DataFrame:
+    """Custom stateful operator: exact dedup on a document STREAM — the
+    first arrival of each content fingerprint passes through, every
+    later copy is suppressed, across micro-batches and restarts (state
+    lives in the checkpointed state store).
+
+    Emits (fp, doc_id, n_seen_before) — n_seen_before is 0 for the
+    emitted first arrival; suppressed copies only bump the counter.
+
+    State per fingerprint = (first doc id, occurrence count): bounded by
+    the DISTINCT corpus, the same asymptotics as any exact-dedup ledger.
+    ``ttl_minutes`` bounds it harder with a processing-time expiry —
+    right for ingestion streams where a re-crawl horizon exists (a copy
+    arriving after the TTL re-emits, trading memory for exactness,
+    exactly like a TTL'd dedup cache).
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    from pyspark.sql.types import (
+        IntegerType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    if not docs.isStreaming:
+        raise ValueError("expected a streaming DataFrame (readStream source)")
+
+    out_schema = StructType(
+        [
+            StructField("fp", StringType()),
+            StructField("doc_id", StringType()),
+            StructField("n_seen_before", IntegerType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("first_id", StringType()),
+            StructField("n", IntegerType()),
+        ]
+    )
+    ttl_ms = (ttl_minutes or 0) * 60 * 1000
+
+    def fn(key, pdfs, state):
+        import pandas as pd
+
+        fp = key[0]
+        if state.hasTimedOut:
+            state.remove()
+            return
+        ids = []
+        for pdf in pdfs:
+            ids.extend(str(x) for x in pdf["doc_id"])
+        if not ids:
+            return
+        if state.exists:
+            first_id, n = state.get
+            state.update((first_id, n + len(ids)))
+            if ttl_ms:
+                state.setTimeoutDuration(ttl_ms)
+            return  # all copies — suppress
+        # across batches "first" is arrival order; within one micro-batch
+        # row order is partition-dependent, so the tie is broken
+        # deterministically by the smallest id
+        state.update((min(ids), len(ids)))
+        if ttl_ms:
+            state.setTimeoutDuration(ttl_ms)
+        yield pd.DataFrame(
+            {"fp": [fp], "doc_id": [min(ids)], "n_seen_before": [0]}
+        )
+
+    fp = F.md5(F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " "))))
+    keyed = docs.select(
+        fp.alias("fp"), F.col(id_col).cast("string").alias("doc_id")
+    )
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if ttl_minutes
+        else GroupStateTimeout.NoTimeout
+    )
+    return keyed.groupBy("fp").applyInPandasWithState(
+        fn, out_schema, state_schema, "append", timeout
     )
 
 
