@@ -990,6 +990,58 @@ def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher document-quality rules (word-count / mean-word-length /
+    symbol-ratio / bullet- and ellipsis-line / alpha-word / stopword
+    gates).  Deterministic line-suffix templates (doc_id % 4 selects
+    bullet list / ellipsis teasers / symbol spam / clean) give every
+    rule real work; the oracle applies the same template inversion."""
+    from hquery_php_spark.functions.text import gopher_quality
+
+    suffix = (
+        F.when(
+            F.pmod(F.col("doc_id"), F.lit(4)) == 0,
+            F.lit("\n- item one\n- item two\n* item three"),
+        )
+        .when(
+            F.pmod(F.col("doc_id"), F.lit(4)) == 1,
+            F.lit("\nread more...\nsee also..."),
+        )
+        .when(
+            F.pmod(F.col("doc_id"), F.lit(4)) == 2,
+            F.lit(" ### #### ... ... ..."),
+        )
+        .otherwise(F.lit(""))
+    )
+    d = _docs(spark, sf_dir).select(
+        "doc_id", F.concat(F.col("text"), suffix).alias("t")
+    )
+    g = d.select(
+        "doc_id", gopher_quality(F.col("t"), min_words=10).alias("g")
+    )
+    return g.select("doc_id", "g.*")
+
+
+def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain document cap: keep <=10 docs per source, chosen by the
+    portable row hash — deterministic on any engine / cluster size, and
+    skew-safe via the two-phase salted window (see per_domain_cap)."""
+    from hquery_php_spark.functions.text import per_domain_cap
+
+    d = _spread(_docs(spark, sf_dir), spark).select("doc_id", "source")
+    return per_domain_cap(d, cap=10).select("doc_id", "source", "rk")
+
+
+def q_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training order: dense 0-based position under
+    (portable_hash, doc_id) without a single-partition window — explicit
+    hash-range buckets + per-bucket offsets (global_order_index)."""
+    from hquery_php_spark.operators.pipeline import global_order_index
+
+    d = _spread(_docs(spark, sf_dir), spark).select("doc_id")
+    return global_order_index(d, n_ranges=16).select("doc_id", "pos")
+
+
 def q_corpus_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stratified DETERMINISTIC sampling on the portable row hash: the
     same sample falls out on any engine / partitioning / cluster size
@@ -1251,6 +1303,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "paragraph_dedup": q_paragraph_dedup,
         "decontaminate": q_decontaminate,
         "repetition_stats": q_repetition_stats,
+        "gopher_quality": q_gopher_quality,
+        "domain_cap": q_domain_cap,
+        "corpus_shuffle": q_corpus_shuffle,
         "corpus_sample": q_corpus_sample,
         "pack_sequences": q_pack_sequences,
         "interleaved_docs": q_interleaved_docs,
@@ -1476,6 +1531,31 @@ def oracle_sql() -> dict[str, str]:
                 for name, expr in TSQL.repetition_fields("text").items()
             )
             + " FROM documents"
+        ),
+        "gopher_quality": (
+            "WITH t AS (SELECT doc_id, text || CASE CAST(doc_id % 4 AS INT) "
+            "WHEN 0 THEN chr(10) || '- item one' || chr(10) || '- item two' "
+            "|| chr(10) || '* item three' "
+            "WHEN 1 THEN chr(10) || 'read more...' || chr(10) || 'see also...' "
+            "WHEN 2 THEN ' ### #### ... ... ...' "
+            "ELSE '' END AS t FROM documents) "
+            "SELECT doc_id, "
+            + ", ".join(
+                f"{expr} AS {name}"
+                for name, expr in TSQL.gopher_fields("t", min_words=10).items()
+            )
+            + " FROM t"
+        ),
+        "domain_cap": (
+            "SELECT doc_id, source, CAST(rk AS INT) AS rk FROM ("
+            "SELECT doc_id, source, row_number() OVER (PARTITION BY source "
+            "ORDER BY " + _prh_sql("doc_id") + ", doc_id) AS rk "
+            "FROM documents) WHERE rk <= 10"
+        ),
+        "corpus_shuffle": (
+            "SELECT doc_id, CAST(row_number() OVER (ORDER BY "
+            + _prh_sql("doc_id")
+            + ", doc_id) - 1 AS BIGINT) AS pos FROM documents"
         ),
         "corpus_sample": _CORPUS_SAMPLE_SQL,
         "pack_sequences": _PACK_SQL,

@@ -60,6 +60,9 @@ def main() -> None:
         "interleaved_docs",
         "dedup_clusters",
         "pack_sequences",
+        "gopher_quality",
+        "domain_cap",
+        "corpus_shuffle",
     ]
 
     timings = {}

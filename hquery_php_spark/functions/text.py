@@ -423,3 +423,220 @@ def _bpe_token_count_sql(col: str) -> str:
 
 
 SQL.bpe_token_count = staticmethod(_bpe_token_count_sql)
+
+
+# Gopher quality-rule stopwords (Rae et al. 2021, Table A1 heuristics):
+# a document must contain at least two of these to pass the "stop word"
+# gate.  Matched on word boundaries via the padded-spaces trick (no \b,
+# whose semantics differ between Java and RE2 regex dialects).
+GOPHER_STOPS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality(
+    col: Column,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_frac: float = 0.9,
+    max_ellipsis_frac: float = 0.3,
+    min_alpha_word_frac: float = 0.8,
+    min_stop_hits: int = 2,
+) -> Column:
+    """Gopher-style document quality rules (Rae et al. 2021 §A.1.1) as a
+    struct of signals plus the combined pass flag — the standard
+    pretraining quality gate next to ``repetition_stats``:
+
+    * word count within [min_words, max_words]
+    * mean word length within [min, max] characters
+    * symbol-to-word ratio ('#' and '...' occurrences / words) below cap
+    * fraction of LINES starting with a bullet ('- ' / '* ') below cap,
+      fraction ending in an ellipsis below cap
+    * fraction of words containing >=1 alphabetic char above floor
+    * at least ``min_stop_hits`` distinct Gopher stopwords present
+
+    Pure JVM expressions; exact DuckDB twin in ``SQL.gopher_fields``
+    (same thresholds must be passed to both).  Ratios round(·,6) for
+    stable float formatting; the pass flag is an int for hashability.
+    """
+    norm = F.translate(norm_ws(col), _UPPER, _LOWERC)
+    toks = F.split(norm, " ")
+    n_words = F.when(F.length(norm) == 0, F.lit(0)).otherwise(F.size(toks))
+    n_spaces = F.length(norm) - F.length(F.replace(norm, F.lit(" "), F.lit("")))
+    mean_wl = F.when(
+        n_words > 0,
+        F.round((F.length(norm) - n_spaces).cast("double") / n_words, 6),
+    ).otherwise(F.lit(0.0))
+    n_sym = occurrence_count(norm, "#") + occurrence_count(norm, "...")
+    symbol_ratio = F.when(
+        n_words > 0, F.round(n_sym.cast("double") / n_words, 6)
+    ).otherwise(F.lit(0.0))
+    # line rules run on the RAW text (norm_ws collapses newlines away)
+    lines = F.split(col, "\n")
+    n_lines = F.size(lines)
+    n_bullet = F.size(
+        F.filter(
+            lines,
+            lambda l: F.ltrim(l).startswith("- ") | F.ltrim(l).startswith("* "),
+        )
+    )
+    n_ellip = F.size(F.filter(lines, lambda l: F.rtrim(l).endswith("...")))
+    bullet_frac = F.when(
+        n_lines > 0, F.round(n_bullet.cast("double") / n_lines, 6)
+    ).otherwise(F.lit(0.0))
+    ellipsis_frac = F.when(
+        n_lines > 0, F.round(n_ellip.cast("double") / n_lines, 6)
+    ).otherwise(F.lit(0.0))
+    n_alpha_words = F.size(
+        F.filter(
+            toks,
+            lambda w: F.length(F.regexp_replace(w, "[^a-zA-Z]", "")) > 0,
+        )
+    )
+    alpha_word_frac = F.when(
+        n_words > 0, F.round(n_alpha_words.cast("double") / n_words, 6)
+    ).otherwise(F.lit(0.0))
+    padded = F.concat(F.lit(" "), norm, F.lit(" "))
+    stop_hits = None
+    for w in GOPHER_STOPS:
+        hit = (F.instr(padded, f" {w} ") > 0).cast("int")
+        stop_hits = hit if stop_hits is None else (stop_hits + hit)
+    passes = (
+        (n_words >= min_words)
+        & (n_words <= max_words)
+        & (mean_wl >= min_mean_word_len)
+        & (mean_wl <= max_mean_word_len)
+        & (symbol_ratio <= max_symbol_ratio)
+        & (bullet_frac <= max_bullet_frac)
+        & (ellipsis_frac <= max_ellipsis_frac)
+        & (alpha_word_frac >= min_alpha_word_frac)
+        & (stop_hits >= min_stop_hits)
+    )
+    return F.struct(
+        n_words.alias("n_words"),
+        mean_wl.alias("mean_word_len"),
+        symbol_ratio.alias("symbol_ratio"),
+        bullet_frac.alias("bullet_line_frac"),
+        ellipsis_frac.alias("ellipsis_line_frac"),
+        alpha_word_frac.alias("alpha_word_frac"),
+        stop_hits.alias("n_stop_hits"),
+        passes.cast("int").alias("passes"),
+    )
+
+
+def _gopher_fields_sql(
+    col: str,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_frac: float = 0.9,
+    max_ellipsis_frac: float = 0.3,
+    min_alpha_word_frac: float = 0.8,
+    min_stop_hits: int = 2,
+) -> dict:
+    norm = f"translate({SQL.norm_ws(col)}, '{_UPPER}', '{_LOWERC}')"
+    toks = f"string_split({norm}, ' ')"
+    n_words = f"CASE WHEN length({norm}) = 0 THEN 0 ELSE len({toks}) END"
+    n_spaces = f"length({norm}) - length(replace({norm}, ' ', ''))"
+
+    def ratio(a: str, b: str) -> str:
+        return (
+            f"CASE WHEN ({b}) > 0 THEN round(CAST(({a}) AS DOUBLE) / ({b}), 6) "
+            f"ELSE 0.0 END"
+        )
+
+    mean_wl = ratio(f"length({norm}) - ({n_spaces})", n_words)
+    n_sym = (
+        f"({SQL.occurrence_count(norm, '#')}) + "
+        f"({SQL.occurrence_count(norm, '...')})"
+    )
+    symbol_ratio = ratio(n_sym, n_words)
+    lines = f"string_split({col}, chr(10))"
+    n_lines = f"len({lines})"
+    n_bullet = (
+        f"len(list_filter({lines}, l -> starts_with(ltrim(l, ' '), '- ') "
+        f"OR starts_with(ltrim(l, ' '), '* ')))"
+    )
+    n_ellip = f"len(list_filter({lines}, l -> ends_with(rtrim(l, ' '), '...')))"
+    bullet_frac = ratio(n_bullet, n_lines)
+    ellipsis_frac = ratio(n_ellip, n_lines)
+    n_alpha = (
+        f"len(list_filter({toks}, "
+        f"w -> length(regexp_replace(w, '[^a-zA-Z]', '', 'g')) > 0))"
+    )
+    alpha_word_frac = ratio(n_alpha, n_words)
+    padded = f"(' ' || {norm} || ' ')"
+    stop_hits = " + ".join(
+        f"CASE WHEN contains({padded}, ' {w} ') THEN 1 ELSE 0 END"
+        for w in GOPHER_STOPS
+    )
+    passes = (
+        f"CASE WHEN ({n_words}) >= {min_words} AND ({n_words}) <= {max_words} "
+        f"AND ({mean_wl}) >= {min_mean_word_len} "
+        f"AND ({mean_wl}) <= {max_mean_word_len} "
+        f"AND ({symbol_ratio}) <= {max_symbol_ratio} "
+        f"AND ({bullet_frac}) <= {max_bullet_frac} "
+        f"AND ({ellipsis_frac}) <= {max_ellipsis_frac} "
+        f"AND ({alpha_word_frac}) >= {min_alpha_word_frac} "
+        f"AND ({stop_hits}) >= {min_stop_hits} THEN 1 ELSE 0 END"
+    )
+    return {
+        "n_words": n_words,
+        "mean_word_len": mean_wl,
+        "symbol_ratio": symbol_ratio,
+        "bullet_line_frac": bullet_frac,
+        "ellipsis_line_frac": ellipsis_frac,
+        "alpha_word_frac": alpha_word_frac,
+        "n_stop_hits": f"({stop_hits})",
+        "passes": passes,
+    }
+
+
+SQL.gopher_fields = staticmethod(_gopher_fields_sql)
+
+
+def per_domain_cap(
+    df,
+    cap: int,
+    domain_col: str = "source",
+    key_col: str = "doc_id",
+    mod: int = 1_000_000_007,
+    n_salts: int = 32,
+):
+    """Keep at most ``cap`` documents per domain, chosen DETERMINISTICALLY
+    by the portable row hash (same survivors on any engine, partitioning,
+    or cluster size) — the per-site cap every web-scale corpus applies so
+    one mega-domain cannot dominate the training mix.
+
+    Skew-safe two-phase shape: phase 1 ranks within (domain, salt-bucket)
+    and keeps ``cap`` per bucket, so no single window partition ever
+    exceeds ~rows/n_salts even for a domain holding half the corpus;
+    phase 2 ranks the <= cap * n_salts survivors per domain — a bounded
+    partition regardless of input skew.  Both phases are plain window
+    shuffles; nothing collects.
+
+    Output: input columns + ``rk`` (1-based deterministic rank within the
+    domain).  Oracle twin: row_number() OVER (PARTITION BY domain ORDER
+    BY portable_hash, key) <= cap — the salt pre-prune is semantics-free.
+    """
+    from pyspark.sql import Window
+
+    h = portable_row_hash(F.col(key_col), mod=mod)
+    d = df.withColumn("__h", h).withColumn(
+        "__b", F.pmod(F.col("__h"), F.lit(n_salts))
+    )
+    w1 = Window.partitionBy(domain_col, "__b").orderBy("__h", key_col)
+    pruned = (
+        d.withColumn("__r1", F.row_number().over(w1))
+        .where(F.col("__r1") <= cap)
+        .drop("__r1", "__b")
+    )
+    w2 = Window.partitionBy(domain_col).orderBy("__h", key_col)
+    return (
+        pruned.withColumn("rk", F.row_number().over(w2))
+        .where(F.col("rk") <= cap)
+        .drop("__h")
+    )

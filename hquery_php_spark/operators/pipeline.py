@@ -374,3 +374,61 @@ def interleaved_doc_stats(spans_df: DataFrame) -> DataFrame:
         ).alias("span_chars"),
         F.array_max(F.transform(sp, lambda s: s["offset"])).alias("max_offset"),
     )
+
+
+def global_order_index(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    n_ranges: int = 64,
+    mod: int = 1_000_000_007,
+) -> DataFrame:
+    """Deterministic global training order: every row gets a dense
+    0-based position equal to its rank under (portable_hash(key), key) —
+    the corpus-wide "shuffle" a training run needs, reproducible on any
+    engine or cluster size (df.orderBy alone gives an order but no
+    addressable position; a global row_number() window collapses to ONE
+    partition and dies at scale).
+
+    Scale shape: the hash is uniform on [0, mod), so ``bucket =
+    floor(h·n_ranges/mod)`` is an explicit, deterministic range
+    partitioning (no sampling pass like repartitionByRange, whose
+    boundaries can shift between jobs).  Per-bucket counts (<= n_ranges
+    rows) come back to the driver once to form cumulative offsets; the
+    final position is offset[bucket] + intra-bucket rank from a window
+    partitioned BY bucket — every window partition holds ~rows/n_ranges
+    rows no matter the total.  Two scans of the input (count + rank); at
+    10^12 rows pick n_ranges ~ total/2^21 so each bucket stays a few
+    hundred MB.
+
+    Output: input columns + ``pos`` (long).  Oracle: row_number() OVER
+    (ORDER BY hash, key) - 1.
+    """
+    from ..functions.text import portable_row_hash
+
+    h = portable_row_hash(F.col(key_col), mod=mod)
+    d = df.withColumn("__h", h).withColumn(
+        "__bkt", F.floor(F.col("__h") * n_ranges / F.lit(mod)).cast("int")
+    )
+    sizes = {
+        r["__bkt"]: r["n"]
+        for r in d.groupBy("__bkt").agg(F.count("*").alias("n")).collect()
+    }
+    running, offsets = 0, {}
+    for b in sorted(sizes):
+        offsets[b] = running
+        running += sizes[b]
+    off = None
+    for b in sorted(offsets):
+        off = (
+            F.when(F.col("__bkt") == b, F.lit(offsets[b]))
+            if off is None
+            else off.when(F.col("__bkt") == b, F.lit(offsets[b]))
+        )
+    off = F.lit(0) if off is None else off.otherwise(F.lit(0))
+    w = Window.partitionBy("__bkt").orderBy("__h", key_col)
+    return (
+        d.withColumn(
+            "pos", (off + F.row_number().over(w) - F.lit(1)).cast("long")
+        )
+        .drop("__h", "__bkt")
+    )

@@ -523,3 +523,35 @@ def test_bpe_and_tokens_cross_engine_fuzz(spark, texts):
         ).fetchall()
     }
     assert got == want
+
+
+@settings(max_examples=8, deadline=None)
+@given(texts=_texts)
+def test_gopher_quality_cross_engine_fuzz(spark, texts):
+    """gopher_quality twins in lockstep: normalization, line splitting,
+    bullet/ellipsis tests, per-word alpha filter, stopword hits, and the
+    combined pass flag must agree exactly across Java/RE2 dialects."""
+    import duckdb
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from hquery_php_spark.functions.text import SQL as TSQL, gopher_quality
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: tuple(r)[1:]
+        for r in df.select(
+            "doc_id", gopher_quality(F.col("text"), min_words=3).alias("g")
+        )
+        .select("doc_id", "g.*")
+        .collect()
+    }
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame(rows, columns=["doc_id", "text"]))
+    sql = "SELECT doc_id, " + ", ".join(
+        f"{e} AS {n}"
+        for n, e in TSQL.gopher_fields("text", min_words=3).items()
+    ) + " FROM documents"
+    want = {r[0]: tuple(r[1:]) for r in con.execute(sql).fetchall()}
+    assert got == want

@@ -829,3 +829,53 @@ def test_connected_components_long_chain(spark):
     out = connected_components(edges, max_iter=25).collect()
     assert len(out) == 512
     assert {r.cluster_id for r in out} == {0}
+
+
+def test_per_domain_cap(spark):
+    """<= cap rows per domain; survivors + ranks identical regardless of
+    input partitioning (determinism is the whole point); rank is dense
+    1..k in portable-hash order."""
+    from hquery_php_spark.functions.text import per_domain_cap
+
+    rows = [(i, f"d{i % 3}") for i in range(100)]
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    got = {
+        (r.doc_id, r.source): r.rk
+        for r in per_domain_cap(df, cap=5, n_salts=4).collect()
+    }
+    per_dom = {}
+    for (_, s), rk in got.items():
+        per_dom.setdefault(s, []).append(rk)
+    assert set(per_dom) == {"d0", "d1", "d2"}
+    for s, rks in per_dom.items():
+        assert sorted(rks) == [1, 2, 3, 4, 5]
+    got2 = {
+        (r.doc_id, r.source): r.rk
+        for r in per_domain_cap(df.repartition(7), cap=5, n_salts=4).collect()
+    }
+    assert got == got2
+
+
+def test_global_order_index(spark):
+    """Positions are a dense permutation of 0..n-1 equal to the rank
+    under (portable_hash, key), independent of input partitioning."""
+    from pyspark.sql import functions as F
+
+    from hquery_php_spark.functions.text import portable_row_hash
+    from hquery_php_spark.operators.pipeline import global_order_index
+
+    df = spark.createDataFrame([(i,) for i in range(200)], ["doc_id"])
+    out = global_order_index(df, n_ranges=8).collect()
+    assert sorted(r.pos for r in out) == list(range(200))
+    ranked = [
+        r.doc_id
+        for r in df.select(
+            "doc_id", portable_row_hash(F.col("doc_id")).alias("h")
+        )
+        .orderBy("h", "doc_id")
+        .collect()
+    ]
+    by_pos = {r.pos: r.doc_id for r in out}
+    assert [by_pos[i] for i in range(200)] == ranked
+    out2 = global_order_index(df.repartition(5), n_ranges=8).collect()
+    assert {(r.doc_id, r.pos) for r in out2} == {(r.doc_id, r.pos) for r in out}
