@@ -139,6 +139,14 @@ from hquery_php_spark.operators.pipeline import (  # noqa: E402
 )
 
 _PACK_SQL = _pack_sql(max_tokens=512, tokens_expr=TSQL.token_count("text"), n_shards=8)
+
+from hquery_php_spark.operators.curate import (  # noqa: E402
+    curate_oracle_sql as _curate_sql,
+)
+
+_CURATE_SQL = _curate_sql(
+    gopher_kwargs=dict(min_stop_hits=1), cap_per_domain=20
+)
 _EV_TOPK_SQL = _TOPK_SQL_T.format(k=3)
 _EV_TUMBLING_SQL = _TUMB_SQL_T.format(width="hour")
 _EV_SESSIONIZE_SQL = _SESS_SQL_T.format(gap_minutes=30)
@@ -1042,6 +1050,33 @@ def q_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     return global_order_index(d, n_ranges=16).select("doc_id", "pos")
 
 
+def q_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPOSED curation pipeline end-to-end in one value-checked
+    query: Gopher+repetition gates → exact dedup → portable MinHash/LSH
+    near-dup clusters (keep cluster min) → benchmark decontamination →
+    PII redaction → per-domain cap → deterministic global order.  Twin:
+    curate_oracle_sql (each stage reuses its already-pinned oracle)."""
+    from hquery_php_spark.operators.curate import CurateOptions, curate_corpus
+
+    d = _spread(_docs(spark, sf_dir), spark).select("doc_id", "text", "source")
+    bench = d.where(F.pmod(F.col("doc_id"), F.lit(10)) == 0)
+    train = d.where(F.pmod(F.col("doc_id"), F.lit(10)) != 0)
+    opts = CurateOptions(
+        min_words=10,
+        gopher_kwargs=dict(min_stop_hits=1),
+        num_perm=16,
+        shingle_k=8,
+        lsh_bands=2,
+        rows_per_band=8,
+        jaccard_threshold=0.6,
+        portable_hashes=True,
+        decontaminate_n=8,
+        cap_per_domain=20,
+        n_ranges=16,
+    )
+    return curate_corpus(train, benchmark=bench, opts=opts)
+
+
 def q_corpus_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stratified DETERMINISTIC sampling on the portable row hash: the
     same sample falls out on any engine / partitioning / cluster size
@@ -1306,6 +1341,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_quality": q_gopher_quality,
         "domain_cap": q_domain_cap,
         "corpus_shuffle": q_corpus_shuffle,
+        "curate": q_curate,
         "corpus_sample": q_corpus_sample,
         "pack_sequences": q_pack_sequences,
         "interleaved_docs": q_interleaved_docs,
@@ -1557,6 +1593,7 @@ def oracle_sql() -> dict[str, str]:
             + _prh_sql("doc_id")
             + ", doc_id) - 1 AS BIGINT) AS pos FROM documents"
         ),
+        "curate": _CURATE_SQL,
         "corpus_sample": _CORPUS_SAMPLE_SQL,
         "pack_sequences": _PACK_SQL,
         "interleaved_docs": (

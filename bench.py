@@ -63,6 +63,7 @@ def main() -> None:
         "gopher_quality",
         "domain_cap",
         "corpus_shuffle",
+        "curate",
     ]
 
     timings = {}

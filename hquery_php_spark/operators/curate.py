@@ -1,0 +1,248 @@
+"""End-to-end corpus curation: the composed training-data prep path.
+
+One operator chains the pipeline a pretraining corpus actually runs —
+quality gates → exact dedup → MinHash near-dup clustering → benchmark
+decontamination → PII redaction → per-domain cap → deterministic global
+order — entirely from the already-value-checked building blocks, in ONE
+lazy DataFrame program (Catalyst sees the whole plan; only the near-dup
+clustering leg materializes intermediates, because connected components
+is iterative).
+
+Scale shape per stage (each verified individually in PLANS.md):
+* quality gates — pure JVM expression tree, zero shuffles;
+* exact dedup — one window shuffle keyed by the 16-byte fingerprint;
+* near-dup — hash-once signatures, banded-LSH self-join (shuffle ∝
+  candidate density), broadcast-pruned verify, O(log n)-round
+  pointer-jumping components (reliable ``checkpoint_dir`` supported);
+* decontamination — broadcast of the (small) benchmark gram set;
+* redaction — JVM regexp expressions, no shuffle;
+* domain cap — skew-safe two-phase salted window;
+* global order — explicit hash-range buckets, no single-partition window.
+
+The packaged CLI lives in ``jobs/curate_job.py`` (spark-submit
+--py-files); resume = anti-join on ids already committed to --output.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import (
+    fingerprint,
+    gopher_quality,
+    per_domain_cap,
+    redact_pii,
+    repetition_stats,
+    token_count,
+)
+from .decontaminate import ngram_decontaminate
+from .dedup import (
+    connected_components,
+    minhash_lsh_candidates,
+    minhash_signatures,
+    ngram_jaccard_verify,
+)
+from .pipeline import global_order_index
+
+__all__ = ["CurateOptions", "curate_corpus"]
+
+
+@dataclass
+class CurateOptions:
+    id_col: str = "doc_id"
+    text_col: str = "text"
+    domain_col: Optional[str] = "source"
+    # quality gates
+    min_words: int = 10
+    max_top_bigram_frac: float = 0.30
+    gopher_kwargs: dict = field(default_factory=dict)
+    # near-dup
+    near_dup: bool = True
+    num_perm: int = 32
+    shingle_k: int = 5
+    lsh_bands: int = 8
+    rows_per_band: Optional[int] = None
+    jaccard_threshold: float = 0.8
+    # portable polynomial hash family + injective band keys: slower than
+    # xxhash but bit-identical to the ANSI-SQL twin (curate_oracle_sql)
+    portable_hashes: bool = False
+    checkpoint_dir: Optional[str] = None
+    # decontamination
+    decontaminate_n: int = 8
+    # per-domain cap (None = no cap)
+    cap_per_domain: Optional[int] = None
+    # global order
+    n_ranges: int = 64
+
+
+def curate_corpus(
+    docs: DataFrame,
+    benchmark: Optional[DataFrame] = None,
+    opts: CurateOptions = CurateOptions(),
+) -> DataFrame:
+    """documents(id, text[, domain]) → curated corpus in training order.
+
+    Output columns: id, domain (when configured), text (PII-redacted),
+    n_tokens, n_email/n_ip/n_phone (redaction counts), pos (dense global
+    training position).  Every removal stage keeps the canonical
+    (minimum-id) representative, so reruns are deterministic."""
+    o = opts
+    idc, txt = o.id_col, o.text_col
+
+    # 1. quality gates: Gopher rules + repetition cap (pure expressions)
+    g = gopher_quality(F.col(txt), min_words=o.min_words, **o.gopher_kwargs)
+    r = repetition_stats(F.col(txt))
+    d = (
+        docs.withColumn("__g", g)
+        .withColumn("__r", r)
+        .where(
+            (F.col("__g.passes") == 1)
+            & (F.col("__r.top_bigram_frac") <= o.max_top_bigram_frac)
+        )
+        .drop("__g", "__r")
+    )
+
+    # 2. exact dedup: canonical (min-id) copy per fingerprint
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("__fp").orderBy(idc)
+    d = (
+        d.withColumn("__fp", fingerprint(F.col(txt)))
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__fp", "__rn")
+    )
+
+    # 3. MinHash near-dup clusters → keep the cluster-minimum doc.
+    #    connected_components labels every node with its smallest member,
+    #    so the survivors are exactly the rows whose label == own id.
+    if o.near_dup:
+        sigs = minhash_signatures(
+            d, text_col=txt, id_col=idc, num_perm=o.num_perm,
+            shingle_k=o.shingle_k, portable=o.portable_hashes,
+        )
+        cands = minhash_lsh_candidates(
+            sigs, bands=o.lsh_bands, rows_per_band=o.rows_per_band,
+            exact_buckets=o.portable_hashes,
+        )
+        pairs = ngram_jaccard_verify(
+            d, cands, text_col=txt, id_col=idc, k=o.shingle_k,
+            threshold=o.jaccard_threshold,
+        )
+        labels = connected_components(
+            pairs.select("id_a", "id_b"), checkpoint_dir=o.checkpoint_dir
+        )
+        losers = labels.where(F.col("cluster_id") != F.col("id")).select(
+            F.col("id").alias(idc)
+        )
+        d = d.join(F.broadcast(losers), idc, "left_anti")
+
+    # 4. benchmark decontamination (broadcast gram set)
+    if benchmark is not None:
+        d = ngram_decontaminate(
+            d, benchmark, text_col=txt, id_col=idc,
+            n=o.decontaminate_n, mode="clean",
+        )
+
+    # 5. PII redaction — text column is REPLACED by the redacted form
+    red = redact_pii(F.col(txt))
+    d = (
+        d.withColumn("__red", red)
+        .withColumn(txt, F.col("__red.redacted"))
+        .withColumn("n_email", F.col("__red.n_email"))
+        .withColumn("n_ip", F.col("__red.n_ip"))
+        .withColumn("n_phone", F.col("__red.n_phone"))
+        .drop("__red")
+    )
+
+    # 6. per-domain cap (skew-safe deterministic rank)
+    if o.cap_per_domain is not None and o.domain_col is not None:
+        d = per_domain_cap(
+            d, cap=o.cap_per_domain, domain_col=o.domain_col, key_col=idc
+        ).drop("rk")
+
+    # 7. deterministic global training order
+    d = d.withColumn("n_tokens", token_count(F.col(txt)))
+    return global_order_index(d, key_col=idc, n_ranges=o.n_ranges)
+
+
+def curate_oracle_sql(
+    table: str = "documents",
+    bench_pred: str = "doc_id % 10 = 0",
+    min_words: int = 10,
+    gopher_kwargs: Optional[dict] = None,
+    max_top_bigram_frac: float = 0.30,
+    num_perm: int = 16,
+    shingle_k: int = 8,
+    bands: int = 2,
+    rows_per_band: int = 8,
+    threshold: float = 0.6,
+    decontaminate_n: int = 8,
+    cap_per_domain: Optional[int] = None,
+    domain_col: str = "source",
+) -> str:
+    """ANSI-SQL twin of the WHOLE ``curate_corpus`` chain (with
+    ``portable_hashes=True`` and the same parameters): quality gates →
+    exact dedup → portable MinHash/LSH/verify pairs → recursive-CTE
+    components (keep cluster min) → benchmark decontamination → PII
+    redaction → per-domain cap → global order.  Every stage reuses the
+    already-pinned single-stage twin, so a value mismatch localizes to
+    the composition, not the primitives."""
+    from ..functions.text import SQL as TSQL, portable_row_hash_sql
+    from .dedup import (
+        connected_components_oracle_sql,
+        minhash_verify_oracle_sql,
+    )
+
+    gk = dict(gopher_kwargs or {})
+    passes = TSQL.gopher_fields("text", min_words=min_words, **gk)["passes"]
+    topbg = TSQL.repetition_fields("text")["top_bigram_frac"]
+    fp = TSQL.fingerprint("text")
+    mh = minhash_verify_oracle_sql(
+        num_perm=num_perm, shingle_k=shingle_k, bands=bands,
+        rows_per_band=rows_per_band, threshold=threshold, table="e",
+    )
+    cc = connected_components_oracle_sql("SELECT id_a, id_b FROM mh_pairs")
+    grams = TSQL.word_ngrams("text", decontaminate_n)
+    red = TSQL.redact_pii_fields("text")
+    prh = portable_row_hash_sql("doc_id")
+    dom = domain_col
+    cap_sql = (
+        f"""(SELECT doc_id, {dom}, text, n_email, n_ip, n_phone FROM (
+              SELECT *, row_number() OVER (PARTITION BY {dom}
+                        ORDER BY {prh}, doc_id) AS rk FROM red)
+            WHERE rk <= {cap_per_domain})"""
+        if cap_per_domain is not None
+        else "red"
+    )
+    return f"""
+WITH train AS (SELECT doc_id, text, {dom} FROM {table} WHERE NOT ({bench_pred})),
+q AS (SELECT * FROM train WHERE ({passes}) = 1 AND ({topbg}) <= {max_top_bigram_frac}),
+e AS (SELECT doc_id, text, {dom} FROM (
+        SELECT *, row_number() OVER (PARTITION BY {fp} ORDER BY doc_id) AS __rn
+        FROM q)
+      WHERE __rn = 1),
+mh_pairs AS (SELECT id_a, id_b FROM ({mh})),
+labels AS (SELECT * FROM ({cc})),
+surv AS (SELECT * FROM e
+         WHERE doc_id NOT IN (SELECT id FROM labels WHERE cluster_id <> id)),
+bgrams AS (SELECT DISTINCT unnest({grams}) AS gram FROM {table} WHERE {bench_pred}),
+flagged AS (SELECT DISTINCT doc_id FROM
+              (SELECT doc_id, unnest({grams}) AS gram FROM surv) t
+            JOIN bgrams USING (gram)),
+dec AS (SELECT * FROM surv WHERE doc_id NOT IN (SELECT doc_id FROM flagged)),
+red AS (SELECT doc_id, {dom},
+               {red['redacted']} AS text,
+               {red['n_email']} AS n_email,
+               {red['n_ip']} AS n_ip,
+               {red['n_phone']} AS n_phone
+        FROM dec)
+SELECT doc_id, {dom}, text, n_email, n_ip, n_phone,
+       {TSQL.token_count('text')} AS n_tokens,
+       CAST(row_number() OVER (ORDER BY {prh}, doc_id) - 1 AS BIGINT) AS pos
+FROM {cap_sql}
+"""

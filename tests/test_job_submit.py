@@ -103,3 +103,42 @@ def test_spark_submit_kill_resume(tmp_path):
         f"SELECT sum(n_docs) FROM '{metrics}/*.parquet'"
     ).fetchone()
     assert m_docs == N_DOCS
+
+
+def test_curate_job_submit_and_resume(tmp_path):
+    """Packaged curation job via spark-submit: one run curates the
+    corpus (dedup removes the planted exact+near dupes, positions are
+    dense); a second submit is a no-op (resume anti-join leaves zero
+    rows to process, including the empty-input path through the
+    near-dup/components legs)."""
+    base = "the quick brown fox and the lazy dog jumps over with grace "
+    rows = []
+    for i in range(200):
+        if i % 7 == 0 and i > 0:
+            txt = rows[i - 1][1]              # exact dup of previous
+        else:
+            txt = (base * 3) + f"tail{i} marker{i * 17}"
+        rows.append((i, txt, f"s{i % 4}"))
+    docs = pd.DataFrame(rows, columns=["doc_id", "text", "source"])
+    inp = str(tmp_path / "docs.parquet")
+    docs.to_parquet(inp)
+    out = str(tmp_path / "curated")
+    zipf = shutil.make_archive(str(tmp_path / "pkg"), "zip", REPO, "hquery_php_spark")
+    cmd = [
+        "spark-submit", "--master", "local[4]", "--py-files", zipf,
+        os.path.join(REPO, "jobs", "curate_job.py"),
+        "--input", inp, "--output", out,
+        "--min-words", "3", "--jaccard-threshold", "0.9",
+    ]
+    env = dict(os.environ, PYTHONPATH=REPO)
+    subprocess.run(cmd, check=True, capture_output=True, env=env, timeout=600)
+    got = duckdb.sql(f"SELECT * FROM '{out}/*.parquet'").df()
+    n1 = len(got)
+    assert 0 < n1 < 200                       # dupes actually removed
+    assert sorted(got["pos"]) == list(range(n1))
+    assert set(got.columns) >= {"doc_id", "source", "text", "n_tokens", "pos"}
+    # near-identical tails are CLOSE but distinct; exact dups must be gone
+    assert got["doc_id"].nunique() == n1
+    subprocess.run(cmd, check=True, capture_output=True, env=env, timeout=600)
+    n2 = duckdb.sql(f"SELECT count(*) FROM '{out}/*.parquet'").fetchone()[0]
+    assert n2 == n1

@@ -568,3 +568,47 @@ def test_resolve_media_refs_broadcasts_meta(spark):
     assert "BroadcastHashJoin" in plan, plan
     got = {r.doc_id: r.width for r in out.collect()}
     assert got["d3"] == 13 and got["d50"] is None
+
+
+def test_curate_corpus_end_to_end(spark):
+    """The composed curation path: quality gate drops the stopword-free
+    doc, exact dedup keeps the min-id copy, near-dup clustering keeps the
+    cluster minimum, decontamination drops the benchmark-overlapping doc,
+    PII is redacted in the surviving text, and global positions are dense
+    0..n-1."""
+    from hquery_php_spark.operators.curate import CurateOptions, curate_corpus
+
+    base = (
+        "the quick brown fox and the lazy dog jumps over with grace " * 3
+    ).strip()
+    rows = [
+        (1, base + " uniqueone", "s0"),       # survives (cluster min)
+        (2, base + " uniquetwo", "s0"),       # near-dup of 1 -> removed
+        (3, base + " uniqueone", "s1"),       # exact dup of 1 -> removed
+        (4, "zzz yyy xxx www vvv uuu", "s1"),  # no stopwords -> quality fail
+        (5, "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "with the others", "s2"),          # contaminated -> removed
+        (6, "please do contact the team and share at bob@example.com "
+            "with any question", "s2"),        # survives, email redacted
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta eta theta")],
+        ["doc_id", "text"],
+    )
+    opts = CurateOptions(
+        min_words=3,
+        gopher_kwargs=dict(
+            min_mean_word_len=1.0, max_mean_word_len=20.0,
+            max_symbol_ratio=5.0,
+        ),
+        lsh_bands=8,
+        jaccard_threshold=0.7,
+        n_ranges=4,
+    )
+    out = {r.doc_id: r for r in curate_corpus(docs, benchmark=bench, opts=opts).collect()}
+    assert set(out) == {1, 6}
+    assert sorted(r.pos for r in out.values()) == [0, 1]
+    assert out[6].n_email == 1 and "<EMAIL>" in out[6].text
+    assert out[1].n_email == 0 and out[1].text.startswith("the quick")
+    assert out[1].n_tokens > 0
