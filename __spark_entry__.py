@@ -147,6 +147,68 @@ from hquery_php_spark.operators.curate import (  # noqa: E402
 _CURATE_SQL = _curate_sql(
     gopher_kwargs=dict(min_stop_hits=1), cap_per_domain=20
 )
+
+from hquery_php_spark.functions.text import (  # noqa: E402
+    tfidf_top_terms_sql as _tfidf_sql,
+)
+
+_TFIDF_SQL = _tfidf_sql(top_k=3)
+
+from hquery_php_spark.functions.rank import (  # noqa: E402
+    bm25_oracle_sql as _bm25_sql,
+    pmi_oracle_sql as _pmi_sql,
+)
+
+_BM25_SQL = _bm25_sql(["spark", "join", "window"], k=10)
+_PMI_SQL = _pmi_sql(min_count=5, top_k=20)
+
+from hquery_php_spark.functions.url import (  # noqa: E402
+    canonical_url_sql as _curl_sql,
+)
+
+_URL_DEDUP_SQL = f"""
+SELECT {_curl_sql("messy")} AS url,
+       min(doc_id) AS keep_id,
+       CAST(count(*) AS BIGINT) AS n_dups
+FROM (
+  SELECT doc_id,
+         CASE CAST(doc_id % 5 AS INT)
+           WHEN 0 THEN 'https://Example.COM/docs/' || CAST(doc_id // 5 AS VARCHAR) || '.html'
+           WHEN 1 THEN 'https://example.com:443/docs/' || CAST(doc_id // 5 AS VARCHAR) || '.html'
+           WHEN 2 THEN 'https://example.com/docs/' || CAST(doc_id // 5 AS VARCHAR) || '.html?utm_source=news&utm_campaign=a'
+           WHEN 3 THEN 'https://example.com/docs/' || CAST(doc_id // 5 AS VARCHAR) || '.html#frag'
+           ELSE 'https://example.com/docs/' || CAST(doc_id // 5 AS VARCHAR) || '.html?b=2&a=1'
+         END AS messy
+  FROM documents)
+GROUP BY 1
+"""
+
+# DuckDB twin of q_corpus_stats: identical per-doc integer signals
+# (tokens/chars/alpha/en/gopher-pass), summed as BIGINTs so the rollup is
+# exact on any engine and any summation order; alpha_ratio derived from
+# the sums afterwards with the same round(·,6) guard.
+_CS_NORM = TSQL.norm_ws("text")
+_CORPUS_STATS_SQL = f"""
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(t) AS BIGINT) AS sum_tokens,
+       CAST(sum(ch) AS BIGINT) AS sum_chars,
+       CAST(sum(al) AS BIGINT) AS sum_alpha,
+       CAST(sum(en) AS BIGINT) AS n_en,
+       CAST(sum(ps) AS BIGINT) AS n_pass,
+       CASE WHEN sum(ch) > 0
+            THEN round(CAST(sum(al) AS DOUBLE) / sum(ch), 6)
+            ELSE 0.0 END AS alpha_ratio
+FROM (
+  SELECT source,
+         {TSQL.token_count("text")} AS t,
+         length({_CS_NORM}) AS ch,
+         length(regexp_replace({_CS_NORM}, '[^a-zA-Z]', '', 'g')) AS al,
+         CASE WHEN {TSQL.lang_id_en("text")} = 'en' THEN 1 ELSE 0 END AS en,
+         {TSQL.gopher_fields("text", min_words=10, min_stop_hits=1)["passes"]} AS ps
+  FROM documents)
+GROUP BY source
+"""
 _EV_TOPK_SQL = _TOPK_SQL_T.format(k=3)
 _EV_TUMBLING_SQL = _TUMB_SQL_T.format(width="hour")
 _EV_SESSIONIZE_SQL = _SESS_SQL_T.format(gap_minutes=30)
@@ -1050,6 +1112,124 @@ def q_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     return global_order_index(d, n_ranges=16).select("doc_id", "pos")
 
 
+def q_tfidf_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 TF-IDF terms: tf shuffle → df derived from the
+    tf table (no second corpus scan) → join + per-doc window."""
+    from hquery_php_spark.functions.text import tfidf_top_terms
+
+    return tfidf_top_terms(_spread(_docs(spark, sf_dir), spark), top_k=3)
+
+
+def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain corpus rollup (docs, tokens, chars, alpha ratio,
+    English share, Gopher pass count).  All INTEGER aggregates — ratios
+    derive from the summed counts afterwards, so the result is exact on
+    any engine and any summation order (avg over per-doc doubles would
+    not be)."""
+    from hquery_php_spark.functions.text import (
+        gopher_quality,
+        lang_id_en,
+        norm_ws,
+        token_count,
+    )
+
+    c = F.col("text")
+    norm = norm_ws(c)
+    alpha = F.length(F.regexp_replace(norm, r"[^a-zA-Z]", ""))
+    per = _docs(spark, sf_dir).select(
+        "source",
+        token_count(c).alias("t"),
+        F.length(norm).alias("ch"),
+        alpha.alias("al"),
+        (lang_id_en(c) == "en").cast("int").alias("en"),
+        gopher_quality(c, min_words=10, min_stop_hits=1)["passes"].alias("ps"),
+    )
+    return (
+        per.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("t").cast("long").alias("sum_tokens"),
+            F.sum("ch").cast("long").alias("sum_chars"),
+            F.sum("al").cast("long").alias("sum_alpha"),
+            F.sum("en").cast("long").alias("n_en"),
+            F.sum("ps").cast("long").alias("n_pass"),
+        )
+        .withColumn(
+            "alpha_ratio",
+            F.when(
+                F.col("sum_chars") > 0,
+                F.round(F.col("sum_alpha") / F.col("sum_chars"), 6),
+            ).otherwise(F.lit(0.0)),
+        )
+    )
+
+
+def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-level dedup — the first gate of a crawl pipeline: synthesize
+    the messy re-crawl variants deterministically from doc_id (case,
+    default port, tracking params, fragment, param order), canonicalize
+    with pure JVM expressions (zero shuffle until the group-by), keep
+    min-id per canonical URL."""
+    from hquery_php_spark.functions.url import canonical_url
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.expr("doc_id DIV 5").cast("string").alias("g"),
+        F.expr("CAST(doc_id % 5 AS INT)").alias("v"),
+    )
+    base = F.concat(F.lit("https://example.com/docs/"), F.col("g"), F.lit(".html"))
+    messy = (
+        F.when(
+            F.col("v") == 0,
+            F.concat(F.lit("https://Example.COM/docs/"), F.col("g"), F.lit(".html")),
+        )
+        .when(
+            F.col("v") == 1,
+            F.concat(
+                F.lit("https://example.com:443/docs/"), F.col("g"), F.lit(".html")
+            ),
+        )
+        .when(F.col("v") == 2, F.concat(base, F.lit("?utm_source=news&utm_campaign=a")))
+        .when(F.col("v") == 3, F.concat(base, F.lit("#frag")))
+        .otherwise(F.concat(base, F.lit("?b=2&a=1")))
+    )
+    return (
+        d.select("doc_id", canonical_url(messy).alias("url"))
+        .groupBy("url")
+        .agg(
+            F.min("doc_id").alias("keep_id"),
+            F.count("*").cast("long").alias("n_dups"),
+        )
+    )
+
+
+_BM25_TERMS = ["spark", "join", "window"]
+
+
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-10 for a fixed 3-term keyword query: per-doc term
+    frequencies straight from the token array (no explode/shuffle), a
+    single-row corpus-stats lookup, partial top-k."""
+    from hquery_php_spark.functions.rank import bm25_topk
+
+    return bm25_topk(
+        _spread(_docs(spark, sf_dir), spark).select("doc_id", "text"),
+        terms=_BM25_TERMS,
+        k=10,
+    )
+
+
+def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 adjacent-token collocations by PMI: one scan emits the
+    combined unigram+bigram event stream (one shuffle for both count
+    tables), log-space scoring avoids N² integer overflow."""
+    from hquery_php_spark.functions.rank import pmi_collocations
+
+    return pmi_collocations(
+        _spread(_docs(spark, sf_dir), spark), min_count=5, top_k=20
+    )
+
+
 def q_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The COMPOSED curation pipeline end-to-end in one value-checked
     query: Gopher+repetition gates → exact dedup → portable MinHash/LSH
@@ -1342,6 +1522,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_cap": q_domain_cap,
         "corpus_shuffle": q_corpus_shuffle,
         "curate": q_curate,
+        "tfidf_top": q_tfidf_top,
+        "corpus_stats": q_corpus_stats,
+        "bm25_search": q_bm25_search,
+        "pmi_collocations": q_pmi_collocations,
+        "url_dedup": q_url_dedup,
         "corpus_sample": q_corpus_sample,
         "pack_sequences": q_pack_sequences,
         "interleaved_docs": q_interleaved_docs,
@@ -1594,6 +1779,11 @@ def oracle_sql() -> dict[str, str]:
             + ", doc_id) - 1 AS BIGINT) AS pos FROM documents"
         ),
         "curate": _CURATE_SQL,
+        "tfidf_top": _TFIDF_SQL,
+        "corpus_stats": _CORPUS_STATS_SQL,
+        "bm25_search": _BM25_SQL,
+        "pmi_collocations": _PMI_SQL,
+        "url_dedup": _URL_DEDUP_SQL,
         "corpus_sample": _CORPUS_SAMPLE_SQL,
         "pack_sequences": _PACK_SQL,
         "interleaved_docs": (

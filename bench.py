@@ -64,6 +64,11 @@ def main() -> None:
         "domain_cap",
         "corpus_shuffle",
         "curate",
+        "tfidf_top",
+        "corpus_stats",
+        "bm25_search",
+        "pmi_collocations",
+        "url_dedup",
     ]
 
     timings = {}

@@ -640,3 +640,72 @@ def per_domain_cap(
         .where(F.col("rk") <= cap)
         .drop("__h")
     )
+
+
+def tfidf_top_terms(
+    df,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_k: int = 3,
+):
+    """Per-document top-k TF-IDF terms — the classic two-aggregate
+    relational shape: term frequencies (one shuffle on (doc, term),
+    map-side partial agg), document frequencies derived FROM the tf
+    table (no second corpus scan), join back on term, per-doc window
+    for the top-k.  idf = ln(N/df) on the rounded-to-6 score, with the
+    term string as the deterministic tie-break, so the selected rows
+    are engine-stable.
+
+    N (total docs) is a single driver scalar (one count job) — the same
+    "parameter lookup" pattern as the IVF query vector.  Output:
+    (id, term, tf, doc_freq, tfidf, rk)."""
+    from pyspark.sql import Window
+
+    norm = F.translate(norm_ws(F.col(text_col)), _UPPER, _LOWERC)
+    toks = df.select(
+        F.col(id_col).alias("id"), F.explode(F.split(norm, " ")).alias("term")
+    ).where(F.col("term") != "")
+    tf = toks.groupBy("id", "term").agg(F.count("*").alias("tf"))
+    n_docs = df.count()
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("doc_freq"))
+    scored = tf.join(dfreq, "term").withColumn(
+        "tfidf",
+        F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("doc_freq")), 6),
+    )
+    w = Window.partitionBy("id").orderBy(F.desc("tfidf"), "term")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= top_k)
+        .select("id", "term", "tf", "doc_freq", "tfidf", "rk")
+    )
+
+
+def tfidf_top_terms_sql(
+    table: str = "documents", top_k: int = 3
+) -> str:
+    """DuckDB twin of ``tfidf_top_terms`` — identical normalization,
+    identical ln(N/df) arithmetic, identical rounded-score ordering."""
+    norm = f"translate({SQL.norm_ws('text')}, '{_UPPER}', '{_LOWERC}')"
+    return f"""
+WITH toks AS (
+  SELECT doc_id AS id, unnest(string_split({norm}, ' ')) AS term FROM {table}
+),
+tf AS (
+  SELECT id, term, count(*) AS tf FROM toks WHERE term <> '' GROUP BY id, term
+),
+dfq AS (SELECT term, count(*) AS doc_freq FROM tf GROUP BY term),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM {table}),
+scored AS (
+  SELECT id, term, tf, doc_freq,
+         round(tf * ln(n.n / doc_freq), 6) AS tfidf
+  FROM tf JOIN dfq USING (term), n
+)
+SELECT id, term, CAST(tf AS BIGINT) AS tf,
+       CAST(doc_freq AS BIGINT) AS doc_freq, tfidf, CAST(rk AS INT) AS rk
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY id
+            ORDER BY tfidf DESC, term) AS rk
+  FROM scored
+)
+WHERE rk <= {top_k}
+"""

@@ -612,3 +612,197 @@ def test_curate_corpus_end_to_end(spark):
     assert out[6].n_email == 1 and "<EMAIL>" in out[6].text
     assert out[1].n_email == 0 and out[1].text.startswith("the quick")
     assert out[1].n_tokens > 0
+
+
+def test_tfidf_top_terms_exact(spark):
+    """Hand-computed TF-IDF on a 3-doc corpus: idf = ln(N/df) over the
+    tf-derived document frequencies, rank by rounded score with the term
+    string as tie-break."""
+    import math
+
+    from hquery_php_spark.functions.text import tfidf_top_terms
+
+    docs = spark.createDataFrame(
+        [
+            (1, "apple apple banana"),
+            (2, "banana cherry"),
+            (3, "cherry cherry cherry date"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        (r.id, r.rk): r
+        for r in tfidf_top_terms(docs, top_k=2).collect()
+    }
+    ln3 = math.log(3.0)
+    ln32 = math.log(3.0 / 2.0)
+    # doc 1: apple tf=2 df=1 -> 2*ln3 ; banana tf=1 df=2 -> ln(3/2)
+    assert out[(1, 1)].term == "apple"
+    assert out[(1, 1)].tf == 2 and out[(1, 1)].doc_freq == 1
+    assert out[(1, 1)].tfidf == round(2 * ln3, 6)
+    assert out[(1, 2)].term == "banana"
+    assert out[(1, 2)].tfidf == round(ln32, 6)
+    # doc 3: cherry tf=3 df=2 -> 3*ln(3/2)=1.216... beats date ln3=1.0986
+    assert out[(3, 1)].term == "cherry"
+    assert out[(3, 1)].tfidf == round(3 * ln32, 6)
+    assert out[(3, 2)].term == "date"
+
+
+def test_tfidf_and_corpus_stats_match_duckdb(spark):
+    """Value-oracle equality for the two rollup queries at sf0.001 —
+    the same check the driver runs at sf0.01."""
+    import duckdb
+
+    import __spark_entry__ as E
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet')"
+    )
+    for name, q in (("tfidf_top", E.q_tfidf_top), ("corpus_stats", E.q_corpus_stats)):
+        got = q(spark, sf).toPandas()
+        want = con.execute(E.oracle_sql()[name]).fetchdf()
+        got = got[sorted(got.columns)].sort_values(sorted(got.columns)).reset_index(drop=True)
+        want = want[sorted(want.columns)].sort_values(sorted(want.columns)).reset_index(drop=True)
+        assert list(got.columns) == list(want.columns), name
+        assert len(got) == len(want), name
+        for c in got.columns:
+            a, b = got[c], want[c]
+            if a.dtype == object or b.dtype == object:
+                assert a.astype(str).tolist() == b.astype(str).tolist(), (name, c)
+            else:
+                import numpy as np
+
+                assert np.allclose(
+                    a.astype("float64"), b.astype("float64"), atol=1e-9
+                ), (name, c)
+
+
+def test_bm25_topk_exact(spark):
+    """Hand-computed Okapi BM25, one query term over three docs."""
+    import math
+
+    from hquery_php_spark.functions.rank import bm25_topk
+
+    docs = spark.createDataFrame(
+        [(1, "x x y"), (2, "y z"), (3, "x z z z")], ["doc_id", "text"]
+    )
+    out = bm25_topk(docs, terms=["x"], k=10).collect()
+    # df=2, N=3, avgdl=3, idf=ln(1 + 1.5/2.5)=ln(1.6)
+    idf = math.log(1.6)
+    want1 = round(idf * (2 * 2.2) / (2 + 1.2 * (0.25 + 0.75 * 3 / 3.0)), 6)
+    want3 = round(idf * (1 * 2.2) / (1 + 1.2 * (0.25 + 0.75 * 4 / 3.0)), 6)
+    assert [r.id for r in out] == [1, 3]  # doc 2 has score 0 -> dropped
+    assert out[0].bm25 == want1 and out[0].tf_0 == 2 and out[0].dl == 3
+    assert out[1].bm25 == want3
+
+
+def test_pmi_collocations_exact(spark):
+    """Hand-computed PMI: 'a b' is the only bigram above min_count."""
+    import math
+
+    from hquery_php_spark.functions.rank import pmi_collocations
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b c")], ["doc_id", "text"]
+    )
+    out = pmi_collocations(docs, min_count=2, top_k=5).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.w1, r.w2, r.n_xy, r.n_x, r.n_y, r.rk) == ("a", "b", 3, 3, 3, 1)
+    # N_uni=7, N_bi=5: pmi = ln 3 + 2 ln 7 - ln 5 - ln 3 - ln 3
+    want = round(
+        math.log(3.0) + 2.0 * math.log(7.0) - math.log(5.0)
+        - math.log(3.0) - math.log(3.0),
+        6,
+    )
+    assert r.pmi == want
+
+
+def test_bm25_pmi_match_duckdb(spark):
+    """Value-oracle equality for the ranking queries at sf0.001."""
+    import duckdb
+
+    import __spark_entry__ as E
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet')"
+    )
+    for name, q in (
+        ("bm25_search", E.q_bm25_search),
+        ("pmi_collocations", E.q_pmi_collocations),
+    ):
+        got = q(spark, sf).toPandas()
+        want = con.execute(E.oracle_sql()[name]).fetchdf()
+        got = got[sorted(got.columns)].sort_values(sorted(got.columns)).reset_index(drop=True)
+        want = want[sorted(want.columns)].sort_values(sorted(want.columns)).reset_index(drop=True)
+        assert list(got.columns) == list(want.columns), name
+        assert len(got) == len(want), name
+        for c in got.columns:
+            a, b = got[c], want[c]
+            if a.dtype == object or b.dtype == object:
+                assert a.astype(str).tolist() == b.astype(str).tolist(), (name, c)
+            else:
+                import numpy as np
+
+                assert np.allclose(
+                    a.astype("float64"), b.astype("float64"), atol=1e-9
+                ), (name, c)
+
+
+def test_canonical_url_rules(spark):
+    """Each canonicalization rule, pinned case by case."""
+    from hquery_php_spark.functions.url import canonical_url
+
+    cases = [
+        ("https://Example.COM/A/b", "https://example.com/A/b"),  # host only lowered
+        ("http://example.com:80/x", "http://example.com/x"),
+        ("https://example.com:443/x", "https://example.com/x"),
+        ("https://example.com:8080/x", "https://example.com:8080/x"),
+        ("https://example.com", "https://example.com/"),
+        ("https://example.com/dir/", "https://example.com/dir"),
+        ("https://example.com/", "https://example.com/"),
+        ("https://example.com/x#frag", "https://example.com/x"),
+        ("https://example.com/x?utm_source=a&q=1&gclid=z", "https://example.com/x?q=1"),
+        ("https://example.com/x?b=2&a=1", "https://example.com/x?a=1&b=2"),
+        ("https://example.com/x?utm_campaign=o", "https://example.com/x"),
+        ("  https://example.com/x ", "https://example.com/x"),
+        ("not a url", "not a url"),  # pass-through
+        ("HTTPS://example.com:443/x", "https://example.com/x"),  # scheme lowered first
+    ]
+    df = spark.createDataFrame([(i, u) for i, (u, _) in enumerate(cases)], ["i", "u"])
+    got = {r.i: r.c for r in df.select("i", canonical_url(F.col("u")).alias("c")).collect()}
+    for i, (u, want) in enumerate(cases):
+        assert got[i] == want, (u, got[i], want)
+
+
+def test_canonical_url_twin_lockstep(spark):
+    """Spark and DuckDB canonicalize an adversarial URL set identically."""
+    import duckdb
+
+    from hquery_php_spark.functions.url import canonical_url, canonical_url_sql
+
+    urls = [
+        "https://Example.COM/docs/1.html",
+        "http://h:80/", "https://h:443", "http://h:443/x", "https://h:80/x",
+        "ftp://H/Y", "https://h/p/?a=1", "https://h/p?", "https://h/p?#f",
+        "https://h/p?ref=x&z=9&utm_x=1", "https://h/p?a=1&a=0",
+        "https://h//double//slash/", "relative/path", "", "   ",
+        "https://h/p?fbclid=1", "https://h:443/?b=&a=",
+        "https://h/%7Euser/", "https://UPPER.host:443/Path/?C=3&b=2&a=1#frag",
+    ]
+    df = spark.createDataFrame([(i, u) for i, u in enumerate(urls)], ["i", "u"])
+    got = {r.i: r.c for r in df.select("i", canonical_url(F.col("u")).alias("c")).collect()}
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (i INT, u VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", list(enumerate(urls)))
+    want = {
+        i: c
+        for i, c in con.execute(
+            f"SELECT i, {canonical_url_sql('u')} FROM t"
+        ).fetchall()
+    }
+    assert got == want
