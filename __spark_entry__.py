@@ -162,6 +162,12 @@ from hquery_php_spark.functions.rank import (  # noqa: E402
 _BM25_SQL = _bm25_sql(["spark", "join", "window"], k=10)
 _PMI_SQL = _pmi_sql(min_count=5, top_k=20)
 
+from hquery_php_spark.functions.rank import (  # noqa: E402
+    unigram_logprob_oracle_sql as _ulp_sql,
+)
+
+_ULP_SQL = _ulp_sql()
+
 from hquery_php_spark.functions.url import (  # noqa: E402
     canonical_url_sql as _curl_sql,
 )
@@ -1230,6 +1236,16 @@ def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity-proxy filter signals: per-document unigram
+    log-probability with per-TERM fixed-point quantization so the
+    per-doc reduction is an exact integer sum (order-independent on any
+    engine or partitioning)."""
+    from hquery_php_spark.functions.rank import unigram_logprob
+
+    return unigram_logprob(_spread(_docs(spark, sf_dir), spark))
+
+
 def q_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The COMPOSED curation pipeline end-to-end in one value-checked
     query: Gopher+repetition gates → exact dedup → portable MinHash/LSH
@@ -1527,6 +1543,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_search": q_bm25_search,
         "pmi_collocations": q_pmi_collocations,
         "url_dedup": q_url_dedup,
+        "unigram_logprob": q_unigram_logprob,
         "corpus_sample": q_corpus_sample,
         "pack_sequences": q_pack_sequences,
         "interleaved_docs": q_interleaved_docs,
@@ -1784,6 +1801,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_search": _BM25_SQL,
         "pmi_collocations": _PMI_SQL,
         "url_dedup": _URL_DEDUP_SQL,
+        "unigram_logprob": _ULP_SQL,
         "corpus_sample": _CORPUS_SAMPLE_SQL,
         "pack_sequences": _PACK_SQL,
         "interleaved_docs": (

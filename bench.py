@@ -69,6 +69,7 @@ def main() -> None:
         "bm25_search",
         "pmi_collocations",
         "url_dedup",
+        "unigram_logprob",
     ]
 
     timings = {}

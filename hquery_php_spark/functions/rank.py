@@ -285,3 +285,98 @@ FROM (
 )
 QUALIFY rk <= {top_k}
 """
+
+
+def unigram_logprob(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document unigram log-probability — the CCNet/RedPajama
+    "perplexity filter" shape with the language model replaced by the
+    corpus's own unigram distribution (no external model artifact; the
+    plumbing is identical if a real LM table is substituted).
+
+    Cross-engine exactness: a float sum over a document's tokens is
+    aggregation-order-dependent, so each token's ln(n_w / N) is first
+    quantized to FIXED-POINT micro-nats (round(lp·1e6) as BIGINT) on the
+    per-TERM table — one rounding per vocabulary entry, not per token —
+    and the per-document reduction is then an exact integer sum, giving
+    identical results on any engine, partitioning, or cluster size.
+
+    Shape: one explode → term-count shuffle builds the unigram table;
+    the term→logprob join back onto the token stream is a plain shuffle
+    join (the vocabulary of a web corpus is too large to broadcast —
+    AQE may still choose broadcast when it measures small); one final
+    groupBy(doc) integer sum.  N (total tokens) is a single-row lookup.
+
+    Output: (id, n_toks, sum_lp_micro, avg_logprob, ppl_proxy) where
+    avg_logprob = round(sum_lp_micro / 1e6 / n_toks, 6) and ppl_proxy =
+    round(exp(-avg_logprob), 6).
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"), F.explode(_toks(F.col(text_col))).alias("term")
+    ).where(F.col("term") != "")
+    counts = toks.groupBy("term").agg(F.count("*").alias("n_w"))
+    n_total = counts.agg(F.sum("n_w")).first()[0]
+    lp = counts.withColumn(
+        "lp_micro",
+        F.round(
+            (F.log(F.col("n_w").cast("double")) - F.log(F.lit(float(n_total))))
+            * F.lit(1e6),
+            0,
+        ).cast("long"),
+    ).select("term", "lp_micro")
+    per_doc = (
+        toks.join(lp, "term")
+        .groupBy("id")
+        .agg(
+            F.count("*").cast("long").alias("n_toks"),
+            F.sum("lp_micro").alias("sum_lp_micro"),
+        )
+    )
+    avg = F.col("sum_lp_micro").cast("double") / F.lit(1e6) / F.col("n_toks").cast("double")
+    return per_doc.select(
+        "id",
+        "n_toks",
+        "sum_lp_micro",
+        F.round(avg, 6).alias("avg_logprob"),
+        F.round(F.exp(-avg), 6).alias("ppl_proxy"),
+    )
+
+
+def unigram_logprob_oracle_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """DuckDB twin of :func:`unigram_logprob` — the same per-term
+    fixed-point quantization and exact integer per-document sum."""
+    toks = _toks_sql(text_col)
+    return f"""
+WITH toks AS (
+  SELECT {id_col} AS id, term
+  FROM (SELECT {id_col}, unnest({toks}) AS term FROM {table})
+  WHERE term <> ''
+),
+counts AS (SELECT term, count(*) AS n_w FROM toks GROUP BY term),
+tot AS (SELECT CAST(sum(n_w) AS DOUBLE) AS n FROM counts),
+lp AS (
+  SELECT term,
+         CAST(round((ln(CAST(n_w AS DOUBLE)) - ln(tot.n)) * 1e6, 0) AS BIGINT)
+           AS lp_micro
+  FROM counts, tot
+),
+per_doc AS (
+  SELECT id, CAST(count(*) AS BIGINT) AS n_toks,
+         CAST(sum(lp_micro) AS BIGINT) AS sum_lp_micro
+  FROM toks JOIN lp USING (term)
+  GROUP BY id
+)
+SELECT id, n_toks, sum_lp_micro,
+       round(CAST(sum_lp_micro AS DOUBLE) / 1e6 / CAST(n_toks AS DOUBLE), 6)
+         AS avg_logprob,
+       round(exp(-(CAST(sum_lp_micro AS DOUBLE) / 1e6 / CAST(n_toks AS DOUBLE))), 6)
+         AS ppl_proxy
+FROM per_doc
+"""

@@ -806,3 +806,24 @@ def test_canonical_url_twin_lockstep(spark):
         ).fetchall()
     }
     assert got == want
+
+
+def test_unigram_logprob_exact(spark):
+    """Hand-computed unigram log-probabilities with fixed-point sums."""
+    import math
+
+    from hquery_php_spark.functions.rank import unigram_logprob
+
+    docs = spark.createDataFrame(
+        [(1, "a a b"), (2, "b c")], ["doc_id", "text"]
+    )
+    # corpus: a=2, b=2, c=1, N=5
+    lp = {w: int(round((math.log(n) - math.log(5.0)) * 1e6)) for w, n in
+          {"a": 2, "b": 2, "c": 1}.items()}
+    out = {r.id: r for r in unigram_logprob(docs).collect()}
+    want1 = 2 * lp["a"] + lp["b"]
+    want2 = lp["b"] + lp["c"]
+    assert out[1].n_toks == 3 and out[1].sum_lp_micro == want1
+    assert out[2].n_toks == 2 and out[2].sum_lp_micro == want2
+    assert out[1].avg_logprob == round(want1 / 1e6 / 3, 6)
+    assert out[2].ppl_proxy == round(math.exp(-(want2 / 1e6 / 2)), 6)
