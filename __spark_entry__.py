@@ -1118,12 +1118,27 @@ def q_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     return global_order_index(d, n_ranges=16).select("doc_id", "pos")
 
 
+def _materialize_release(spark: SparkSession, out: DataFrame, reg: list) -> DataFrame:
+    """The q_dedup_minhash release discipline: materialize the (small)
+    output, unpersist every registered cache, hand back the rows — no
+    cached frame outlives its query in a long-lived session.  A scale
+    deployment writes `out` to a table and then unpersists instead."""
+    rows = out.collect()
+    for cached in reg:
+        cached.unpersist()
+    return spark.createDataFrame(rows, out.schema)
+
+
 def q_tfidf_top(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document top-3 TF-IDF terms: tf shuffle → df derived from the
     tf table (no second corpus scan) → join + per-doc window."""
     from hquery_php_spark.functions.text import tfidf_top_terms
 
-    return tfidf_top_terms(_spread(_docs(spark, sf_dir), spark), top_k=3)
+    reg: list = []
+    out = tfidf_top_terms(
+        _spread(_docs(spark, sf_dir), spark), top_k=3, persist_registry=reg
+    )
+    return _materialize_release(spark, out, reg)
 
 
 def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1231,9 +1246,14 @@ def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     tables), log-space scoring avoids N² integer overflow."""
     from hquery_php_spark.functions.rank import pmi_collocations
 
-    return pmi_collocations(
-        _spread(_docs(spark, sf_dir), spark), min_count=5, top_k=20
+    reg: list = []
+    out = pmi_collocations(
+        _spread(_docs(spark, sf_dir), spark),
+        min_count=5,
+        top_k=20,
+        persist_registry=reg,
     )
+    return _materialize_release(spark, out, reg)
 
 
 def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1243,7 +1263,11 @@ def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine or partitioning)."""
     from hquery_php_spark.functions.rank import unigram_logprob
 
-    return unigram_logprob(_spread(_docs(spark, sf_dir), spark))
+    reg: list = []
+    out = unigram_logprob(
+        _spread(_docs(spark, sf_dir), spark), persist_registry=reg
+    )
+    return _materialize_release(spark, out, reg)
 
 
 def q_curate(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -170,6 +170,8 @@ def pmi_collocations(
     text_col: str = "text",
     min_count: int = 5,
     top_k: int = 20,
+    persist_counts: bool = True,
+    persist_registry: list | None = None,
 ) -> DataFrame:
     """Top-k adjacent-token collocations by pointwise mutual information.
 
@@ -183,7 +185,13 @@ def pmi_collocations(
     a single exploded (kind, term) stream, so one shuffle produces both
     count tables (map-side partial agg); the bigram table then joins the
     unigram counts twice on the term key.  Totals are a single-row
-    parameter lookup.  Output: (w1, w2, n_xy, n_x, n_y, pmi, rk).
+    parameter lookup.  ``persist_counts=True`` caches the (kind, term)
+    count table — vocabulary-sized, tiny next to the corpus — so the
+    totals lookup, the bigram side, and both unigram join sides all read
+    one materialized subtree instead of re-scanning the corpus 3×;
+    long-lived sessions release it with ``spark.catalog.clearCache()``
+    after materializing the output (or pass ``persist_counts=False``).
+    Output: (w1, w2, n_xy, n_x, n_y, pmi, rk).
     """
     toks = _toks(F.col(text_col))
     d = df.select(toks.alias("t"))
@@ -205,6 +213,10 @@ def pmi_collocations(
         ).alias("e")
     ).select("e.kind", "e.term").where(F.col("term") != "")
     counts = events.groupBy("kind", "term").agg(F.count("*").alias("n"))
+    if persist_counts:
+        counts = counts.persist()
+        if persist_registry is not None:
+            persist_registry.append(counts)
     uni = counts.where(F.col("kind") == "u").select(F.col("term").alias("w"), F.col("n").alias("n_w"))
     bi = counts.where(F.col("kind") == "b").select(
         F.split("term", " ")[0].alias("w1"),
@@ -291,6 +303,8 @@ def unigram_logprob(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
+    persist_tf: bool = True,
+    persist_registry: list | None = None,
 ) -> DataFrame:
     """Per-document unigram log-probability — the CCNet/RedPajama
     "perplexity filter" shape with the language model replaced by the
@@ -304,11 +318,19 @@ def unigram_logprob(
     and the per-document reduction is then an exact integer sum, giving
     identical results on any engine, partitioning, or cluster size.
 
-    Shape: one explode → term-count shuffle builds the unigram table;
-    the term→logprob join back onto the token stream is a plain shuffle
-    join (the vocabulary of a web corpus is too large to broadcast —
-    AQE may still choose broadcast when it measures small); one final
-    groupBy(doc) integer sum.  N (total tokens) is a single-row lookup.
+    Shape — ONE corpus scan: explode → per-(doc, term) tf shuffle; the
+    unigram table, total-token count, AND the scoring join all derive
+    from that tf table (the tfidf_top_terms trick), so the raw corpus
+    is never re-tokenized.  The per-doc sum becomes Σ tf·lp_micro —
+    still an exact integer sum.  ``persist_tf=True`` caches the tf
+    table (materialized eagerly by the N lookup) so the plan shows one
+    tf subtree feeding both the unigram build and the join — at scale
+    this cache is the (doc, term)-distinct table, far smaller than the
+    token stream; callers that keep the session alive should
+    ``spark.catalog.clearCache()`` (or pass ``persist_tf=False``) once
+    the output is materialized.  The vocabulary of a web corpus is too
+    large to broadcast, so the term join is a plain shuffle join (AQE
+    may still pick broadcast when it measures small).
 
     Output: (id, n_toks, sum_lp_micro, avg_logprob, ppl_proxy) where
     avg_logprob = round(sum_lp_micro / 1e6 / n_toks, 6) and ppl_proxy =
@@ -317,7 +339,12 @@ def unigram_logprob(
     toks = df.select(
         F.col(id_col).alias("id"), F.explode(_toks(F.col(text_col))).alias("term")
     ).where(F.col("term") != "")
-    counts = toks.groupBy("term").agg(F.count("*").alias("n_w"))
+    tf = toks.groupBy("id", "term").agg(F.count("*").alias("tf"))
+    if persist_tf:
+        tf = tf.persist()
+        if persist_registry is not None:
+            persist_registry.append(tf)
+    counts = tf.groupBy("term").agg(F.sum("tf").alias("n_w"))
     n_total = counts.agg(F.sum("n_w")).first()[0]
     lp = counts.withColumn(
         "lp_micro",
@@ -328,11 +355,11 @@ def unigram_logprob(
         ).cast("long"),
     ).select("term", "lp_micro")
     per_doc = (
-        toks.join(lp, "term")
+        tf.join(lp, "term")
         .groupBy("id")
         .agg(
-            F.count("*").cast("long").alias("n_toks"),
-            F.sum("lp_micro").alias("sum_lp_micro"),
+            F.sum("tf").cast("long").alias("n_toks"),
+            F.sum(F.col("tf") * F.col("lp_micro")).alias("sum_lp_micro"),
         )
     )
     avg = F.col("sum_lp_micro").cast("double") / F.lit(1e6) / F.col("n_toks").cast("double")

@@ -647,6 +647,8 @@ def tfidf_top_terms(
     id_col: str = "doc_id",
     text_col: str = "text",
     top_k: int = 3,
+    persist_tf: bool = True,
+    persist_registry: list | None = None,
 ):
     """Per-document top-k TF-IDF terms — the classic two-aggregate
     relational shape: term frequencies (one shuffle on (doc, term),
@@ -657,7 +659,12 @@ def tfidf_top_terms(
     are engine-stable.
 
     N (total docs) is a single driver scalar (one count job) — the same
-    "parameter lookup" pattern as the IVF query vector.  Output:
+    "parameter lookup" pattern as the IVF query vector.
+    ``persist_tf=True`` caches the tf table (materialized by the df
+    aggregate) so one tf subtree feeds both the doc-frequency build and
+    the score join instead of re-tokenizing the corpus twice; release
+    with ``spark.catalog.clearCache()`` after materializing the output
+    (or pass ``persist_tf=False``).  Output:
     (id, term, tf, doc_freq, tfidf, rk)."""
     from pyspark.sql import Window
 
@@ -666,6 +673,10 @@ def tfidf_top_terms(
         F.col(id_col).alias("id"), F.explode(F.split(norm, " ")).alias("term")
     ).where(F.col("term") != "")
     tf = toks.groupBy("id", "term").agg(F.count("*").alias("tf"))
+    if persist_tf:
+        tf = tf.persist()
+        if persist_registry is not None:
+            persist_registry.append(tf)
     n_docs = df.count()
     dfreq = tf.groupBy("term").agg(F.count("*").alias("doc_freq"))
     scored = tf.join(dfreq, "term").withColumn(
