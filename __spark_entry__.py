@@ -1233,11 +1233,14 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     single-row corpus-stats lookup, partial top-k."""
     from hquery_php_spark.functions.rank import bm25_topk
 
-    return bm25_topk(
+    reg: list = []
+    out = bm25_topk(
         _spread(_docs(spark, sf_dir), spark).select("doc_id", "text"),
         terms=_BM25_TERMS,
         k=10,
+        persist_registry=reg,
     )
+    return _materialize_release(spark, out, reg)
 
 
 def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:

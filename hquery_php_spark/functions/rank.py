@@ -56,6 +56,8 @@ def bm25_topk(
     k: int = 10,
     k1: float = 1.2,
     b: float = 0.75,
+    persist_base: bool = True,
+    persist_registry: list | None = None,
 ) -> DataFrame:
     """Okapi BM25 top-k for a fixed ``terms`` query.
 
@@ -93,6 +95,13 @@ def bm25_topk(
             for i, t in enumerate(terms)
         ],
     )
+    if persist_base:
+        # the (id, dl, tf_*) projection — a few ints per doc — feeds both
+        # the stats lookup and the scoring pass; cache it so the corpus is
+        # tokenized once, not twice (release via persist_registry)
+        base = base.persist()
+        if persist_registry is not None:
+            persist_registry.append(base)
     # corpus stats: exact integers, one tiny job
     n_docs, sum_dl, *dfs = base.select(
         F.count("*"),
