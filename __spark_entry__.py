@@ -1115,7 +1115,11 @@ def q_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hquery_php_spark.operators.pipeline import global_order_index
 
     d = _spread(_docs(spark, sf_dir), spark).select("doc_id")
-    return global_order_index(d, n_ranges=16).select("doc_id", "pos")
+    reg: list = []
+    out = global_order_index(d, n_ranges=16, persist_registry=reg).select(
+        "doc_id", "pos"
+    )
+    return _materialize_release(spark, out, reg)
 
 
 def _materialize_release(spark: SparkSession, out: DataFrame, reg: list) -> DataFrame:
@@ -1297,7 +1301,9 @@ def q_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
         cap_per_domain=20,
         n_ranges=16,
     )
-    return curate_corpus(train, benchmark=bench, opts=opts)
+    reg: list = []
+    out = curate_corpus(train, benchmark=bench, opts=opts, persist_registry=reg)
+    return _materialize_release(spark, out, reg)
 
 
 def q_corpus_sample(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -337,9 +337,14 @@ def repetition_stats(col: Column) -> Column:
     * ``top_bigram_frac`` — share of the single most frequent bigram:
       catches "click here click here …" spam
 
-    All JVM expressions (O(n·d) per doc on the distinct-bigram count —
-    documents are token-bounded so this stays tiny); exact SQL twin in
-    ``SQL.repetition_fields``."""
+    All JVM expressions, O(n log n) per doc: the top-bigram count is the
+    longest equal run of the SORTED bigram array (one aggregate pass) —
+    NOT ``transform(distinct, g -> size(filter(bigrams, = g)))``, which
+    is O(n·d) comparisons and, worse, re-inlines the whole unbound
+    n-gram-construction subtree into every lambda element (Catalyst will
+    not common-subexpression a non-trivial tree across nested
+    higher-order functions: measured 300+ s for 4.5k docs vs <2 s for
+    this form).  Exact SQL twin in ``SQL.repetition_fields``."""
     norm = F.translate(norm_ws(col), _UPPER, _LOWERC)
     toks = F.split(norm, " ")
     n_tok = F.when(F.length(norm) == 0, F.lit(0)).otherwise(F.size(toks))
@@ -349,12 +354,24 @@ def repetition_stats(col: Column) -> Column:
     bg = word_ngrams(col, 2)
     n_bg = F.size(bg)
     dis_bg = F.array_distinct(bg)
-    top = F.when(
-        n_bg > 0,
-        F.array_max(
-            F.transform(dis_bg, lambda g: F.size(F.filter(bg, lambda x: x == g)))
+    # longest equal run in the sorted array; "" sorts before any real
+    # bigram and never equals one, so the seed never merges with a run
+    run = F.aggregate(
+        F.array_sort(bg),
+        F.struct(
+            F.lit(0).alias("cur"), F.lit(0).alias("best"), F.lit("").alias("prev")
         ),
-    ).otherwise(F.lit(0))
+        lambda acc, x: F.struct(
+            F.when(x == acc["prev"], acc["cur"] + 1).otherwise(F.lit(1)).alias("cur"),
+            F.greatest(
+                acc["best"],
+                F.when(x == acc["prev"], acc["cur"] + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+            x.alias("prev"),
+        ),
+        lambda acc: acc["best"],
+    )
+    top = F.when(n_bg > 0, run).otherwise(F.lit(0))
     ratio = lambda a, b: F.when(b > 0, F.round(a.cast("double") / b, 6)).otherwise(  # noqa: E731
         F.lit(0.0)
     )

@@ -77,19 +77,45 @@ class CurateOptions:
     cap_per_domain: Optional[int] = None
     # global order
     n_ranges: int = 64
+    # explicit partition count for the CPU-heavy hash stages (None =
+    # sparkContext.defaultParallelism).  The per-char polynomial folds are
+    # expensive per BYTE while their rows are small in bytes — exactly the
+    # shape where AQE's size-based coalescing collapses a post-shuffle
+    # stage to one partition and single-threads the whole chain.  An
+    # explicit numPartitions repartition is never coalesced by AQE.
+    parallelism: Optional[int] = None
 
 
 def curate_corpus(
     docs: DataFrame,
     benchmark: Optional[DataFrame] = None,
     opts: CurateOptions = CurateOptions(),
+    persist_registry: Optional[list] = None,
 ) -> DataFrame:
     """documents(id, text[, domain]) → curated corpus in training order.
 
     Output columns: id, domain (when configured), text (PII-redacted),
     n_tokens, n_email/n_ip/n_phone (redaction counts), pos (dense global
     training position).  Every removal stage keeps the canonical
-    (minimum-id) representative, so reruns are deterministic."""
+    (minimum-id) representative, so reruns are deterministic.
+
+    ``persist_registry`` (a list): when given, the two frames every
+    downstream stage re-reads — the deduped corpus (consumed by the
+    MinHash signature chain, the verify shingle chain, AND the survivor
+    anti-join) and the hashed global-order input (consumed by the
+    bucket-count scan and the rank scan) — are persisted and appended to
+    the list; the caller unpersists them once the output is
+    materialized.  Without a registry nothing is cached and the gate +
+    dedup subtree recomputes per consumer (correct, but ~3× the work)."""
+    return _curate_corpus_impl(docs, benchmark, opts, persist_registry)
+
+
+def _curate_corpus_impl(
+    docs: DataFrame,
+    benchmark: Optional[DataFrame],
+    opts: CurateOptions,
+    persist_registry: Optional[list],
+) -> DataFrame:
     o = opts
     idc, txt = o.id_col, o.text_col
 
@@ -116,6 +142,18 @@ def curate_corpus(
         .where(F.col("__rn") == 1)
         .drop("__fp", "__rn")
     )
+    if persist_registry is not None:
+        # Explicit-numPartitions repartition BEFORE persisting: the cache
+        # inherits the plan's partitioning, so persisting an AQE-coalesced
+        # single partition would single-thread every downstream narrow
+        # stage (the per-char shingle folds are the most expensive
+        # expressions in the engine).  An extra shuffle of the filtered
+        # corpus is the price; at 10^12 docs the post-gate corpus is big
+        # enough that AQE never coalesces and opts.parallelism can stay
+        # None on a config that skips it.
+        par = o.parallelism or docs.sparkSession.sparkContext.defaultParallelism
+        d = d.repartition(par, idc).persist()
+        persist_registry.append(d)
 
     # 3. MinHash near-dup clusters → keep the cluster-minimum doc.
     #    connected_components labels every node with its smallest member,
@@ -129,9 +167,17 @@ def curate_corpus(
             sigs, bands=o.lsh_bands, rows_per_band=o.rows_per_band,
             exact_buckets=o.portable_hashes,
         )
+        if persist_registry is not None:
+            # candidate pairs feed the verify join twice (ids_needed
+            # prune + the broadcast pair join) — cache the small table
+            # rather than re-running the signature/banding chain per use
+            cands = cands.persist()
+            persist_registry.append(cands)
         pairs = ngram_jaccard_verify(
             d, cands, text_col=txt, id_col=idc, k=o.shingle_k,
             threshold=o.jaccard_threshold,
+            persist_shingles=persist_registry is not None,
+            persist_registry=persist_registry,
         )
         labels = connected_components(
             pairs.select("id_a", "id_b"), checkpoint_dir=o.checkpoint_dir
@@ -167,7 +213,9 @@ def curate_corpus(
 
     # 7. deterministic global training order
     d = d.withColumn("n_tokens", token_count(F.col(txt)))
-    return global_order_index(d, key_col=idc, n_ranges=o.n_ranges)
+    return global_order_index(
+        d, key_col=idc, n_ranges=o.n_ranges, persist_registry=persist_registry
+    )
 
 
 def curate_oracle_sql(

@@ -381,6 +381,7 @@ def global_order_index(
     key_col: str = "doc_id",
     n_ranges: int = 64,
     mod: int = 1_000_000_007,
+    persist_registry: Optional[list] = None,
 ) -> DataFrame:
     """Deterministic global training order: every row gets a dense
     0-based position equal to its rank under (portable_hash(key), key) —
@@ -402,6 +403,12 @@ def global_order_index(
 
     Output: input columns + ``pos`` (long).  Oracle: row_number() OVER
     (ORDER BY hash, key) - 1.
+
+    ``persist_registry`` (a list): when given, the hashed/bucketed input
+    is persisted so the bucket-count scan and the final rank scan share
+    ONE computation of the (possibly expensive) upstream plan — the
+    caller unpersists every frame in the list after materializing the
+    output.  Without it the input plan runs twice.
     """
     from ..functions.text import portable_row_hash
 
@@ -409,6 +416,9 @@ def global_order_index(
     d = df.withColumn("__h", h).withColumn(
         "__bkt", F.floor(F.col("__h") * n_ranges / F.lit(mod)).cast("int")
     )
+    if persist_registry is not None:
+        d = d.persist()
+        persist_registry.append(d)
     sizes = {
         r["__bkt"]: r["n"]
         for r in d.groupBy("__bkt").agg(F.count("*").alias("n")).collect()

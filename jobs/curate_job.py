@@ -81,7 +81,8 @@ def main() -> None:
         cap_per_domain=args.cap_per_domain,
         checkpoint_dir=args.checkpoint_dir,
     )
-    out = curate_corpus(docs, benchmark=bench, opts=opts)
+    reg: list = []
+    out = curate_corpus(docs, benchmark=bench, opts=opts, persist_registry=reg)
     out = out.withColumnRenamed(args.id_col, "doc_id")
     # crash-window guard: rows already committed to --output (ledger
     # write died before recording them) must not be appended twice
@@ -93,6 +94,8 @@ def main() -> None:
             "left_anti",
         )
     out.write.mode("append").parquet(args.output)
+    for cached in reg:
+        cached.unpersist()
     # ledger AFTER the data commit: ledger row present => batch committed
     docs.select(F.col(args.id_col).alias("doc_id")).write.mode(
         "append"
