@@ -120,6 +120,7 @@ _DECON_SQL = _decon_sql(n=8)
 
 from hquery_php_spark.operators.dedup import (  # noqa: E402
     paragraph_dedup_oracle_sql as _para_dedup_sql,
+    substring_dup_spans_oracle_sql as _substring_dedup_sql,
 )
 
 _SAMPLE_STRATA = {"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.1}
@@ -1048,6 +1049,20 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_decontaminate(train, bench, n=8)
 
 
+def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup spans (Lee et al. 2021 shape): every 10-word
+    window occurring ≥2 times in the corpus, merged per doc into maximal
+    word-position islands — md5 window keys, linear shuffles only."""
+    from hquery_php_spark.operators.dedup import substring_dup_spans
+
+    d = _spread(_docs(spark, sf_dir), spark).select("doc_id", "text")
+    reg: list = []
+    out = substring_dup_spans(d, window=10, persist_registry=reg).withColumnRenamed(
+        "id", "doc_id"
+    )
+    return _materialize_release(spark, out, reg)
+
+
 def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher/C4-style repetition quality gates (distinct-token ratio,
     duplicate/top bigram fractions) — pure JVM expressions."""
@@ -1565,6 +1580,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pseudo_slices": q_pseudo_slices,
         "redact_pii": q_redact_pii,
         "paragraph_dedup": q_paragraph_dedup,
+        "substring_dedup": q_substring_dedup,
         "decontaminate": q_decontaminate,
         "repetition_stats": q_repetition_stats,
         "gopher_quality": q_gopher_quality,
@@ -1794,6 +1810,7 @@ def oracle_sql() -> dict[str, str]:
                   FROM documents)
             """
         ),
+        "substring_dedup": _substring_dedup_sql(window=10),
         "decontaminate": _DECON_SQL,
         "repetition_stats": (
             "SELECT doc_id, "

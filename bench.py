@@ -88,6 +88,7 @@ def main() -> None:
         "pmi_collocations",
         "url_dedup",
         "unigram_logprob",
+        "substring_dedup",
     ]
 
     timings = {}

@@ -39,6 +39,8 @@ __all__ = [
     "winnow_fingerprints",
     "paragraph_dedup",
     "paragraph_dedup_oracle_sql",
+    "substring_dup_spans",
+    "substring_dup_spans_oracle_sql",
     "WINNOW_SQL_TEMPLATE",
     "minhash_verify_oracle_sql",
     "simhash_oracle_sql",
@@ -796,6 +798,138 @@ FROM c LEFT JOIN (
          string_agg(para, '|' ORDER BY idx) AS kept
   FROM k WHERE rn = 1 GROUP BY doc_id
 ) r ON c.doc_id = r.doc_id
+"""
+
+
+def substring_dup_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 10,
+    min_count: int = 2,
+    persist_registry: Optional[list] = None,
+) -> DataFrame:
+    """Exact-substring deduplication spans (the "Deduplicating Training
+    Data Makes Language Models Better" pass, Lee et al. 2021): find every
+    run of ``window`` consecutive words that occurs at least
+    ``min_count`` times ANYWHERE in the corpus (across documents or
+    repeated inside one), and report, per document, the maximal merged
+    word-position intervals those duplicated windows cover — the spans a
+    cleaning pass would cut.
+
+    Output: (id, span_start, span_end, n_windows) — word positions,
+    0-based inclusive; n_windows = duplicated windows merged into the
+    span.  Overlapping/adjacent windows (gap ≤ window) merge into one
+    island, so spans are maximal and non-overlapping per document.
+
+    Scale shape (the suffix-array construction of the paper does not
+    distribute; the standard cluster equivalent is this hash-window
+    pass):
+    * one explode to (id, pos, md5(window-gram)) — rows ∝ corpus WORDS,
+      the honest cost of exact-substring matching; the 16-byte md5
+      travels, never the gram text;
+    * duplicate detection by partial-agg COUNT, not a window count:
+      map-side combine shrinks every partition to its distinct hashes
+      BEFORE the shuffle, so a billion-fold boilerplate window (every
+      "click here to subscribe …") costs one (hash, n) row per map
+      partition — a count() OVER (PARTITION BY h) would instead route
+      every occurrence of the hot hash to one task;
+    * the duplicated-hash set joins back as a semi-join; Catalyst picks
+      broadcast vs sort-merge from its size (tiny here, potentially
+      huge at 10^12 docs — both shapes are correct, no hint pinned);
+    * per-document gaps-and-islands window merge (shuffle by id,
+      partitions ∝ documents).
+    All linear; nothing quadratic, nothing driver-side.  The md5 window
+    key is engine-neutral, which is what gives the pass an exact SQL
+    twin (``substring_dup_spans_oracle_sql``) — and makes the span
+    ledger portable across systems, so an incremental recrawl can reuse
+    spans computed elsewhere.
+
+    ``persist_registry`` (a list): when given, the exploded position
+    table is persisted so the count subtree and the join probe share one
+    corpus scan (the caller unpersists after materializing); without it
+    the plan re-derives positions per consumer — correct, and at
+    petabyte scale often CHEAPER than caching corpus-words rows, which
+    is why it is the default rather than an unconditional cache.
+    """
+    from pyspark.sql import Window
+    from ..functions.text import word_ngrams
+
+    pos = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(word_ngrams(F.col(text_col), window)).alias("pos", "gram"),
+    ).select("id", "pos", F.md5("gram").alias("h"))
+    if persist_registry is not None:
+        pos = pos.persist()
+        persist_registry.append(pos)
+    dup_h = (
+        pos.groupBy("h")
+        .agg(F.count("*").alias("n"))
+        .where(F.col("n") >= min_count)
+        .select("h")
+    )
+    dp = pos.join(dup_h, "h", "left_semi")
+    w = Window.partitionBy("id").orderBy("pos")
+    brk = (
+        F.when(F.lag("pos").over(w).isNull(), F.lit(1))
+        .when(F.col("pos") - F.lag("pos").over(w) > window, F.lit(1))
+        .otherwise(F.lit(0))
+    )
+    isl = dp.withColumn("__brk", brk).withColumn(
+        "island",
+        F.sum("__brk").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        isl.groupBy("id", "island")
+        .agg(
+            F.min("pos").cast("int").alias("span_start"),
+            (F.max("pos") + F.lit(window - 1)).cast("int").alias("span_end"),
+            F.count("*").cast("int").alias("n_windows"),
+        )
+        .select("id", "span_start", "span_end", "n_windows")
+    )
+
+
+def substring_dup_spans_oracle_sql(
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 10,
+    min_count: int = 2,
+    out_id: str = "doc_id",
+) -> str:
+    """DuckDB twin: identical normalized word windows, identical md5
+    keys, identical gaps-and-islands merge."""
+    from ..functions.text import SQL as TSQL
+
+    grams = TSQL.word_ngrams(text_col, window)
+    return f"""
+WITH t AS (SELECT {id_col} AS id, {grams} AS gs FROM {table}),
+pos AS (
+  SELECT id, u.pos AS pos, md5(u.gram) AS h FROM (
+    SELECT id,
+           unnest([{{'pos': i, 'gram': gs[i + 1]}}
+                   for i in range(0, len(gs))]) AS u
+    FROM t
+  )
+),
+dup AS (SELECT h FROM pos GROUP BY h HAVING count(*) >= {min_count}),
+dp AS (SELECT id, pos FROM pos WHERE h IN (SELECT h FROM dup)),
+isl AS (
+  SELECT id, pos,
+         CASE WHEN lag(pos) OVER w IS NULL
+                OR pos - lag(pos) OVER w > {window} THEN 1 ELSE 0 END AS brk
+  FROM dp WINDOW w AS (PARTITION BY id ORDER BY pos)
+),
+isl2 AS (
+  SELECT id, pos,
+         sum(brk) OVER (PARTITION BY id ORDER BY pos) AS island
+  FROM isl
+)
+SELECT id AS {out_id}, CAST(min(pos) AS INT) AS span_start,
+       CAST(max(pos) + {window - 1} AS INT) AS span_end,
+       CAST(count(*) AS INT) AS n_windows
+FROM isl2 GROUP BY id, island
 """
 
 

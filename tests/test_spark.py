@@ -675,6 +675,42 @@ def test_paragraph_dedup(spark):
     assert (got[1].n_paras, got[2].n_paras, got[3].n_paras) == (3, 2, 2)
 
 
+def test_substring_dup_spans(spark):
+    """Exact-substring dedup: duplicated word windows (across docs AND
+    repeated in one doc) merge into maximal per-doc islands; overlapping
+    windows coalesce; unique text yields no span."""
+    from hquery_php_spark.operators.dedup import substring_dup_spans
+
+    shared = "one two three four five"  # 5 words, window=3 → 3 windows
+    df = spark.createDataFrame(
+        [
+            (1, f"{shared} unique tail words here now"),
+            (2, f"prefix words {shared} and more"),
+            (3, "totally different text with no duplication at all"),
+            # windows repeated INSIDE one doc: "a b c" occurs at 0 and 3
+            (4, "a b c a b c"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        (r.id, r.span_start): r
+        for r in substring_dup_spans(df, window=3).collect()
+    }
+    # doc 1: words 0-4 are the shared run → windows at 0,1,2 → island 0..4
+    r1 = got[(1, 0)]
+    assert (r1.span_end, r1.n_windows) == (4, 3)
+    # doc 2: shared run starts at word 2 → island 2..6
+    r2 = got[(2, 2)]
+    assert (r2.span_end, r2.n_windows) == (6, 3)
+    # doc 3: nothing
+    assert not any(k[0] == 3 for k in got)
+    # doc 4: "a b c" at 0 and 3, plus the bridging windows "b c a"/"c a b"
+    # are unique — positions 0 and 3 have gap 3 ≤ window → ONE island 0..5
+    r4 = got[(4, 0)]
+    assert (r4.span_end, r4.n_windows) == (5, 2)
+    assert len(got) == 3
+
+
 def test_ngram_decontaminate(spark):
     """A train doc sharing one 3-gram with the benchmark is flagged
     with the right hit count; clean mode drops exactly the flagged
