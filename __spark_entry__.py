@@ -110,6 +110,7 @@ _CLUSTERS_SQL = _cc_sql(_NEAR_DUP_LSH_SQL)
 
 from hquery_php_spark.functions.text import (  # noqa: E402
     portable_row_hash_sql as _prh_sql,
+    temperature_sample_oracle_sql as _temp_sample_sql,
 )
 
 from hquery_php_spark.operators.decontaminate import (  # noqa: E402
@@ -121,6 +122,9 @@ _DECON_SQL = _decon_sql(n=8)
 from hquery_php_spark.operators.dedup import (  # noqa: E402
     paragraph_dedup_oracle_sql as _para_dedup_sql,
     substring_dup_spans_oracle_sql as _substring_dedup_sql,
+)
+from hquery_php_spark.functions.classify import (  # noqa: E402
+    hashed_linear_score_sql as _classify_sql,
 )
 
 _SAMPLE_STRATA = {"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.1}
@@ -1049,6 +1053,51 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_decontaminate(train, bench, n=8)
 
 
+def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """α=0.5 temperature resample of the domain mixture: per-domain
+    integer keep-thresholds (⌊√n⌋ arithmetic, engine-exact) applied as
+    portable-hash cuts — corpus size preserved in expectation, head
+    domains dampened, tails boosted.
+
+    The testdata's real `source` column is uniform (every threshold
+    would cap at mod and nothing drops), so the mixture under test is a
+    DERIVED skewed bucketing of the id — 4 domains with expected sizes
+    ∝ 1:3:5:7 via floor(sqrt(hash mod 16)) — computed by the identical
+    expression in the DuckDB twin."""
+    from hquery_php_spark.functions.text import (
+        portable_row_hash,
+        temperature_sample,
+    )
+
+    h16 = F.pmod(portable_row_hash(F.col("doc_id"), mod=_MOD), F.lit(16))
+    dom = F.concat(
+        F.lit("d"), F.floor(F.sqrt(h16)).cast("int").cast("string")
+    )
+    docs = _docs(spark, sf_dir).withColumn("domain", dom)
+    return temperature_sample(docs, domain_col="domain").select(
+        "doc_id", "domain"
+    )
+
+
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filter (fastText shape): hashed bag-of-words
+    linear score in exact integer micro-units — zero shuffle, bit-exact
+    SQL twin (no float summation drift, no libm sigmoid)."""
+    from hquery_php_spark.functions.classify import hashed_linear_score
+
+    s = hashed_linear_score(F.col("text"), threshold_micro=0)
+    return (
+        _docs(spark, sf_dir)
+        .withColumn("s", s)
+        .select(
+            "doc_id",
+            F.col("s.n_tokens").alias("n_tokens"),
+            F.col("s.score_micro").alias("score_micro"),
+            F.col("s.keep").alias("keep"),
+        )
+    )
+
+
 def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-substring dedup spans (Lee et al. 2021 shape): every 10-word
     window occurring ≥2 times in the corpus, merged per doc into maximal
@@ -1581,6 +1630,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "redact_pii": q_redact_pii,
         "paragraph_dedup": q_paragraph_dedup,
         "substring_dedup": q_substring_dedup,
+        "quality_classifier": q_quality_classifier,
+        "mixture_sample": q_mixture_sample,
         "decontaminate": q_decontaminate,
         "repetition_stats": q_repetition_stats,
         "gopher_quality": q_gopher_quality,
@@ -1811,6 +1862,21 @@ def oracle_sql() -> dict[str, str]:
             """
         ),
         "substring_dedup": _substring_dedup_sql(window=10),
+        "quality_classifier": (
+            lambda f: (
+                f"SELECT doc_id, {f['n_tokens']} AS n_tokens, "
+                f"{f['score_micro']} AS score_micro, {f['keep']} AS keep "
+                f"FROM documents"
+            )
+        )(_classify_sql("text", threshold_micro=0)),
+        "mixture_sample": _temp_sample_sql(
+            domain_col="domain",
+            domain_expr=(
+                "'d' || CAST(CAST(floor(sqrt(("
+                + _prh_sql("doc_id")
+                + ") % 16)) AS INT) AS VARCHAR)"
+            ),
+        ),
         "decontaminate": _DECON_SQL,
         "repetition_stats": (
             "SELECT doc_id, "

@@ -13,6 +13,8 @@ not just "similar") so the driver's oracle comparison is exact:
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -256,6 +258,99 @@ def deterministic_sample(df, fraction=None, key_col: str = "doc_id", strata=None
     else:
         frac = F.lit(int(float(fraction) * mod))
     return df.where(h < frac)
+
+
+def temperature_thresholds(
+    counts: dict, mod: int = 1_000_000_007
+) -> dict:
+    """Integer keep-thresholds for α=0.5 temperature resampling of a
+    domain/language mixture (the multilingual-balance step: sampling
+    probability p_d ∝ √n_d dampens head domains, boosts tails).
+
+    Exact INTEGER arithmetic start to finish — s_d = ⌊√n_d⌋ (binary64
+    sqrt is IEEE-correctly-rounded, so the floor is engine-exact for
+    n < 2^52), then t_d = ((s_d·mod) // Σs) · N // n_d with truncating
+    integer division at each step, capped at mod.  The same formula in
+    ANSI SQL produces bit-identical thresholds, which is what makes the
+    resample value-checkable and reproducible across engines.  (An
+    arbitrary α needs a correctly-rounded pow, which libm does not
+    promise — α=0.5 is the standard temperature-2 setting.)
+
+    Intermediate widths: s_d·mod < 2^26·2^30 and (≤mod)·N — int64-safe
+    to N ≈ 2^33 rows; past that, run the formula in DECIMAL/hugeint.
+    """
+    s = {d: int(math.sqrt(n)) for d, n in counts.items()}
+    S = sum(s.values())
+    N = sum(counts.values())
+    return {
+        d: min(mod, ((s[d] * mod) // S) * N // counts[d])
+        for d in counts
+    }
+
+
+def temperature_sample(
+    df,
+    domain_col: str = "source",
+    key_col: str = "doc_id",
+    mod: int = 1_000_000_007,
+):
+    """α=0.5 temperature resample of the corpus mixture: per-domain keep
+    rates from ``temperature_thresholds`` applied as portable-hash
+    thresholds — deterministic on any engine, partitioning, or cluster
+    size, expected corpus size preserved while the domain distribution
+    moves toward p_d ∝ √n_d.
+
+    The per-domain counts are ONE map-side-combined aggregate collected
+    to the driver (rows = distinct domains — a parameter lookup, not a
+    data collect), inlined as a CASE threshold; no join, no second
+    shuffle of the corpus."""
+    from pyspark.sql import functions as F
+
+    counts = {
+        r["d"]: r["n"]
+        for r in df.groupBy(F.col(domain_col).alias("d"))
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    thr = temperature_thresholds(counts, mod=mod)
+    h = portable_row_hash(F.col(key_col), mod=mod)
+    t = None
+    for d in sorted(thr):
+        t = (
+            F.when(F.col(domain_col) == d, F.lit(thr[d]))
+            if t is None
+            else t.when(F.col(domain_col) == d, F.lit(thr[d]))
+        )
+    t = F.lit(0) if t is None else t.otherwise(F.lit(0))
+    return df.where(h < t)
+
+
+def temperature_sample_oracle_sql(
+    table: str = "documents",
+    domain_col: str = "source",
+    key_col: str = "doc_id",
+    mod: int = 1_000_000_007,
+    domain_expr: str | None = None,
+) -> str:
+    """DuckDB twin computing the SAME integer thresholds from the same
+    counts in SQL (⌊√n⌋ → truncating integer divisions → cap).
+
+    ``domain_expr``: optional SQL expression computing the domain from
+    the row (aliased to ``domain_col`` in the output) — lets callers
+    resample a DERIVED mixture (e.g. a skewed bucketing of the id) with
+    the identical expression on both engines."""
+    prh = portable_row_hash_sql(key_col, mod=mod)
+    de = domain_expr if domain_expr is not None else domain_col
+    return f"""
+WITH x AS (SELECT {key_col}, {de} AS {domain_col} FROM {table}),
+c AS (SELECT {domain_col} AS d, count(*) AS n FROM x GROUP BY {domain_col}),
+s AS (SELECT d, n, CAST(floor(sqrt(n)) AS BIGINT) AS sd FROM c),
+tot AS (SELECT sum(sd) AS sS, sum(n) AS nN FROM s),
+thr AS (SELECT d, least({mod}, ((sd * {mod}) // sS) * nN // n) AS t
+        FROM s, tot)
+SELECT x.{key_col}, x.{domain_col} FROM x JOIN thr ON x.{domain_col} = thr.d
+WHERE ({prh}) < thr.t
+"""
 
 
 # PII patterns with explicit ASCII classes only (Java and RE2 agree

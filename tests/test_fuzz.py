@@ -527,6 +527,43 @@ def test_bpe_and_tokens_cross_engine_fuzz(spark, texts):
 
 @settings(max_examples=8, deadline=None)
 @given(texts=_texts)
+def test_hashed_linear_score_cross_engine_fuzz(spark, texts):
+    """hashed_linear_score twins in lockstep: the per-token polynomial
+    fold, bucketing, affine micro-weight, and the integer keep decision
+    must agree bit-exactly across engines (no floats anywhere)."""
+    import duckdb
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from hquery_php_spark.functions.classify import (
+        hashed_linear_score,
+        hashed_linear_score_sql,
+    )
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.s.n_tokens, r.s.score_micro, r.s.keep)
+        for r in df.select(
+            "doc_id",
+            hashed_linear_score(F.col("text"), threshold_micro=-5).alias("s"),
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame(rows, columns=["doc_id", "text"]))
+    f = hashed_linear_score_sql("text", threshold_micro=-5)
+    want = {
+        r[0]: (r[1], r[2], r[3])
+        for r in con.execute(
+            f"SELECT doc_id, {f['n_tokens']}, {f['score_micro']}, {f['keep']} "
+            f"FROM documents"
+        ).fetchall()
+    }
+    assert got == want
+
+
+@settings(max_examples=8, deadline=None)
+@given(texts=_texts)
 def test_gopher_quality_cross_engine_fuzz(spark, texts):
     """gopher_quality twins in lockstep: normalization, line splitting,
     bullet/ellipsis tests, per-word alpha filter, stopword hits, and the
