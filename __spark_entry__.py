@@ -126,6 +126,9 @@ from hquery_php_spark.operators.dedup import (  # noqa: E402
 from hquery_php_spark.functions.classify import (  # noqa: E402
     hashed_linear_score_sql as _classify_sql,
 )
+from hquery_php_spark.operators.semantic import (  # noqa: E402
+    semantic_dedup_oracle_sql as _semantic_sql,
+)
 
 _SAMPLE_STRATA = {"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.1}
 _MOD = 1_000_000_007
@@ -1518,6 +1521,24 @@ def q_embed_near_dup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup: fixed-point integer k-means over the augmented vector
+    set (2 unrolled rounds, engine-exact floor-mean centroids), then
+    exact integer-cosine near-dup pairs searched WITHIN clusters only —
+    the n²→Σn_c² reduction that makes semantic pruning feasible at
+    corpus scale.  Value-checked against an unrolled-CTE DuckDB twin."""
+    from hquery_php_spark.operators.semantic import semantic_dedup
+
+    reg: list = []
+    out = semantic_dedup(
+        _augmented_embeddings(spark, sf_dir),
+        vec_col="v",
+        id_col="id",
+        persist_registry=reg,
+    )
+    return _materialize_release(spark, out, reg)
+
+
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transitive dedup clusters: portable near-dup pairs → connected
     components (min-label propagation) → (id, cluster_id), the keep-one-
@@ -1652,6 +1673,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": q_multimodal_features,
         "embed_near_dup_exact": q_embed_near_dup_exact,
         "embed_near_dup_lsh": q_embed_near_dup_lsh,
+        "semantic_dedup": q_semantic_dedup,
         "dedup_clusters": q_dedup_clusters,
         "revenue_by_nation": q_revenue_by_nation,
         "pricing_summary": q_pricing_summary,
@@ -1996,6 +2018,18 @@ def oracle_sql() -> dict[str, str]:
               AND list_cosine_similarity(a.v, b.v) >= 0.98
         """,
         "embed_near_dup_lsh": _NEAR_DUP_LSH_SQL,
+        "semantic_dedup": _semantic_sql(
+            vec_col="v",
+            id_col="id",
+            source_sql="""
+              WITH e0 AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+                          FROM embeddings)
+              SELECT id, v FROM e0
+              UNION ALL
+              SELECT id + 1000000, list_concat([v[1] + 0.1], v[2:len(v)])
+              FROM e0 WHERE id % 10 = 0
+            """,
+        ),
         "dedup_clusters": _CLUSTERS_SQL,
         "revenue_by_nation": """
             SELECT n_name,

@@ -827,3 +827,118 @@ def test_unigram_logprob_exact(spark):
     assert out[2].n_toks == 2 and out[2].sum_lp_micro == want2
     assert out[1].avg_logprob == round(want1 / 1e6 / 3, 6)
     assert out[2].ppl_proxy == round(math.exp(-(want2 / 1e6 / 2)), 6)
+
+
+# ---- semantic dedup (SemDeDup shape) ------------------------------------ #
+
+
+def _blob_vectors():
+    """Two well-separated 4-dim blobs + a planted near-duplicate pair in
+    each: ids 0-3 near (+1,0,0,0), ids 10-13 near (0,+1,0,0); ids 3 and
+    13 are tiny perturbations of ids 0 and 10."""
+    return [
+        (0, [1.00, 0.02, 0.01, 0.0]),
+        (1, [0.90, -0.30, 0.05, 0.0]),   # same blob, not a near-dup
+        (2, [0.95, 0.25, -0.05, 0.0]),   # same blob, not a near-dup
+        (3, [1.00, 0.02, 0.02, 0.0]),    # near-dup of 0
+        (10, [0.02, 1.00, 0.0, 0.01]),
+        (11, [-0.30, 0.90, 0.0, 0.05]),
+        (12, [0.25, 0.95, 0.0, -0.05]),
+        (13, [0.02, 1.00, 0.0, 0.02]),   # near-dup of 10
+    ]
+
+
+def test_semantic_dedup_clusters_and_pairs(spark):
+    """k-means separates the blobs; near-dup pairs surface only within
+    clusters; exact integer decision matches the raw cosine."""
+    from hquery_php_spark.operators.semantic import semantic_dedup
+
+    df = spark.createDataFrame(
+        _blob_vectors(), "vec_id long, embedding array<double>"
+    )
+    out = semantic_dedup(
+        df, k=2, iters=2, thr_num=99, thr_den=100, persist_quantized=False
+    ).collect()
+    pairs = {(r.id_a, r.id_b) for r in out}
+    assert pairs == {(0, 3), (10, 13)}
+    # pair cluster ids differ (the blobs landed in different clusters)
+    by_pair = {(r.id_a, r.id_b): r.cluster for r in out}
+    assert by_pair[(0, 3)] != by_pair[(10, 13)]
+    for r in out:
+        assert r.cos > 0.99
+
+
+def test_semantic_dedup_cross_engine_lockstep(spark):
+    """The full unrolled pipeline — quantize, seeds, assignments,
+    integer floor-mean centroids, integer cosine decision — agrees
+    row-for-row with the generated DuckDB CTE chain."""
+    import duckdb
+    import pandas as pd
+
+    from hquery_php_spark.operators.semantic import (
+        semantic_dedup,
+        semantic_dedup_oracle_sql,
+    )
+
+    rows = _blob_vectors()
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        (r.id_a, r.id_b, r.cluster, r.cos)
+        for r in semantic_dedup(
+            df, k=2, iters=2, thr_num=99, thr_den=100, persist_quantized=False
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.register(
+        "embeddings",
+        pd.DataFrame(rows, columns=["vec_id", "embedding"]),
+    )
+    want = {
+        (r[0], r[1], r[2], r[3])
+        for r in con.execute(
+            semantic_dedup_oracle_sql(
+                k=2, iters=2, thr_num=99, thr_den=100, dim=4
+            )
+        ).fetchall()
+    }
+    assert got == want
+
+
+def test_semantic_dedup_empty_cluster_keeps_centroid(spark):
+    """A seed whose cluster empties out must keep its previous centroid
+    on BOTH engines (the LEFT JOIN / dict-default code paths)."""
+    import duckdb
+    import pandas as pd
+
+    from hquery_php_spark.operators.semantic import (
+        semantic_dedup,
+        semantic_dedup_oracle_sql,
+    )
+
+    # seed 1 (id=1) is strictly closer to seed 0's blob for every point,
+    # so after the first update round one cluster can lose all members
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [0.98, 0.01]),
+        (2, [0.99, 0.02]),
+        (3, [1.0, 0.01]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        (r.id_a, r.id_b, r.cluster, r.cos)
+        for r in semantic_dedup(
+            df, k=2, iters=2, thr_num=9, thr_den=10, persist_quantized=False
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.register(
+        "embeddings", pd.DataFrame(rows, columns=["vec_id", "embedding"])
+    )
+    want = {
+        tuple(r)
+        for r in con.execute(
+            semantic_dedup_oracle_sql(k=2, iters=2, thr_num=9, thr_den=10, dim=2)
+        ).fetchall()
+    }
+    assert got == want
+    assert got, "expected near-dup pairs in the tight blob"
