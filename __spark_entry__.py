@@ -129,6 +129,9 @@ from hquery_php_spark.functions.classify import (  # noqa: E402
 from hquery_php_spark.operators.semantic import (  # noqa: E402
     semantic_dedup_oracle_sql as _semantic_sql,
 )
+from hquery_php_spark.operators.incremental import (  # noqa: E402
+    incremental_dedup_near_oracle_sql as _incr_near_sql,
+)
 
 _SAMPLE_STRATA = {"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.1}
 _MOD = 1_000_000_007
@@ -1521,6 +1524,57 @@ def q_embed_near_dup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-batch dedup against a fingerprint ledger — the incremental
+    crawl-ingest contract: even-id docs are the already-accepted corpus
+    (16-byte md5 ledger), the new batch is the odd-id docs plus re-keyed
+    copies of some ledgered docs (must drop via the ledger anti-join)
+    and re-keyed copies of some batch docs (must merge batch-internally,
+    keep-min-id).  Shuffle ∝ batch, never the corpus."""
+    from hquery_php_spark.operators.incremental import (
+        incremental_dedup_exact,
+        ledger_fingerprints,
+    )
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    ledger = ledger_fingerprints(d.where(F.pmod("doc_id", F.lit(2)) == 0))
+    batch = (
+        d.where(F.pmod("doc_id", F.lit(2)) == 1)
+        .unionByName(
+            d.where(F.pmod("doc_id", F.lit(4)) == 0).select(
+                (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+            )
+        )
+        .unionByName(
+            d.where(F.pmod("doc_id", F.lit(4)) == 1).select(
+                (F.col("doc_id") + 2000000).alias("doc_id"), "text"
+            )
+        )
+    )
+    return incremental_dedup_exact(batch, ledger)
+
+
+def q_incremental_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup screening of a new batch against a compact (band,
+    bucket) MinHash ledger of the accepted corpus: a batch doc drops
+    when ANY of its portable-signature band slices is already ledgered.
+    Even-id docs are the corpus; the batch is odd-id docs plus re-keyed
+    exact copies of some corpus docs (collide in every band → drop)."""
+    from hquery_php_spark.operators.incremental import (
+        incremental_dedup_near,
+        ledger_band_keys,
+    )
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    ledger = ledger_band_keys(d.where(F.pmod("doc_id", F.lit(2)) == 0))
+    batch = d.where(F.pmod("doc_id", F.lit(2)) == 1).unionByName(
+        d.where(F.pmod("doc_id", F.lit(4)) == 0).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+        )
+    )
+    return incremental_dedup_near(batch, ledger)
+
+
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup: fixed-point integer k-means over the augmented vector
     set (2 unrolled rounds, engine-exact floor-mean centroids), then
@@ -1674,6 +1728,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_near_dup_exact": q_embed_near_dup_exact,
         "embed_near_dup_lsh": q_embed_near_dup_lsh,
         "semantic_dedup": q_semantic_dedup,
+        "incremental_dedup": q_incremental_dedup,
+        "incremental_dedup_near": q_incremental_dedup_near,
         "dedup_clusters": q_dedup_clusters,
         "revenue_by_nation": q_revenue_by_nation,
         "pricing_summary": q_pricing_summary,
@@ -2029,6 +2085,31 @@ def oracle_sql() -> dict[str, str]:
               SELECT id + 1000000, list_concat([v[1] + 0.1], v[2:len(v)])
               FROM e0 WHERE id % 10 = 0
             """,
+        ),
+        "incremental_dedup": f"""
+            WITH f AS (SELECT doc_id AS id, {TSQL.fingerprint('text')} AS fp
+                       FROM documents),
+            led AS (SELECT DISTINCT fp FROM f WHERE id % 2 = 0),
+            bat AS (
+              SELECT id, fp FROM f WHERE id % 2 = 1
+              UNION ALL
+              SELECT id + 1000000, fp FROM f WHERE id % 4 = 0
+              UNION ALL
+              SELECT id + 2000000, fp FROM f WHERE id % 4 = 1
+            ),
+            agg AS (SELECT fp, min(id) AS keep_id, count(*) AS n_dups
+                    FROM bat GROUP BY fp)
+            SELECT agg.fp, keep_id, n_dups
+            FROM agg ANTI JOIN led ON agg.fp = led.fp
+        """,
+        "incremental_dedup_near": _incr_near_sql(
+            batch_sql=(
+                "SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1 "
+                "UNION ALL "
+                "SELECT doc_id + 1000000, text FROM documents "
+                "WHERE doc_id % 4 = 0"
+            ),
+            ledger_sql="SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0",
         ),
         "dedup_clusters": _CLUSTERS_SQL,
         "revenue_by_nation": """

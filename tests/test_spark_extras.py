@@ -942,3 +942,83 @@ def test_semantic_dedup_empty_cluster_keeps_centroid(spark):
     }
     assert got == want
     assert got, "expected near-dup pairs in the tight blob"
+
+
+# ---- incremental (cross-batch) ledger dedup ------------------------------ #
+
+
+def test_incremental_dedup_exact_contract(spark):
+    """Ledgered texts drop; within-batch dupes merge keep-min-id; new
+    texts survive."""
+    from hquery_php_spark.operators.incremental import (
+        incremental_dedup_exact,
+        ledger_fingerprints,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, "already ingested doc"), (2, "another old doc")],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, "Already   ingested DOC"),  # normalizes to a ledgered fp
+            (11, "brand new doc"),
+            (12, "brand NEW doc"),           # within-batch dup of 11
+            (13, "unique doc"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.keep_id: r.n_dups
+        for r in incremental_dedup_exact(
+            batch, ledger_fingerprints(corpus)
+        ).collect()
+    }
+    assert out == {11: 2, 13: 1}
+
+
+def test_incremental_dedup_near_lockstep(spark):
+    """Spark near-dup ledger screening and the generated DuckDB twin
+    agree on survivors (exact ledger copies always drop)."""
+    import duckdb
+    import pandas as pd
+
+    from hquery_php_spark.operators.incremental import (
+        incremental_dedup_near,
+        incremental_dedup_near_oracle_sql,
+        ledger_band_keys,
+    )
+
+    corpus_rows = [
+        (1, "the quick brown fox jumps over the lazy dog again and again"),
+        (2, "pack my box with five dozen liquor jugs every single day"),
+    ]
+    batch_rows = [
+        (10, "the quick brown fox jumps over the lazy dog again and again"),
+        (11, "a completely different document about spark shuffles"),
+        (12, "pack my box with five dozen liquor jugs every single day"),
+        (13, "yet another unrelated text with nothing in common"),
+    ]
+    corpus = spark.createDataFrame(corpus_rows, "doc_id long, text string")
+    batch = spark.createDataFrame(batch_rows, "doc_id long, text string")
+    got = {
+        r.id
+        for r in incremental_dedup_near(
+            batch, ledger_band_keys(corpus)
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.register("corpus", pd.DataFrame(corpus_rows, columns=["doc_id", "text"]))
+    con.register("batch", pd.DataFrame(batch_rows, columns=["doc_id", "text"]))
+    want = {
+        r[0]
+        for r in con.execute(
+            incremental_dedup_near_oracle_sql(
+                batch_sql="SELECT doc_id, text FROM batch",
+                ledger_sql="SELECT doc_id, text FROM corpus",
+            )
+        ).fetchall()
+    }
+    assert got == want
+    assert 10 not in got and 12 not in got  # exact ledger copies drop
+    assert 11 in got and 13 in got          # unrelated docs survive
