@@ -132,6 +132,10 @@ from hquery_php_spark.operators.semantic import (  # noqa: E402
 from hquery_php_spark.operators.incremental import (  # noqa: E402
     incremental_dedup_near_oracle_sql as _incr_near_sql,
 )
+from hquery_php_spark.operators.sketches import (  # noqa: E402
+    cms_estimates_oracle_sql as _cms_sql,
+    hll_distinct_oracle_sql as _hll_sql,
+)
 
 _SAMPLE_STRATA = {"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.1}
 _MOD = 1_000_000_007
@@ -1524,6 +1528,35 @@ def q_embed_near_dup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CMS_PROBES = [
+    "table", "row", "scan", "spark", "the", "hash", "value",
+    "shuffle", "nosuchtokenever",
+]
+
+
+def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch point estimates for a probe token set: the
+    sketch is one partial-agg shuffle whose reducer state is d·w cells
+    (independent of vocabulary size — the reason to sketch at 100 TB);
+    (token, est, exact) with the one-sided guarantee est ≥ exact.
+    Counters are exact integers of a deterministic hash family, so the
+    DuckDB twin reproduces the sketch bit for bit."""
+    from hquery_php_spark.operators.sketches import cms_estimates
+
+    return cms_estimates(_docs(spark, sf_dir), _CMS_PROBES)
+
+
+def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source HyperLogLog distinct-token estimates with EXACT
+    register math (integer ranks, power-of-two harmonic sums — every
+    partial sum exactly representable, so the float result is
+    order-independent and engine-identical).  Register state per group
+    is 2^p bytes — the mergeable, shuffle-light distinct counter."""
+    from hquery_php_spark.operators.sketches import hll_distinct
+
+    return hll_distinct(_docs(spark, sf_dir))
+
+
 def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-batch dedup against a fingerprint ledger — the incremental
     crawl-ingest contract: even-id docs are the already-accepted corpus
@@ -1730,6 +1763,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": q_semantic_dedup,
         "incremental_dedup": q_incremental_dedup,
         "incremental_dedup_near": q_incremental_dedup_near,
+        "cms_heavy_hitters": q_cms_heavy_hitters,
+        "hll_distinct": q_hll_distinct,
         "dedup_clusters": q_dedup_clusters,
         "revenue_by_nation": q_revenue_by_nation,
         "pricing_summary": q_pricing_summary,
@@ -2102,6 +2137,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT agg.fp, keep_id, n_dups
             FROM agg ANTI JOIN led ON agg.fp = led.fp
         """,
+        "cms_heavy_hitters": _cms_sql(_CMS_PROBES),
+        "hll_distinct": _hll_sql(),
         "incremental_dedup_near": _incr_near_sql(
             batch_sql=(
                 "SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1 "

@@ -89,6 +89,11 @@ def main() -> None:
         "url_dedup",
         "unigram_logprob",
         "substring_dedup",
+        "quality_classifier",
+        "mixture_sample",
+        "semantic_dedup",
+        "incremental_dedup",
+        "incremental_dedup_near",
     ]
 
     timings = {}

@@ -1022,3 +1022,76 @@ def test_incremental_dedup_near_lockstep(spark):
     assert got == want
     assert 10 not in got and 12 not in got  # exact ledger copies drop
     assert 11 in got and 13 in got          # unrelated docs survive
+
+
+# ---- portable sketches (Count-Min, HyperLogLog) -------------------------- #
+
+
+def test_cms_one_sided_guarantee_and_lockstep(spark):
+    """est ≥ exact for every probe (Count-Min one-sided error), and the
+    DuckDB twin reproduces the sketch bit for bit."""
+    import duckdb
+    import pandas as pd
+
+    from hquery_php_spark.operators.sketches import (
+        cms_estimates,
+        cms_estimates_oracle_sql,
+    )
+
+    rows = [
+        (1, "spark spark shuffle table table table"),
+        (2, "hash join hash join spill"),
+        (3, "table scan spark SHUFFLE Shuffle"),
+    ]
+    probes = ["spark", "table", "shuffle", "hash", "absenttoken"]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(
+        (r.token, r.est, r.exact) for r in cms_estimates(df, probes).collect()
+    )
+    for _, est, exact in got:
+        assert est >= exact
+    by_tok = dict((t, x) for t, _, x in got)
+    assert by_tok["table"] == 4 and by_tok["shuffle"] == 3
+    assert by_tok["absenttoken"] == 0
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame(rows, columns=["doc_id", "text"]))
+    want = sorted(
+        tuple(r) for r in con.execute(cms_estimates_oracle_sql(probes)).fetchall()
+    )
+    assert got == want
+
+
+def test_hll_register_math_lockstep(spark):
+    """HLL estimates agree bit-exactly across engines (exact power-of-
+    two harmonic sums) and land within the expected error of truth."""
+    import duckdb
+    import pandas as pd
+
+    from hquery_php_spark.operators.sketches import (
+        hll_distinct,
+        hll_distinct_oracle_sql,
+    )
+
+    # two groups with known distinct-token counts (200 and 50)
+    rows = [
+        (i, " ".join(f"tok{j}" for j in range(i % 7, 200, 7)), f"g{0}")
+        for i in range(7)
+    ] + [
+        (100 + i, " ".join(f"w{j}" for j in range(i % 5, 50, 5)), f"g{1}")
+        for i in range(5)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = sorted(
+        (r.source, r.est, r.exact_distinct)
+        for r in hll_distinct(df).collect()
+    )
+    con = duckdb.connect()
+    con.register(
+        "documents", pd.DataFrame(rows, columns=["doc_id", "text", "source"])
+    )
+    want = sorted(
+        tuple(r) for r in con.execute(hll_distinct_oracle_sql()).fetchall()
+    )
+    assert got == want
+    for _, est, exact in got:
+        assert abs(est - exact) / exact < 0.25  # p=8 → σ ≈ 6.5%
