@@ -136,6 +136,9 @@ from hquery_php_spark.operators.sketches import (  # noqa: E402
     cms_estimates_oracle_sql as _cms_sql,
     hll_distinct_oracle_sql as _hll_sql,
 )
+from hquery_php_spark.operators.pq import (  # noqa: E402
+    pq_topk_oracle_sql as _pq_sql,
+)
 
 _SAMPLE_STRATA = {"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.1}
 _MOD = 1_000_000_007
@@ -1626,6 +1629,26 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _materialize_release(spark, out, reg)
 
 
+def q_similarity_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN: per-subspace integer codebooks (one
+    shuffle per training round covers all subspaces), map-side encoding
+    to M codes per vector, and query-time ADC scoring = M table lookups
+    + an integer sum — the memory-bounded ANN path that composes with
+    the IVF partition pruning.  Value-checked against an unrolled-CTE
+    DuckDB twin."""
+    from hquery_php_spark.operators.pq import pq_topk
+
+    embs = _embs(spark, sf_dir)
+    qvec = (
+        embs.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    )
+    reg: list = []
+    out = pq_topk(
+        embs.where(F.col("vec_id") != 0), qvec, persist_registry=reg
+    )
+    return _materialize_release(spark, out, reg)
+
+
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transitive dedup clusters: portable near-dup pairs → connected
     components (min-label propagation) → (id, cluster_id), the keep-one-
@@ -1765,6 +1788,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_dedup_near": q_incremental_dedup_near,
         "cms_heavy_hitters": q_cms_heavy_hitters,
         "hll_distinct": q_hll_distinct,
+        "similarity_pq": q_similarity_pq,
         "dedup_clusters": q_dedup_clusters,
         "revenue_by_nation": q_revenue_by_nation,
         "pricing_summary": q_pricing_summary,
@@ -2139,6 +2163,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "cms_heavy_hitters": _cms_sql(_CMS_PROBES),
         "hll_distinct": _hll_sql(),
+        "similarity_pq": _pq_sql(
+            source_sql="SELECT vec_id, embedding FROM embeddings WHERE vec_id != 0",
+            query_where="vec_id = 0",
+        ),
         "incremental_dedup_near": _incr_near_sql(
             batch_sql=(
                 "SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1 "

@@ -94,6 +94,9 @@ def main() -> None:
         "semantic_dedup",
         "incremental_dedup",
         "incremental_dedup_near",
+        "cms_heavy_hitters",
+        "hll_distinct",
+        "similarity_pq",
     ]
 
     timings = {}

@@ -1095,3 +1095,82 @@ def test_hll_register_math_lockstep(spark):
     assert got == want
     for _, est, exact in got:
         assert abs(est - exact) / exact < 0.25  # p=8 → σ ≈ 6.5%
+
+
+# ---- product quantization ANN -------------------------------------------- #
+
+
+def test_pq_topk_finds_planted_neighbors(spark):
+    """ADC top-k surfaces the planted near-copies of the query before
+    unrelated vectors, and distances are monotone."""
+    import random
+
+    from hquery_php_spark.operators.pq import pq_topk
+
+    rng = random.Random(7)
+    base = [rng.uniform(-0.3, 0.3) for _ in range(16)]
+    rows = []
+    for i in range(3):  # planted: tiny perturbations of the query
+        rows.append((i, [v + 0.01 * (i + 1) for v in base]))
+    for i in range(3, 40):  # background
+        rows.append((i, [rng.uniform(-0.3, 0.3) for _ in range(16)]))
+    # 16 seed vectors must exist below any filter; query is row 100
+    rows.append((100, base))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    from pyspark.sql import functions as F
+
+    out = pq_topk(
+        df.where(F.col("vec_id") != 100),
+        base,
+        m=4,
+        k=8,
+        topk=5,
+    ).collect()
+    ids = [r.id for r in out]
+    dists = [r.adc_dist for r in out]
+    assert set(ids[:3]) == {0, 1, 2}
+    assert dists == sorted(dists)
+
+
+def test_pq_topk_cross_engine_lockstep(spark):
+    """Codebooks, codes, ADC tables, and top-k order agree with the
+    generated DuckDB twin bit for bit."""
+    import duckdb
+    import pandas as pd
+    import random
+
+    from hquery_php_spark.operators.pq import pq_topk, pq_topk_oracle_sql
+    from pyspark.sql import functions as F
+
+    rng = random.Random(11)
+    rows = [
+        (i, [rng.uniform(-0.5, 0.5) for _ in range(8)]) for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    qvec = rows[0][1]
+    got = [
+        (r.id, r.adc_dist)
+        for r in pq_topk(
+            df.where(F.col("vec_id") != 0), qvec, m=2, k=4, topk=6
+        ).collect()
+    ]
+    con = duckdb.connect()
+    con.register(
+        "embeddings", pd.DataFrame(rows, columns=["vec_id", "embedding"])
+    )
+    want = [
+        tuple(r)
+        for r in con.execute(
+            pq_topk_oracle_sql(
+                m=2,
+                k=4,
+                topk=6,
+                dim=8,
+                source_sql=(
+                    "SELECT vec_id, embedding FROM embeddings WHERE vec_id != 0"
+                ),
+                query_where="vec_id = 0",
+            )
+        ).fetchall()
+    ]
+    assert got == want
