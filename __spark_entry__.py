@@ -133,6 +133,7 @@ from hquery_php_spark.operators.incremental import (  # noqa: E402
     incremental_dedup_near_oracle_sql as _incr_near_sql,
 )
 from hquery_php_spark.operators.sketches import (  # noqa: E402
+    bloom_screen_oracle_sql as _bloom_sql,
     cms_estimates_oracle_sql as _cms_sql,
     hll_distinct_oracle_sql as _hll_sql,
 )
@@ -1560,6 +1561,24 @@ def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hll_distinct(_docs(spark, sf_dir))
 
 
+def q_bloom_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter membership ledger: the accepted corpus sets kh bit
+    positions per fingerprint in an m-bit filter (compact regardless of
+    corpus size, mergeable by OR/UNION, broadcastable); a new batch doc
+    survives iff some bit is unset.  NO false negatives — every
+    re-keyed ledger copy always drops; false positives are the bounded
+    price of the m-bit ledger.  Same batch construction as
+    incremental_dedup, so the two ledgers are directly comparable."""
+    from hquery_php_spark.operators.sketches import bloom_build, bloom_screen
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    ledger_src = d.where(F.pmod("doc_id", F.lit(2)) == 0)
+    batch = d.where(F.pmod("doc_id", F.lit(2)) == 1).unionByName(
+        ledger_src.select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    )
+    return bloom_screen(batch, bloom_build(ledger_src))
+
+
 def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-batch dedup against a fingerprint ledger — the incremental
     crawl-ingest contract: even-id docs are the already-accepted corpus
@@ -1788,6 +1807,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_dedup_near": q_incremental_dedup_near,
         "cms_heavy_hitters": q_cms_heavy_hitters,
         "hll_distinct": q_hll_distinct,
+        "bloom_screen": q_bloom_screen,
         "similarity_pq": q_similarity_pq,
         "dedup_clusters": q_dedup_clusters,
         "revenue_by_nation": q_revenue_by_nation,
@@ -2163,6 +2183,15 @@ def oracle_sql() -> dict[str, str]:
         """,
         "cms_heavy_hitters": _cms_sql(_CMS_PROBES),
         "hll_distinct": _hll_sql(),
+        "bloom_screen": _bloom_sql(
+            batch_sql=(
+                "SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1 "
+                "UNION ALL "
+                "SELECT doc_id + 1000000, text FROM documents "
+                "WHERE doc_id % 2 = 0"
+            ),
+            ledger_sql="SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0",
+        ),
         "similarity_pq": _pq_sql(
             source_sql="SELECT vec_id, embedding FROM embeddings WHERE vec_id != 0",
             query_where="vec_id = 0",

@@ -42,6 +42,10 @@ __all__ = [
     "cms_estimates_oracle_sql",
     "hll_distinct",
     "hll_distinct_oracle_sql",
+    "bloom_positions",
+    "bloom_build",
+    "bloom_screen",
+    "bloom_screen_oracle_sql",
 ]
 
 _MOD = 1_000_000_007
@@ -331,4 +335,120 @@ fixed AS (
 exact AS (SELECT g, count(DISTINCT tok) AS exact_distinct FROM toks GROUP BY g)
 SELECT f.g AS {group_col}, round(f.est, 4) AS est, x.exact_distinct
 FROM fixed f JOIN exact x ON f.g = x.g
+"""
+
+
+# ---------------------------------------------------------------- #
+# Bloom-filter membership ledger
+
+
+def _bloom_consts(kh: int, seed: int = 0x1F2B) -> tuple:
+    a, b, x = [], [], seed
+    for _ in range(kh):
+        x = (1103515245 * x + 12345) % (1 << 31)
+        a.append(x | 1)
+        x = (1103515245 * x + 12345) % (1 << 31)
+        b.append(x)
+    return a, b
+
+
+def bloom_positions(col, m_bits: int = 1 << 16, kh: int = 5):
+    """array<int> of the kh Bloom bit positions of a fingerprint string
+    — deterministic affine family over the portable fold, so any engine
+    addresses the same bits."""
+    a_c, b_c = _bloom_consts(kh)
+    fold = token_fold(col)
+    return F.array(
+        *[
+            F.pmod(
+                F.pmod(fold * F.lit(a_c[r]) + F.lit(b_c[r]), F.lit(_MOD)),
+                F.lit(m_bits),
+            )
+            for r in range(kh)
+        ]
+    )
+
+
+def bloom_build(
+    df: DataFrame,
+    text_col: str = "text",
+    m_bits: int = 1 << 16,
+    kh: int = 5,
+) -> DataFrame:
+    """The set-bit table of a Bloom filter over the corpus's document
+    fingerprints: (pos) distinct rows.  Semantically identical to the
+    m-bit array (a row ↔ a set bit) but stays a first-class DataFrame —
+    compact (≤ m rows regardless of corpus size), mergeable by UNION,
+    broadcastable to probes.  At rest, pack to the literal bitmap."""
+    from ..functions.text import fingerprint
+
+    fp = fingerprint(F.col(text_col))
+    return (
+        df.select(F.explode(bloom_positions(fp, m_bits, kh)).alias("pos"))
+        .distinct()
+    )
+
+
+def bloom_screen(
+    batch: DataFrame,
+    bits: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    m_bits: int = 1 << 16,
+    kh: int = 5,
+) -> DataFrame:
+    """Definitely-new batch ids: a doc survives iff at least one of its
+    kh bit positions is NOT set in the ledger.  NO FALSE NEGATIVES —
+    every exactly-ledgered document always drops (all its bits are set);
+    false positives (new docs dropped) occur at the classic
+    (1−e^(−kn/m))^k rate, the price of an m-bit ledger.
+
+    Shape: batch → kh position rows per doc (ids only) → LEFT ANTI join
+    against the ≤m-row bit table (broadcastable) → any surviving
+    position keeps the doc."""
+    from ..functions.text import fingerprint
+
+    fp = fingerprint(F.col(text_col))
+    ex = batch.select(
+        F.col(id_col).alias("id"),
+        F.explode(bloom_positions(fp, m_bits, kh)).alias("pos"),
+    )
+    return (
+        ex.join(bits.select("pos"), "pos", "left_anti")
+        .select("id")
+        .distinct()
+    )
+
+
+def bloom_screen_oracle_sql(
+    batch_sql: str,
+    ledger_sql: str,
+    m_bits: int = 1 << 16,
+    kh: int = 5,
+) -> str:
+    """DuckDB twin: identical folds, bit positions, and survivors.
+    Subqueries yield (doc_id, text)."""
+    from ..functions.text import SQL as TSQL
+
+    a_c, b_c = _bloom_consts(kh)
+
+    def fold(col: str) -> str:
+        return (
+            "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+            f"[CAST(ascii({col}[i + 1 : i + 1]) AS BIGINT) "
+            f"for i in range(0, length({col}))]), "
+            f"(acc, c) -> (acc * {_BASE} + c) % {_MOD})"
+        )
+
+    poss = ", ".join(
+        f"((({fold('fp')}) * {a_c[r]} + {b_c[r]}) % {_MOD}) % {m_bits}"
+        for r in range(kh)
+    )
+    fp = TSQL.fingerprint("text")
+    return f"""
+WITH lfp AS (SELECT {fp} AS fp FROM ({ledger_sql})),
+bits AS (SELECT DISTINCT unnest([{poss}]) AS pos FROM lfp),
+bfp AS (SELECT doc_id AS id, {fp} AS fp FROM ({batch_sql})),
+bpos AS (SELECT id, unnest([{poss}]) AS pos FROM bfp)
+SELECT DISTINCT id FROM bpos ANTI JOIN bits ON bpos.pos = bits.pos
 """

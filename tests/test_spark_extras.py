@@ -1174,3 +1174,52 @@ def test_pq_topk_cross_engine_lockstep(spark):
         ).fetchall()
     ]
     assert got == want
+
+
+def test_bloom_screen_no_false_negatives_and_lockstep(spark):
+    """Every ledgered text always drops (no false negatives by
+    construction); survivors agree with the DuckDB twin; a tiny m
+    forces false positives and both engines agree on those too."""
+    import duckdb
+    import pandas as pd
+
+    from hquery_php_spark.operators.sketches import (
+        bloom_build,
+        bloom_screen,
+        bloom_screen_oracle_sql,
+    )
+
+    corpus_rows = [(i, f"ledgered document number {i}") for i in range(20)]
+    batch_rows = [(100 + i, f"ledgered document number {i}") for i in range(10)]
+    batch_rows += [(200 + i, f"fresh text {i}") for i in range(10)]
+    corpus = spark.createDataFrame(corpus_rows, "doc_id long, text string")
+    batch = spark.createDataFrame(batch_rows, "doc_id long, text string")
+    for m_bits in (1 << 16, 64):  # roomy filter, then a saturated one
+        got = {
+            r.id
+            for r in bloom_screen(
+                batch, bloom_build(corpus, m_bits=m_bits), m_bits=m_bits
+            ).collect()
+        }
+        assert not any(100 <= i < 110 for i in got)  # ledgered copies drop
+        con = duckdb.connect()
+        con.register(
+            "corpus", pd.DataFrame(corpus_rows, columns=["doc_id", "text"])
+        )
+        con.register(
+            "batch", pd.DataFrame(batch_rows, columns=["doc_id", "text"])
+        )
+        want = {
+            r[0]
+            for r in con.execute(
+                bloom_screen_oracle_sql(
+                    batch_sql="SELECT doc_id, text FROM batch",
+                    ledger_sql="SELECT doc_id, text FROM corpus",
+                    m_bits=m_bits,
+                )
+            ).fetchall()
+        }
+        assert got == want
+    # the roomy filter keeps all fresh docs; assert on the last (m=64)
+    # iteration only that the drop direction is one-sided
+    assert got <= {200 + i for i in range(10)}
