@@ -138,6 +138,7 @@ from hquery_php_spark.operators.sketches import (  # noqa: E402
     hll_distinct_oracle_sql as _hll_sql,
 )
 from hquery_php_spark.operators.pq import (  # noqa: E402
+    ivf_pq_oracle_sql as _ivf_pq_sql,
     pq_topk_oracle_sql as _pq_sql,
 )
 
@@ -1668,6 +1669,32 @@ def q_similarity_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _materialize_release(spark, out, reg)
 
 
+def q_similarity_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPOSED 100-TB ANN path: PQ codes written into the sign-LSH
+    bucket-partitioned layout (write once; codebooks persist as a JSON
+    sidecar), queried with planning-time partition pruning + integer
+    ADC lookups — no vector payload is read at query time.  Same
+    size+mtime cache key discipline as the IVF index."""
+    import os
+
+    from hquery_php_spark.operators.pq import ivf_pq_topk, write_ivf_pq_index
+
+    embs = _embs(spark, sf_dir)
+    qvec = (
+        embs.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    )
+    src = f"{sf_dir}/embeddings.parquet"
+    st_ = os.stat(src)
+    tag = (
+        f"{os.path.basename(os.path.normpath(sf_dir))}_pq_"
+        f"{st_.st_size}_{int(st_.st_mtime)}"
+    )
+    idx = f"/tmp/spark_graft_ivfpq/{tag}"
+    if not os.path.exists(os.path.join(idx, "_pq_books.json")):
+        write_ivf_pq_index(_spread(embs, spark, key="vec_id"), idx)
+    return ivf_pq_topk(spark, idx, qvec, hamming_radius=2, exclude_id=0)
+
+
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transitive dedup clusters: portable near-dup pairs → connected
     components (min-label propagation) → (id, cluster_id), the keep-one-
@@ -1809,6 +1836,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_distinct": q_hll_distinct,
         "bloom_screen": q_bloom_screen,
         "similarity_pq": q_similarity_pq,
+        "similarity_ivf_pq": q_similarity_ivf_pq,
         "dedup_clusters": q_dedup_clusters,
         "revenue_by_nation": q_revenue_by_nation,
         "pricing_summary": q_pricing_summary,
@@ -2196,6 +2224,7 @@ def oracle_sql() -> dict[str, str]:
             source_sql="SELECT vec_id, embedding FROM embeddings WHERE vec_id != 0",
             query_where="vec_id = 0",
         ),
+        "similarity_ivf_pq": _ivf_pq_sql(),
         "incremental_dedup_near": _incr_near_sql(
             batch_sql=(
                 "SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1 "

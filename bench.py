@@ -96,7 +96,9 @@ def main() -> None:
         "incremental_dedup_near",
         "cms_heavy_hitters",
         "hll_distinct",
+        "bloom_screen",
         "similarity_pq",
+        "similarity_ivf_pq",
     ]
 
     timings = {}

@@ -269,3 +269,180 @@ adc AS (SELECT id, CAST(sum(d) AS BIGINT) AS adc_dist
 SELECT id, adc_dist FROM adc ORDER BY adc_dist, id LIMIT {topk}
 """
     )
+
+
+# ---------------------------------------------------------------- #
+# IVF-PQ composition: bucket-partitioned codes + ADC
+
+
+def write_ivf_pq_index(
+    df: DataFrame,
+    path: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_planes: int = 6,
+    m: int = 4,
+    k: int = 16,
+    iters: int = 2,
+    scale: int = 1000,
+) -> dict:
+    """Build the composed ANN index: PQ codebooks train once over the
+    corpus, every vector stores only (id, codes) — a few bytes — into a
+    parquet layout PARTITIONED BY the portable sign-LSH bucket.  The
+    codebooks (M·K·dim/M ints + params) persist as a JSON sidecar next
+    to the data: they are the index's "model", loaded by queries in one
+    driver-side read.  Returns the sidecar dict.
+
+    At 10⁹ vectors this is the storage story: raw 64-dim float32 =
+    256 B/vector; 4 codes = 4 B/vector + one 256-bucket directory."""
+    import json
+    import os
+
+    from .similarity import bucket_of
+
+    qdf = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+        quantize(F.col(vec_col), scale).alias("q"),
+    ).persist()
+    try:
+        books = pq_train(qdf, m=m, k=k, iters=iters)
+        out = qdf.select(
+            "id",
+            pq_encode_expr(F.col("q"), books).alias("codes"),
+            bucket_of(F.col("v"), n_planes, portable=True).alias("bucket"),
+        )
+        out.write.mode("overwrite").partitionBy("bucket").parquet(path)
+    finally:
+        qdf.unpersist()
+    sidecar = {
+        "books": books,
+        "n_planes": n_planes,
+        "m": m,
+        "k": k,
+        "iters": iters,
+        "scale": scale,
+    }
+    with open(os.path.join(path, "_pq_books.json"), "w") as f:
+        json.dump(sidecar, f)
+    return sidecar
+
+
+def ivf_pq_topk(
+    spark,
+    path: str,
+    query_vec: list,
+    topk: int = 10,
+    hamming_radius: int = 2,
+    exclude_id: Optional[int] = None,
+) -> DataFrame:
+    """(id, adc_dist) top-k over a ``write_ivf_pq_index`` table: the
+    query's Hamming-ball bucket filter hits the PARTITION column (the
+    scan prunes non-candidate directories at planning time), and each
+    surviving row costs M array-literal lookups + an integer sum — no
+    vector payload is ever read, only the codes."""
+    import json
+    import math
+    import os
+
+    from .similarity import bucket_of, hamming_ball
+
+    with open(os.path.join(path, "_pq_books.json")) as f:
+        side = json.load(f)
+    books, scale, m = side["books"], side["scale"], side["m"]
+    sub = len(books[0][0])
+    qb = (
+        spark.range(1)
+        .select(
+            bucket_of(
+                F.array(*[F.lit(float(v)) for v in query_vec]),
+                side["n_planes"],
+                portable=True,
+            ).alias("b")
+        )
+        .collect()[0]["b"]
+    )
+    cands = hamming_ball(qb, side["n_planes"], hamming_radius)
+
+    def _half_away(x: float) -> int:
+        return int(math.copysign(math.floor(abs(x) + 0.5), x))
+
+    qq = [_half_away(float(v) * scale) for v in query_vec]
+    dtables = [
+        [
+            sum(
+                (qq[s * sub + i] - c[i]) * (qq[s * sub + i] - c[i])
+                for i in range(sub)
+            )
+            for c in books[s]
+        ]
+        for s in range(m)
+    ]
+    idx = spark.read.parquet(path).where(F.col("bucket").isin(*cands))
+    if exclude_id is not None:
+        idx = idx.where(F.col("id") != exclude_id)
+    dist = None
+    for s in range(m):
+        term = F.element_at(
+            F.lit(dtables[s]).cast("array<long>"),
+            F.element_at(F.col("codes"), s + 1).cast("int") + 1,
+        )
+        dist = term if dist is None else dist + term
+    return (
+        idx.select("id", dist.alias("adc_dist"))
+        .orderBy("adc_dist", "id")
+        .limit(topk)
+    )
+
+
+def ivf_pq_oracle_sql(
+    table: str = "embeddings",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_planes: int = 6,
+    hamming_radius: int = 2,
+    m: int = 4,
+    k: int = 16,
+    iters: int = 2,
+    topk: int = 10,
+    scale: int = 1000,
+    dim: int = 64,
+    query_id: int = 0,
+) -> str:
+    """DuckDB twin of the COMPOSED path: identical PQ codebooks trained
+    over the full set (as the index build does), identical codes and
+    ADC tables, scored only over the query's Hamming-ball buckets."""
+    from .similarity import portable_bucket_sql
+
+    base = pq_topk_oracle_sql(
+        table=table,
+        vec_col=vec_col,
+        id_col=id_col,
+        m=m,
+        k=k,
+        iters=iters,
+        topk=topk,
+        scale=scale,
+        dim=dim,
+        query_where=f"{id_col} = {query_id}",
+    )
+    # splice the bucket CTEs and the candidate filter into the ADC tail
+    bucket = portable_bucket_sql(n_planes, vec="v")
+    extra = f"""bk AS (
+  SELECT {id_col} AS id, {bucket} AS bucket
+  FROM (SELECT {id_col}, CAST({vec_col} AS DOUBLE[]) AS v FROM {table})
+),
+qbk AS (SELECT bucket AS qb FROM bk WHERE id = {query_id}),
+cand AS (
+  SELECT id FROM bk
+  WHERE bit_count(xor(bucket, (SELECT qb FROM qbk))) <= {hamming_radius}
+    AND id != {query_id}
+),
+"""
+    head, tail = base.split("adc AS (", 1)
+    tail = tail.replace(
+        "GROUP BY id)",
+        "WHERE id IN (SELECT id FROM cand) GROUP BY id)",
+        1,
+    )
+    return head + extra + "adc AS (" + tail

@@ -1223,3 +1223,46 @@ def test_bloom_screen_no_false_negatives_and_lockstep(spark):
     # the roomy filter keeps all fresh docs; assert on the last (m=64)
     # iteration only that the drop direction is one-sided
     assert got <= {200 + i for i in range(10)}
+
+
+def test_ivf_pq_index_prunes_partitions_and_matches_oracle(spark, tmp_path):
+    """The composed IVF-PQ index: PQ codes in a bucket-partitioned
+    layout; the query's Hamming-ball filter shows up as planning-time
+    PartitionFilters, and results match the composed DuckDB twin."""
+    import duckdb
+    import pandas as pd
+    import random
+
+    from hquery_php_spark.operators.pq import (
+        ivf_pq_oracle_sql,
+        ivf_pq_topk,
+        write_ivf_pq_index,
+    )
+
+    rng = random.Random(3)
+    rows = [
+        (i, [rng.uniform(-0.5, 0.5) for _ in range(16)]) for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    path = str(tmp_path / "ivfpq")
+    side = write_ivf_pq_index(df, path, n_planes=5, m=4, k=8)
+    assert len(side["books"]) == 4 and len(side["books"][0]) == 8
+    qvec = rows[0][1]
+    out = ivf_pq_topk(spark, path, qvec, topk=5, hamming_radius=1, exclude_id=0)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "bucket" in plan
+    got = [(r.id, r.adc_dist) for r in out.collect()]
+    con = duckdb.connect()
+    con.register(
+        "embeddings", pd.DataFrame(rows, columns=["vec_id", "embedding"])
+    )
+    want = [
+        tuple(r)
+        for r in con.execute(
+            ivf_pq_oracle_sql(
+                n_planes=5, hamming_radius=1, m=4, k=8, topk=5, dim=16,
+                query_id=0,
+            )
+        ).fetchall()
+    ]
+    assert got == want
