@@ -2,6 +2,7 @@
 
 from .pipeline import (  # noqa: F401
     streaming_dedup_exact,
+    streaming_distinct_hll,
     streaming_extract_spans,
     streaming_sessionize,
     streaming_span_metrics,

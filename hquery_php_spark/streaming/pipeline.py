@@ -28,6 +28,7 @@ __all__ = [
     "streaming_span_metrics",
     "streaming_sessionize",
     "streaming_dedup_exact",
+    "streaming_distinct_hll",
 ]
 
 
@@ -290,4 +291,118 @@ def streaming_sessionize(
         state_schema,
         "append",
         GroupStateTimeout.EventTimeTimeout,
+    )
+
+
+def streaming_distinct_hll(
+    docs: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    p: int = 8,
+) -> DataFrame:
+    """Custom stateful operator: per-group STREAMING distinct-token
+    estimates via HyperLogLog register merge — state per group is 2^p
+    small ints in the checkpointed state store, bounded no matter how
+    long the stream runs (the reason a streaming distinct counter must
+    sketch).  After each micro-batch that touches a group, emits the
+    group's refreshed (group, est, n_tokens_seen).
+
+    The register math is BYTE-IDENTICAL to the batch operator
+    (``operators.sketches.hll_distinct``): same portable fold, bucket,
+    rank, exact power-of-two harmonic sum, linear-counting correction —
+    so a stream's final estimate equals the batch estimate over the
+    same rows (pinned by test), and a batch-built register table can
+    seed a stream (or vice versa): lambda-architecture-safe.
+    """
+    import re
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from ..functions.text import _LOWERC, _UPPER
+    from ..operators.sketches import _BASE, _MOD
+
+    if not docs.isStreaming:
+        raise ValueError("expected a streaming DataFrame (readStream source)")
+
+    m = 1 << p
+    a, b = 0x6B8B4567 | 1, 0x327B23C6
+    _ws = re.compile(r"[ \t\n\x0B\f\r]+")
+    _tr = str.maketrans(_UPPER, _LOWERC)
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+
+    out_schema = StructType(
+        [
+            StructField("group", StringType()),
+            StructField("est", DoubleType()),
+            StructField("n_tokens_seen", LongType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("regs", StringType()),  # comma-joined 2^p ranks
+            StructField("n_seen", LongType()),
+        ]
+    )
+
+    def fn(key, pdfs, state):
+        import pandas as pd
+
+        if state.exists:
+            regs_s, n_seen = state.get
+            regs = [int(x) for x in regs_s.split(",")]
+        else:
+            regs, n_seen = [0] * m, 0
+        for pdf in pdfs:
+            for text in pdf[text_col]:
+                toks = [
+                    t
+                    for t in _ws.sub(" ", str(text)).strip(" ")
+                    .translate(_tr)
+                    .split(" ")
+                    if t
+                ]
+                n_seen += len(toks)
+                for t in toks:
+                    h = 0
+                    for ch in t:
+                        h = (h * _BASE + ord(ch)) % _MOD
+                    j = h % m
+                    rm = (h * a + b) % _MOD
+                    r = 32 if rm == 0 else 32 - len(bin(rm)[2:])
+                    if r > regs[j]:
+                        regs[j] = r
+        state.update((",".join(str(x) for x in regs), n_seen))
+        nz = sum(1 for x in regs if x > 0)
+        s_nz = sum(2.0 ** -x for x in regs if x > 0)
+        zeros = m - nz
+        est_raw = (alpha * m * m) / (s_nz + zeros)
+        if est_raw <= 2.5 * m and zeros > 0:
+            import math
+
+            est = float(m) * math.log(float(m) / float(zeros))
+        else:
+            est = est_raw
+        yield pd.DataFrame(
+            {
+                "group": [key[0]],
+                "est": [round(est, 4)],
+                "n_tokens_seen": [n_seen],
+            }
+        )
+
+    keyed = docs.select(
+        F.col(group_col).cast("string").alias("g"), F.col(text_col)
+    )
+    # "append": each emission is a new immutable snapshot row (an
+    # append-only log of refreshed estimates) — file sinks only support
+    # append; readers take the row with max n_tokens_seen per group
+    return keyed.groupBy("g").applyInPandasWithState(
+        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
     )

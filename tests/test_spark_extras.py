@@ -1266,3 +1266,69 @@ def test_ivf_pq_index_prunes_partitions_and_matches_oracle(spark, tmp_path):
         ).fetchall()
     ]
     assert got == want
+
+
+def test_streaming_distinct_hll_matches_batch(spark, tmp_path):
+    """A stream's final HLL estimate equals the BATCH operator's over
+    the union of all micro-batches — register-merge across batches is
+    lossless, and the register math is identical to sketches.hll_distinct
+    (lambda-architecture-safe)."""
+    from hquery_php_spark.operators.sketches import hll_distinct
+    from hquery_php_spark.streaming import streaming_distinct_hll
+
+    src_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    b1 = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta", "g0"),
+            (2, "beta epsilon zeta", "g0"),
+            (3, "one two three", "g1"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    b1.write.parquet(src_dir)
+
+    def run():
+        stream = spark.readStream.schema(b1.schema).parquet(src_dir)
+        q = (
+            streaming_distinct_hll(stream)
+            .writeStream.format("parquet")
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .option("path", out_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run()
+    # second micro-batch adds overlap + new tokens; restart must merge
+    spark.createDataFrame(
+        [
+            (4, "gamma eta theta", "g0"),
+            (5, "three four five six", "g1"),
+        ],
+        "doc_id long, text string, source string",
+    ).write.mode("append").parquet(src_dir)
+    run()
+
+    # last emitted row per group = the final register state
+    import pandas as pd
+
+    got_pdf = spark.read.parquet(out_dir).toPandas()
+    final = {
+        g: grp.sort_values("n_tokens_seen").iloc[-1]["est"]
+        for g, grp in got_pdf.groupby("group")
+    }
+    batch = {
+        r.source: r.est
+        for r in hll_distinct(
+            spark.read.parquet(src_dir)
+        ).collect()
+    }
+    assert final == batch
+    # sanity: the tiny vocabularies sit in the linear-counting regime,
+    # estimates should be near truth (7 and 6 distinct tokens)
+    assert abs(final["g0"] - 7) < 1.5 and abs(final["g1"] - 6) < 1.5
