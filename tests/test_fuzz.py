@@ -592,3 +592,70 @@ def test_gopher_quality_cross_engine_fuzz(spark, texts):
     ) + " FROM documents"
     want = {r[0]: tuple(r[1:]) for r in con.execute(sql).fetchall()}
     assert got == want
+
+
+@settings(max_examples=8, deadline=None)
+@given(texts=_texts)
+def test_hll_distinct_cross_engine_fuzz(spark, texts):
+    """HLL twins in lockstep on arbitrary Unicode text: fold, bucket,
+    rank-via-binary-length, exact power-of-two harmonic sum, and the
+    linear-counting branch must agree bit-exactly (the register sum is
+    provably order-independent — every partial sum is a dyadic rational
+    within double precision)."""
+    import duckdb
+    import pandas as pd
+
+    from hquery_php_spark.operators.sketches import (
+        hll_distinct,
+        hll_distinct_oracle_sql,
+    )
+
+    rows = [(i, t, f"g{i % 2}") for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = sorted(
+        (r.source, r.est, r.exact_distinct) for r in hll_distinct(df).collect()
+    )
+    con = duckdb.connect()
+    con.register(
+        "documents", pd.DataFrame(rows, columns=["doc_id", "text", "source"])
+    )
+    want = sorted(
+        tuple(r) for r in con.execute(hll_distinct_oracle_sql()).fetchall()
+    )
+    assert got == want
+
+
+@settings(max_examples=8, deadline=None)
+@given(texts=_texts)
+def test_cms_cross_engine_fuzz(spark, texts):
+    """Count-Min twins in lockstep on arbitrary Unicode text; the
+    one-sided est >= exact guarantee must hold on every probe."""
+    import duckdb
+    import pandas as pd
+
+    from hquery_php_spark.operators.sketches import (
+        cms_estimates,
+        cms_estimates_oracle_sql,
+    )
+
+    # probe a few tokens that actually occur (plus one that never does)
+    first_toks = [t for txt in texts for t in txt.split()][:3]
+    probes = sorted(set(first_toks) | {"zz-never-present"})
+    # DuckDB probe literals travel through VALUES — exclude quotes-heavy
+    # tokens the escaping test already covers elsewhere
+    probes = [p for p in probes if "'" not in p][:4] or ["zz-never-present"]
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(
+        (r.token, r.est, r.exact)
+        for r in cms_estimates(df, probes).collect()
+    )
+    for _, est, exact in got:
+        assert est >= exact
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame(rows, columns=["doc_id", "text"]))
+    want = sorted(
+        tuple(r)
+        for r in con.execute(cms_estimates_oracle_sql(probes)).fetchall()
+    )
+    assert got == want
