@@ -141,6 +141,9 @@ from hquery_php_spark.operators.pq import (  # noqa: E402
     ivf_pq_oracle_sql as _ivf_pq_sql,
     pq_topk_oracle_sql as _pq_sql,
 )
+from hquery_php_spark.operators.dsir import (  # noqa: E402
+    dsir_oracle_sql as _dsir_sql,
+)
 
 _SAMPLE_STRATA = {"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.1}
 _MOD = 1_000_000_007
@@ -1562,6 +1565,23 @@ def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hll_distinct(_docs(spark, sf_dir))
 
 
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023): every raw doc scored
+    by how much more likely its hashed word-bigram buckets are under the
+    TARGET distribution (here: the English-labeled subset) than under
+    the raw distribution — per-bucket micro-nat log ratios quantized
+    once on a B-row table, per-doc weights exact integer sums.  The
+    data-selection step for targeted pretraining mixes."""
+    from hquery_php_spark.operators.dsir import dsir_weights
+
+    d = _docs(spark, sf_dir).select("doc_id", "text", "lang")
+    target = d.where(F.col("lang") == "en").select("doc_id", "text")
+    raw = d.select("doc_id", "text")
+    reg: list = []
+    out = dsir_weights(raw, target, persist_registry=reg)
+    return _materialize_release(spark, out, reg)
+
+
 def q_bloom_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-filter membership ledger: the accepted corpus sets kh bit
     positions per fingerprint in an m-bit filter (compact regardless of
@@ -1835,6 +1855,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_heavy_hitters": q_cms_heavy_hitters,
         "hll_distinct": q_hll_distinct,
         "bloom_screen": q_bloom_screen,
+        "dsir_weights": q_dsir_weights,
         "similarity_pq": q_similarity_pq,
         "similarity_ivf_pq": q_similarity_ivf_pq,
         "dedup_clusters": q_dedup_clusters,
@@ -2211,6 +2232,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "cms_heavy_hitters": _cms_sql(_CMS_PROBES),
         "hll_distinct": _hll_sql(),
+        "dsir_weights": _dsir_sql(
+            raw_sql="SELECT doc_id, text FROM documents",
+            target_sql="SELECT doc_id, text FROM documents WHERE lang = 'en'",
+        ),
         "bloom_screen": _bloom_sql(
             batch_sql=(
                 "SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1 "

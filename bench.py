@@ -99,6 +99,7 @@ def main() -> None:
         "bloom_screen",
         "similarity_pq",
         "similarity_ivf_pq",
+        "dsir_weights",
     ]
 
     timings = {}

@@ -1332,3 +1332,46 @@ def test_streaming_distinct_hll_matches_batch(spark, tmp_path):
     # sanity: the tiny vocabularies sit in the linear-counting regime,
     # estimates should be near truth (7 and 6 distinct tokens)
     assert abs(final["g0"] - 7) < 1.5 and abs(final["g1"] - 6) < 1.5
+
+
+def test_dsir_selects_target_like_docs_and_lockstep(spark):
+    """Documents drawn from the target vocabulary score positive, raw-
+    only documents negative; values agree with the DuckDB twin."""
+    import duckdb
+    import pandas as pd
+
+    from hquery_php_spark.operators.dsir import dsir_oracle_sql, dsir_weights
+
+    target_rows = [
+        (100 + i, "curated quality prose flows with care " * 3) for i in range(4)
+    ]
+    raw_rows = [
+        (0, "curated quality prose flows with care and curated quality prose"),
+        (1, "spam spam click here buy now spam click buy"),
+        (2, "x"),  # <2 tokens: zero evidence
+    ]
+    target = spark.createDataFrame(target_rows, "doc_id long, text string")
+    raw = spark.createDataFrame(raw_rows, "doc_id long, text string")
+    got = {
+        r.id: (r.n_grams, r.w_micro, r.keep)
+        for r in dsir_weights(raw, target, n_buckets=512).collect()
+    }
+    assert got[0][2] == 1 and got[0][1] > 0   # target-like: kept
+    assert got[1][2] == 0 and got[1][1] < 0   # raw-only: dropped
+    assert got[2] == (0, 0, 0)                # no evidence
+    con = duckdb.connect()
+    con.register("raw", pd.DataFrame(raw_rows, columns=["doc_id", "text"]))
+    con.register(
+        "target", pd.DataFrame(target_rows, columns=["doc_id", "text"])
+    )
+    want = {
+        r[0]: (r[1], r[2], r[3])
+        for r in con.execute(
+            dsir_oracle_sql(
+                raw_sql="SELECT doc_id, text FROM raw",
+                target_sql="SELECT doc_id, text FROM target",
+                n_buckets=512,
+            )
+        ).fetchall()
+    }
+    assert got == want
