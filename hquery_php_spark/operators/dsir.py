@@ -71,25 +71,50 @@ def dsir_weights(
     raw-like at 0).  Documents with <2 tokens carry no evidence: w=0,
     kept iff threshold < 0."""
     def buckets_of(df):
-        ex = df.select(
+        # the token array MUST materialize behind its own projection:
+        # `element_at(toks, i)` inside the gram lambda would otherwise
+        # re-evaluate the whole normalize+split subtree PER BIGRAM
+        # (no CSE inside HOF lambdas — the repetition_stats O(n·d)
+        # trap), turning a linear scan into O(doc_len²)
+        toked = df.select(
             F.col(id_col).alias("id"),
-            F.explode_outer(_bigram_buckets(F.col(text_col), n_buckets)).alias(
-                "b"
+            _toks(F.col(text_col)).alias("__t"),
+        )
+        t = F.col("__t")
+        grams = F.transform(
+            F.sequence(F.lit(1), F.size(t) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(t, i), F.element_at(t, i + 1)
             ),
         )
-        return ex
+        fold = lambda g: F.aggregate(  # noqa: E731
+            F.split(g, ""),
+            F.lit(0).cast("long"),
+            lambda acc, ch: F.pmod(acc * _BASE + F.ascii(ch), F.lit(_MOD)),
+        )
+        bk = F.when(
+            F.size(t) < 2, F.array().cast("array<long>")
+        ).otherwise(F.transform(grams, lambda g: F.pmod(fold(g), F.lit(n_buckets))))
+        return toked.select("id", F.explode_outer(bk).alias("b"))
 
     t_ex = buckets_of(target).where(F.col("b").isNotNull())
     r_ex = buckets_of(raw)
-    r_ex_nn = r_ex.where(F.col("b").isNotNull())
     if persist_registry is not None:
         r_ex = r_ex.persist()
         persist_registry.append(r_ex)
-        r_ex_nn = r_ex.where(F.col("b").isNotNull())
+    r_ex_nn = r_ex.where(F.col("b").isNotNull())
+    # the interpreted character fold is the expensive projection — make
+    # exactly ONE pass over each corpus: totals derive from the (≤B-row)
+    # count tables, which are persisted so the diff join re-reads them,
+    # not the corpora
     t_counts = t_ex.groupBy("b").agg(F.count("*").alias("c_t"))
     r_counts = r_ex_nn.groupBy("b").agg(F.count("*").alias("c_r"))
-    n_t = t_ex.count()
-    n_r = r_ex_nn.count()
+    if persist_registry is not None:
+        t_counts = t_counts.persist()
+        r_counts = r_counts.persist()
+        persist_registry.extend([t_counts, r_counts])
+    n_t = int(t_counts.agg(F.sum("c_t")).first()[0] or 0)
+    n_r = int(r_counts.agg(F.sum("c_r")).first()[0] or 0)
     # full B-row bucket table (missing buckets smooth to count 0)
     all_b = raw.sparkSession.range(n_buckets).select(F.col("id").alias("b"))
     diff = (
