@@ -1375,3 +1375,35 @@ def test_dsir_selects_target_like_docs_and_lockstep(spark):
         ).fetchall()
     }
     assert got == want
+
+
+def test_pq_arrow_and_expression_paths_identical(spark):
+    """The numpy/Arrow fit+score path and the interpreted expression
+    path produce bit-identical codebooks and top-k results (int64
+    everywhere; argmin first-min == (dist, j) tie-break)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from hquery_php_spark.operators.pq import pq_topk
+
+    rng = random.Random(17)
+    rows = [
+        (i, [rng.uniform(-0.5, 0.5) for _ in range(16)]) for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    qvec = rows[0][1]
+    data = df.where(F.col("vec_id") != 0)
+    out = {}
+    for arrow in (False, True):
+        reg = []
+        out[arrow] = [
+            (r.id, r.adc_dist)
+            for r in pq_topk(
+                data, qvec, m=4, k=8, topk=7,
+                persist_registry=reg, use_arrow=arrow,
+            ).collect()
+        ]
+        for c in reg:
+            c.unpersist()
+    assert out[True] == out[False]
