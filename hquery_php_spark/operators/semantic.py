@@ -155,7 +155,11 @@ def semantic_dedup(
         qdf = qdf.persist()
         if persist_registry is not None:
             persist_registry.append(qdf)
-    centroids = kmeans_fit(qdf, k=k, iters=iters)
+    # Arrow-vectorized fit (PQ's single-subspace case): bit-identical
+    # integer centroids, numpy speed instead of interpreted HOF lambdas
+    from .pq import pq_train_arrow
+
+    centroids = pq_train_arrow(qdf, m=1, k=k, iters=iters)[0]
     asg = (
         qdf.withColumn("c", kmeans_assign_expr(F.col("q"), centroids))
         .withColumn(
