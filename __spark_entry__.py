@@ -144,6 +144,9 @@ from hquery_php_spark.operators.pq import (  # noqa: E402
 from hquery_php_spark.operators.dsir import (  # noqa: E402
     dsir_oracle_sql as _dsir_sql,
 )
+from hquery_php_spark.operators.graph import (  # noqa: E402
+    pagerank_oracle_sql as _pagerank_sql,
+)
 
 _SAMPLE_STRATA = {"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.1}
 _MOD = 1_000_000_007
@@ -1565,6 +1568,22 @@ def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hll_distinct(_docs(spark, sf_dir))
 
 
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-point integer PageRank over a deterministic 53-node host
+    graph derived from doc ids (quadratic map → skewed in-degree, so
+    ranks actually spread) — the crawl host-authority prior, exact
+    integer rounds with an unrolled-CTE twin.  In deployment the edge
+    list is host(base_url) → host(href) from the extraction stage."""
+    from hquery_php_spark.operators.graph import pagerank_fixed_point
+
+    d = _docs(spark, sf_dir).select("doc_id")
+    edges = d.select(
+        F.pmod("doc_id", F.lit(53)).alias("src"),
+        F.pmod(F.col("doc_id") * F.col("doc_id") + 3, F.lit(53)).alias("dst"),
+    )
+    return pagerank_fixed_point(edges)
+
+
 def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance weights (Xie et al. 2023): every raw doc scored
     by how much more likely its hashed word-bigram buckets are under the
@@ -1856,6 +1875,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_distinct": q_hll_distinct,
         "bloom_screen": q_bloom_screen,
         "dsir_weights": q_dsir_weights,
+        "pagerank_hosts": q_pagerank,
         "similarity_pq": q_similarity_pq,
         "similarity_ivf_pq": q_similarity_ivf_pq,
         "dedup_clusters": q_dedup_clusters,
@@ -2232,6 +2252,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "cms_heavy_hitters": _cms_sql(_CMS_PROBES),
         "hll_distinct": _hll_sql(),
+        "pagerank_hosts": _pagerank_sql(
+            "SELECT doc_id % 53 AS src, "
+            "(doc_id * doc_id + 3) % 53 AS dst FROM documents"
+        ),
         "dsir_weights": _dsir_sql(
             raw_sql="SELECT doc_id, text FROM documents",
             target_sql="SELECT doc_id, text FROM documents WHERE lang = 'en'",

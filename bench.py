@@ -100,6 +100,7 @@ def main() -> None:
         "similarity_pq",
         "similarity_ivf_pq",
         "dsir_weights",
+        "pagerank_hosts",
     ]
 
     timings = {}

@@ -1407,3 +1407,32 @@ def test_pq_arrow_and_expression_paths_identical(spark):
         for c in reg:
             c.unpersist()
     assert out[True] == out[False]
+
+
+def test_pagerank_fixed_point_properties_and_lockstep(spark):
+    """A hub receiving every edge outranks its spokes; integer rounds
+    agree with the unrolled-CTE twin bit for bit."""
+    import duckdb
+    import pandas as pd
+
+    from hquery_php_spark.operators.graph import (
+        pagerank_fixed_point,
+        pagerank_oracle_sql,
+    )
+
+    # star + back-edges: 1..6 -> 0, 0 -> 1 (hub 0 must dominate)
+    edges = [(i, 0) for i in range(1, 7)] + [(0, 1)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: r.rank_micro for r in pagerank_fixed_point(df).collect()}
+    assert got[0] == max(got.values())
+    assert got[1] > got[2]  # 1 gets the hub's mass, 2..6 only the base
+    assert got[2] == got[3] == got[4] == got[5] == got[6]
+    con = duckdb.connect()
+    con.register("edges", pd.DataFrame(edges, columns=["src", "dst"]))
+    want = {
+        r[0]: r[1]
+        for r in con.execute(
+            pagerank_oracle_sql("SELECT src, dst FROM edges")
+        ).fetchall()
+    }
+    assert got == want
