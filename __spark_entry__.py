@@ -133,6 +133,7 @@ from hquery_php_spark.operators.incremental import (  # noqa: E402
     incremental_dedup_near_oracle_sql as _incr_near_sql,
 )
 from hquery_php_spark.operators.sketches import (  # noqa: E402
+    binned_quantiles_oracle_sql as _quantiles_sql,
     bloom_screen_oracle_sql as _bloom_sql,
     cms_estimates_oracle_sql as _cms_sql,
     hll_distinct_oracle_sql as _hll_sql,
@@ -1568,6 +1569,16 @@ def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hll_distinct(_docs(spark, sf_dir))
 
 
+def q_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document-length percentiles from a fixed-width
+    histogram — the engine-exact percentile sketch (approx_percentile's
+    sketch values are not reproducible across engines); state = the
+    histogram, one partial-agg shuffle regardless of row count."""
+    from hquery_php_spark.operators.sketches import binned_quantiles
+
+    return binned_quantiles(_docs(spark, sf_dir), "n_chars")
+
+
 def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-point integer PageRank over a deterministic 53-node host
     graph derived from doc ids (quadratic map → skewed in-degree, so
@@ -1876,6 +1887,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_screen": q_bloom_screen,
         "dsir_weights": q_dsir_weights,
         "pagerank_hosts": q_pagerank,
+        "length_quantiles": q_length_quantiles,
         "similarity_pq": q_similarity_pq,
         "similarity_ivf_pq": q_similarity_ivf_pq,
         "dedup_clusters": q_dedup_clusters,
@@ -2252,6 +2264,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "cms_heavy_hitters": _cms_sql(_CMS_PROBES),
         "hll_distinct": _hll_sql(),
+        "length_quantiles": _quantiles_sql(),
         "pagerank_hosts": _pagerank_sql(
             "SELECT doc_id % 53 AS src, "
             "(doc_id * doc_id + 3) % 53 AS dst FROM documents"

@@ -101,6 +101,7 @@ def main() -> None:
         "similarity_ivf_pq",
         "dsir_weights",
         "pagerank_hosts",
+        "length_quantiles",
     ]
 
     timings = {}

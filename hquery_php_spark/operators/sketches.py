@@ -46,6 +46,8 @@ __all__ = [
     "bloom_build",
     "bloom_screen",
     "bloom_screen_oracle_sql",
+    "binned_quantiles",
+    "binned_quantiles_oracle_sql",
 ]
 
 _MOD = 1_000_000_007
@@ -451,4 +453,87 @@ bits AS (SELECT DISTINCT unnest([{poss}]) AS pos FROM lfp),
 bfp AS (SELECT doc_id AS id, {fp} AS fp FROM ({batch_sql})),
 bpos AS (SELECT id, unnest([{poss}]) AS pos FROM bfp)
 SELECT DISTINCT id FROM bpos ANTI JOIN bits ON bpos.pos = bits.pos
+"""
+
+
+# ---------------------------------------------------------------- #
+# Binned quantiles (portable percentile sketch)
+
+
+def binned_quantiles(
+    df: DataFrame,
+    value_col: str,
+    group_col: str = "source",
+    bin_width: int = 100,
+    qs: tuple = (50, 90, 99),
+) -> DataFrame:
+    """Per-group quantile estimates from a fixed-width histogram —
+    the engine-exact alternative to ``approx_percentile`` (whose
+    sketch values are implementation-specific and NOT reproducible
+    across engines or releases).  State per group = occupied bins,
+    merged by addition: the percentile sketch that survives both
+    scale and the value-oracle discipline.
+
+    Estimate convention: q_p = lower edge of the first bin whose
+    cumulative count reaches ceil(total·p/100) (integer threshold
+    arithmetic).  Error is bounded by bin_width, the classic
+    histogram trade: more bins = tighter answers, same shape.
+
+    Shape: ONE partial-agg shuffle keyed by (group, bin) — reducer
+    state is the histogram, independent of row count — then a window
+    cumsum over each group's (tiny) bin list."""
+    from pyspark.sql import Window
+
+    b = (F.col(value_col).cast("long") / F.lit(bin_width)).cast("long")
+    counts = (
+        df.select(F.col(group_col).alias("g"), b.alias("b"))
+        .groupBy("g", "b")
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.partitionBy("g").orderBy("b").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = counts.withColumn("cum", F.sum("n").over(w)).withColumn(
+        "total", F.sum("n").over(Window.partitionBy("g"))
+    )
+    aggs = []
+    for p in qs:
+        thr = (F.col("total") * p + 99) / 100  # ceil via int arithmetic
+        thr = thr.cast("long")
+        aggs.append(
+            F.min(
+                F.when(F.col("cum") >= thr, F.col("b") * bin_width)
+            ).alias(f"p{p}")
+        )
+    return cum.groupBy("g").agg(*aggs).select(
+        F.col("g").alias(group_col), *[F.col(f"p{p}") for p in qs]
+    )
+
+
+def binned_quantiles_oracle_sql(
+    table: str = "documents",
+    value_col: str = "n_chars",
+    group_col: str = "source",
+    bin_width: int = 100,
+    qs: tuple = (50, 90, 99),
+) -> str:
+    """DuckDB twin: identical bins, thresholds, and estimates."""
+    sel = ", ".join(
+        f"min(CASE WHEN cum >= (total * {p} + 99) // 100 "
+        f"THEN b * {bin_width} END) AS p{p}"
+        for p in qs
+    )
+    return f"""
+WITH c AS (
+  SELECT {group_col} AS g, CAST({value_col} AS BIGINT) // {bin_width} AS b,
+         count(*) AS n
+  FROM {table} GROUP BY 1, 2
+),
+cum AS (
+  SELECT g, b, sum(n) OVER (PARTITION BY g ORDER BY b
+                            ROWS UNBOUNDED PRECEDING) AS cum,
+         sum(n) OVER (PARTITION BY g) AS total
+  FROM c
+)
+SELECT g AS {group_col}, {sel} FROM cum GROUP BY g
 """

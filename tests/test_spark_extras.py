@@ -1436,3 +1436,39 @@ def test_pagerank_fixed_point_properties_and_lockstep(spark):
         ).fetchall()
     }
     assert got == want
+
+
+def test_binned_quantiles_exactness_and_lockstep(spark):
+    """Quantile estimates hit the documented bin-edge convention and
+    agree with the DuckDB twin; known distribution pins the math."""
+    import duckdb
+    import pandas as pd
+
+    from hquery_php_spark.operators.sketches import (
+        binned_quantiles,
+        binned_quantiles_oracle_sql,
+    )
+
+    # 100 rows of g0 with n_chars = 0..990 by 10s: p50 → first bin whose
+    # cum >= 50 (bin_width 100 ⇒ bins of 10 rows each ⇒ bin 4, edge 400)
+    rows = [(i, "t", "g0", i * 10) for i in range(100)]
+    rows += [(200 + i, "t", "g1", 5000) for i in range(3)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, source string, n_chars long"
+    )
+    got = {
+        r.source: (r.p50, r.p90, r.p99)
+        for r in binned_quantiles(df, "n_chars").collect()
+    }
+    assert got["g0"] == (400, 800, 900)
+    assert got["g1"] == (5000, 5000, 5000)
+    con = duckdb.connect()
+    con.register(
+        "documents",
+        pd.DataFrame(rows, columns=["doc_id", "text", "source", "n_chars"]),
+    )
+    want = {
+        r[0]: (r[1], r[2], r[3])
+        for r in con.execute(binned_quantiles_oracle_sql()).fetchall()
+    }
+    assert got == want
