@@ -148,6 +148,9 @@ from hquery_php_spark.operators.dsir import (  # noqa: E402
 from hquery_php_spark.operators.graph import (  # noqa: E402
     pagerank_oracle_sql as _pagerank_sql,
 )
+from hquery_php_spark.operators.pipeline import (  # noqa: E402
+    chunk_documents_oracle_sql as _chunk_sql,
+)
 
 _SAMPLE_STRATA = {"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.1}
 _MOD = 1_000_000_007
@@ -1569,6 +1572,16 @@ def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hll_distinct(_docs(spark, sf_dir))
 
 
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking: fixed token windows with overlap — the
+    long-document prep for a fixed-context model, entirely expression-
+    level (tokens materialized once, sequence+transform+explode, no
+    shuffle)."""
+    from hquery_php_spark.operators.pipeline import chunk_documents
+
+    return chunk_documents(_docs(spark, sf_dir))
+
+
 def q_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source document-length percentiles from a fixed-width
     histogram — the engine-exact percentile sketch (approx_percentile's
@@ -1888,6 +1901,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_weights": q_dsir_weights,
         "pagerank_hosts": q_pagerank,
         "length_quantiles": q_length_quantiles,
+        "chunk_documents": q_chunk_documents,
         "similarity_pq": q_similarity_pq,
         "similarity_ivf_pq": q_similarity_ivf_pq,
         "dedup_clusters": q_dedup_clusters,
@@ -2265,6 +2279,7 @@ def oracle_sql() -> dict[str, str]:
         "cms_heavy_hitters": _cms_sql(_CMS_PROBES),
         "hll_distinct": _hll_sql(),
         "length_quantiles": _quantiles_sql(),
+        "chunk_documents": _chunk_sql(),
         "pagerank_hosts": _pagerank_sql(
             "SELECT doc_id % 53 AS src, "
             "(doc_id * doc_id + 3) % 53 AS dst FROM documents"

@@ -102,6 +102,7 @@ def main() -> None:
         "dsir_weights",
         "pagerank_hosts",
         "length_quantiles",
+        "chunk_documents",
     ]
 
     timings = {}

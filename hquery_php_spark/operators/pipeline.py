@@ -442,3 +442,97 @@ def global_order_index(
         )
         .drop("__h", "__bkt")
     )
+
+
+def chunk_documents(
+    df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_tokens: int = 64,
+    overlap: int = 8,
+):
+    """Context-window chunking: split each document into token windows
+    of ``max_tokens`` with ``overlap`` tokens of left context — the
+    standard long-document preparation for a fixed-context model.
+
+    Chunk i covers tokens [i·(max−ov), i·(max−ov)+max); the last chunk
+    is the first one whose window reaches the end (shorter, never
+    empty).  Entirely expression-level: tokens materialize ONCE behind
+    a projection (the HOF-inlining rule), chunks come from a
+    ``sequence``+``transform`` over slice bounds and explode — no
+    Python, no shuffle; the output is (id, chunk_id, start_tok, n_tok,
+    chunk_text) with chunk_text rebuilt by concat of the token slice,
+    so the whole operator has an exact SQL twin."""
+    from pyspark.sql import functions as F
+
+    from ..functions.text import norm_ws
+
+    stride = max_tokens - overlap
+    if stride <= 0:
+        raise ValueError("overlap must be smaller than max_tokens")
+    toked = df.select(
+        F.col(id_col).alias("id"),
+        F.split(norm_ws(F.col(text_col)), " ").alias("__t"),
+    ).where(F.length(F.concat_ws("", F.col("__t"))) > 0)
+    t = F.col("__t")
+    n = F.size(t)
+    # number of chunks: 1 + ceil(max(n - max_tokens, 0) / stride)
+    n_chunks = F.lit(1) + F.ceil(
+        F.greatest(n - F.lit(max_tokens), F.lit(0)) / F.lit(stride)
+    ).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.struct(
+            i.alias("chunk_id"),
+            (i * stride).alias("start_tok"),
+            F.least(n - i * stride, F.lit(max_tokens)).alias("n_tok"),
+            F.concat_ws(
+                " ", F.slice(t, i * stride + 1, max_tokens)
+            ).alias("chunk_text"),
+        ),
+    )
+    ex = toked.select("id", F.explode(chunks).alias("c"))
+    return ex.select(
+        "id",
+        F.col("c.chunk_id").alias("chunk_id"),
+        F.col("c.start_tok").alias("start_tok"),
+        F.col("c.n_tok").alias("n_tok"),
+        F.col("c.chunk_text").alias("chunk_text"),
+    )
+
+
+def chunk_documents_oracle_sql(
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_tokens: int = 64,
+    overlap: int = 8,
+) -> str:
+    """DuckDB twin of ``chunk_documents`` — identical windows, bounds,
+    and rebuilt chunk text."""
+    from ..functions.text import SQL as TSQL
+
+    stride = max_tokens - overlap
+    norm = TSQL.norm_ws(text_col)
+    return f"""
+WITH toked AS (
+  SELECT {id_col} AS id, string_split({norm}, ' ') AS t
+  FROM {table} WHERE length({norm}) > 0
+),
+nc AS (
+  SELECT id, t, len(t) AS n,
+         1 + CAST(ceil(greatest(len(t) - {max_tokens}, 0)
+                       / {stride}.0) AS INT) AS n_chunks
+  FROM toked
+),
+ex AS (
+  SELECT id, t, n, unnest(range(0, n_chunks)) AS chunk_id FROM nc
+)
+SELECT id, CAST(chunk_id AS INT) AS chunk_id,
+       CAST(chunk_id * {stride} AS INT) AS start_tok,
+       CAST(least(n - chunk_id * {stride}, {max_tokens}) AS INT) AS n_tok,
+       array_to_string(t[chunk_id * {stride} + 1 :
+                         chunk_id * {stride} + {max_tokens}], ' ')
+         AS chunk_text
+FROM ex
+"""

@@ -1472,3 +1472,30 @@ def test_binned_quantiles_exactness_and_lockstep(spark):
         for r in con.execute(binned_quantiles_oracle_sql()).fetchall()
     }
     assert got == want
+
+
+def test_chunk_documents_windows(spark):
+    """Window bounds, overlap, tail handling, and text reconstruction."""
+    from hquery_php_spark.operators.pipeline import chunk_documents
+
+    words = " ".join(f"w{i}" for i in range(150))
+    df = spark.createDataFrame(
+        [(1, words), (2, "short doc"), (3, "   ")],
+        "doc_id long, text string",
+    )
+    out = chunk_documents(df, max_tokens=64, overlap=8).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.id, []).append(r)
+    # doc1: 150 tokens, stride 56 → chunks at 0, 56, 112 (112+64 ≥ 150)
+    c1 = sorted(by_doc[1], key=lambda r: r.chunk_id)
+    assert [r.start_tok for r in c1] == [0, 56, 112]
+    assert [r.n_tok for r in c1] == [64, 64, 38]
+    assert c1[0].chunk_text.split(" ")[0] == "w0"
+    assert c1[1].chunk_text.split(" ")[0] == "w56"
+    assert c1[2].chunk_text.split(" ")[-1] == "w149"
+    # overlap: chunk 1's first 8 tokens == chunk 0's last 8
+    assert c1[0].chunk_text.split(" ")[-8:] == c1[1].chunk_text.split(" ")[:8]
+    # short doc: one chunk, whole text; whitespace-only doc: dropped
+    assert len(by_doc[2]) == 1 and by_doc[2][0].chunk_text == "short doc"
+    assert 3 not in by_doc
