@@ -22,8 +22,6 @@ whose ANSI-SQL twin lives in ``dedup.minhash_verify_oracle_sql``).
 
 from __future__ import annotations
 
-from typing import Optional
-
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
