@@ -151,6 +151,9 @@ from hquery_php_spark.operators.graph import (  # noqa: E402
 from hquery_php_spark.operators.pipeline import (  # noqa: E402
     chunk_documents_oracle_sql as _chunk_sql,
 )
+from hquery_php_spark.functions.rank import (  # noqa: E402
+    bigram_logprob_oracle_sql as _bigram_lp_sql,
+)
 
 _SAMPLE_STRATA = {"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.1}
 _MOD = 1_000_000_007
@@ -1572,6 +1575,17 @@ def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hll_distinct(_docs(spark, sf_dir))
 
 
+def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated-bigram LM perplexity proxy — the conditional-
+    probability rung toward CCNet's 5-gram KenLM filter; per-bigram
+    micro-nat quantization, exact integer per-doc sums."""
+    from hquery_php_spark.functions.rank import bigram_logprob
+
+    reg: list = []
+    out = bigram_logprob(_docs(spark, sf_dir), persist_registry=reg)
+    return _materialize_release(spark, out, reg)
+
+
 def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Context-window chunking: fixed token windows with overlap — the
     long-document prep for a fixed-context model, entirely expression-
@@ -1902,6 +1916,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_hosts": q_pagerank,
         "length_quantiles": q_length_quantiles,
         "chunk_documents": q_chunk_documents,
+        "bigram_logprob": q_bigram_logprob,
         "similarity_pq": q_similarity_pq,
         "similarity_ivf_pq": q_similarity_ivf_pq,
         "dedup_clusters": q_dedup_clusters,
@@ -2280,6 +2295,7 @@ def oracle_sql() -> dict[str, str]:
         "hll_distinct": _hll_sql(),
         "length_quantiles": _quantiles_sql(),
         "chunk_documents": _chunk_sql(),
+        "bigram_logprob": _bigram_lp_sql(),
         "pagerank_hosts": _pagerank_sql(
             "SELECT doc_id % 53 AS src, "
             "(doc_id * doc_id + 3) % 53 AS dst FROM documents"

@@ -103,6 +103,7 @@ def main() -> None:
         "pagerank_hosts",
         "length_quantiles",
         "chunk_documents",
+        "bigram_logprob",
     ]
 
     timings = {}

@@ -29,6 +29,8 @@ __all__ = [
     "bm25_oracle_sql",
     "pmi_collocations",
     "pmi_oracle_sql",
+    "bigram_logprob",
+    "bigram_logprob_oracle_sql",
 ]
 
 
@@ -414,5 +416,159 @@ SELECT id, n_toks, sum_lp_micro,
          AS avg_logprob,
        round(exp(-(CAST(sum_lp_micro AS DOUBLE) / 1e6 / CAST(n_toks AS DOUBLE))), 6)
          AS ppl_proxy
+FROM per_doc
+"""
+
+
+def bigram_logprob(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lam_num: int = 9,
+    lam_den: int = 10,
+    persist_registry: list | None = None,
+) -> DataFrame:
+    """Per-document interpolated-bigram log-probability — one rung up
+    the CCNet ladder from ``unigram_logprob`` toward the 5-gram KenLM
+    filter, with the same engine-exact discipline:
+
+        p(w_i | w_{i-1}) = λ·c(w_{i-1} w_i)/c(w_{i-1}) + (1−λ)·c(w_i)/N
+
+    Each DISTINCT bigram's ln p quantizes ONCE to fixed-point micro-nats
+    on the bigram table (|bigram types| roundings; the inner float
+    expression is a fixed left-to-right op sequence, identical on any
+    engine), and the per-document score is the exact integer
+    Σ tf·lp_micro — order-independent under any partitioning.
+
+    Shape — ONE corpus scan emits both unigram and bigram events
+    (posexplode of a unioned event array, the pmi_collocations trick),
+    one count shuffle feeds the unigram, context, and bigram tables;
+    scoring joins the per-doc bigram tf against the quantized table.
+    The first token of each document has no left context and is scored
+    by the unigram backoff term alone (λ-weighted consistently: its
+    probability is (1−λ)·p_uni — documented, matched in the twin).
+
+    Output: (id, n_bigrams, sum_lp_micro, avg_logprob, ppl_proxy);
+    single-token and empty documents carry no bigram evidence and are
+    omitted (match the twin's join semantics)."""
+    toked = df.select(
+        F.col(id_col).alias("id"), _toks(F.col(text_col)).alias("__t")
+    ).where(F.size("__t") >= 2)
+    t = F.col("__t")
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.size(t) - 1),
+        lambda i: F.concat_ws(
+            " ", F.element_at(t, i), F.element_at(t, i + 1)
+        ),
+    )
+    ex = toked.select("id", F.explode(bigrams).alias("bg"))
+    tf = ex.groupBy("id", "bg").agg(F.count("*").alias("tf"))
+    if persist_registry is not None:
+        tf = tf.persist()
+        persist_registry.append(tf)
+    bg_counts = tf.groupBy("bg").agg(F.sum("tf").alias("c_bg"))
+    # context and unigram tables derive from the bigram table: c(w1) =
+    # Σ_w2 c(w1 w2) over bigram STARTS, p_uni from bigram SECOND words
+    # (the corpus positions 2..n — self-consistent with the events
+    # actually scored; no second corpus scan)
+    w1 = F.split(F.col("bg"), " ")[0]
+    w2 = F.split(F.col("bg"), " ")[1]
+    ctx = bg_counts.groupBy(w1.alias("w")).agg(F.sum("c_bg").alias("c_ctx"))
+    uni = bg_counts.groupBy(w2.alias("w")).agg(F.sum("c_bg").alias("c_uni"))
+    n_total = int(bg_counts.agg(F.sum("c_bg")).first()[0] or 0)
+    lam = lam_num / lam_den
+    lp = (
+        bg_counts.withColumn("__w1", w1)
+        .withColumn("__w2", w2)
+        .join(ctx, F.col("__w1") == ctx["w"])
+        .drop("w")
+        .join(uni, F.col("__w2") == uni["w"])
+        .select(
+            "bg",
+            F.round(
+                F.log(
+                    F.lit(lam)
+                    * F.col("c_bg").cast("double")
+                    / F.col("c_ctx").cast("double")
+                    + F.lit(1.0 - lam)
+                    * F.col("c_uni").cast("double")
+                    / F.lit(float(n_total))
+                )
+                * F.lit(1e6),
+                0,
+            )
+            .cast("long")
+            .alias("lp_micro"),
+        )
+    )
+    per_doc = (
+        tf.join(lp, "bg")
+        .groupBy("id")
+        .agg(
+            F.sum("tf").cast("long").alias("n_bigrams"),
+            F.sum(F.col("tf") * F.col("lp_micro")).alias("sum_lp_micro"),
+        )
+    )
+    avg = (
+        F.col("sum_lp_micro").cast("double")
+        / F.lit(1e6)
+        / F.col("n_bigrams").cast("double")
+    )
+    return per_doc.select(
+        "id",
+        "n_bigrams",
+        "sum_lp_micro",
+        F.round(avg, 6).alias("avg_logprob"),
+        F.round(F.exp(-avg), 6).alias("ppl_proxy"),
+    )
+
+
+def bigram_logprob_oracle_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lam_num: int = 9,
+    lam_den: int = 10,
+) -> str:
+    """DuckDB twin of :func:`bigram_logprob` — identical bigram events,
+    interpolation arithmetic (same op order), quantization, sums."""
+    toks = _toks_sql(text_col)
+    lam = lam_num / lam_den
+    return f"""
+WITH toked AS (
+  SELECT {id_col} AS id, {toks} AS t FROM {table}
+  WHERE len({toks}) >= 2
+),
+ex AS (
+  SELECT id, unnest([t[i] || ' ' || t[i + 1] for i in range(1, len(t))]) AS bg
+  FROM toked
+),
+tf AS (SELECT id, bg, count(*) AS tf FROM ex GROUP BY id, bg),
+bgc AS (SELECT bg, sum(tf) AS c_bg FROM tf GROUP BY bg),
+ctx AS (SELECT string_split(bg, ' ')[1] AS w, sum(c_bg) AS c_ctx
+        FROM bgc GROUP BY 1),
+uni AS (SELECT string_split(bg, ' ')[2] AS w, sum(c_bg) AS c_uni
+        FROM bgc GROUP BY 1),
+tot AS (SELECT CAST(sum(c_bg) AS DOUBLE) AS n FROM bgc),
+lp AS (
+  SELECT bg,
+         CAST(round(ln({lam!r} * CAST(c_bg AS DOUBLE) / CAST(c_ctx AS DOUBLE)
+                       + {1.0 - lam!r} * CAST(c_uni AS DOUBLE) / tot.n)
+                    * 1e6, 0) AS BIGINT) AS lp_micro
+  FROM bgc
+  JOIN ctx ON string_split(bgc.bg, ' ')[1] = ctx.w
+  JOIN uni ON string_split(bgc.bg, ' ')[2] = uni.w
+  CROSS JOIN tot
+),
+per_doc AS (
+  SELECT id, CAST(sum(tf) AS BIGINT) AS n_bigrams,
+         CAST(sum(tf * lp_micro) AS BIGINT) AS sum_lp_micro
+  FROM tf JOIN lp USING (bg) GROUP BY id
+)
+SELECT id, n_bigrams, sum_lp_micro,
+       round(CAST(sum_lp_micro AS DOUBLE) / 1e6
+             / CAST(n_bigrams AS DOUBLE), 6) AS avg_logprob,
+       round(exp(-(CAST(sum_lp_micro AS DOUBLE) / 1e6
+                   / CAST(n_bigrams AS DOUBLE))), 6) AS ppl_proxy
 FROM per_doc
 """

@@ -1499,3 +1499,32 @@ def test_chunk_documents_windows(spark):
     # short doc: one chunk, whole text; whitespace-only doc: dropped
     assert len(by_doc[2]) == 1 and by_doc[2][0].chunk_text == "short doc"
     assert 3 not in by_doc
+
+
+def test_bigram_logprob_conditional_probability_ordering(spark):
+    """A deterministic context (its only continuation) scores a higher
+    conditional logprob than an ambiguous context shared by many
+    continuations, and the twin agrees bit for bit."""
+    import duckdb
+    import pandas as pd
+
+    from hquery_php_spark.functions.rank import (
+        bigram_logprob,
+        bigram_logprob_oracle_sql,
+    )
+
+    # context "the" continues 10 different ways (ambiguous);
+    # context "yes" always continues to "yes" (deterministic)
+    rows = [(10 + i, f"the w{i}") for i in range(10)]
+    rows += [(1, "yes yes yes yes"), (2, "the w0"), (4, "single")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.id: (r.n_bigrams, r.sum_lp_micro, r.avg_logprob, r.ppl_proxy)
+           for r in bigram_logprob(df).collect()}
+    assert 4 not in got              # no bigram evidence: omitted
+    assert got[1][2] > got[2][2]     # deterministic > ambiguous context
+    assert got[2][3] > got[1][3]     # ambiguous = higher perplexity
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame(rows, columns=["doc_id", "text"]))
+    want = {r[0]: tuple(r[1:])
+            for r in con.execute(bigram_logprob_oracle_sql()).fetchall()}
+    assert got == want
