@@ -102,6 +102,22 @@ WHERE x.id < y.id AND x.bucket = y.bucket
   AND list_cosine_similarity(x.v, y.v) >= 0.98
 """
 
+# exact n² twin on the same augmented set (the LSH ground truth)
+_EX_NEAR_DUP_SQL = """
+WITH e AS (
+  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+aug AS (
+  SELECT id, v FROM e
+  UNION ALL
+  SELECT id + 1000000, list_concat([v[1] + 0.1], v[2:len(v)])
+  FROM e WHERE id % 10 = 0
+)
+SELECT a.id AS id_a, b.id AS id_b
+FROM aug a, aug b
+WHERE a.id < b.id AND list_cosine_similarity(a.v, b.v) >= 0.98
+"""
+
 from hquery_php_spark.operators.dedup import (  # noqa: E402
     connected_components_oracle_sql as _cc_sql,
 )
@@ -1800,6 +1816,21 @@ def q_embed_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("id_a", "id_b", F.round("cos", 4).alias("cos_r"))
 
 
+def q_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall measurement of the bucketed LSH near-dup path against the
+    exact n² ground truth on the augmented set — the calibration row a
+    production dedup config ships with (one integer-arithmetic summary
+    row: n_exact, n_lsh, n_common, recall_pct)."""
+    ex = q_embed_near_dup_exact(spark, sf_dir).select("id_a", "id_b")
+    ls = q_embed_near_dup_lsh(spark, sf_dir).select("id_a", "id_b")
+    common = ex.join(ls, ["id_a", "id_b"], "inner")
+    n_ex, n_ls, n_co = ex.count(), ls.count(), common.count()
+    return spark.createDataFrame(
+        [(n_ex, n_ls, n_co, (100 * n_co) // n_ex if n_ex else 100)],
+        "n_exact long, n_lsh long, n_common long, recall_pct long",
+    )
+
+
 # --------------------------------------------------------------------- #
 # Relational breadth on the TPC-H-ish tables (join strategy + agg)
 
@@ -1906,6 +1937,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": q_multimodal_features,
         "embed_near_dup_exact": q_embed_near_dup_exact,
         "embed_near_dup_lsh": q_embed_near_dup_lsh,
+        "lsh_recall": q_lsh_recall,
         "semantic_dedup": q_semantic_dedup,
         "incremental_dedup": q_incremental_dedup,
         "incremental_dedup_near": q_incremental_dedup_near,
@@ -2263,6 +2295,17 @@ def oracle_sql() -> dict[str, str]:
               AND list_cosine_similarity(a.v, b.v) >= 0.98
         """,
         "embed_near_dup_lsh": _NEAR_DUP_LSH_SQL,
+        "lsh_recall": f"""
+            WITH ex AS (SELECT id_a, id_b FROM ({_EX_NEAR_DUP_SQL})),
+            ls AS (SELECT id_a, id_b FROM ({_NEAR_DUP_LSH_SQL})),
+            co AS (SELECT * FROM ex INTERSECT SELECT * FROM ls)
+            SELECT (SELECT count(*) FROM ex) AS n_exact,
+                   (SELECT count(*) FROM ls) AS n_lsh,
+                   (SELECT count(*) FROM co) AS n_common,
+                   CASE WHEN (SELECT count(*) FROM ex) = 0 THEN 100
+                        ELSE (100 * (SELECT count(*) FROM co))
+                             // (SELECT count(*) FROM ex) END AS recall_pct
+        """,
         "semantic_dedup": _semantic_sql(
             vec_col="v",
             id_col="id",

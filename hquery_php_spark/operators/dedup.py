@@ -26,6 +26,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 __all__ = [
+    "lsh_tune",
     "dedup_exact",
     "char_shingles",
     "char_gram_hashes",
@@ -1038,3 +1039,39 @@ reach(id, label) AS (
 )
 SELECT id, min(label) AS cluster_id FROM reach GROUP BY id
 """
+
+
+def lsh_tune(
+    threshold: float,
+    num_perm: int,
+    max_bands: int | None = None,
+) -> tuple:
+    """Pick (bands, rows_per_band) for a MinHash-LSH operating point:
+    minimize the integrated error of the S-curve
+    P(candidate | s) = 1 − (1 − s^r)^b against the step at ``threshold``
+    (the datasketch weighting: false positives below t + false
+    negatives above t, equal weights, midpoint-rule integral).
+
+    Driver-side parameter math (no Spark): call once, feed the result
+    to ``minhash_lsh_candidates`` / ``ledger_band_keys``.  Deterministic
+    given (threshold, num_perm), so a pipeline's operating point is
+    reproducible from its config alone."""
+    best = None
+    steps = 200
+    for b in range(1, (max_bands or num_perm) + 1):
+        if num_perm % b:
+            continue
+        r = num_perm // b
+        fp = 0.0
+        fn = 0.0
+        for i in range(steps):
+            s = (i + 0.5) / steps
+            p = 1.0 - (1.0 - s ** r) ** b
+            if s < threshold:
+                fp += p / steps
+            else:
+                fn += (1.0 - p) / steps
+        err = fp + fn
+        if best is None or err < best[0]:
+            best = (err, b, r)
+    return best[1], best[2]

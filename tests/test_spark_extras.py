@@ -1528,3 +1528,16 @@ def test_bigram_logprob_conditional_probability_ordering(spark):
     want = {r[0]: tuple(r[1:])
             for r in con.execute(bigram_logprob_oracle_sql()).fetchall()}
     assert got == want
+
+
+def test_lsh_tune_monotone_operating_points():
+    """Higher thresholds demand longer bands (more rows per band);
+    results divide num_perm exactly and are deterministic."""
+    from hquery_php_spark.operators.dedup import lsh_tune
+
+    points = {t: lsh_tune(t, 128) for t in (0.3, 0.5, 0.7, 0.9)}
+    rows = [points[t][1] for t in (0.3, 0.5, 0.7, 0.9)]
+    assert rows == sorted(rows)  # r grows with the threshold
+    for b, r in points.values():
+        assert b * r == 128
+    assert points == {t: lsh_tune(t, 128) for t in (0.3, 0.5, 0.7, 0.9)}
