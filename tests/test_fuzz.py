@@ -659,3 +659,60 @@ def test_cms_cross_engine_fuzz(spark, texts):
         for r in con.execute(cms_estimates_oracle_sql(probes)).fetchall()
     )
     assert got == want
+
+
+@settings(max_examples=8, deadline=None)
+@given(texts=_texts)
+def test_chunk_documents_cross_engine_fuzz(spark, texts):
+    """Chunk windows, bounds, and rebuilt text in lockstep on arbitrary
+    Unicode input (whitespace-only and short docs included)."""
+    import duckdb
+    import pandas as pd
+
+    from hquery_php_spark.operators.pipeline import (
+        chunk_documents,
+        chunk_documents_oracle_sql,
+    )
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(
+        (r.id, r.chunk_id, r.start_tok, r.n_tok, r.chunk_text)
+        for r in chunk_documents(df, max_tokens=7, overlap=2).collect()
+    )
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame(rows, columns=["doc_id", "text"]))
+    want = sorted(
+        tuple(r)
+        for r in con.execute(
+            chunk_documents_oracle_sql(max_tokens=7, overlap=2)
+        ).fetchall()
+    )
+    assert got == want
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    counts=st.lists(st.integers(min_value=1, max_value=10_000),
+                    min_size=1, max_size=8)
+)
+def test_temperature_thresholds_cross_engine_fuzz(counts):
+    """The integer threshold formula agrees with its SQL twin for any
+    domain-size mixture (⌊√n⌋ → truncating divisions → cap)."""
+    import duckdb
+
+    from hquery_php_spark.functions.text import temperature_thresholds
+
+    cd = {f"d{i}": n for i, n in enumerate(counts)}
+    want = temperature_thresholds(cd)
+    con = duckdb.connect()
+    vals = ", ".join(f"('d{i}', {n})" for i, n in enumerate(counts))
+    mod = 1_000_000_007
+    rows = con.execute(f"""
+WITH c(d, n) AS (VALUES {vals}),
+s AS (SELECT d, n, CAST(floor(sqrt(n)) AS BIGINT) AS sd FROM c),
+tot AS (SELECT sum(sd) AS sS, sum(n) AS nN FROM s)
+SELECT d, least({mod}, ((sd * {mod}) // sS) * nN // n) FROM s, tot
+""").fetchall()
+    got = {d: int(t) for d, t in rows}
+    assert got == want
