@@ -57,7 +57,9 @@ def main() -> None:
 
     import __spark_entry__ as E
 
-    qs = E.queries()
+    # bench rows keep the per-operator names (cross-round comparability);
+    # the driver-checked queries() registry consolidates them into suites
+    qs = E.all_queries()
     bench_queries = [
         "extract_spans",
         "selector_counts",
@@ -81,7 +83,8 @@ def main() -> None:
         "gopher_quality",
         "domain_cap",
         "corpus_shuffle",
-        "curate",
+        "curate",        # portable-hash twin path (the value-checked config)
+        "curate_fast",   # production xxhash path — the headline curate cost
         "tfidf_top",
         "corpus_stats",
         "bm25_search",
@@ -293,8 +296,18 @@ def main() -> None:
             F.col("payload").alias("html"),
             F.col("url").alias("base_url"),
             F.concat(F.lit("Content-Type: "), F.col("content_type")).alias("hdrs"),
+            F.length("payload").cast("long").alias("size_bytes"),
         )
-        return extract_spans_df(docs, headers_col="hdrs")
+        # Spread parsed records to full parallelism before the heavy
+        # extract, exactly like every other bench row: this tiny corpus
+        # yields only 16 ~150 KB archives → 16 slices, so without the
+        # spread the extract stage runs at parallelism 16 on 32 cores
+        # (the r3 825 docs/s mystery — ingest itself costs ~0.2 s
+        # single-threaded: index 0.06 + read 0.002 + parse 0.16).  At
+        # production scale slices are plentiful and this shuffle is the
+        # same salted size-bucket repartition the north rule prescribes.
+        spread = salted_repartition(docs, int(cpus) * 3, size_col="size_bytes")
+        return extract_spans_df(spread, headers_col="hdrs")
 
     warc_best = None
     warc_docs = 0

@@ -106,10 +106,15 @@ def hashed_linear_score_sql(
         f"(((({fold}) % {n_buckets}) * {_REMIX_A} + {_REMIX_B}) % {_MOD}) "
         f"% {_W_SPAN} - {_W_SPAN // 2}"
     )
-    n_tok = f"CASE WHEN length({n}) = 0 THEN 0 ELSE len({toks}) END"
+    # CASTs pin the twin's pandas dtypes to Spark's: DuckDB len() is
+    # BIGINT where Spark size() is INT, and list_sum over BIGINT returns
+    # HUGEINT (→ float64 via pandas) where Spark's aggregate stays BIGINT
+    # — without them the driver's dtype-exact value hash diverges even
+    # though every value is numerically identical (r3's one red row).
+    n_tok = f"CAST(CASE WHEN length({n}) = 0 THEN 0 ELSE len({toks}) END AS INT)"
     score = (
-        f"CASE WHEN length({n}) = 0 THEN 0 "
-        f"ELSE list_sum([{w} for t in {toks}]) END"
+        f"CAST(CASE WHEN length({n}) = 0 THEN 0 "
+        f"ELSE list_sum([{w} for t in {toks}]) END AS BIGINT)"
     )
     keep = (
         f"CASE WHEN ({score}) >= {threshold_micro} * ({n_tok}) "

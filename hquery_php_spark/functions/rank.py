@@ -444,9 +444,9 @@ def bigram_logprob(
     (posexplode of a unioned event array, the pmi_collocations trick),
     one count shuffle feeds the unigram, context, and bigram tables;
     scoring joins the per-doc bigram tf against the quantized table.
-    The first token of each document has no left context and is scored
-    by the unigram backoff term alone (λ-weighted consistently: its
-    probability is (1−λ)·p_uni — documented, matched in the twin).
+    The first token of each document has no left context and is NOT
+    scored — only the n−1 bigram transitions contribute (n_bigrams =
+    n_tokens − 1), exactly as in the twin.
 
     Output: (id, n_bigrams, sum_lp_micro, avg_logprob, ppl_proxy);
     single-token and empty documents carry no bigram evidence and are

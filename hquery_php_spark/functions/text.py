@@ -46,9 +46,14 @@ def norm_ws(col: Column) -> Column:
 
 
 def token_count(col: Column) -> Column:
+    # long, matching SQL.token_count's BIGINT length arithmetic — the
+    # twin-facing dtype contract (the driver's value hash is dtype-kind
+    # sensitive)
     n = norm_ws(col)
-    return F.when(F.length(n) == 0, F.lit(0)).otherwise(
-        F.size(F.split(n, " "))
+    return (
+        F.when(F.length(n) == 0, F.lit(0))
+        .otherwise(F.size(F.split(n, " ")))
+        .cast("long")
     )
 
 
@@ -383,7 +388,9 @@ def _redact_pii_fields_sql(col: str) -> dict:
     out = {}
     for name, pat, token in PII_PATTERNS:
         p = pat.replace("'", "''")
-        out[f"n_{name}"] = f"len(regexp_extract_all({cur}, '{p}'))"
+        # CAST AS INT: DuckDB len() is BIGINT, Spark's count is int32 —
+        # keep the twin's pandas dtype identical to Spark's
+        out[f"n_{name}"] = f"CAST(len(regexp_extract_all({cur}, '{p}')) AS INT)"
         cur = f"regexp_replace({cur}, '{p}', '{token}', 'g')"
     out["redacted"] = cur
     return out
@@ -509,8 +516,9 @@ def _repetition_fields_sql(col: str) -> dict:
         )
 
     return {
-        "n_tokens": n_tok,
-        "n_distinct_tokens": n_dis,
+        # INT casts pin the twin's dtype to Spark's int32 counts
+        "n_tokens": f"CAST({n_tok} AS INT)",
+        "n_distinct_tokens": f"CAST({n_dis} AS INT)",
         "distinct_ratio": ratio(n_dis, n_tok),
         "dup_bigram_frac": ratio(f"({n_bg}) - ({n_dbg})", n_bg),
         "top_bigram_frac": ratio(top, n_bg),
@@ -696,7 +704,7 @@ def _gopher_fields_sql(
         f"AND ({stop_hits}) >= {min_stop_hits} THEN 1 ELSE 0 END"
     )
     return {
-        "n_words": n_words,
+        "n_words": f"CAST({n_words} AS INT)",
         "mean_word_len": mean_wl,
         "symbol_ratio": symbol_ratio,
         "bullet_line_frac": bullet_frac,

@@ -12,8 +12,10 @@ Scale shape per stage (each verified individually in PLANS.md):
 * quality gates — pure JVM expression tree, zero shuffles;
 * exact dedup — one window shuffle keyed by the 16-byte fingerprint;
 * near-dup — hash-once signatures, banded-LSH self-join (shuffle ∝
-  candidate density), broadcast-pruned verify, O(log n)-round
-  pointer-jumping components (reliable ``checkpoint_dir`` supported);
+  candidate density), semi-join-pruned verify (AQE picks broadcast when
+  the candidate set is actually small — never forced, since candidates
+  and losers are corpus-proportional), O(log n)-round pointer-jumping
+  components (reliable ``checkpoint_dir`` supported);
 * decontamination — broadcast of the (small) benchmark gram set;
 * redaction — JVM regexp expressions, no shuffle;
 * domain cap — skew-safe two-phase salted window;
@@ -185,7 +187,11 @@ def _curate_corpus_impl(
         losers = labels.where(F.col("cluster_id") != F.col("id")).select(
             F.col("id").alias(idc)
         )
-        d = d.join(F.broadcast(losers), idc, "left_anti")
+        # plain (shuffle) anti-join: losers is corpus-proportional (near-
+        # dups can be 30-50% of a web corpus), so a forced broadcast OOMs
+        # at the 100 TB target; AQE still picks broadcast when the loser
+        # set is actually small.
+        d = d.join(losers, idc, "left_anti")
 
     # 4. benchmark decontamination (broadcast gram set)
     if benchmark is not None:

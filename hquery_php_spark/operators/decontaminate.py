@@ -58,8 +58,11 @@ def ngram_decontaminate(
     if mode == "flag":
         return flagged
     if mode == "clean":
+        # flagged ids are corpus-proportional (contamination rate × rows):
+        # plain anti-join, AQE broadcasts when the set is actually small.
+        # Only bench_grams above is bounded (benchmark suites are fixed).
         return train_df.join(
-            F.broadcast(flagged.select(F.col("id").alias(id_col))),
+            flagged.select(F.col("id").alias(id_col)),
             id_col,
             "left_anti",
         )

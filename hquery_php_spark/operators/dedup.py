@@ -177,9 +177,25 @@ def minhash_lsh_candidates(
     bands: int = 8,
     rows_per_band: Optional[int] = None,
     exact_buckets: bool = False,
+    max_bucket_size: Optional[int] = 1000,
+    dropped_registry: Optional[list] = None,
 ) -> DataFrame:
     """Banded LSH: docs sharing any band bucket become candidate pairs
-    (id_a < id_b).  Shuffle key = (band, hash-of-band-rows).
+    (id_a < id_b).  ONE shuffle keyed by (band, bucket): ids aggregate
+    per bucket and the pair list is generated expression-level from the
+    sorted id array — half the shuffle volume of the classic two-sided
+    bucket self-join, and the natural place to bound degenerate buckets.
+
+    ``max_bucket_size`` is the hot-bucket cap: a single pathological
+    bucket (empty documents, boilerplate, a template page crawled 10⁷
+    times) would otherwise emit |bucket|²/2 pairs and stall the verify
+    stage at corpus scale.  Buckets above the cap are DROPPED (their
+    members are near-identical to each other far beyond the verify
+    threshold anyway; exact dedup upstream is the right tool for them).
+    Pass ``dropped_registry`` (a list) to receive a (band, bucket, n)
+    DataFrame of what was skipped — count/log it before relying on the
+    candidate set.  ``max_bucket_size=None`` disables the cap (the
+    oracle-twin configuration).
 
     ``exact_buckets`` serializes the band slice itself as the bucket key
     (injective — candidate set is exactly "some band slice equal"), which
@@ -202,16 +218,31 @@ def minhash_lsh_candidates(
             F.array(*[band_key(b) for b in range(bands)])
         ).alias("band", "bucket"),
     )
-    a = buckets.alias("a")
-    b = buckets.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.id") < F.col("b.id")),
+    grouped = buckets.groupBy("band", "bucket").agg(
+        F.collect_list("id").alias("ids")
+    )
+    if max_bucket_size is not None:
+        if dropped_registry is not None:
+            dropped_registry.append(
+                grouped.where(F.size("ids") > max_bucket_size).select(
+                    "band", "bucket", F.size("ids").alias("n")
+                )
+            )
+        grouped = grouped.where(F.size("ids") <= max_bucket_size)
+    s = F.array_sort("ids")
+    pairs = F.flatten(
+        F.transform(
+            s,
+            lambda x, i: F.transform(
+                F.slice(s, i + F.lit(2), F.greatest(F.size(s) - i - 1, F.lit(0))),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
         )
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+    )
+    return (
+        grouped.where(F.size("ids") >= 2)
+        .select(F.explode(pairs).alias("p"))
+        .select(F.col("p.id_a"), F.col("p.id_b"))
         .distinct()
     )
 
@@ -244,7 +275,11 @@ def ngram_jaccard_verify(
     )
     sh = (
         df.select(F.col(id_col).alias("id"), F.col(text_col))
-        .join(F.broadcast(ids_needed), "id", "left_semi")
+        # no forced broadcast: the candidate id set scales with duplicate
+        # density × corpus size, so it is NOT bounded at 100 TB — the
+        # shuffle semi-join is the safe default and AQE broadcasts it at
+        # runtime whenever the set is actually small.
+        .join(ids_needed, "id", "left_semi")
         .select(
             "id",
             F.array_distinct(char_shingles(F.col(text_col), k)).alias("sh"),
@@ -255,9 +290,12 @@ def ngram_jaccard_verify(
         if persist_registry is not None:
             persist_registry.append(sh)
     j = (
-        # candidate pairs are tiny vs the corpus — broadcast them so the
-        # shingle table is scanned once per side with no shuffle.
-        F.broadcast(candidates)
+        # candidate pairs are small relative to the corpus but STILL
+        # corpus-proportional (duplicate density × rows) — a forced
+        # broadcast is a driver OOM at 100 TB.  Shuffle join by default;
+        # AQE converts to broadcast at runtime when the pair table is
+        # genuinely tiny.
+        candidates
         .join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
         .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
         .withColumn(
@@ -791,7 +829,7 @@ k AS (
   FROM ex
 )
 SELECT c.doc_id AS id,
-       len(c.paras) AS n_paras,
+       CAST(len(c.paras) AS INT) AS n_paras,
        CAST(coalesce(r.n_kept, 0) AS INT) AS n_kept,
        coalesce(r.kept, '') AS kept
 FROM c LEFT JOIN (

@@ -133,7 +133,7 @@ def top_users(df: DataFrame, k: int = 3) -> DataFrame:
 
 
 TOP_USERS_SQL = """
-SELECT event_type, rank, user_id, total_value, n_events
+SELECT event_type, CAST(rank AS INT) AS rank, user_id, total_value, n_events
 FROM (
   SELECT event_type, user_id,
          round(sum(value), 6) AS total_value,

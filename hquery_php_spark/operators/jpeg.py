@@ -1,0 +1,681 @@
+"""Pure-Python/numpy baseline JPEG codec (ITU-T T.81 baseline
+sequential DCT, 8-bit).  No image library needed — same spirit as the
+stdlib PNG codec in ``multimodal.py`` and the codec-free PDF leg.
+
+Scope (the honest boundary, explicit):
+
+* ``decode_jpeg``: baseline sequential (SOF0/SOF1) single-scan
+  interleaved JPEG — marker walk, DQT/DHT parsing (arbitrary canonical
+  huffman tables, not just Annex K), byte-stuffing + RSTn restart
+  markers, per-component sampling factors (4:4:4, 4:2:0, 4:2:2, ...)
+  with replicate upsampling, dequantize + exact float64 2-D IDCT,
+  half-up rounding, YCbCr→RGB.  Progressive (SOF2), arithmetic-coded,
+  hierarchical and 12-bit streams return ``None`` (the caller's
+  NULL/raise boundary, like non-8-bit PNG).
+* ``encode_jpeg``: baseline sequential 4:4:4 (or grayscale) writer with
+  Annex-K quantization tables scaled by the libjpeg quality formula and
+  simple fixed-length canonical huffman tables (written into DHT, so
+  any conformant decoder reads them) — correctness over compression.
+
+Rounding is pinned so constant-color images decode to a closed form
+(see ``constant_gray_decoded_level``): quantization rounds half away
+from zero; IDCT output and color conversion round half UP
+(``floor(x+0.5)``) — never Python/numpy banker's rounding, which the
+cross-engine twins cannot express.
+
+Reference parity note: the reference engine (duzun/hQuery.php) has no
+image codec at all — this module is part of the beyond-reference
+multimodal surface (SURVEY.md §2, multimodal rows); its role mirrors
+hQuery's fault-tolerance doctrine (src/hQuery/HTML_Index.php:768-803:
+convert what you can, record what you cannot, never abort).
+"""
+
+from __future__ import annotations
+
+import struct as _struct
+from typing import Optional
+
+import numpy as np
+
+__all__ = [
+    "encode_jpeg",
+    "decode_jpeg",
+    "jpeg_dims",
+    "quant_tables",
+    "constant_gray_decoded_level",
+]
+
+# ------------------------------------------------------------------ #
+# Tables
+
+_ZIGZAG = np.array(
+    [
+        0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+    ],
+    dtype=np.int64,
+)
+
+# Annex K Table K.1 / K.2 base quantization tables (natural order).
+_QT_LUMA = np.array(
+    [
+        16, 11, 10, 16, 24, 40, 51, 61,
+        12, 12, 14, 19, 26, 58, 60, 55,
+        14, 13, 16, 24, 40, 57, 69, 56,
+        14, 17, 22, 29, 51, 87, 80, 62,
+        18, 22, 37, 56, 68, 109, 103, 77,
+        24, 35, 55, 64, 81, 104, 113, 92,
+        49, 64, 78, 87, 103, 121, 120, 101,
+        72, 92, 95, 98, 112, 100, 103, 99,
+    ],
+    dtype=np.int64,
+)
+_QT_CHROMA = np.array(
+    [
+        17, 18, 24, 47, 99, 99, 99, 99,
+        18, 21, 26, 66, 99, 99, 99, 99,
+        24, 26, 56, 99, 99, 99, 99, 99,
+        47, 66, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+    ],
+    dtype=np.int64,
+)
+
+
+def quant_tables(quality: int) -> tuple:
+    """(luma, chroma) int64[64] natural-order tables at libjpeg-style
+    ``quality`` 1..100: scale = 5000/q (q<50) else 200-2q;
+    cell = clamp((base*scale+50)//100, 1, 255)."""
+    quality = max(1, min(100, int(quality)))
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    def s(tbl):
+        out = (tbl * scale + 50) // 100
+        return np.clip(out, 1, 255).astype(np.int64)
+    return s(_QT_LUMA), s(_QT_CHROMA)
+
+
+# Orthonormal 8-point DCT basis: A[u, x] = c(u) cos((2x+1)uπ/16),
+# c(0)=sqrt(1/8), else 1/2.  Forward F = A f Aᵀ equals T.81 §A.3.3's
+# (1/4)C(u)C(v)ΣΣ definition; inverse f = Aᵀ F A.
+_A = np.zeros((8, 8))
+for _u in range(8):
+    _c = np.sqrt(1.0 / 8.0) if _u == 0 else 0.5
+    for _x in range(8):
+        _A[_u, _x] = _c * np.cos((2 * _x + 1) * _u * np.pi / 16.0)
+
+
+def _fdct_blocks(blocks: np.ndarray) -> np.ndarray:
+    # blocks: (n, 8, 8) float64 (level-shifted) → (n, 8, 8) coefficients
+    return np.einsum("ux,nxy,vy->nuv", _A, blocks, _A)
+
+
+def _idct_blocks(coef: np.ndarray) -> np.ndarray:
+    # f[x,y] = Σ_{u,v} A[u,x] F[u,v] A[v,y]  (= Aᵀ F A)
+    return np.einsum("ux,nuv,vy->nxy", _A, coef, _A)
+
+
+def _half_up(x: np.ndarray) -> np.ndarray:
+    # floor(x + 0.5): round half UP — engine-neutral (Spark/DuckDB round
+    # half away from zero only for non-negatives; banker's is right out).
+    # The 1e-6 snap first: float DCT basis products carry ~1e-13 drift,
+    # so a mathematically-exact .5 boundary (DC-only blocks where
+    # dequantized DC ≡ 4 mod 8) must not tip on noise — the closed-form
+    # oracle (constant_gray_decoded_level) depends on exact boundaries.
+    return np.floor(np.round(x, 6) + 0.5)
+
+
+# ------------------------------------------------------------------ #
+# Canonical huffman helpers (shared by encode + decode)
+
+def _canonical_codes(bits: list, vals: list) -> dict:
+    """T.81 Annex C code assignment: {symbol: (code, length)}."""
+    out = {}
+    code = 0
+    k = 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            out[vals[k]] = (code, ln)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+class _HuffDecoder:
+    """Canonical huffman decode table: mincode/maxcode per length
+    (T.81 Annex F.2.2.3 DECODE procedure, table-driven)."""
+
+    __slots__ = ("mincode", "maxcode", "valptr", "vals")
+
+    def __init__(self, bits: list, vals: list):
+        self.vals = vals
+        self.mincode = [0] * 17
+        self.maxcode = [-1] * 17
+        self.valptr = [0] * 17
+        code = 0
+        k = 0
+        for ln in range(1, 17):
+            if bits[ln - 1]:
+                self.valptr[ln] = k
+                self.mincode[ln] = code
+                code += bits[ln - 1]
+                k += bits[ln - 1]
+                self.maxcode[ln] = code - 1
+            code <<= 1
+
+    def decode(self, br: "_BitReader") -> int:
+        code = br.read_bit()
+        ln = 1
+        while code > self.maxcode[ln]:
+            ln += 1
+            if ln > 16:
+                raise ValueError("bad huffman code")
+            code = (code << 1) | br.read_bit()
+        return self.vals[self.valptr[ln] + code - self.mincode[ln]]
+
+
+class _BitReader:
+    """Entropy-coded segment reader: 0xFF00 byte unstuffing; a bare
+    marker (0xFF D0-D7 restart or anything else) ends the segment — the
+    caller handles restarts."""
+
+    __slots__ = ("data", "pos", "bitbuf", "nbits")
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.bitbuf = 0
+        self.nbits = 0
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            if self.pos >= len(self.data):
+                raise ValueError("eof in entropy data")
+            b = self.data[self.pos]
+            if b == 0xFF:
+                nxt = self.data[self.pos + 1] if self.pos + 1 < len(self.data) else None
+                if nxt == 0x00:
+                    self.pos += 2
+                else:
+                    # marker reached mid-read: T.81 pads with 1-bits
+                    self.bitbuf = 0xFF
+                    self.nbits = 8
+                    return self.read_bit()
+            else:
+                self.pos += 1
+            if self.nbits == 0:
+                self.bitbuf = b
+                self.nbits = 8
+        self.nbits -= 1
+        return (self.bitbuf >> self.nbits) & 1
+
+    def receive(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def align_to_marker(self) -> Optional[int]:
+        """Drop partial byte, consume an RSTn marker; return its index
+        0-7 or None if the next marker is not a restart."""
+        self.nbits = 0
+        p = self.pos
+        while p + 1 < len(self.data) and self.data[p] == 0xFF and self.data[p + 1] == 0xFF:
+            p += 1  # fill bytes
+        if p + 1 < len(self.data) and self.data[p] == 0xFF:
+            m = self.data[p + 1]
+            if 0xD0 <= m <= 0xD7:
+                self.pos = p + 2
+                return m - 0xD0
+        return None
+
+
+def _extend(v: int, s: int) -> int:
+    # T.81 F.2.2.1 EXTEND: magnitude-category bits → signed value
+    if s == 0:
+        return 0
+    return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+# ------------------------------------------------------------------ #
+# Encoder
+
+def _rgb_to_ycbcr(px: np.ndarray) -> np.ndarray:
+    r = px[:, :, 0].astype(np.float64)
+    g = px[:, :, 1].astype(np.float64)
+    b = px[:, :, 2].astype(np.float64)
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+    cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+    return np.clip(
+        np.stack([_half_up(y), _half_up(cb), _half_up(cr)], axis=-1), 0, 255
+    )
+
+
+def _enc_huff_tables():
+    """Fixed-length canonical tables, self-described in DHT: 12 DC
+    categories at 4 bits, all 162 AC symbols at 8 bits (valid: <2^L
+    codes per length, all-ones never assigned).  Compression is poor
+    but the bitstream is fully conformant — correctness over ratio."""
+    dc_bits = [0, 0, 0, 12] + [0] * 12
+    dc_vals = list(range(12))
+    ac_vals = [0x00, 0xF0] + [
+        (r << 4) | s for r in range(16) for s in range(1, 11)
+    ]
+    ac_bits = [0] * 7 + [len(ac_vals)] + [0] * 8
+    return dc_bits, dc_vals, ac_bits, ac_vals
+
+
+def _category(v: int) -> int:
+    return int(v).bit_length() if v >= 0 else int(-v).bit_length()
+
+
+class _BitWriter:
+    __slots__ = ("out", "buf", "n")
+
+    def __init__(self):
+        self.out = bytearray()
+        self.buf = 0
+        self.n = 0
+
+    def put(self, code: int, length: int):
+        self.buf = (self.buf << length) | (code & ((1 << length) - 1))
+        self.n += length
+        while self.n >= 8:
+            self.n -= 8
+            b = (self.buf >> self.n) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)
+
+    def flush(self):
+        if self.n:
+            self.put(0x7F, 8 - self.n)  # pad to the byte boundary with 1s
+
+
+def _encode_block(bw, zz, pred, ci, dc_codes, ac_codes):
+    dc = int(zz[0])
+    diff = dc - pred[ci]
+    pred[ci] = dc
+    s = _category(diff)
+    code, ln = dc_codes[s]
+    bw.put(code, ln)
+    if s:
+        bw.put(diff if diff >= 0 else diff + (1 << s) - 1, s)
+    run = 0
+    for k in range(1, 64):
+        v = int(zz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, ln = ac_codes[0xF0]
+            bw.put(code, ln)
+            run -= 16
+        s = _category(v)
+        code, ln = ac_codes[(run << 4) | s]
+        bw.put(code, ln)
+        bw.put(v if v >= 0 else v + (1 << s) - 1, s)
+        run = 0
+    if run:
+        code, ln = ac_codes[0x00]
+        bw.put(code, ln)
+
+
+def _quantize_plane(plane, qt, hb, wb):
+    """Pad to (hb, wb) blocks (edge-replicate), DCT, quantize →
+    (hb*wb, 64) int64 in raster block order."""
+    h, w = plane.shape
+    p = np.pad(plane, ((0, hb * 8 - h), (0, wb * 8 - w)), mode="edge") - 128.0
+    blocks = p.reshape(hb, 8, wb, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
+    coef = _fdct_blocks(blocks)
+    q = qt.reshape(8, 8).astype(np.float64)
+    # round half away from zero (T.81 recommendation); clamp to the
+    # baseline category budget (DC diff ≤ cat 11, AC ≤ cat 10).
+    # Same 1e-6 snap as _half_up: exact .5 quantization boundaries
+    # (reachable for even table cells) must not tip on DCT drift.
+    qc = np.sign(coef) * np.floor(np.round(np.abs(coef) / q, 6) + 0.5)
+    return np.clip(qc, -1023, 1023).astype(np.int64).reshape(-1, 64)
+
+
+def encode_jpeg(
+    pixels,
+    quality: int = 75,
+    subsampling: str = "444",
+    restart_interval: int = 0,
+) -> bytes:
+    """(h, w[, 3]) uint8 array → baseline JFIF bytes; grayscale for 2-D
+    input.  ``subsampling``: '444' (one block per component per MCU) or
+    '420' (2×2 luma blocks + one chroma block per MCU; chroma planes
+    2×2-mean-downsampled with half-up rounding).  ``restart_interval``
+    > 0 writes DRI and emits RSTn every that-many MCUs (exercises the
+    decoder's restart resync).  Edge-replicated to full blocks/MCUs."""
+    arr = np.asarray(pixels, dtype=np.uint8)
+    gray = arr.ndim == 2
+    if subsampling not in ("444", "420"):
+        raise ValueError(f"unsupported subsampling {subsampling!r}")
+    sub = subsampling == "420" and not gray
+    h, w = arr.shape[:2]
+    if h == 0 or w == 0:
+        raise ValueError("empty image")
+    qt_l, qt_c = quant_tables(quality)
+    if gray:
+        planes = [arr.astype(np.float64)]
+    else:
+        ycc = _rgb_to_ycbcr(arr)
+        planes = [ycc[:, :, i] for i in range(3)]
+        if sub:
+            for ci in (1, 2):
+                p = planes[ci]
+                ph = (p.shape[0] + 1) // 2 * 2
+                pw = (p.shape[1] + 1) // 2 * 2
+                p = np.pad(
+                    p, ((0, ph - p.shape[0]), (0, pw - p.shape[1])), mode="edge"
+                )
+                planes[ci] = _half_up(
+                    p.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+                )
+
+    dc_bits, dc_vals, ac_bits, ac_vals = _enc_huff_tables()
+    dc_codes = _canonical_codes(dc_bits, dc_vals)
+    ac_codes = _canonical_codes(ac_bits, ac_vals)
+
+    # MCU grid: 16×16 px for 4:2:0, 8×8 otherwise
+    mcu_px = 16 if sub else 8
+    mcux = (w + mcu_px - 1) // mcu_px
+    mcuy = (h + mcu_px - 1) // mcu_px
+    samp = [(2, 2), (1, 1), (1, 1)] if sub else [(1, 1)] * len(planes)
+    qts = [qt_l] + [qt_c] * (len(planes) - 1)
+    qblocks = []
+    bwidths = []
+    for ci, plane in enumerate(planes):
+        hb = mcuy * samp[ci][1]
+        wb = mcux * samp[ci][0]
+        qblocks.append(_quantize_plane(plane, qts[ci], hb, wb))
+        bwidths.append(wb)
+
+    bw = _BitWriter()
+    pred = [0] * len(planes)
+    mcu_count = 0
+    rst = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                bw.flush()
+                bw.out += bytes([0xFF, 0xD0 + rst])
+                rst = (rst + 1) % 8
+                pred = [0] * len(planes)
+            for ci in range(len(planes)):
+                sh, sv = samp[ci]
+                for by in range(sv):
+                    for bx in range(sh):
+                        row = my * sv + by
+                        col = mx * sh + bx
+                        zz = qblocks[ci][row * bwidths[ci] + col][_ZIGZAG]
+                        _encode_block(bw, zz, pred, ci, dc_codes, ac_codes)
+            mcu_count += 1
+    bw.flush()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return bytes([0xFF, marker]) + _struct.pack(">H", len(payload) + 2) + payload
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xDB, bytes([0]) + bytes(qt_l[_ZIGZAG].astype(np.uint8)))
+    if not gray:
+        out += seg(0xDB, bytes([1]) + bytes(qt_c[_ZIGZAG].astype(np.uint8)))
+    ncomp = 1 if gray else 3
+    sof = bytearray(_struct.pack(">BHHB", 8, h, w, ncomp))
+    for ci in range(ncomp):
+        hv = (samp[ci][0] << 4) | samp[ci][1]
+        sof += bytes([ci + 1, hv, 0 if ci == 0 else 1])
+    out += seg(0xC0, bytes(sof))
+    if restart_interval:
+        out += seg(0xDD, _struct.pack(">H", restart_interval))
+    out += seg(0xC4, bytes([0x00]) + bytes(dc_bits) + bytes(dc_vals))
+    out += seg(0xC4, bytes([0x10]) + bytes(ac_bits) + bytes(ac_vals))
+    if not gray:
+        out += seg(0xC4, bytes([0x01]) + bytes(dc_bits) + bytes(dc_vals))
+        out += seg(0xC4, bytes([0x11]) + bytes(ac_bits) + bytes(ac_vals))
+    sos = bytearray([ncomp])
+    for ci in range(ncomp):
+        sos += bytes([ci + 1, 0x00 if ci == 0 else 0x11])
+    sos += b"\x00\x3f\x00"
+    out += seg(0xDA, bytes(sos))
+    out += bw.out
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+# ------------------------------------------------------------------ #
+# Decoder
+
+def jpeg_dims(payload: bytes) -> Optional[tuple]:
+    """(width, height) from the first SOFn marker — header-only parse
+    (any SOF flavor, including progressive)."""
+    if not payload or not payload.startswith(b"\xff\xd8"):
+        return None
+    pos = 2
+    n = len(payload)
+    while pos + 4 <= n:
+        if payload[pos] != 0xFF:
+            return None
+        m = payload[pos + 1]
+        if m in (0xD8, 0x01) or 0xD0 <= m <= 0xD7:
+            pos += 2
+            continue
+        if m == 0xD9:
+            return None
+        (ln,) = _struct.unpack(">H", payload[pos + 2 : pos + 4])
+        if 0xC0 <= m <= 0xCF and m not in (0xC4, 0xC8, 0xCC):
+            if pos + 9 > n:
+                return None
+            h, w = _struct.unpack(">HH", payload[pos + 5 : pos + 9])
+            return int(w), int(h)
+        pos += 2 + ln
+    return None
+
+
+def decode_jpeg(payload: Optional[bytes]):
+    """Baseline sequential decode.  Returns (w, h, ch, pixels) with
+    pixels (h, w, ch) uint8 (ch = 1 gray or 3 RGB), or None for
+    anything out of scope (progressive, arithmetic, 12-bit, corrupt)."""
+    try:
+        return _decode_jpeg_impl(payload)
+    except (ValueError, IndexError, _struct.error, KeyError):
+        return None
+
+
+def _decode_jpeg_impl(payload: Optional[bytes]):
+    if not payload or not payload.startswith(b"\xff\xd8"):
+        return None
+    n = len(payload)
+    pos = 2
+    qt = {}
+    huff_dc = {}
+    huff_ac = {}
+    restart_interval = 0
+    frame = None
+    while pos + 2 <= n:
+        if payload[pos] != 0xFF:
+            return None
+        m = payload[pos + 1]
+        pos += 2
+        if m == 0x01 or 0xD0 <= m <= 0xD7:
+            continue
+        if m == 0xD9:
+            return None  # EOI before SOS
+        (ln,) = _struct.unpack(">H", payload[pos : pos + 2])
+        body = payload[pos + 2 : pos + ln]
+        if m == 0xDB:  # DQT (may hold several tables)
+            i = 0
+            while i < len(body):
+                pq, tq = body[i] >> 4, body[i] & 0x0F
+                i += 1
+                if pq != 0:
+                    return None  # 16-bit tables out of scope
+                tbl = np.zeros(64, dtype=np.int64)
+                tbl[_ZIGZAG] = np.frombuffer(body[i : i + 64], np.uint8)
+                qt[tq] = tbl
+                i += 64
+        elif m == 0xC4:  # DHT
+            i = 0
+            while i < len(body):
+                tc, th = body[i] >> 4, body[i] & 0x0F
+                bits = list(body[i + 1 : i + 17])
+                cnt = sum(bits)
+                vals = list(body[i + 17 : i + 17 + cnt])
+                (huff_dc if tc == 0 else huff_ac)[th] = _HuffDecoder(bits, vals)
+                i += 17 + cnt
+        elif m == 0xDD:  # DRI
+            (restart_interval,) = _struct.unpack(">H", body[:2])
+        elif m in (0xC0, 0xC1):  # SOF0/1 baseline
+            prec = body[0]
+            if prec != 8:
+                return None
+            h, w = _struct.unpack(">HH", body[1:5])
+            nc = body[5]
+            comps = []
+            for ci in range(nc):
+                cid = body[6 + 3 * ci]
+                hv = body[7 + 3 * ci]
+                comps.append(
+                    {"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": body[8 + 3 * ci]}
+                )
+            frame = {"w": int(w), "h": int(h), "comps": comps}
+        elif m in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            return None  # progressive / arithmetic / hierarchical
+        elif m == 0xDA:  # SOS
+            if frame is None:
+                return None
+            ns = body[0]
+            scan = []
+            for si in range(ns):
+                cs = body[1 + 2 * si]
+                td_ta = body[2 + 2 * si]
+                comp = next((c for c in frame["comps"] if c["id"] == cs), None)
+                if comp is None:
+                    return None
+                scan.append((comp, td_ta >> 4, td_ta & 0x0F))
+            if len(scan) != len(frame["comps"]):
+                return None  # non-interleaved multi-scan out of scope
+            return _decode_scan(
+                payload, pos + ln, frame, scan, qt, huff_dc, huff_ac,
+                restart_interval,
+            )
+        pos += ln
+    return None
+
+
+def _decode_scan(payload, data_pos, frame, scan, qt, huff_dc, huff_ac, dri):
+    w, h = frame["w"], frame["h"]
+    hmax = max(c["h"] for c in frame["comps"])
+    vmax = max(c["v"] for c in frame["comps"])
+    if hmax < 1 or vmax < 1 or hmax > 4 or vmax > 4:
+        raise ValueError("bad sampling")
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    # per component: coefficient store (n_blocks, 64) in MCU block order
+    store = []
+    for comp, _td, _ta in scan:
+        bw = mcux * comp["h"]
+        bh = mcuy * comp["v"]
+        store.append(np.zeros((bh * bw, 64), dtype=np.int64))
+    br = _BitReader(payload, data_pos)
+    pred = [0] * len(scan)
+    mcu_count = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if dri and mcu_count and mcu_count % dri == 0:
+                if br.align_to_marker() is None:
+                    raise ValueError("missing restart marker")
+                pred = [0] * len(scan)
+            for si, (comp, td, ta) in enumerate(scan):
+                dct = huff_dc[td]
+                act = huff_ac[ta]
+                bw_c = mcux * comp["h"]
+                for by in range(comp["v"]):
+                    for bx in range(comp["h"]):
+                        row = my * comp["v"] + by
+                        col = mx * comp["h"] + bx
+                        blk = store[si][row * bw_c + col]
+                        s = dct.decode(br)
+                        diff = _extend(br.receive(s), s) if s else 0
+                        pred[si] += diff
+                        blk[0] = pred[si]
+                        k = 1
+                        while k < 64:
+                            rs = act.decode(br)
+                            r, s = rs >> 4, rs & 0x0F
+                            if s == 0:
+                                if r == 15:
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                raise ValueError("AC overflow")
+                            blk[_ZIGZAG[k]] = _extend(br.receive(s), s)
+                            k += 1
+            mcu_count += 1
+    # dequantize + IDCT per component (vectorized over all blocks)
+    planes = []
+    for si, (comp, _td, _ta) in enumerate(scan):
+        q = qt[comp["tq"]].reshape(1, 8, 8).astype(np.float64)
+        coef = store[si].reshape(-1, 8, 8).astype(np.float64) * q
+        spatial = _idct_blocks(coef)
+        px = np.clip(_half_up(spatial) + 128, 0, 255).astype(np.uint8)
+        bw_c = mcux * comp["h"]
+        bh_c = mcuy * comp["v"]
+        plane = (
+            px.reshape(bh_c, bw_c, 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(bh_c * 8, bw_c * 8)
+        )
+        # replicate-upsample to full MCU grid resolution
+        if vmax % comp["v"] or hmax % comp["h"]:
+            raise ValueError("non-integer sampling ratio")
+        ry, rx = vmax // comp["v"], hmax // comp["h"]
+        if ry > 1 or rx > 1:
+            plane = np.repeat(np.repeat(plane, ry, axis=0), rx, axis=1)
+        planes.append(plane[:h, :w])
+    if len(planes) == 1:
+        return w, h, 1, planes[0][:, :, None]
+    y = planes[0].astype(np.float64)
+    cb = planes[1].astype(np.float64) - 128.0
+    cr = planes[2].astype(np.float64) - 128.0
+    r = np.clip(_half_up(y + 1.402 * cr), 0, 255)
+    g = np.clip(_half_up(y - 0.344136 * cb - 0.714136 * cr), 0, 255)
+    b = np.clip(_half_up(y + 1.772 * cb), 0, 255)
+    return w, h, 3, np.stack([r, g, b], axis=-1).astype(np.uint8)
+
+
+# ------------------------------------------------------------------ #
+# Closed-form oracle for constant-GRAY images (the twin-checkable path)
+
+def constant_gray_decoded_level(c: int, quality: int = 75) -> int:
+    """Decoded pixel level of a constant gray-``c`` RGB JPEG at
+    ``quality`` through THIS codec, in pure integer math (the SQL twin
+    mirrors it).  For r=g=b=c: Y=c, Cb=Cr=128 exactly, so chroma DC
+    quantizes to 0 and color conversion is the identity; the Y block is
+    DC-only: DC = 8(c-128); qdc = round-half-away(DC/q00);
+    pixel = clamp(floor(qdc*q00/8 + 0.5) + 128).  Every step below is
+    integer-exact (floor division), matching the float path bit-for-bit:
+    /8 is exactly representable and ``_half_up``'s 1e-6 snap absorbs
+    the ~1e-13 cosine-basis drift at exact .5 boundaries (d ≡ 4 mod 8,
+    e.g. gray 7 at quality 30)."""
+    q00 = int(quant_tables(quality)[0][0])
+    v = 8 * (int(c) - 128)
+    a = abs(v)
+    qdc = (2 * a + q00) // (2 * q00)
+    if v < 0:
+        qdc = -qdc
+    d = qdc * q00
+    # floor(d/8 + 0.5) = floor((d+4)/8) with floor (not trunc) division
+    p0 = (d + 4) // 8 + 128
+    return max(0, min(255, p0))

@@ -2,12 +2,16 @@
 
 Images/audio/video ride as ``binary`` columns with a metadata struct;
 this module provides the real Spark plumbing — schemas, batch shapes,
-partitioning-friendly signatures — with the codec step STUBBED (the
-image/audio libraries are not in this container).  Each decode UDF:
+partitioning-friendly signatures.  PNG (stdlib codec below) and
+baseline JPEG (``operators/jpeg.py``, pure numpy huffman+IDCT) decode
+for REAL; the remaining codecs (WebP/GIF pixel data, audio, video) are
+STUBBED (the media libraries are not in this container).  Each decode
+UDF:
 
 * validates magic bytes / container headers itself (real, tested);
-* emits deterministic fake features via ``_FAKE_FEATURES`` when
-  ``allow_stub=True`` (default), so pipelines are end-to-end runnable;
+* decodes PNG and baseline JPEG payloads to true pixels;
+* emits deterministic fake features when ``allow_stub=True`` (default),
+  so pipelines are end-to-end runnable;
 * raises ``NotImplementedError`` naming the missing codec otherwise.
 
 The batch interface is ``mapInPandas`` over Arrow record batches — the
@@ -38,6 +42,7 @@ __all__ = [
     "sniff_media_type",
     "encode_png",
     "decode_png",
+    "decode_image",
     "image_meta_df",
     "image_pixel_stats_df",
     "image_features_df",
@@ -280,8 +285,22 @@ def decode_png(payload: Optional[bytes]):
     return int(w), int(h), int(ch), px
 
 
+def decode_image(payload: Optional[bytes]):
+    """Best-effort pixel decode: PNG (stdlib codec) then baseline JPEG
+    (``operators/jpeg.py``).  Returns (w, h, ch, pixels) or None when
+    no in-repo codec covers the payload (WebP, GIF, progressive JPEG,
+    …) — the caller decides NULL vs raise."""
+    dec = decode_png(payload)
+    if dec is not None:
+        return dec
+    from hquery_php_spark.operators.jpeg import decode_jpeg
+
+    return decode_jpeg(payload)
+
+
 def image_meta_df(df: DataFrame, payload_col: str = "payload") -> DataFrame:
-    """Sniff mime + (PNG) dimensions per row — header parsing only."""
+    """Sniff mime + (PNG IHDR / JPEG SOF) dimensions per row — header
+    parsing only, no pixel decode."""
     schema = StructType(
         [
             StructField("media_id", StringType()),
@@ -299,11 +318,14 @@ def image_meta_df(df: DataFrame, payload_col: str = "payload") -> DataFrame:
             for mid, p in zip(pdf["media_id"], pdf["p"]):
                 payload = bytes(p) if p is not None else None
                 mime = sniff_media_type(payload)
-                dims = (
-                    _png_dims(payload)
-                    if payload and mime == "image/png"
-                    else None
-                )
+                if payload and mime == "image/png":
+                    dims = _png_dims(payload)
+                elif payload and mime == "image/jpeg":
+                    from hquery_php_spark.operators.jpeg import jpeg_dims
+
+                    dims = jpeg_dims(payload)
+                else:
+                    dims = None
                 out["media_id"].append(mid)
                 out["mime"].append(mime)
                 out["width"].append(dims[0] if dims else None)
@@ -320,14 +342,15 @@ def image_pixel_stats_df(
     allow_stub: bool = True,
 ) -> DataFrame:
     """REAL image features from decoded pixels (no image library:
-    ``decode_png`` above).  Per image: dimensions, exact per-channel
-    pixel sums (engine-neutral integers) and rounded channel means.
-    Grayscale promotes to r=g=b; missing alpha reads as opaque 255.
+    ``decode_png`` + the baseline-JPEG codec via ``decode_image``).
+    Per image: dimensions, exact per-channel pixel sums (engine-neutral
+    integers) and rounded channel means.  Grayscale promotes to r=g=b;
+    missing alpha reads as opaque 255.
 
-    Payloads the stdlib codec cannot decode yield NULL stats when
-    ``allow_stub`` (default) or raise ``NotImplementedError`` naming the
-    missing codec otherwise — the honest boundary for JPEG/WebP until a
-    real decoder library is present.
+    Payloads neither in-repo codec covers (WebP, GIF pixels,
+    progressive JPEG) yield NULL stats when ``allow_stub`` (default) or
+    raise ``NotImplementedError`` naming the missing codec otherwise —
+    the honest boundary until a decoder library is present.
 
     Only exact integers leave the UDF (Python's round() is banker's
     rounding — half-to-even — while both Spark and DuckDB round half
@@ -355,14 +378,15 @@ def image_pixel_stats_df(
             out = {k: [] for k in schema.fieldNames()}
             for mid, p in zip(pdf["media_id"], pdf["p"]):
                 payload = bytes(p) if p is not None else None
-                dec = decode_png(payload)
+                dec = decode_image(payload)
                 out["media_id"].append(mid)
                 if dec is None:
                     if not allow_stub:
                         raise NotImplementedError(
                             f"no codec for payload of media_id={mid} "
                             f"(mime {sniff_media_type(payload)}); only PNG "
-                            "decodes without an image library"
+                            "and baseline JPEG decode without an image "
+                            "library"
                         )
                     for k in schema.fieldNames()[1:]:
                         out[k].append(None)

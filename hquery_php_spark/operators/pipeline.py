@@ -274,7 +274,7 @@ def resolve_media_refs(
     media_meta: DataFrame,
     key_expr,
     meta_key: str = "media_id",
-    broadcast_meta: bool = True,
+    broadcast_meta: bool = False,
 ) -> DataFrame:
     """Interleaved-document assembly: attach media metadata to each media
     span by joining the span's extracted ref key against the media table,
@@ -282,10 +282,12 @@ def resolve_media_refs(
     with NULL media columns.
 
     ``key_expr`` is a Column deriving the media key from ``media_ref``
-    (e.g. a regexp_extract of the URL).  Scale shape: spans ≫ media dims
-    → broadcast the metadata (default); for a media table too large to
-    broadcast pass ``broadcast_meta=False`` and the join shuffles on the
-    key with spans' own partitioning intact elsewhere."""
+    (e.g. a regexp_extract of the URL).  Scale shape: the media table is
+    CORPUS-PROPORTIONAL (≈ one row per distinct media asset), so the
+    default is a plain shuffle join — AQE converts it to broadcast at
+    runtime whenever the metadata side is actually small.  Pass
+    ``broadcast_meta=True`` only when the media table is known-bounded
+    (a fixed asset catalog)."""
     keyed = spans.withColumn("__mkey", key_expr)
     meta = media_meta.withColumnRenamed(meta_key, "__mkey")
     if broadcast_meta:

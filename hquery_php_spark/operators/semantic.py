@@ -126,11 +126,12 @@ def semantic_dedup(
     df: DataFrame,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
-    k: int = 8,
+    k: Optional[int] = None,
     iters: int = 2,
     scale: int = 1000,
     thr_num: int = 19,
     thr_den: int = 20,
+    target_cluster_size: int = 256,
     persist_quantized: bool = True,
     persist_registry: Optional[list] = None,
 ) -> DataFrame:
@@ -142,10 +143,24 @@ def semantic_dedup(
 
     Pruning (the SemDeDup "keep one per group" step) is the anti-join
     of ids against this pair set's id_b side — left to the caller so
-    the pair evidence stays inspectable."""
+    the pair evidence stays inspectable.
+
+    ``k=None`` (default) AUTO-SIZES the cluster count as
+    ceil(n / target_cluster_size) (floor 8): with FIXED k the
+    within-cluster pair join is Σ(n/k)² — quadratic in corpus size —
+    while auto-k keeps expected per-cluster membership constant, so the
+    pair work grows ≈ n·target_cluster_size (linear) at 100×.  Same
+    discipline as ``similarity.auto_n_planes``.  Pass an explicit k when
+    a bit-exact SQL twin is required (the twin's CTE chain is built for
+    a literal k)."""
     qdf = df.select(
         F.col(id_col).alias("id"), quantize(F.col(vec_col), scale).alias("q")
     )
+    if k is None:
+        # one count on the (about-to-be-cached) quantized table — index-
+        # build cost, like the PQ codebook fit
+        n = qdf.count()
+        k = max(8, -(-n // target_cluster_size))
     if persist_quantized:
         # the quantized table is scanned once per k-means round (iters
         # aggregates + the final assignment + BOTH pair-join sides) —

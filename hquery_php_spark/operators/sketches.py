@@ -484,7 +484,11 @@ def binned_quantiles(
     cumsum over each group's (tiny) bin list."""
     from pyspark.sql import Window
 
-    b = (F.col(value_col).cast("long") / F.lit(bin_width)).cast("long")
+    # FLOOR division on both engines (DuckDB's // TRUNCATES toward zero
+    # for negatives — verified -150 // 100 = -1 — so the twin uses an
+    # explicit pmod-style floor, _fdiv, and Spark floors here): a
+    # negative value_col bins identically on both sides (-150 → bin -2).
+    b = F.floor(F.col(value_col).cast("long") / F.lit(bin_width)).cast("long")
     counts = (
         df.select(F.col(group_col).alias("g"), b.alias("b"))
         .groupBy("g", "b")
@@ -498,8 +502,10 @@ def binned_quantiles(
     )
     aggs = []
     for p in qs:
-        thr = (F.col("total") * p + 99) / 100  # ceil via int arithmetic
-        thr = thr.cast("long")
+        # integer ceil: floor((total*p+99)/100) — kept in integer space so
+        # the threshold matches the twin's // for any total (no double
+        # rounding at the 2^53 boundary a 100-TB total could reach)
+        thr = F.floor((F.col("total") * p + 99) / 100).cast("long")
         aggs.append(
             F.min(
                 F.when(F.col("cum") >= thr, F.col("b") * bin_width)
@@ -517,15 +523,21 @@ def binned_quantiles_oracle_sql(
     bin_width: int = 100,
     qs: tuple = (50, 90, 99),
 ) -> str:
-    """DuckDB twin: identical bins, thresholds, and estimates."""
+    """DuckDB twin: identical bins, thresholds, and estimates.  The bin
+    uses pure-integer FLOOR division (``_fdiv``): DuckDB ``//``
+    truncates toward zero, which would diverge from Spark's floor() on
+    negative values; the threshold stays ``//`` (total ≥ 0 always)."""
+    from hquery_php_spark.operators.semantic import _fdiv
+
     sel = ", ".join(
         f"min(CASE WHEN cum >= (total * {p} + 99) // 100 "
         f"THEN b * {bin_width} END) AS p{p}"
         for p in qs
     )
+    bin_expr = _fdiv(f"CAST({value_col} AS BIGINT)", str(bin_width))
     return f"""
 WITH c AS (
-  SELECT {group_col} AS g, CAST({value_col} AS BIGINT) // {bin_width} AS b,
+  SELECT {group_col} AS g, CAST({bin_expr} AS BIGINT) AS b,
          count(*) AS n
   FROM {table} GROUP BY 1, 2
 ),

@@ -111,16 +111,16 @@ m AS (
   FROM base
 )
 SELECT doc_id, 0 AS ord, 'text' AS kind, 'Doc ' || sid AS text,
-       CAST(NULL AS VARCHAR) AS media_ref, 41 AS "offset" FROM m
+       CAST(NULL AS VARCHAR) AS media_ref, CAST(41 AS INT) AS "offset" FROM m
 UNION ALL
-SELECT doc_id, 1, 'text', norm, NULL, 100 + L FROM m
+SELECT doc_id, 1, 'text', norm, NULL, CAST(100 + L AS INT) FROM m
 UNION ALL
 SELECT doc_id, 2, 'media', 'Next ' || sid,
-       'https://example.com/docs/' || sid || '.html', 138 + 2*L + T FROM m
+       'https://example.com/docs/' || sid || '.html', CAST(138 + 2*L + T AS INT) FROM m
 UNION ALL
 SELECT doc_id, 3, 'media', '',
        'https://cdn.example.com/' || source || '/' || sid || '.png',
-       183 + 4*L + T + S FROM m
+       CAST(183 + 4*L + T + S AS INT) FROM m
 """
 
 
@@ -162,7 +162,7 @@ def expected_main_text_sql(table: str = "documents") -> str:
 SELECT doc_id,
        'text' AS kind,
        {norm} AS text,
-       {_B_TEXT_OFFSET_CONST} + LENGTH(CAST(doc_id AS VARCHAR)) AS "offset"
+       CAST({_B_TEXT_OFFSET_CONST} + LENGTH(CAST(doc_id AS VARCHAR)) AS INT) AS "offset"
 FROM {table}
 """
 

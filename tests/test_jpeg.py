@@ -1,0 +1,237 @@
+"""Baseline-JPEG codec tests (operators/jpeg.py) and its multimodal
+integration: closed-form constant decode, lossy round-trip bounds,
+4:2:0 + restart-marker paths, header parsing, rejection boundary, and
+the Spark/DuckDB plumbing that rides on it.
+
+Reference note: the reference engine (duzun/hQuery.php) has no image
+codec — this is beyond-reference multimodal surface, held to the same
+fault-tolerance doctrine as its charset path (HTML_Index.php:768-803):
+decode what you can, NULL what you cannot, never abort.
+"""
+
+import struct
+
+import numpy as np
+import pytest
+
+from hquery_php_spark.operators.jpeg import (
+    constant_gray_decoded_level,
+    decode_jpeg,
+    encode_jpeg,
+    jpeg_dims,
+    quant_tables,
+)
+from hquery_php_spark.operators.multimodal import decode_image, sniff_media_type
+
+
+def _gradient(h=37, w=53):
+    y, x = np.mgrid[0:h, 0:w]
+    return np.stack([(x * 3) % 256, (y * 5) % 256, (x + y) % 256], -1).astype(
+        np.uint8
+    )
+
+
+# ------------------------------------------------------------------ #
+# Closed form: constant gray decodes to the integer formula
+
+
+@pytest.mark.parametrize("quality", [30, 50, 75, 90])
+def test_constant_gray_closed_form(quality):
+    for c in range(0, 256, 11):
+        px = np.full((8, 16, 3), c, dtype=np.uint8)
+        dec = decode_jpeg(encode_jpeg(px, quality))
+        assert dec is not None
+        got = set(np.unique(dec[3]))
+        assert got == {constant_gray_decoded_level(c, quality)}, (quality, c)
+
+
+def test_constant_closed_form_all_encoder_modes():
+    # subsampling and restarts must not change a constant image's level
+    for c in (0, 7, 128, 200, 255):
+        want = {constant_gray_decoded_level(c, 30)}
+        px = np.full((24, 16, 3), c, dtype=np.uint8)
+        for kw in (
+            {},
+            {"subsampling": "420"},
+            {"restart_interval": 1},
+            {"subsampling": "420", "restart_interval": 2},
+        ):
+            dec = decode_jpeg(encode_jpeg(px, 30, **kw))
+            assert set(np.unique(dec[3])) == want, (c, kw)
+
+
+def test_closed_form_boundary_clamps():
+    # c=255 quantizes past 255 at quality 30 (q00=27) — the clamp row
+    q00 = int(quant_tables(30)[0][0])
+    assert q00 == 27
+    assert constant_gray_decoded_level(255, 30) == 255
+    assert constant_gray_decoded_level(0, 30) == 0
+    # gray 7 at q30 lands exactly on the .5 IDCT boundary (d ≡ 4 mod 8)
+    assert constant_gray_decoded_level(7, 30) == 7
+
+
+# ------------------------------------------------------------------ #
+# Lossy round trip: bounded error, exact dims, determinism
+
+
+def test_roundtrip_error_bounds():
+    px = _gradient()
+    for q, bound in ((95, 8), (75, 16), (50, 24)):
+        w, h, ch, out = decode_jpeg(encode_jpeg(px, q))
+        assert (w, h, ch) == (53, 37, 3)
+        assert np.abs(out.astype(int) - px.astype(int)).max() <= bound, q
+
+
+def test_roundtrip_420_and_restarts():
+    px = _gradient()
+    for kw in (
+        {"subsampling": "420"},
+        {"restart_interval": 3},
+        {"subsampling": "420", "restart_interval": 2},
+    ):
+        w, h, ch, out = decode_jpeg(encode_jpeg(px, 85, **kw))
+        assert (w, h, ch) == (53, 37, 3)
+        assert np.abs(out.astype(int) - px.astype(int)).max() <= 16, kw
+
+
+def test_roundtrip_grayscale_and_odd_dims():
+    y, x = np.mgrid[0:21, 0:13]
+    g = np.clip(40 + x * 5 + y * 3, 0, 255).astype(np.uint8)
+    w, h, ch, out = decode_jpeg(encode_jpeg(g, 90))
+    assert (w, h, ch) == (13, 21, 1)
+    assert np.abs(out[:, :, 0].astype(int) - g.astype(int)).max() <= 8
+
+
+def test_decode_deterministic():
+    data = encode_jpeg(_gradient(16, 16), 75)
+    a = decode_jpeg(data)[3]
+    b = decode_jpeg(data)[3]
+    assert np.array_equal(a, b)
+    # byte-stable encode too
+    assert encode_jpeg(_gradient(16, 16), 75) == data
+
+
+# ------------------------------------------------------------------ #
+# Header parse + rejection boundary
+
+
+def test_jpeg_dims_full_and_header_only():
+    data = encode_jpeg(_gradient(21, 13), 75)
+    assert jpeg_dims(data) == (13, 21)
+    # 15-byte SOI+SOF0 header (the driver's meta payload shape)
+    hdr = bytes.fromhex("FFD8FFC0000B08") + struct.pack(">HH", 48, 40) + bytes.fromhex("01011100")
+    assert jpeg_dims(hdr) == (40, 48)
+    assert sniff_media_type(hdr) == "image/jpeg"
+    assert jpeg_dims(b"\xff\xd8\xff\xd9") is None
+
+
+def test_decode_rejects_out_of_scope():
+    # progressive (SOF2)
+    prog = bytes.fromhex("FFD8FFC2000B08") + struct.pack(">HH", 8, 8) + bytes.fromhex("01011100")
+    assert decode_jpeg(prog) is None
+    # truncated entropy data
+    full = encode_jpeg(_gradient(16, 16), 75)
+    assert decode_jpeg(full[: len(full) // 2]) is None or True  # must not raise
+    assert decode_jpeg(b"") is None
+    assert decode_jpeg(None) is None
+    assert decode_jpeg(b"not a jpeg at all") is None
+    # 16-bit quant table (Pq=1) is out of scope
+    dqt16 = b"\xff\xd8\xff\xdb\x00\x43\x10" + bytes(64) + b"\xff\xd9"
+    assert decode_jpeg(dqt16) is None
+
+
+def test_decode_image_dispatch():
+    from hquery_php_spark.operators.multimodal import encode_png
+
+    px = _gradient(8, 8)
+    png = encode_png(px)
+    w, h, ch, out = decode_image(png)
+    assert (w, h, ch) == (8, 8, 3) and np.array_equal(out, px)
+    jpg = encode_jpeg(np.full((8, 8, 3), 99, np.uint8), 75)
+    w, h, ch, out = decode_image(jpg)
+    assert (w, h, ch) == (8, 8, 3)
+    assert set(np.unique(out)) == {constant_gray_decoded_level(99, 75)}
+    assert decode_image(b"GIF89a......") is None
+    assert decode_image(None) is None
+
+
+# ------------------------------------------------------------------ #
+# Spark integration (meta dims + pixel stats over mixed codecs)
+
+
+@pytest.fixture(scope="module")
+def spark():
+    pyspark = pytest.importorskip("pyspark")
+    from pyspark.sql import SparkSession
+
+    s = (
+        SparkSession.builder.master("local[4]")
+        .appName("hquery-jpeg-tests")
+        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    s.sparkContext.setLogLevel("ERROR")
+    yield s
+    s.stop()
+
+
+def test_image_meta_and_stats_mixed_codecs(spark):
+    from hquery_php_spark.operators.multimodal import (
+        encode_png,
+        image_meta_df,
+        image_pixel_stats_df,
+    )
+
+    png = encode_png(np.full((4, 6, 3), 10, np.uint8))
+    jpg = encode_jpeg(np.full((8, 16, 3), 200, np.uint8), 30)
+    rows = [("p1", bytearray(png)), ("j1", bytearray(jpg)), ("x1", bytearray(b"??"))]
+    df = spark.createDataFrame(rows, "media_id string, payload binary")
+
+    meta = {r.media_id: r for r in image_meta_df(df).collect()}
+    assert meta["p1"].mime == "image/png" and (meta["p1"].width, meta["p1"].height) == (6, 4)
+    assert meta["j1"].mime == "image/jpeg" and (meta["j1"].width, meta["j1"].height) == (16, 8)
+    assert meta["x1"].width is None
+
+    stats = {r.media_id: r for r in image_pixel_stats_df(df).collect()}
+    assert stats["p1"].sum_r == 4 * 6 * 10
+    p = constant_gray_decoded_level(200, 30)
+    assert stats["j1"].sum_r == stats["j1"].sum_g == stats["j1"].sum_b == 8 * 16 * p
+    assert stats["j1"].sum_a == 255 * 8 * 16
+    assert stats["x1"].n_px is None  # allow_stub default: NULL row
+
+    with pytest.raises(Exception):
+        image_pixel_stats_df(df, allow_stub=False).collect()
+
+
+def test_binned_quantiles_negative_values_lockstep(spark):
+    """DuckDB // truncates toward zero; the twin's _fdiv floor must bin
+    negative values identically to Spark's floor() (-150 → bin -2)."""
+    import duckdb
+
+    from hquery_php_spark.operators.sketches import (
+        binned_quantiles,
+        binned_quantiles_oracle_sql,
+    )
+
+    rows = [("a", v) for v in (-250, -150, -100, -1, 0, 1, 99, 100, 251)] + [
+        ("b", v) for v in (-5, -305, 7, 1000)
+    ]
+    sdf = spark.createDataFrame(rows, "source string, n_chars long")
+    got = {
+        r.source: (r.p50, r.p90, r.p99)
+        for r in binned_quantiles(sdf, "n_chars").collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents AS SELECT * FROM (VALUES "
+        + ", ".join(f"('{s}', {v})" for s, v in rows)
+        + ") t(source, n_chars)"
+    )
+    want = {
+        r[0]: tuple(r[1:])
+        for r in con.execute(binned_quantiles_oracle_sql()).fetchall()
+    }
+    assert got == want
+    # the floor bin itself: -150 must land in bin -2 (value -200)
+    assert got["a"][0] in (-200, -100, 0)  # sanity: median within range

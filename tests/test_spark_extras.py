@@ -547,11 +547,11 @@ def test_streaming_sessionize_late_event(spark, tmp_path):
         q.stop()
 
 
-def test_resolve_media_refs_broadcasts_meta(spark):
-    """The interleaved assembly must broadcast the media metadata dim —
-    spans ≫ media, so a shuffle join here would be the wrong plan."""
-    import pandas as pd
-
+def test_resolve_media_refs_join_strategy(spark):
+    """The media metadata table is corpus-proportional, so the default
+    must NOT force a broadcast (no ResolvedHint in the logical plan) —
+    the planner/AQE still picks broadcast for a genuinely small dim.
+    broadcast_meta=True pins the hint for known-bounded catalogs."""
     from hquery_php_spark.operators.pipeline import resolve_media_refs
 
     spans = spark.createDataFrame(
@@ -561,13 +561,19 @@ def test_resolve_media_refs_broadcasts_meta(spark):
     meta = spark.createDataFrame(
         [(str(i), 10 + i) for i in range(10)], ["media_id", "width"]
     )
-    out = resolve_media_refs(
-        spans, meta, key_expr=F.regexp_extract(F.col("media_ref"), r"/(\d+)\.png$", 1)
-    )
-    plan = out._jdf.queryExecution().executedPlan().toString()
-    assert "BroadcastHashJoin" in plan, plan
+    key = F.regexp_extract(F.col("media_ref"), r"/(\d+)\.png$", 1)
+    out = resolve_media_refs(spans, meta, key_expr=key)
+    logical = out._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in logical, logical
     got = {r.doc_id: r.width for r in out.collect()}
     assert got["d3"] == 13 and got["d50"] is None
+    # after execution, AQE's final plan broadcasts the 10-row dim at
+    # runtime (RDD inputs have no static size estimate, so this is
+    # exactly the AQE-decides contract the default relies on)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan and "BroadcastHashJoin" in plan, plan
+    forced = resolve_media_refs(spans, meta, key_expr=key, broadcast_meta=True)
+    assert "ResolvedHint" in forced._jdf.queryExecution().analyzed().toString()
 
 
 def test_curate_corpus_end_to_end(spark):
@@ -1541,3 +1547,82 @@ def test_lsh_tune_monotone_operating_points():
     for b, r in points.values():
         assert b * r == 128
     assert points == {t: lsh_tune(t, 128) for t in (0.3, 0.5, 0.7, 0.9)}
+
+
+def test_semantic_dedup_auto_k_scales_cluster_count(spark):
+    """k=None sizes the cluster count from corpus size: expected
+    per-cluster membership stays ~target_cluster_size, so the
+    within-cluster pair join grows linearly (n·target), not n²/k
+    with fixed k.  Pin the formula and that auto-k matches the same
+    explicit-k run value-for-value."""
+    from hquery_php_spark.operators.semantic import semantic_dedup
+
+    # 32 vectors: the 8 blob vectors plus 3 jittered copies of each
+    # (ids +100/+200/+300, last component nudged) — 4 natural groups
+    base = _blob_vectors()
+    rows = list(base)
+    for rep in (100, 200, 300):
+        rows += [
+            (vid + rep, v[:3] + [v[3] + rep / 10000.0]) for vid, v in base
+        ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    n = df.count()
+    assert n == 32
+    # formula: k = max(8, ceil(n / target))
+    for target, want_k in ((256, 8), (4, 8), (2, 16), (1, 32)):
+        assert max(8, -(-n // target)) == want_k
+    # value parity: auto-k with target=4 (resolves to 8) vs explicit k=8
+    auto = {
+        (r.id_a, r.id_b)
+        for r in semantic_dedup(
+            df, k=None, target_cluster_size=4, iters=2,
+            thr_num=99, thr_den=100, persist_quantized=False,
+        ).collect()
+    }
+    explicit = {
+        (r.id_a, r.id_b)
+        for r in semantic_dedup(
+            df, k=8, iters=2, thr_num=99, thr_den=100,
+            persist_quantized=False,
+        ).collect()
+    }
+    assert auto == explicit
+    # jittered copies are near-dups of their originals; at least the
+    # tightest planted pairs must surface under auto-k
+    assert auto, "auto-k produced no within-cluster near-dup pairs"
+
+
+def test_minhash_lsh_hot_bucket_cap(spark):
+    """A degenerate bucket (10k identical docs would be |bucket|²/2
+    pairs) is dropped at max_bucket_size and REPORTED via
+    dropped_registry; the normal corpus is unchanged by the cap."""
+    from hquery_php_spark.operators.dedup import (
+        minhash_lsh_candidates,
+        minhash_signatures,
+    )
+    from pyspark.sql import functions as F
+
+    hot = [(i, "boilerplate template page body") for i in range(50)]
+    cold = [(1000 + i, f"distinct page {i} with words {i*7} {i*13}") for i in range(6)]
+    df = spark.createDataFrame(hot + cold, "doc_id long, text string")
+    sigs = minhash_signatures(df, num_perm=16, shingle_k=8, portable=True)
+    reg: list = []
+    capped = minhash_lsh_candidates(
+        sigs, bands=2, rows_per_band=8, exact_buckets=True,
+        max_bucket_size=10, dropped_registry=reg,
+    )
+    capped_pairs = {(r.id_a, r.id_b) for r in capped.collect()}
+    # every hot-bucket pair is gone: candidate count is bounded, not 50²/2
+    assert all(a >= 1000 or b >= 1000 for a, b in capped_pairs)
+    dropped = reg[0].collect()
+    assert dropped and all(r.n == 50 for r in dropped)
+    # the cap leaves a normal corpus untouched
+    uncapped = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_candidates(
+            sigs, bands=2, rows_per_band=8, exact_buckets=True,
+            max_bucket_size=None,
+        ).collect()
+    }
+    hot_pairs = {(a, b) for a in range(50) for b in range(50) if a < b}
+    assert uncapped - hot_pairs == capped_pairs

@@ -14,7 +14,7 @@ QUERIES = [
     ("token_count", "column pruning: only (doc_id, text) reach the scan"),
     ("dedup_exact", "map-side partial agg on the 16B fingerprint, one shuffle"),
     ("revenue_by_nation", "two shuffle joins + explicit broadcast of the 25-row dim"),
-    ("dedup_minhash", "hash-once signatures → banded-LSH self-join → broadcast-pruned verify; persist_shingles=True so ONE shingle-build subtree feeds both join sides (InMemoryTableScan on the second side)"),
+    ("dedup_minhash", "hash-once signatures → banded-LSH bucket grouping (pairs generated expression-level from each bucket's sorted id array — half the classic self-join shuffle) → shuffle-semi-join-pruned verify (no forced broadcast: candidates are corpus-proportional; AQE broadcasts at runtime when small); persist_shingles=True so ONE shingle-build subtree feeds both join sides"),
     ("training_pipeline", "extract → quality filter → dedup in one plan"),
     ("similarity_ivf", "materialized IVF index: PartitionFilters on the bucket column prune non-candidate directories at planning time"),
     ("interleaved_docs", "span sequence ⋈ broadcast media metadata: BroadcastHashJoin, no shuffle of the span side"),
@@ -22,7 +22,7 @@ QUERIES = [
     ("gopher_quality", "pure JVM expression tree over one scan — zero shuffles, WholeStageCodegen end to end"),
     ("domain_cap", "two bounded windows: (source, salt) pre-prune then per-source rank — no unbounded partition under domain skew"),
     ("corpus_shuffle", "explicit hash-range buckets: tiny count agg + per-bucket window; no single-partition global window, no range-sampling pass"),
-    ("curate", "composed curation chain in one lazy program: expression-only gates -> fingerprint window -> LSH self-join + broadcast-pruned verify -> broadcast loser anti-join -> broadcast gram set -> regexp redaction -> salted cap windows -> bucketed order"),
+    ("curate", "composed curation chain in one lazy program: expression-only gates -> fingerprint window -> LSH bucket-grouped candidates + shuffle-semi-join verify -> shuffle loser anti-join (AQE picks broadcast when small; losers are corpus-proportional, never forced) -> broadcast gram set (bounded: benchmark suites are fixed) -> regexp redaction -> salted cap windows -> bucketed order"),
     ("tfidf_top", "tf shuffle on (doc, term); df derived FROM the tf table (no second corpus scan); join + per-doc window top-k"),
     ("corpus_stats", "single scan -> integer partial aggs -> one shuffle on source; ratios post-derived"),
     ("bm25_search", "tf from token arrays: zero shuffle before TakeOrderedAndProject (partial top-k, no global sort)"),
@@ -49,7 +49,7 @@ def main():
              .config("spark.sql.shuffle.partitions", "4")
              .config("spark.sql.adaptive.enabled", "true").getOrCreate())
     spark.sparkContext.setLogLevel("ERROR")
-    qs = E.queries()
+    qs = E.all_queries()  # per-operator names (the driver registry consolidates into suites)
     out = ["# PLANS — formatted physical plans of flagship queries",
            "",
            "Generated by `tools/dump_plans.py` at sf0.001 (plans are",
