@@ -219,9 +219,9 @@ def decode_png(payload: Optional[bytes]):
     while pos + 12 <= n:
         (ln,) = _struct.unpack(">I", payload[pos : pos + 4])
         typ = payload[pos + 4 : pos + 8]
+        if pos + 12 + ln > n:
+            return None  # truncated chunk (data or CRC missing)
         data = payload[pos + 8 : pos + 8 + ln]
-        if len(data) < ln:
-            return None  # truncated
         (crc,) = _struct.unpack(">I", payload[pos + 8 + ln : pos + 12 + ln])
         if zlib.crc32(typ + data) & 0xFFFFFFFF != crc:
             return None
@@ -471,21 +471,34 @@ def image_features_df(
     return narrow.mapInPandas(run, schema)
 
 
+def _nearest_resample(px, ow: int, oh: int):
+    """Deterministic nearest-neighbor (center-sampled) resample of an
+    (h, w, ch) uint8 array to (oh, ow, ch) — pure index gather, no
+    float accumulation, identical on every platform."""
+    import numpy as np
+
+    h, w = px.shape[:2]
+    ys = np.minimum(((np.arange(oh) + 0.5) * h / oh).astype(np.int64), h - 1)
+    xs = np.minimum(((np.arange(ow) + 0.5) * w / ow).astype(np.int64), w - 1)
+    return px[ys[:, None], xs[None, :]]
+
+
 def image_resize_df(
     df: DataFrame,
     payload_col: str = "payload",
     target: int = 64,
     allow_stub: bool = True,
 ) -> DataFrame:
-    """Resize plumbing: header-aware target dimensions computed for real
-    (aspect-preserving fit into ``target``×``target``), the pixel resample
-    itself STUBBED (deterministic passthrough payload) — wire
-    PIL/libvips where available."""
-    if not allow_stub:
-        raise NotImplementedError(
-            "pixel resampling requires an image codec not present here; "
-            "pass allow_stub=True for the header-only deterministic path"
-        )
+    """REAL resize for PNG and baseline-JPEG payloads: decode
+    (``decode_image``) → aspect-preserving nearest-neighbor resample
+    into ``target``×``target`` → re-encode as PNG (the deterministic
+    output container; gray+alpha/RGBA survive, palette expands to RGB).
+    Never upscales (scale capped at 1.0).
+
+    Payloads no in-repo codec covers fall back to the header-only stub
+    (dimensions from the PNG header when present, passthrough payload)
+    when ``allow_stub`` (default), or raise ``NotImplementedError``
+    otherwise."""
     schema = StructType(
         [
             StructField("media_id", StringType()),
@@ -501,6 +514,28 @@ def image_resize_df(
             out = {k: [] for k in schema.fieldNames()}
             for mid, p in zip(pdf["media_id"], pdf["p"]):
                 payload = bytes(p) if p is not None else b""
+                dec = decode_image(payload)
+                out["media_id"].append(mid)
+                if dec is not None:
+                    w, h, ch, px = dec
+                    scale = min(target / w, target / h, 1.0)
+                    ow = max(1, int(round(w * scale)))
+                    oh = max(1, int(round(h * scale)))
+                    small = px if (ow, oh) == (w, h) else _nearest_resample(
+                        px, ow, oh
+                    )
+                    out["out_w"].append(ow)
+                    out["out_h"].append(oh)
+                    out["payload"].append(
+                        encode_png(small[:, :, 0] if ch == 1 else small)
+                    )
+                    continue
+                if not allow_stub:
+                    raise NotImplementedError(
+                        f"no codec for payload of media_id={mid} "
+                        f"(mime {sniff_media_type(payload)}); only PNG and "
+                        "baseline JPEG decode without an image library"
+                    )
                 dims = (
                     _png_dims(payload)
                     if sniff_media_type(payload) == "image/png"
@@ -512,10 +547,9 @@ def image_resize_df(
                     ow, oh = max(1, round(w * scale)), max(1, round(h * scale))
                 else:
                     ow = oh = 0
-                out["media_id"].append(mid)
                 out["out_w"].append(ow)
                 out["out_h"].append(oh)
-                out["payload"].append(payload)  # STUB: pixels unchanged
+                out["payload"].append(payload)  # undecodable: passthrough
             yield pd.DataFrame(out)
 
     return narrow.mapInPandas(run, schema)

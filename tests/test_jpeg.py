@@ -204,6 +204,42 @@ def test_image_meta_and_stats_mixed_codecs(spark):
         image_pixel_stats_df(df, allow_stub=False).collect()
 
 
+def test_image_resize_real_pixels(spark):
+    """Resize is no longer a stub for decodable payloads: PNG and JPEG
+    inputs decode, nearest-resample, and re-encode as PNG whose pixels
+    are an exact index-gather of the source."""
+    from hquery_php_spark.operators.multimodal import (
+        _nearest_resample,
+        decode_png,
+        encode_png,
+        image_resize_df,
+    )
+
+    y, x = np.mgrid[0:100, 0:200]
+    px = np.stack([x % 256, y % 256, (x + y) % 256], -1).astype(np.uint8)
+    rows = [
+        ("png", bytearray(encode_png(px))),
+        ("jpg", bytearray(encode_jpeg(np.full((96, 128, 3), 77, np.uint8), 75))),
+        ("junk", bytearray(b"??")),
+    ]
+    df = spark.createDataFrame(rows, "media_id string, payload binary")
+    out = {r.media_id: r for r in image_resize_df(df, target=64).collect()}
+
+    r = out["png"]
+    assert (r.out_w, r.out_h) == (64, 32)
+    w, h, ch, got = decode_png(bytes(r.payload))
+    assert (w, h, ch) == (64, 32, 3)
+    assert np.array_equal(got, _nearest_resample(px, 64, 32))
+
+    j = out["jpg"]
+    assert (j.out_w, j.out_h) == (64, 48)
+    w, h, ch, got = decode_png(bytes(j.payload))
+    assert (w, h) == (64, 48)
+    assert set(np.unique(got)) == {constant_gray_decoded_level(77, 75)}
+
+    assert (out["junk"].out_w, out["junk"].out_h) == (0, 0)
+
+
 def test_binned_quantiles_negative_values_lockstep(spark):
     """DuckDB // truncates toward zero; the twin's _fdiv floor must bin
     negative values identically to Spark's floor() (-150 → bin -2)."""
