@@ -1017,13 +1017,77 @@ def _jpeg_full_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.mapInPandas(gen, schema)
 
 
+def _gif_w(did):
+    return (F.pmod(did, F.lit(40)) + 5).cast("int")
+
+
+def _gif_h(did):
+    return (F.pmod(did, F.lit(30)) + 5).cast("int")
+
+
+def _gif_hdr_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic GIF89a headers synthesized JVM-side: signature +
+    logical screen descriptor — 13 bytes, enough for mime sniff +
+    dimension parse (media_id = 'g'<doc_id>).  Little-endian dims."""
+    did = F.col("doc_id")
+
+    def le16(col):
+        # little-endian u16 as hex; dims here are < 256, so high byte 00
+        return F.concat(F.lpad(F.hex(col), 2, "0"), F.lit("00"))
+
+    hexstr = F.concat(
+        F.lit("474946383961"),  # "GIF89a"
+        le16(_gif_w(did)),
+        le16(_gif_h(did)),
+        F.lit("F70000"),  # GCT flag + size 256, bg 0, aspect 0
+    )
+    return _spread(_docs(spark, sf_dir), spark).select(
+        F.concat(F.lit("g"), did.cast("string")).alias("media_id"),
+        F.unhex(hexstr).alias("payload"),
+    )
+
+
+def _gif_full_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMPLETE GIFs (real LZW compression) from the in-repo encoder:
+    constant gray c = doc_id % 256 — GIF is lossless, so the decoded
+    pixel sums are exactly w·h·c (the SQL twin)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import BinaryType, StringType, StructField, StructType
+
+    from hquery_php_spark.operators.gif import encode_gif
+
+    d = _spread(_docs(spark, sf_dir), spark).select(
+        F.col("doc_id").cast("long").alias("did")
+    )
+    schema = StructType(
+        [StructField("media_id", StringType()), StructField("payload", BinaryType())]
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            out = {"media_id": [], "payload": []}
+            for did in pdf["did"]:
+                did = int(did)
+                w, h = 5 + did % 40, 5 + did % 30
+                g = np.full((h, w), did % 256, dtype=np.uint8)
+                out["media_id"].append(f"g{did}")
+                out["payload"].append(encode_gif(g))
+            yield pd.DataFrame(out)
+
+    return d.mapInPandas(gen, schema)
+
+
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Magic-byte sniff + header dimension parse (PNG IHDR / JPEG SOF0)
-    over binary payload columns — both image families per doc."""
+    """Magic-byte sniff + header dimension parse (PNG IHDR / JPEG SOF0 /
+    GIF logical screen descriptor) over binary payload columns — all
+    three image families per doc."""
     from hquery_php_spark.operators.multimodal import image_meta_df
 
-    payloads = _png_payloads(spark, sf_dir).unionByName(
-        _jpeg_hdr_payloads(spark, sf_dir)
+    payloads = (
+        _png_payloads(spark, sf_dir)
+        .unionByName(_jpeg_hdr_payloads(spark, sf_dir))
+        .unionByName(_gif_hdr_payloads(spark, sf_dir))
     )
     return image_meta_df(payloads)
 
@@ -1077,18 +1141,21 @@ def _png_full_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL image features end-to-end, BOTH codecs: full PNGs (stdlib
-    zlib + all five scanline unfilters) and full baseline JPEGs (the
-    numpy huffman+IDCT codec) are synthesized, decoded, and reduced to
-    exact per-channel pixel sums + dimensions.  PNG sums invert the
-    pixel template; JPEG sums follow the constant-gray closed form —
-    both value-checked in SQL.  allow_stub=False: every payload MUST
+    """REAL image features end-to-end, ALL THREE codecs: full PNGs
+    (stdlib zlib + all five scanline unfilters), full baseline JPEGs
+    (the numpy huffman+IDCT codec), and full GIFs (real LZW) are
+    synthesized, decoded, and reduced to exact per-channel pixel sums +
+    dimensions.  PNG sums invert the pixel template; JPEG sums follow
+    the constant-gray closed form; GIF is lossless (sums = w·h·c) —
+    all value-checked in SQL.  allow_stub=False: every payload MUST
     decode (no silent NULL row).  Means derive from the sums JVM-side
     (identical rounding semantics in both engines)."""
     from hquery_php_spark.operators.multimodal import image_pixel_stats_df
 
-    payloads = _png_full_payloads(spark, sf_dir).unionByName(
-        _jpeg_full_payloads(spark, sf_dir)
+    payloads = (
+        _png_full_payloads(spark, sf_dir)
+        .unionByName(_jpeg_full_payloads(spark, sf_dir))
+        .unionByName(_gif_full_payloads(spark, sf_dir))
     )
     stats = image_pixel_stats_df(payloads, allow_stub=False)
     npx = F.col("n_px").cast("double")
@@ -2786,6 +2853,13 @@ def _base_oracle_sql() -> dict[str, str]:
                    CAST((doc_id % 6 + 1) * 8 AS INTEGER),
                    15
             FROM documents
+            UNION ALL
+            SELECT 'g' || CAST(doc_id AS VARCHAR),
+                   'image/gif',
+                   CAST(doc_id % 40 + 5 AS INTEGER),
+                   CAST(doc_id % 30 + 5 AS INTEGER),
+                   13
+            FROM documents
         """,
         # PNG rows: template inversion of _png_full_payloads (decoded
         # sums equal the generating formula summed over the grid).
@@ -2838,6 +2912,17 @@ def _base_oracle_sql() -> dict[str, str]:
                         FROM documents)
                 )
               )
+              UNION ALL
+              -- GIF is lossless: constant gray c decodes to exactly c
+              SELECT 'g' || CAST(doc_id AS VARCHAR),
+                     CAST(w AS INTEGER), CAST(h AS INTEGER),
+                     CAST(w * h AS INTEGER),
+                     CAST(w * h * c AS BIGINT), CAST(w * h * c AS BIGINT),
+                     CAST(w * h * c AS BIGINT),
+                     CAST(255 * w * h AS BIGINT)
+              FROM (SELECT doc_id, doc_id % 40 + 5 AS w,
+                           doc_id % 30 + 5 AS h, doc_id % 256 AS c
+                    FROM documents)
             )
         """,
         "embed_near_dup_exact": """

@@ -2,14 +2,14 @@
 
 Images/audio/video ride as ``binary`` columns with a metadata struct;
 this module provides the real Spark plumbing — schemas, batch shapes,
-partitioning-friendly signatures.  PNG (stdlib codec below) and
-baseline JPEG (``operators/jpeg.py``, pure numpy huffman+IDCT) decode
-for REAL; the remaining codecs (WebP/GIF pixel data, audio, video) are
-STUBBED (the media libraries are not in this container).  Each decode
-UDF:
+partitioning-friendly signatures.  PNG (stdlib codec below), baseline
+JPEG (``operators/jpeg.py``, pure numpy huffman+IDCT) and GIF
+(``operators/gif.py``, real LZW) decode for REAL; the remaining codecs
+(WebP, progressive JPEG, audio, video) are STUBBED (the media
+libraries are not in this container).  Each decode UDF:
 
 * validates magic bytes / container headers itself (real, tested);
-* decodes PNG and baseline JPEG payloads to true pixels;
+* decodes PNG, baseline-JPEG, and GIF payloads to true pixels;
 * emits deterministic fake features when ``allow_stub=True`` (default),
   so pipelines are end-to-end runnable;
 * raises ``NotImplementedError`` naming the missing codec otherwise.
@@ -285,17 +285,73 @@ def decode_png(payload: Optional[bytes]):
     return int(w), int(h), int(ch), px
 
 
+def decode_bmp(payload: Optional[bytes]):
+    """Uncompressed BMP decode (BITMAPINFOHEADER, 8/24/32 bpp, BI_RGB):
+    bottom-up or top-down rows, 4-byte row padding, BGR(A)→RGB(A),
+    8-bit palette expansion.  Returns (w, h, ch, pixels) or None."""
+    import numpy as np
+
+    try:
+        if not payload or len(payload) < 54 or payload[:2] != b"BM":
+            return None
+        (data_off,) = _struct.unpack("<I", payload[10:14])
+        (hdr_size,) = _struct.unpack("<I", payload[14:18])
+        if hdr_size < 40:
+            return None  # BITMAPCOREHEADER out of scope
+        w, h = _struct.unpack("<ii", payload[18:26])
+        bpp, comp = _struct.unpack("<HI", payload[28:34])
+        top_down = h < 0
+        h = abs(h)
+        if w <= 0 or h == 0 or comp != 0 or bpp not in (8, 24, 32):
+            return None
+        stride = (w * bpp // 8 + 3) // 4 * 4
+        if data_off + stride * h > len(payload):
+            return None
+        raw = np.frombuffer(payload, np.uint8, stride * h, data_off).reshape(
+            h, stride
+        )
+        if not top_down:
+            raw = raw[::-1]
+        if bpp == 8:
+            # palette: BGRX quads between header and pixel data
+            pal_off = 14 + hdr_size
+            n_colors = _struct.unpack("<I", payload[46:50])[0] or 256
+            pal = np.frombuffer(
+                payload, np.uint8, n_colors * 4, pal_off
+            ).reshape(-1, 4)[:, [2, 1, 0]]
+            idx = raw[:, :w].astype(np.int64)
+            if idx.max() >= pal.shape[0]:
+                return None
+            return int(w), int(h), 3, pal[idx].astype(np.uint8)
+        ch = bpp // 8
+        px = raw[:, : w * ch].reshape(h, w, ch)
+        if ch == 3:
+            return int(w), int(h), 3, px[:, :, [2, 1, 0]].copy()
+        return int(w), int(h), 4, px[:, :, [2, 1, 0, 3]].copy()
+    except (_struct.error, ValueError, IndexError):
+        return None
+
+
 def decode_image(payload: Optional[bytes]):
-    """Best-effort pixel decode: PNG (stdlib codec) then baseline JPEG
-    (``operators/jpeg.py``).  Returns (w, h, ch, pixels) or None when
-    no in-repo codec covers the payload (WebP, GIF, progressive JPEG,
-    …) — the caller decides NULL vs raise."""
+    """Best-effort pixel decode: PNG (stdlib codec), baseline JPEG
+    (``operators/jpeg.py``), GIF first frame (``operators/gif.py``),
+    uncompressed BMP.  Returns (w, h, ch, pixels) or None when no
+    in-repo codec covers the payload (WebP, progressive JPEG, …) — the
+    caller decides NULL vs raise."""
     dec = decode_png(payload)
     if dec is not None:
         return dec
     from hquery_php_spark.operators.jpeg import decode_jpeg
 
-    return decode_jpeg(payload)
+    dec = decode_jpeg(payload)
+    if dec is not None:
+        return dec
+    from hquery_php_spark.operators.gif import decode_gif
+
+    dec = decode_gif(payload)
+    if dec is not None:
+        return dec
+    return decode_bmp(payload)
 
 
 def image_meta_df(df: DataFrame, payload_col: str = "payload") -> DataFrame:
@@ -324,6 +380,10 @@ def image_meta_df(df: DataFrame, payload_col: str = "payload") -> DataFrame:
                     from hquery_php_spark.operators.jpeg import jpeg_dims
 
                     dims = jpeg_dims(payload)
+                elif payload and mime == "image/gif":
+                    from hquery_php_spark.operators.gif import gif_dims
+
+                    dims = gif_dims(payload)
                 else:
                     dims = None
                 out["media_id"].append(mid)
@@ -384,9 +444,9 @@ def image_pixel_stats_df(
                     if not allow_stub:
                         raise NotImplementedError(
                             f"no codec for payload of media_id={mid} "
-                            f"(mime {sniff_media_type(payload)}); only PNG "
-                            "and baseline JPEG decode without an image "
-                            "library"
+                            f"(mime {sniff_media_type(payload)}); only PNG, "
+                            "baseline JPEG, and GIF decode without an "
+                            "image library"
                         )
                     for k in schema.fieldNames()[1:]:
                         out[k].append(None)
@@ -533,8 +593,8 @@ def image_resize_df(
                 if not allow_stub:
                     raise NotImplementedError(
                         f"no codec for payload of media_id={mid} "
-                        f"(mime {sniff_media_type(payload)}); only PNG and "
-                        "baseline JPEG decode without an image library"
+                        f"(mime {sniff_media_type(payload)}); only PNG, baseline "
+                        "JPEG, and GIF decode without an image library"
                     )
                 dims = (
                     _png_dims(payload)

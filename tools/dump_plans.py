@@ -22,7 +22,7 @@ QUERIES = [
     ("gopher_quality", "pure JVM expression tree over one scan — zero shuffles, WholeStageCodegen end to end"),
     ("domain_cap", "two bounded windows: (source, salt) pre-prune then per-source rank — no unbounded partition under domain skew"),
     ("corpus_shuffle", "explicit hash-range buckets: tiny count agg + per-bucket window; no single-partition global window, no range-sampling pass"),
-    ("curate", "composed curation chain in one lazy program: expression-only gates -> fingerprint window -> LSH bucket-grouped candidates + shuffle-semi-join verify -> shuffle loser anti-join (AQE picks broadcast when small; losers are corpus-proportional, never forced) -> broadcast gram set (bounded: benchmark suites are fixed) -> regexp redaction -> salted cap windows -> bucketed order"),
+    ("curate", "composed curation chain in one lazy program: gate evaluated as ONE projected boolean behind a pushdown barrier (FilterExec does no subexpression elimination — unguarded, the nested-HOF gate costs 70x) -> fingerprint window -> LSH bucket-grouped candidates + shuffle-semi-join verify -> shuffle loser anti-join (AQE picks broadcast when small; losers are corpus-proportional, never forced) -> broadcast gram set (bounded: benchmark suites are fixed) -> regexp redaction -> salted cap windows -> bucketed order"),
     ("tfidf_top", "tf shuffle on (doc, term); df derived FROM the tf table (no second corpus scan); join + per-doc window top-k"),
     ("corpus_stats", "single scan -> integer partial aggs -> one shuffle on source; ratios post-derived"),
     ("bm25_search", "tf from token arrays: zero shuffle before TakeOrderedAndProject (partial top-k, no global sort)"),
