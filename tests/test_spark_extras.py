@@ -432,6 +432,46 @@ def test_pdf_layout_roundtrip(spark):
     assert got.iloc[0]["text"] == "hello"
 
 
+def test_aqe_skew_join_splits_hot_partition(spark):
+    """A pathologically skewed join key (one key = 90% of rows) is
+    split by AQE's skew-join at runtime — the engine-level answer for
+    hot keys that salting handles at the operator level.  Pinned via
+    the final adaptive plan's SortMergeJoin(skew=true) marker."""
+    confs = {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "8KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        a = spark.range(0, 50_000).select(
+            F.lit(0).alias("k"), F.rand(1).alias("x")
+        ).unionAll(
+            spark.range(0, 5_000).select(
+                (F.pmod(F.col("id"), F.lit(99)) + 1).alias("k"),
+                F.rand(2).alias("x"),
+            )
+        )
+        b = spark.range(0, 100).select(F.col("id").alias("k"), F.lit("d").alias("v"))
+        j = a.join(b, "k")
+        assert len(j.collect()) == 55_000
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, plan
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
 def test_bucketed_join_avoids_shuffle(spark, tmp_path):
     """Pre-bucketed tables on the join key sort-merge-join with NO
     exchange on either side — the co-located-join strategy for repeated
