@@ -967,19 +967,22 @@ def _jpeg_h(did):
     return ((F.pmod(did, F.lit(6)) + 1) * 8).cast("int")
 
 
-def _jpeg_hdr_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic baseline-JPEG headers synthesized JVM-side:
-    SOI + SOF0(precision 8, h, w, 1 component) — 15 bytes each, enough
-    for mime sniff + SOF dimension parse (media_id = 'j'<doc_id>)."""
+def _jpeg_hdr_payloads(
+    spark: SparkSession, sf_dir: str, sof: str = "FFC0", prefix: str = "j"
+) -> DataFrame:
+    """Deterministic JPEG headers synthesized JVM-side: SOI + SOFn
+    (precision 8, h, w, 1 component) — 15 bytes each, enough for mime
+    sniff + SOF dimension parse.  ``sof='FFC2'`` makes progressive
+    headers (media_id prefix 'p')."""
     did = F.col("doc_id")
     hexstr = F.concat(
-        F.lit("FFD8" + "FFC0" + "000B" + "08"),
+        F.lit("FFD8" + sof + "000B" + "08"),
         F.lpad(F.hex(_jpeg_h(did)), 4, "0"),
         F.lpad(F.hex(_jpeg_w(did)), 4, "0"),
         F.lit("01" + "011100"),
     )
     return _spread(_docs(spark, sf_dir), spark).select(
-        F.concat(F.lit("j"), did.cast("string")).alias("media_id"),
+        F.concat(F.lit(prefix), did.cast("string")).alias("media_id"),
         F.unhex(hexstr).alias("payload"),
     )
 
@@ -1012,6 +1015,13 @@ def _jpeg_full_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
                 px = np.full((h, w, 3), c, dtype=np.uint8)
                 out["media_id"].append(f"j{did}")
                 out["payload"].append(encode_jpeg(px, quality=_JPEG_Q))
+                # progressive twin: SOF2 multi-scan reordering of the
+                # SAME coefficients → identical decoded pixels, so the
+                # 'p' rows share the 'j' rows' closed-form oracle
+                out["media_id"].append(f"p{did}")
+                out["payload"].append(
+                    encode_jpeg(px, quality=_JPEG_Q, progressive=True)
+                )
             yield pd.DataFrame(out)
 
     return d.mapInPandas(gen, schema)
@@ -1087,6 +1097,7 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     payloads = (
         _png_payloads(spark, sf_dir)
         .unionByName(_jpeg_hdr_payloads(spark, sf_dir))
+        .unionByName(_jpeg_hdr_payloads(spark, sf_dir, sof="FFC2", prefix="p"))
         .unionByName(_gif_hdr_payloads(spark, sf_dir))
     )
     return image_meta_df(payloads)
@@ -2854,6 +2865,13 @@ def _base_oracle_sql() -> dict[str, str]:
                    15
             FROM documents
             UNION ALL
+            SELECT 'p' || CAST(doc_id AS VARCHAR),
+                   'image/jpeg',
+                   CAST((doc_id % 8 + 1) * 8 AS INTEGER),
+                   CAST((doc_id % 6 + 1) * 8 AS INTEGER),
+                   15
+            FROM documents
+            UNION ALL
             SELECT 'g' || CAST(doc_id AS VARCHAR),
                    'image/gif',
                    CAST(doc_id % 40 + 5 AS INTEGER),
@@ -2890,6 +2908,31 @@ def _base_oracle_sql() -> dict[str, str]:
                     FROM documents)
               UNION ALL
               SELECT 'j' || CAST(doc_id AS VARCHAR),
+                     CAST(w AS INTEGER), CAST(h AS INTEGER),
+                     CAST(w * h AS INTEGER),
+                     CAST(w * h * p AS BIGINT), CAST(w * h * p AS BIGINT),
+                     CAST(w * h * p AS BIGINT),
+                     CAST(255 * w * h AS BIGINT)
+              FROM (
+                SELECT doc_id, w, h,
+                       LEAST(255, GREATEST(0,
+                           (d + 4 + 8192) // 8 - 1024 + 128)) AS p
+                FROM (
+                  SELECT doc_id, w, h,
+                         (CASE WHEN v >= 0
+                               THEN (2 * v + {_JPEG_Q00}) // (2 * {_JPEG_Q00})
+                               ELSE -((-2 * v + {_JPEG_Q00}) // (2 * {_JPEG_Q00}))
+                          END) * {_JPEG_Q00} AS d
+                  FROM (SELECT doc_id,
+                               (doc_id % 8 + 1) * 8 AS w,
+                               (doc_id % 6 + 1) * 8 AS h,
+                               8 * ((doc_id % 256) - 128) AS v
+                        FROM documents)
+                )
+              )
+              UNION ALL
+              -- progressive twin rows: same coefficients, same pixels
+              SELECT 'p' || CAST(doc_id AS VARCHAR),
                      CAST(w AS INTEGER), CAST(h AS INTEGER),
                      CAST(w * h AS INTEGER),
                      CAST(w * h * p AS BIGINT), CAST(w * h * p AS BIGINT),

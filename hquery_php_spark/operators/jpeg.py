@@ -9,13 +9,22 @@ Scope (the honest boundary, explicit):
   huffman tables, not just Annex K), byte-stuffing + RSTn restart
   markers, per-component sampling factors (4:4:4, 4:2:0, 4:2:2, ...)
   with replicate upsampling, dequantize + exact float64 2-D IDCT,
-  half-up rounding, YCbCr→RGB.  Progressive (SOF2), arithmetic-coded,
-  hierarchical and 12-bit streams return ``None`` (the caller's
-  NULL/raise boundary, like non-8-bit PNG).
-* ``encode_jpeg``: baseline sequential 4:4:4 (or grayscale) writer with
-  Annex-K quantization tables scaled by the libjpeg quality formula and
-  simple fixed-length canonical huffman tables (written into DHT, so
-  any conformant decoder reads them) — correctness over compression.
+  half-up rounding, YCbCr→RGB — AND progressive (SOF2): multi-scan
+  coefficient accumulation with spectral selection + successive
+  approximation (DC first/refine, AC first/refine with EOBRUN, T.81
+  §G.2), interleaved DC scans and non-interleaved per-component scans
+  on the component's true block grid.  Arithmetic-coded, hierarchical
+  and 12-bit streams return ``None`` (the caller's NULL/raise boundary,
+  like non-8-bit PNG).
+* ``encode_jpeg``: baseline sequential 4:4:4/4:2:0 (or grayscale)
+  writer with Annex-K quantization tables scaled by the libjpeg quality
+  formula and simple fixed-length canonical huffman tables (written
+  into DHT, so any conformant decoder reads them) — correctness over
+  compression.  ``progressive=True`` emits a spectral-selection +
+  successive-approximation scan script (DC Al=1 → DC refine → per-band
+  AC Al=1 → AC refine, T.81 §G.1) — because progressive merely reorders
+  the same quantized coefficients, its decode must equal the baseline
+  decode of the same image BIT-EXACTLY, which is the test invariant.
 
 Rounding is pinned so constant-color images decode to a closed form
 (see ``constant_gray_decoded_level``): quantization rounds half away
@@ -259,14 +268,17 @@ def _rgb_to_ycbcr(px: np.ndarray) -> np.ndarray:
 
 def _enc_huff_tables():
     """Fixed-length canonical tables, self-described in DHT: 12 DC
-    categories at 4 bits, all 162 AC symbols at 8 bits (valid: <2^L
-    codes per length, all-ones never assigned).  Compression is poor
-    but the bitstream is fully conformant — correctness over ratio."""
+    categories at 4 bits; all 162 sequential AC symbols PLUS the 14
+    progressive EOBn symbols (r<<4 for r=1..14) at 8 bits (176 codes —
+    valid: <2^8, all-ones never assigned).  Compression is poor but the
+    bitstream is fully conformant — correctness over ratio."""
     dc_bits = [0, 0, 0, 12] + [0] * 12
     dc_vals = list(range(12))
-    ac_vals = [0x00, 0xF0] + [
-        (r << 4) | s for r in range(16) for s in range(1, 11)
-    ]
+    ac_vals = (
+        [0x00, 0xF0]
+        + [(r << 4) for r in range(1, 15)]  # EOB2..EOB16384 (progressive)
+        + [(r << 4) | s for r in range(16) for s in range(1, 11)]
+    )
     ac_bits = [0] * 7 + [len(ac_vals)] + [0] * 8
     return dc_bits, dc_vals, ac_bits, ac_vals
 
@@ -343,22 +355,195 @@ def _quantize_plane(plane, qt, hb, wb):
     return np.clip(qc, -1023, 1023).astype(np.int64).reshape(-1, 64)
 
 
+# ---- progressive scan emitters (T.81 §G.1; jc*phuff conventions) ----
+
+
+def _emit_ac_first_scan(bw, blocks, ss, se, al, ac_codes):
+    eobrun = 0
+
+    def flush():
+        nonlocal eobrun
+        if eobrun:
+            r2 = eobrun.bit_length() - 1
+            code, ln = ac_codes[r2 << 4]
+            bw.put(code, ln)
+            if r2:
+                bw.put(eobrun - (1 << r2), r2)
+            eobrun = 0
+
+    for blk in blocks:
+        zzb = blk[_ZIGZAG]
+        vals = []
+        for k in range(ss, se + 1):
+            v = int(zzb[k])
+            a = abs(v) >> al
+            vals.append(a if v >= 0 else -a)
+        if not any(vals):
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                flush()
+            continue
+        flush()
+        r = 0
+        for t in vals:
+            if t == 0:
+                r += 1
+                continue
+            while r > 15:
+                code, ln = ac_codes[0xF0]
+                bw.put(code, ln)
+                r -= 16
+            s = _category(t)
+            code, ln = ac_codes[(r << 4) | s]
+            bw.put(code, ln)
+            bw.put(t if t >= 0 else t + (1 << s) - 1, s)
+            r = 0
+        if r > 0:
+            eobrun += 1  # trailing zeros fold into the next EOB run
+    flush()
+
+
+def _emit_ac_refine_scan(bw, blocks, ss, se, al, ac_codes):
+    eobrun = 0
+    run_bits = []  # correction bits carried by the pending EOB run
+
+    def flush():
+        nonlocal eobrun, run_bits
+        if eobrun:
+            r2 = eobrun.bit_length() - 1
+            code, ln = ac_codes[r2 << 4]
+            bw.put(code, ln)
+            if r2:
+                bw.put(eobrun - (1 << r2), r2)
+            for b in run_bits:
+                bw.put(b, 1)
+            run_bits = []
+            eobrun = 0
+
+    for blk in blocks:
+        zzb = blk[_ZIGZAG]
+        absv = []
+        signs = []
+        for k in range(ss, se + 1):
+            v = int(zzb[k])
+            absv.append(abs(v) >> al)
+            signs.append(v > 0)
+        eobidx = -1
+        for i, a in enumerate(absv):
+            if a == 1:
+                eobidx = i
+        r = 0
+        blk_bits = []  # correction bits since the last emitted symbol
+        for i, a in enumerate(absv):
+            if a == 0:
+                r += 1
+                continue
+            while r > 15 and i <= eobidx:
+                flush()
+                code, ln = ac_codes[0xF0]
+                bw.put(code, ln)
+                for b in blk_bits:
+                    bw.put(b, 1)
+                blk_bits = []
+                r -= 16
+            if a > 1:  # history coefficient: one correction bit
+                blk_bits.append(a & 1)
+                continue
+            flush()  # a newly-significant coefficient ends any EOB run
+            code, ln = ac_codes[(r << 4) | 1]
+            bw.put(code, ln)
+            bw.put(1 if signs[i] else 0, 1)
+            for b in blk_bits:
+                bw.put(b, 1)
+            blk_bits = []
+            r = 0
+        if r > 0 or blk_bits:
+            eobrun += 1
+            run_bits.extend(blk_bits)
+            if eobrun == 0x7FFF:
+                flush()
+    flush()
+
+
+def _encode_progressive(out, seg, qblocks, ncomp, h, w, dc_codes, ac_codes):
+    """Scan script: DC first (Al=1, interleaved) → DC refine → per
+    component AC first in two spectral bands (Al=1) → per component AC
+    refine per band (Ah=1→Al=0).  Exercises every progressive decode
+    path incl. EOBRUN; total information = baseline, so decode must be
+    bit-identical to the sequential encoding's decode."""
+    nblocks = qblocks[0].shape[0]
+
+    def sos(comp_ids, ss, se, ah, al):
+        b = bytearray([len(comp_ids)])
+        for ci in comp_ids:
+            t = 0 if ci == 0 else 1
+            b += bytes([ci + 1, (t << 4) | t])
+        b += bytes([ss, se, (ah << 4) | al])
+        return seg(0xDA, bytes(b))
+
+    # DC first, Al=1, all components interleaved
+    out += sos(list(range(ncomp)), 0, 0, 0, 1)
+    bw = _BitWriter()
+    pred = [0] * ncomp
+    for u in range(nblocks):
+        for ci in range(ncomp):
+            dcpt = int(qblocks[ci][u][0]) >> 1
+            diff = dcpt - pred[ci]
+            pred[ci] = dcpt
+            s = _category(diff)
+            code, ln = dc_codes[s]
+            bw.put(code, ln)
+            if s:
+                bw.put(diff if diff >= 0 else diff + (1 << s) - 1, s)
+    bw.flush()
+    out += bw.out
+    # DC refine, Al=0: one raw bit per block
+    out += sos(list(range(ncomp)), 0, 0, 1, 0)
+    bw = _BitWriter()
+    for u in range(nblocks):
+        for ci in range(ncomp):
+            bw.put(int(qblocks[ci][u][0]) & 1, 1)
+    bw.flush()
+    out += bw.out
+    # AC: two spectral bands, first pass Al=1 then refine Al=0
+    bands = [(1, 5), (6, 63)]
+    for ci in range(ncomp):
+        for ss, se in bands:
+            out += sos([ci], ss, se, 0, 1)
+            bw = _BitWriter()
+            _emit_ac_first_scan(bw, qblocks[ci], ss, se, 1, ac_codes)
+            bw.flush()
+            out += bw.out
+    for ci in range(ncomp):
+        for ss, se in bands:
+            out += sos([ci], ss, se, 1, 0)
+            bw = _BitWriter()
+            _emit_ac_refine_scan(bw, qblocks[ci], ss, se, 0, ac_codes)
+            bw.flush()
+            out += bw.out
+
+
 def encode_jpeg(
     pixels,
     quality: int = 75,
     subsampling: str = "444",
     restart_interval: int = 0,
+    progressive: bool = False,
 ) -> bytes:
     """(h, w[, 3]) uint8 array → baseline JFIF bytes; grayscale for 2-D
     input.  ``subsampling``: '444' (one block per component per MCU) or
     '420' (2×2 luma blocks + one chroma block per MCU; chroma planes
     2×2-mean-downsampled with half-up rounding).  ``restart_interval``
     > 0 writes DRI and emits RSTn every that-many MCUs (exercises the
-    decoder's restart resync).  Edge-replicated to full blocks/MCUs."""
+    decoder's restart resync).  Edge-replicated to full blocks/MCUs.
+    ``progressive=True`` writes SOF2 with the scan script of
+    ``_encode_progressive`` (4:4:4/grayscale, no restarts)."""
     arr = np.asarray(pixels, dtype=np.uint8)
     gray = arr.ndim == 2
     if subsampling not in ("444", "420"):
         raise ValueError(f"unsupported subsampling {subsampling!r}")
+    if progressive and (subsampling == "420" or restart_interval):
+        raise ValueError("progressive writer supports 4:4:4, no restarts")
     sub = subsampling == "420" and not gray
     h, w = arr.shape[:2]
     if h == 0 or w == 0:
@@ -400,26 +585,31 @@ def encode_jpeg(
         bwidths.append(wb)
 
     bw = _BitWriter()
-    pred = [0] * len(planes)
-    mcu_count = 0
-    rst = 0
-    for my in range(mcuy):
-        for mx in range(mcux):
-            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
-                bw.flush()
-                bw.out += bytes([0xFF, 0xD0 + rst])
-                rst = (rst + 1) % 8
-                pred = [0] * len(planes)
-            for ci in range(len(planes)):
-                sh, sv = samp[ci]
-                for by in range(sv):
-                    for bx in range(sh):
-                        row = my * sv + by
-                        col = mx * sh + bx
-                        zz = qblocks[ci][row * bwidths[ci] + col][_ZIGZAG]
-                        _encode_block(bw, zz, pred, ci, dc_codes, ac_codes)
-            mcu_count += 1
-    bw.flush()
+    if not progressive:
+        pred = [0] * len(planes)
+        mcu_count = 0
+        rst = 0
+        for my in range(mcuy):
+            for mx in range(mcux):
+                if (
+                    restart_interval
+                    and mcu_count
+                    and mcu_count % restart_interval == 0
+                ):
+                    bw.flush()
+                    bw.out += bytes([0xFF, 0xD0 + rst])
+                    rst = (rst + 1) % 8
+                    pred = [0] * len(planes)
+                for ci in range(len(planes)):
+                    sh, sv = samp[ci]
+                    for by in range(sv):
+                        for bx in range(sh):
+                            row = my * sv + by
+                            col = mx * sh + bx
+                            zz = qblocks[ci][row * bwidths[ci] + col][_ZIGZAG]
+                            _encode_block(bw, zz, pred, ci, dc_codes, ac_codes)
+                mcu_count += 1
+        bw.flush()
 
     def seg(marker: int, payload: bytes) -> bytes:
         return bytes([0xFF, marker]) + _struct.pack(">H", len(payload) + 2) + payload
@@ -434,7 +624,7 @@ def encode_jpeg(
     for ci in range(ncomp):
         hv = (samp[ci][0] << 4) | samp[ci][1]
         sof += bytes([ci + 1, hv, 0 if ci == 0 else 1])
-    out += seg(0xC0, bytes(sof))
+    out += seg(0xC2 if progressive else 0xC0, bytes(sof))
     if restart_interval:
         out += seg(0xDD, _struct.pack(">H", restart_interval))
     out += seg(0xC4, bytes([0x00]) + bytes(dc_bits) + bytes(dc_vals))
@@ -442,6 +632,10 @@ def encode_jpeg(
     if not gray:
         out += seg(0xC4, bytes([0x01]) + bytes(dc_bits) + bytes(dc_vals))
         out += seg(0xC4, bytes([0x11]) + bytes(ac_bits) + bytes(ac_vals))
+    if progressive:
+        _encode_progressive(out, seg, qblocks, ncomp, h, w, dc_codes, ac_codes)
+        out += b"\xff\xd9"
+        return bytes(out)
     sos = bytearray([ncomp])
     for ci in range(ncomp):
         sos += bytes([ci + 1, 0x00 if ci == 0 else 0x11])
@@ -491,6 +685,27 @@ def decode_jpeg(payload: Optional[bytes]):
         return None
 
 
+def _frame_grid(frame):
+    """Shared grid geometry: (hmax, vmax, mcux, mcuy) plus, per
+    component, the MCU-padded store width/height and the TRUE block
+    dims used by non-interleaved (single-component) scans."""
+    w, h = frame["w"], frame["h"]
+    hmax = max(c["h"] for c in frame["comps"])
+    vmax = max(c["v"] for c in frame["comps"])
+    if not (1 <= hmax <= 4 and 1 <= vmax <= 4):
+        raise ValueError("bad sampling")
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    for c in frame["comps"]:
+        c["bw"] = mcux * c["h"]          # padded store grid
+        c["bh"] = mcuy * c["v"]
+        cw = (w * c["h"] + hmax - 1) // hmax   # true sample dims
+        chh = (h * c["v"] + vmax - 1) // vmax
+        c["tbw"] = (cw + 7) // 8               # true block dims
+        c["tbh"] = (chh + 7) // 8
+    return hmax, vmax, mcux, mcuy
+
+
 def _decode_jpeg_impl(payload: Optional[bytes]):
     if not payload or not payload.startswith(b"\xff\xd8"):
         return None
@@ -501,6 +716,8 @@ def _decode_jpeg_impl(payload: Optional[bytes]):
     huff_ac = {}
     restart_interval = 0
     frame = None
+    stores = None  # progressive: persistent per-component coefficients
+    preds = None
     while pos + 2 <= n:
         if payload[pos] != 0xFF:
             return None
@@ -508,8 +725,10 @@ def _decode_jpeg_impl(payload: Optional[bytes]):
         pos += 2
         if m == 0x01 or 0xD0 <= m <= 0xD7:
             continue
-        if m == 0xD9:
-            return None  # EOI before SOS
+        if m == 0xD9:  # EOI
+            if frame is not None and frame["prog"] and stores is not None:
+                return _assemble_image(frame, stores, qt)
+            return None
         (ln,) = _struct.unpack(">H", payload[pos : pos + 2])
         body = payload[pos + 2 : pos + ln]
         if m == 0xDB:  # DQT (may hold several tables)
@@ -534,7 +753,7 @@ def _decode_jpeg_impl(payload: Optional[bytes]):
                 i += 17 + cnt
         elif m == 0xDD:  # DRI
             (restart_interval,) = _struct.unpack(">H", body[:2])
-        elif m in (0xC0, 0xC1):  # SOF0/1 baseline
+        elif m in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
             prec = body[0]
             if prec != 8:
                 return None
@@ -547,9 +766,15 @@ def _decode_jpeg_impl(payload: Optional[bytes]):
                 comps.append(
                     {"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": body[8 + 3 * ci]}
                 )
-            frame = {"w": int(w), "h": int(h), "comps": comps}
-        elif m in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            return None  # progressive / arithmetic / hierarchical
+            frame = {"w": int(w), "h": int(h), "comps": comps, "prog": m == 0xC2}
+            _frame_grid(frame)
+            if frame["prog"]:
+                stores = {
+                    c["id"]: np.zeros((c["bh"] * c["bw"], 64), dtype=np.int64)
+                    for c in comps
+                }
+        elif m in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            return None  # arithmetic / hierarchical / lossless
         elif m == 0xDA:  # SOS
             if frame is None:
                 return None
@@ -562,30 +787,35 @@ def _decode_jpeg_impl(payload: Optional[bytes]):
                 if comp is None:
                     return None
                 scan.append((comp, td_ta >> 4, td_ta & 0x0F))
-            if len(scan) != len(frame["comps"]):
-                return None  # non-interleaved multi-scan out of scope
-            return _decode_scan(
-                payload, pos + ln, frame, scan, qt, huff_dc, huff_ac,
-                restart_interval,
+            if not frame["prog"]:
+                if len(scan) != len(frame["comps"]):
+                    return None  # multi-scan sequential out of scope
+                return _decode_scan(
+                    payload, pos + ln, frame, scan, qt, huff_dc, huff_ac,
+                    restart_interval,
+                )
+            ss, se, ahal = body[1 + 2 * ns], body[2 + 2 * ns], body[3 + 2 * ns]
+            pos = _decode_prog_scan(
+                payload, pos + ln, frame, scan, stores,
+                huff_dc, huff_ac, restart_interval,
+                ss, se, ahal >> 4, ahal & 0x0F,
             )
+            continue
         pos += ln
     return None
 
 
 def _decode_scan(payload, data_pos, frame, scan, qt, huff_dc, huff_ac, dri):
-    w, h = frame["w"], frame["h"]
-    hmax = max(c["h"] for c in frame["comps"])
-    vmax = max(c["v"] for c in frame["comps"])
-    if hmax < 1 or vmax < 1 or hmax > 4 or vmax > 4:
-        raise ValueError("bad sampling")
-    mcux = (w + 8 * hmax - 1) // (8 * hmax)
-    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    hmax, vmax, mcux, mcuy = (
+        max(c["h"] for c in frame["comps"]),
+        max(c["v"] for c in frame["comps"]),
+        frame["comps"][0]["bw"] // frame["comps"][0]["h"],
+        frame["comps"][0]["bh"] // frame["comps"][0]["v"],
+    )
     # per component: coefficient store (n_blocks, 64) in MCU block order
     store = []
     for comp, _td, _ta in scan:
-        bw = mcux * comp["h"]
-        bh = mcuy * comp["v"]
-        store.append(np.zeros((bh * bw, 64), dtype=np.int64))
+        store.append(np.zeros((comp["bh"] * comp["bw"], 64), dtype=np.int64))
     br = _BitReader(payload, data_pos)
     pred = [0] * len(scan)
     mcu_count = 0
@@ -598,7 +828,7 @@ def _decode_scan(payload, data_pos, frame, scan, qt, huff_dc, huff_ac, dri):
             for si, (comp, td, ta) in enumerate(scan):
                 dct = huff_dc[td]
                 act = huff_ac[ta]
-                bw_c = mcux * comp["h"]
+                bw_c = comp["bw"]
                 for by in range(comp["v"]):
                     for bx in range(comp["h"]):
                         row = my * comp["v"] + by
@@ -623,15 +853,23 @@ def _decode_scan(payload, data_pos, frame, scan, qt, huff_dc, huff_ac, dri):
                             blk[_ZIGZAG[k]] = _extend(br.receive(s), s)
                             k += 1
             mcu_count += 1
-    # dequantize + IDCT per component (vectorized over all blocks)
+    stores = {comp["id"]: store[si] for si, (comp, _t, _a) in enumerate(scan)}
+    return _assemble_image(frame, stores, qt)
+
+
+def _assemble_image(frame, stores, qt):
+    """Dequantize + IDCT + upsample + color-convert the per-component
+    coefficient stores (MCU-padded grids) into the final pixel array."""
+    w, h = frame["w"], frame["h"]
+    hmax = max(c["h"] for c in frame["comps"])
+    vmax = max(c["v"] for c in frame["comps"])
     planes = []
-    for si, (comp, _td, _ta) in enumerate(scan):
+    for comp in frame["comps"]:
         q = qt[comp["tq"]].reshape(1, 8, 8).astype(np.float64)
-        coef = store[si].reshape(-1, 8, 8).astype(np.float64) * q
+        coef = stores[comp["id"]].reshape(-1, 8, 8).astype(np.float64) * q
         spatial = _idct_blocks(coef)
         px = np.clip(_half_up(spatial) + 128, 0, 255).astype(np.uint8)
-        bw_c = mcux * comp["h"]
-        bh_c = mcuy * comp["v"]
+        bw_c, bh_c = comp["bw"], comp["bh"]
         plane = (
             px.reshape(bh_c, bw_c, 8, 8)
             .transpose(0, 2, 1, 3)
@@ -653,6 +891,184 @@ def _decode_scan(payload, data_pos, frame, scan, qt, huff_dc, huff_ac, dri):
     g = np.clip(_half_up(y - 0.344136 * cb - 0.714136 * cr), 0, 255)
     b = np.clip(_half_up(y + 1.772 * cb), 0, 255)
     return w, h, 3, np.stack([r, g, b], axis=-1).astype(np.uint8)
+
+
+# ------------------------------------------------------------------ #
+# Progressive scans (T.81 §G.2): spectral selection + successive
+# approximation over a persistent per-component coefficient store.
+
+
+def _next_marker_pos(payload: bytes, pos: int) -> int:
+    """Position of the next non-RST, non-stuffing marker at/after pos."""
+    n = len(payload)
+    while pos + 1 < n:
+        if payload[pos] != 0xFF:
+            pos += 1
+            continue
+        m = payload[pos + 1]
+        if m == 0x00:
+            pos += 2  # byte stuffing — entropy data
+        elif m == 0xFF:
+            pos += 1  # fill byte
+        elif 0xD0 <= m <= 0xD7:
+            pos += 2  # restart marker
+        else:
+            return pos
+    return n
+
+
+def _decode_prog_scan(
+    payload, data_pos, frame, scan, stores, huff_dc, huff_ac, dri,
+    ss, se, ah, al,
+):
+    """Decode one progressive scan into ``stores``; returns the payload
+    position of the marker following the scan's entropy data."""
+    br = _BitReader(payload, data_pos)
+    if ss == 0:
+        if se != 0:
+            raise ValueError("DC scan with Se != 0")
+        _prog_dc_scan(br, frame, scan, stores, huff_dc, dri, ah, al)
+    else:
+        if len(scan) != 1:
+            raise ValueError("AC scan must be single-component")
+        _prog_ac_scan(br, scan[0], stores, huff_ac, dri, ss, se, ah, al)
+    return _next_marker_pos(payload, br.pos)
+
+
+def _prog_dc_scan(br, frame, scan, stores, huff_dc, dri, ah, al):
+    interleaved = len(scan) > 1
+    pred = [0] * len(scan)
+    if interleaved:
+        mcux = frame["comps"][0]["bw"] // frame["comps"][0]["h"]
+        mcuy = frame["comps"][0]["bh"] // frame["comps"][0]["v"]
+        units = mcux * mcuy
+    else:
+        comp = scan[0][0]
+        units = comp["tbw"] * comp["tbh"]
+    count = 0
+    for u in range(units):
+        if dri and count and count % dri == 0:
+            if br.align_to_marker() is None:
+                raise ValueError("missing restart marker")
+            pred = [0] * len(scan)
+        for si, (comp, td, _ta) in enumerate(scan):
+            if interleaved:
+                my, mx = divmod(u, comp["bw"] // comp["h"])
+                blocks = [
+                    (my * comp["v"] + by) * comp["bw"] + mx * comp["h"] + bx
+                    for by in range(comp["v"])
+                    for bx in range(comp["h"])
+                ]
+            else:
+                by, bx = divmod(u, comp["tbw"])
+                blocks = [by * comp["bw"] + bx]
+            st = stores[comp["id"]]
+            for bi in blocks:
+                if ah == 0:  # DC first: point-transformed diff coding
+                    s = huff_dc[td].decode(br)
+                    diff = _extend(br.receive(s), s) if s else 0
+                    pred[si] += diff
+                    st[bi, 0] = pred[si] << al
+                else:  # DC refinement: one bit per block
+                    if br.read_bit():
+                        st[bi, 0] |= 1 << al
+        count += 1
+
+
+def _prog_ac_scan(br, scan_entry, stores, huff_ac, dri, ss, se, ah, al):
+    comp, _td, ta = scan_entry
+    act = huff_ac[ta]
+    st = stores[comp["id"]]
+    zz = _ZIGZAG
+    eobrun = 0
+    count = 0
+    for u in range(comp["tbw"] * comp["tbh"]):
+        if dri and count and count % dri == 0:
+            if br.align_to_marker() is None:
+                raise ValueError("missing restart marker")
+            eobrun = 0
+        by, bx = divmod(u, comp["tbw"])
+        blk = st[by * comp["bw"] + bx]
+        if ah == 0:
+            eobrun = _ac_first_block(br, act, blk, zz, ss, se, al, eobrun)
+        else:
+            eobrun = _ac_refine_block(br, act, blk, zz, ss, se, al, eobrun)
+        count += 1
+    if eobrun != 0 and ah == 0:
+        pass  # trailing EOB run covering the final blocks is legal
+
+
+def _ac_first_block(br, act, blk, zz, ss, se, al, eobrun):
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = act.decode(br)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r != 15:
+                eobrun = (1 << r) - 1
+                if r:
+                    eobrun += br.receive(r)
+                return eobrun
+            k += 16
+            continue
+        k += r
+        if k > se:
+            raise ValueError("AC overflow")
+        blk[zz[k]] = _extend(br.receive(s), s) << al
+        k += 1
+    return 0
+
+
+def _ac_refine_block(br, act, blk, zz, ss, se, al, eobrun):
+    p1 = 1 << al
+    m1 = -(1 << al)
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = act.decode(br)
+            r, s = rs >> 4, rs & 0x0F
+            if s == 0:
+                if r != 15:
+                    # refine EOBRUN = 2^r + ext (no -1: the EOB section
+                    # below consumes this block's remainder and
+                    # decrements — T.81 G.2 / jdphuff convention)
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += br.receive(r)
+                    break  # rest of block handled in the EOB section
+                # r == 15 (ZRL): skip 16 zero-history positions
+                newval = 0
+            else:
+                if s != 1:
+                    raise ValueError("bad refinement size")
+                newval = p1 if br.read_bit() else m1
+            # advance over r zero-history positions, emitting correction
+            # bits for every nonzero-history coefficient on the way
+            while k <= se:
+                c = int(blk[zz[k]])
+                if c != 0:
+                    if br.read_bit() and (c & p1) == 0:
+                        blk[zz[k]] = c + (p1 if c >= 0 else m1)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if newval and k <= se:
+                blk[zz[k]] = newval
+            k += 1
+    if eobrun > 0:
+        # correction bits only for the remainder of the band
+        while k <= se:
+            c = int(blk[zz[k]])
+            if c != 0:
+                if br.read_bit() and (c & p1) == 0:
+                    blk[zz[k]] = c + (p1 if c >= 0 else m1)
+            k += 1
+        eobrun -= 1
+    return eobrun
 
 
 # ------------------------------------------------------------------ #

@@ -2,14 +2,15 @@
 
 Images/audio/video ride as ``binary`` columns with a metadata struct;
 this module provides the real Spark plumbing — schemas, batch shapes,
-partitioning-friendly signatures.  PNG (stdlib codec below), baseline
-JPEG (``operators/jpeg.py``, pure numpy huffman+IDCT) and GIF
-(``operators/gif.py``, real LZW) decode for REAL; the remaining codecs
-(WebP, progressive JPEG, audio, video) are STUBBED (the media
-libraries are not in this container).  Each decode UDF:
+partitioning-friendly signatures.  PNG (stdlib codec below), JPEG
+(``operators/jpeg.py``, pure numpy huffman+IDCT — baseline-sequential
+AND progressive SOF2), GIF (``operators/gif.py``, real LZW), and
+uncompressed BMP all decode for REAL; the remaining codecs (WebP,
+audio, video) are STUBBED (the media libraries are not in this
+container).  Each decode UDF:
 
 * validates magic bytes / container headers itself (real, tested);
-* decodes PNG, baseline-JPEG, and GIF payloads to true pixels;
+* decodes PNG, JPEG, GIF, and BMP payloads to true pixels;
 * emits deterministic fake features when ``allow_stub=True`` (default),
   so pipelines are end-to-end runnable;
 * raises ``NotImplementedError`` naming the missing codec otherwise.
@@ -336,8 +337,8 @@ def decode_image(payload: Optional[bytes]):
     """Best-effort pixel decode: PNG (stdlib codec), baseline JPEG
     (``operators/jpeg.py``), GIF first frame (``operators/gif.py``),
     uncompressed BMP.  Returns (w, h, ch, pixels) or None when no
-    in-repo codec covers the payload (WebP, progressive JPEG, …) — the
-    caller decides NULL vs raise."""
+    in-repo codec covers the payload (WebP, …) — the caller decides
+    NULL vs raise."""
     dec = decode_png(payload)
     if dec is not None:
         return dec
@@ -407,8 +408,8 @@ def image_pixel_stats_df(
     integers) and rounded channel means.  Grayscale promotes to r=g=b;
     missing alpha reads as opaque 255.
 
-    Payloads neither in-repo codec covers (WebP, GIF pixels,
-    progressive JPEG) yield NULL stats when ``allow_stub`` (default) or
+    Payloads no in-repo codec covers (WebP, animated-beyond-frame-1)
+    yield NULL stats when ``allow_stub`` (default) or
     raise ``NotImplementedError`` naming the missing codec otherwise —
     the honest boundary until a decoder library is present.
 

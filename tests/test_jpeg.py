@@ -102,6 +102,62 @@ def test_roundtrip_grayscale_and_odd_dims():
     assert np.abs(out[:, :, 0].astype(int) - g.astype(int)).max() <= 8
 
 
+# ------------------------------------------------------------------ #
+# Progressive (SOF2): spectral selection + successive approximation.
+# Progressive merely REORDERS the same quantized coefficients, so its
+# decode must equal the baseline decode of the same image BIT-EXACTLY.
+
+
+def test_progressive_equals_baseline_bit_exact():
+    px = _gradient()
+    base = decode_jpeg(encode_jpeg(px, 75))
+    prog = decode_jpeg(encode_jpeg(px, 75, progressive=True))
+    assert prog is not None and prog[:3] == base[:3]
+    assert np.array_equal(prog[3], base[3])
+
+
+def test_progressive_grayscale_and_constants():
+    y, x = np.mgrid[0:21, 0:13]
+    g = ((x * 7 + y * 3) % 256).astype(np.uint8)
+    assert np.array_equal(
+        decode_jpeg(encode_jpeg(g, 85, progressive=True))[3],
+        decode_jpeg(encode_jpeg(g, 85))[3],
+    )
+    # constants: DC-only blocks + maximal EOB runs; closed form holds
+    for c in (0, 7, 128, 255):
+        px = np.full((24, 16, 3), c, dtype=np.uint8)
+        got = set(np.unique(decode_jpeg(encode_jpeg(px, 30, progressive=True))[3]))
+        assert got == {constant_gray_decoded_level(c, 30)}, c
+
+
+def test_progressive_sparse_and_noise_fuzz():
+    # sparse → long zero runs + ZRL-in-refine; noise → dense refinement
+    rng = np.random.default_rng(7)
+    cases = [np.zeros((64, 64, 3), np.uint8)]
+    cases[0][5, 9] = [255, 0, 0]
+    cases[0][40, 33] = [0, 255, 0]
+    for _ in range(6):
+        h, w = int(rng.integers(1, 50)), int(rng.integers(1, 50))
+        cases.append(rng.integers(0, 256, (h, w, 3)).astype(np.uint8))
+    for q in (20, 75):
+        for px in cases:
+            b = decode_jpeg(encode_jpeg(px, q))
+            p = decode_jpeg(encode_jpeg(px, q, progressive=True))
+            assert p is not None and np.array_equal(p[3], b[3]), (q, px.shape)
+
+
+def test_progressive_dims_and_writer_guards():
+    data = encode_jpeg(_gradient(21, 13), 75, progressive=True)
+    assert jpeg_dims(data) == (13, 21)
+    assert decode_jpeg(data[: len(data) - 20]) is None or True  # no raise
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        encode_jpeg(_gradient(8, 8), 75, subsampling="420", progressive=True)
+    with _pytest.raises(ValueError):
+        encode_jpeg(_gradient(8, 8), 75, restart_interval=2, progressive=True)
+
+
 def test_decode_deterministic():
     data = encode_jpeg(_gradient(16, 16), 75)
     a = decode_jpeg(data)[3]
@@ -126,9 +182,12 @@ def test_jpeg_dims_full_and_header_only():
 
 
 def test_decode_rejects_out_of_scope():
-    # progressive (SOF2)
+    # truncated progressive: SOF2 header with no scan data
     prog = bytes.fromhex("FFD8FFC2000B08") + struct.pack(">HH", 8, 8) + bytes.fromhex("01011100")
     assert decode_jpeg(prog) is None
+    # arithmetic-coded (SOF9)
+    arith = bytes.fromhex("FFD8FFC9000B08") + struct.pack(">HH", 8, 8) + bytes.fromhex("01011100")
+    assert decode_jpeg(arith) is None
     # truncated entropy data
     full = encode_jpeg(_gradient(16, 16), 75)
     assert decode_jpeg(full[: len(full) // 2]) is None or True  # must not raise
