@@ -1088,10 +1088,78 @@ def _gif_full_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.mapInPandas(gen, schema)
 
 
+def _webp_w(did):
+    return (F.pmod(did, F.lit(37)) + 3).cast("int")
+
+
+def _webp_h(did):
+    return (F.pmod(did, F.lit(23)) + 3).cast("int")
+
+
+def _webp_hdr_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic VP8L headers synthesized JVM-side: RIFF/WEBP/VP8L
+    + the 32-bit (w-1, h-1) field — 25 bytes, enough for mime sniff +
+    dimension parse (media_id = 'w'<doc_id>)."""
+    did = F.col("doc_id")
+    bits = (_webp_w(did) - 1).cast("long") + (_webp_h(did) - 1).cast("long") * 16384
+
+    def byte_hex(v):
+        return F.lpad(F.hex(v), 2, "0")
+
+    hexstr = F.concat(
+        F.lit("52494646" + "11000000" + "57454250" + "5650384C" + "05000000" + "2F"),
+        byte_hex(F.pmod(bits, F.lit(256))),
+        byte_hex(F.pmod((bits / 256).cast("long"), F.lit(256))),
+        byte_hex((bits / 65536).cast("long")),
+        F.lit("00"),
+    )
+    return _spread(_docs(spark, sf_dir), spark).select(
+        F.concat(F.lit("w"), did.cast("string")).alias("media_id"),
+        F.unhex(hexstr).alias("payload"),
+    )
+
+
+def _webp_full_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMPLETE lossless-WebP (VP8L) payloads from the in-repo encoder:
+    constant gray c = doc_id % 256, encoded through subtract-green +
+    color cache + LZ77 so the decode exercises the transform and
+    backward-reference paths.  Lossless → decoded sums are exactly
+    w·h·c (the SQL twin)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import BinaryType, StringType, StructField, StructType
+
+    from hquery_php_spark.operators.webp import encode_webp_lossless
+
+    d = _spread(_docs(spark, sf_dir), spark).select(
+        F.col("doc_id").cast("long").alias("did")
+    )
+    schema = StructType(
+        [StructField("media_id", StringType()), StructField("payload", BinaryType())]
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            out = {"media_id": [], "payload": []}
+            for did in pdf["did"]:
+                did = int(did)
+                w, h = 3 + did % 37, 3 + did % 23
+                px = np.full((h, w, 3), did % 256, dtype=np.uint8)
+                out["media_id"].append(f"w{did}")
+                out["payload"].append(
+                    encode_webp_lossless(
+                        px, subtract_green=True, use_lz77=True, use_cache_bits=4
+                    )
+                )
+            yield pd.DataFrame(out)
+
+    return d.mapInPandas(gen, schema)
+
+
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Magic-byte sniff + header dimension parse (PNG IHDR / JPEG SOF0 /
-    GIF logical screen descriptor) over binary payload columns — all
-    three image families per doc."""
+    """Magic-byte sniff + header dimension parse (PNG IHDR / JPEG SOF0 +
+    SOF2 / GIF logical screen descriptor / WebP VP8L header) over binary
+    payload columns — every image family per doc."""
     from hquery_php_spark.operators.multimodal import image_meta_df
 
     payloads = (
@@ -1099,6 +1167,7 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(_jpeg_hdr_payloads(spark, sf_dir))
         .unionByName(_jpeg_hdr_payloads(spark, sf_dir, sof="FFC2", prefix="p"))
         .unionByName(_gif_hdr_payloads(spark, sf_dir))
+        .unionByName(_webp_hdr_payloads(spark, sf_dir))
     )
     return image_meta_df(payloads)
 
@@ -1167,6 +1236,7 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         _png_full_payloads(spark, sf_dir)
         .unionByName(_jpeg_full_payloads(spark, sf_dir))
         .unionByName(_gif_full_payloads(spark, sf_dir))
+        .unionByName(_webp_full_payloads(spark, sf_dir))
     )
     stats = image_pixel_stats_df(payloads, allow_stub=False)
     npx = F.col("n_px").cast("double")
@@ -2878,6 +2948,13 @@ def _base_oracle_sql() -> dict[str, str]:
                    CAST(doc_id % 30 + 5 AS INTEGER),
                    13
             FROM documents
+            UNION ALL
+            SELECT 'w' || CAST(doc_id AS VARCHAR),
+                   'image/webp',
+                   CAST(doc_id % 37 + 3 AS INTEGER),
+                   CAST(doc_id % 23 + 3 AS INTEGER),
+                   25
+            FROM documents
         """,
         # PNG rows: template inversion of _png_full_payloads (decoded
         # sums equal the generating formula summed over the grid).
@@ -2965,6 +3042,17 @@ def _base_oracle_sql() -> dict[str, str]:
                      CAST(255 * w * h AS BIGINT)
               FROM (SELECT doc_id, doc_id % 40 + 5 AS w,
                            doc_id % 30 + 5 AS h, doc_id % 256 AS c
+                    FROM documents)
+              UNION ALL
+              -- lossless WebP (VP8L): same exactness argument
+              SELECT 'w' || CAST(doc_id AS VARCHAR),
+                     CAST(w AS INTEGER), CAST(h AS INTEGER),
+                     CAST(w * h AS INTEGER),
+                     CAST(w * h * c AS BIGINT), CAST(w * h * c AS BIGINT),
+                     CAST(w * h * c AS BIGINT),
+                     CAST(255 * w * h AS BIGINT)
+              FROM (SELECT doc_id, doc_id % 37 + 3 AS w,
+                           doc_id % 23 + 3 AS h, doc_id % 256 AS c
                     FROM documents)
             )
         """,

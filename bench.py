@@ -107,6 +107,9 @@ def main() -> None:
         "length_quantiles",
         "chunk_documents",
         "bigram_logprob",
+        # codec throughput: synth + decode 4 payloads/doc (PNG, baseline
+        # JPEG, progressive JPEG, GIF) through the pure-Python codecs
+        "multimodal_features",
     ]
 
     timings = {}

@@ -4,10 +4,11 @@ Images/audio/video ride as ``binary`` columns with a metadata struct;
 this module provides the real Spark plumbing — schemas, batch shapes,
 partitioning-friendly signatures.  PNG (stdlib codec below), JPEG
 (``operators/jpeg.py``, pure numpy huffman+IDCT — baseline-sequential
-AND progressive SOF2), GIF (``operators/gif.py``, real LZW), and
-uncompressed BMP all decode for REAL; the remaining codecs (WebP,
-audio, video) are STUBBED (the media libraries are not in this
-container).  Each decode UDF:
+AND progressive SOF2), GIF (``operators/gif.py``, real LZW),
+lossless WebP (``operators/webp.py``, VP8L: transforms, meta-huffman,
+LZ77, color cache), and uncompressed BMP all decode for REAL; the
+remaining codecs (lossy-VP8 WebP, audio, video) are STUBBED (the media
+libraries are not in this container).  Each decode UDF:
 
 * validates magic bytes / container headers itself (real, tested);
 * decodes PNG, JPEG, GIF, and BMP payloads to true pixels;
@@ -352,7 +353,12 @@ def decode_image(payload: Optional[bytes]):
     dec = decode_gif(payload)
     if dec is not None:
         return dec
-    return decode_bmp(payload)
+    dec = decode_bmp(payload)
+    if dec is not None:
+        return dec
+    from hquery_php_spark.operators.webp import decode_webp
+
+    return decode_webp(payload)
 
 
 def image_meta_df(df: DataFrame, payload_col: str = "payload") -> DataFrame:
@@ -385,6 +391,10 @@ def image_meta_df(df: DataFrame, payload_col: str = "payload") -> DataFrame:
                     from hquery_php_spark.operators.gif import gif_dims
 
                     dims = gif_dims(payload)
+                elif payload and mime == "image/webp":
+                    from hquery_php_spark.operators.webp import webp_dims
+
+                    dims = webp_dims(payload)
                 else:
                     dims = None
                 out["media_id"].append(mid)
