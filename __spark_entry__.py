@@ -1156,6 +1156,149 @@ def _webp_full_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.mapInPandas(gen, schema)
 
 
+def _wav_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMPLETE RIFF/WAVE PCM payloads from the in-repo encoder
+    (operators/wav.py) — per doc the bit depth cycles 8/16/24/32, the
+    channel count 1/2, so every decode branch runs.  Sample values are
+    the affine-mod formula v(i, c) = (doc_id·7 + i·13 + c·5) % 251 − 125
+    (fits all depths incl. 8-bit), making every decoded statistic a
+    closed-form SQL sum (media_id = 'a'<doc_id>)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import BinaryType, StringType, StructField, StructType
+
+    from hquery_php_spark.operators.wav import encode_wav
+
+    d = _spread(_docs(spark, sf_dir), spark).select(
+        F.col("doc_id").cast("long").alias("did")
+    )
+    schema = StructType(
+        [StructField("media_id", StringType()), StructField("payload", BinaryType())]
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            out = {"media_id": [], "payload": []}
+            for did in pdf["did"]:
+                did = int(did)
+                bits = (8, 16, 24, 32)[did % 4]
+                ch = 1 + did % 2
+                rate = 8000 + (did % 4) * 4000
+                n = 16 + did % 49
+                i = np.arange(n)[:, None]
+                c = np.arange(ch)[None, :]
+                v = (did * 7 + i * 13 + c * 5) % 251 - 125
+                out["media_id"].append(f"a{did}")
+                out["payload"].append(encode_wav(v, rate, bits))
+            yield pd.DataFrame(out)
+
+    return d.mapInPandas(gen, schema)
+
+
+def q_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode: WAV/PCM payloads (8/16/24/32-bit, mono+stereo)
+    → exact integer sample statistics via operators/wav.py — the audio
+    leg of the multimodal column contract."""
+    from hquery_php_spark.operators.multimodal import audio_pcm_stats_df
+
+    return audio_pcm_stats_df(_wav_payloads(spark, sf_dir))
+
+
+def _gif_anim_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMPLETE animated GIFs (2-6 full-screen frames, real LZW, per-
+    frame graphic-control blocks) — frame f is the constant color
+    (doc_id·11 + f·17) % 256, so every composited frame's pixel sums
+    are closed-form (media_id = 'v'<doc_id>)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import BinaryType, StringType, StructField, StructType
+
+    from hquery_php_spark.operators.gif import encode_gif_animation
+
+    d = _spread(_docs(spark, sf_dir), spark).select(
+        F.col("doc_id").cast("long").alias("did")
+    )
+    schema = StructType(
+        [StructField("media_id", StringType()), StructField("payload", BinaryType())]
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            out = {"media_id": [], "payload": []}
+            for did in pdf["did"]:
+                did = int(did)
+                w, h = 4 + did % 9, 3 + did % 7
+                nf = 2 + did % 5
+                frames = [
+                    np.full((h, w), (did * 11 + f * 17) % 256, np.uint8)
+                    for f in range(nf)
+                ]
+                out["media_id"].append(f"v{did}")
+                out["payload"].append(
+                    encode_gif_animation(frames, delays_cs=range(1, nf + 1))
+                )
+            yield pd.DataFrame(out)
+
+    return d.mapInPandas(gen, schema)
+
+
+def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video-column frame sampling: animated GIFs are decoded
+    frame-by-frame (GIF89a disposal compositing), every 2nd frame is
+    re-encoded as a standalone PNG by video_frame_sample_df, and the
+    sampled PNGs are decoded AGAIN for exact pixel sums — the whole
+    demux → sample → per-frame-feature path, end to end."""
+    from hquery_php_spark.operators.multimodal import (
+        image_pixel_stats_df,
+        video_frame_sample_df,
+    )
+
+    frames = video_frame_sample_df(
+        _gif_anim_payloads(spark, sf_dir), every_n=2, max_frames=8
+    )
+    keyed = frames.select(
+        F.concat_ws(":", "media_id", "frame_no").alias("media_id"),
+        F.col("frame").alias("payload"),
+    )
+    stats = image_pixel_stats_df(keyed, allow_stub=False)
+    parts = F.split("media_id", ":")
+    return stats.select(
+        parts.getItem(0).alias("media_id"),
+        parts.getItem(1).cast("int").alias("frame_no"),
+        "n_px",
+        "sum_r",
+        "sum_a",
+    )
+
+
+def q_media_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio PCM statistics + sampled-video-frame statistics in one
+    driver row: the non-image legs of the multimodal contract."""
+    a = q_audio_stats(spark, sf_dir).select(
+        F.lit("audio").alias("fam"),
+        F.col("media_id").alias("k1"),
+        F.col("sample_rate").cast("int").alias("k2"),
+        F.col("n_channels").cast("long").alias("a"),
+        F.col("n_samples").cast("long").alias("b"),
+        F.col("sum_val").alias("c"),
+        F.col("sum_abs").alias("d"),
+        F.col("sum_sq").alias("e"),
+        F.col("peak").cast("long").alias("f"),
+    )
+    v = q_frame_sample(spark, sf_dir).select(
+        F.lit("frame").alias("fam"),
+        F.col("media_id").alias("k1"),
+        F.col("frame_no").alias("k2"),
+        F.col("n_px").cast("long").alias("a"),
+        F.col("sum_r").alias("b"),
+        F.col("sum_a").alias("c"),
+        F.lit(0).cast("long").alias("d"),
+        F.lit(0).cast("long").alias("e"),
+        F.lit(0).cast("long").alias("f"),
+    )
+    return a.unionByName(v)
+
+
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Magic-byte sniff + header dimension parse (PNG IHDR / JPEG SOF0 +
     SOF2 / GIF logical screen descriptor / WebP VP8L header) over binary
@@ -2485,6 +2628,7 @@ SUITE_COVERS = {
                      "events_topk"],
     "tpch_suite": ["revenue_by_nation", "pricing_summary"],
     "multimodal_suite": ["multimodal_meta", "multimodal_features"],
+    "media_suite": ["audio_stats", "frame_sample"],
 }
 
 
@@ -2552,6 +2696,8 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interleaved_stats": q_interleaved_stats,
         "multimodal_meta": q_multimodal_meta,
         "multimodal_features": q_multimodal_features,
+        "audio_stats": q_audio_stats,
+        "frame_sample": q_frame_sample,
         "embed_near_dup_exact": q_embed_near_dup_exact,
         "embed_near_dup_lsh": q_embed_near_dup_lsh,
         "lsh_recall": q_lsh_recall,
@@ -2629,6 +2775,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_suite": q_events_suite,
         "tpch_suite": q_tpch_suite,
         "multimodal_suite": q_multimodal_suite,
+        "media_suite": q_media_suite,
     }
 
 
@@ -3056,6 +3203,55 @@ def _base_oracle_sql() -> dict[str, str]:
                     FROM documents)
             )
         """,
+        # Audio rows: template inversion of _wav_payloads — PCM is
+        # lossless integer storage, so each decoded statistic is the
+        # generating formula v(i,c) summed over the (sample, channel)
+        # grid, enumerated here with correlated unnest(generate_series).
+        "audio_stats": """
+            WITH p AS (
+              SELECT doc_id, 8000 + (doc_id % 4) * 4000 AS rate,
+                     1 + doc_id % 2 AS ch, 16 + doc_id % 49 AS n
+              FROM documents
+            ),
+            i AS (SELECT doc_id, rate, ch, n,
+                         unnest(generate_series(0, n - 1)) AS i
+                  FROM p),
+            v AS (SELECT doc_id, rate, ch, n,
+                         (doc_id * 7 + i * 13
+                          + unnest(generate_series(0, ch - 1)) * 5)
+                         % 251 - 125 AS v
+                  FROM i)
+            SELECT 'a' || CAST(doc_id AS VARCHAR) AS media_id,
+                   'audio/wav' AS mime,
+                   CAST(rate AS INTEGER) AS sample_rate,
+                   CAST(ch AS INTEGER) AS n_channels,
+                   CAST(n AS INTEGER) AS n_samples,
+                   CAST(SUM(v) AS BIGINT) AS sum_val,
+                   CAST(SUM(ABS(v)) AS BIGINT) AS sum_abs,
+                   CAST(SUM(v * v) AS BIGINT) AS sum_sq,
+                   CAST(MAX(ABS(v)) AS INTEGER) AS peak
+            FROM v GROUP BY doc_id, rate, ch, n
+        """,
+        # Sampled-frame rows: frames are full-screen constant-color with
+        # disposal 1 and no transparency, so composited frame f IS color
+        # (doc_id*11 + f*17) % 256; sampling keeps even source frames.
+        "frame_sample": """
+            WITH p AS (
+              SELECT doc_id, 4 + doc_id % 9 AS w, 3 + doc_id % 7 AS h,
+                     2 + doc_id % 5 AS nf
+              FROM documents
+            ),
+            fr AS (SELECT doc_id, w, h,
+                          unnest(generate_series(0, nf - 1)) AS f
+                   FROM p)
+            SELECT 'v' || CAST(doc_id AS VARCHAR) AS media_id,
+                   CAST(f AS INTEGER) AS frame_no,
+                   CAST(w * h AS INTEGER) AS n_px,
+                   CAST(w * h * ((doc_id * 11 + f * 17) % 256) AS BIGINT)
+                     AS sum_r,
+                   CAST(255 * w * h AS BIGINT) AS sum_a
+            FROM fr WHERE f % 2 = 0
+        """,
         "embed_near_dup_exact": """
             WITH e AS (
               SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
@@ -3362,5 +3558,19 @@ def oracle_sql() -> dict[str, str]:
                f.mean_r, f.mean_g, f.mean_b, m.mime, m.n_bytes
         FROM ({base['multimodal_features']}) f
         JOIN ({base['multimodal_meta']}) m ON f.media_id = m.media_id
+    """
+    out["media_suite"] = f"""
+        SELECT 'audio' AS fam, media_id AS k1,
+               CAST(sample_rate AS INTEGER) AS k2,
+               CAST(n_channels AS BIGINT) AS a,
+               CAST(n_samples AS BIGINT) AS b,
+               sum_val AS c, sum_abs AS d, sum_sq AS e,
+               CAST(peak AS BIGINT) AS f
+        FROM ({base['audio_stats']})
+        UNION ALL
+        SELECT 'frame', media_id, frame_no, CAST(n_px AS BIGINT),
+               sum_r, sum_a, CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+               CAST(0 AS BIGINT)
+        FROM ({base['frame_sample']})
     """
     return out

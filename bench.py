@@ -107,9 +107,13 @@ def main() -> None:
         "length_quantiles",
         "chunk_documents",
         "bigram_logprob",
-        # codec throughput: synth + decode 4 payloads/doc (PNG, baseline
-        # JPEG, progressive JPEG, GIF) through the pure-Python codecs
+        # codec throughput: synth + decode 5 payloads/doc (PNG, baseline
+        # JPEG, progressive JPEG, GIF, VP8L) through the pure-Python codecs
         "multimodal_features",
+        # non-image media legs: WAV/PCM decode and animated-GIF frame
+        # sampling (demux → per-frame PNG → pixel stats)
+        "audio_stats",
+        "frame_sample",
     ]
 
     timings = {}

@@ -25,7 +25,13 @@ from typing import Optional
 
 import numpy as np
 
-__all__ = ["encode_gif", "decode_gif", "gif_dims"]
+__all__ = [
+    "encode_gif",
+    "encode_gif_animation",
+    "decode_gif",
+    "decode_gif_frames",
+    "gif_dims",
+]
 
 
 def gif_dims(payload: bytes) -> Optional[tuple]:
@@ -262,6 +268,151 @@ def _decode_gif_impl(payload: Optional[bytes]):
             return sw, sh, 3, rgb.astype(np.uint8)
         return None  # unknown block
     return None
+
+
+def decode_gif_frames(payload: Optional[bytes], max_frames: Optional[int] = None):
+    """REAL animation decode: every frame of a GIF87a/89a stream,
+    composited per the GIF89a disposal model.  Returns a list of
+    ``(frame_no, delay_cs, pixels)`` where ``pixels`` is the full
+    logical-screen RGBA uint8 array after the frame is drawn, or None
+    for corrupt/out-of-scope payloads.
+
+    Compositing rules (spec §23): the screen starts fully transparent;
+    a frame's transparent index leaves underlying pixels; disposal 0/1
+    keep the composite, 2 clears the frame's rect back to transparent,
+    3 restores the screen as it was before the frame.  This is the
+    true video-column path — ``video_frame_sample_df`` samples these
+    frames instead of byte windows when the payload is a GIF."""
+    try:
+        return _decode_gif_frames_impl(payload, max_frames)
+    except (ValueError, IndexError, KeyError, _struct.error):
+        return None
+
+
+def _decode_gif_frames_impl(payload, max_frames):
+    dims = gif_dims(payload) if payload else None
+    if dims is None:
+        return None
+    sw, sh = dims
+    if sw == 0 or sh == 0:
+        return None
+    packed = payload[10]
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = np.frombuffer(payload[pos : pos + 3 * n], np.uint8).reshape(-1, 3)
+        if gct.shape[0] < n:
+            return None
+        pos += 3 * n
+    screen = np.zeros((sh, sw, 4), np.uint8)  # transparent canvas
+    frames = []
+    transparent = None
+    disposal = 0
+    delay_cs = 0
+    n_data = len(payload)
+    while pos < n_data:
+        b = payload[pos]
+        if b == 0x3B:  # trailer
+            break
+        if b == 0x21:  # extension
+            label = payload[pos + 1]
+            pos += 2
+            if label == 0xF9 and payload[pos] >= 4:
+                gce_packed = payload[pos + 1]
+                delay_cs = _struct.unpack_from("<H", payload, pos + 2)[0]
+                transparent = payload[pos + 4] if gce_packed & 0x01 else None
+                disposal = (gce_packed >> 2) & 0x07
+            while pos < n_data and payload[pos] != 0:
+                pos += 1 + payload[pos]
+            pos += 1
+            continue
+        if b != 0x2C:
+            return None  # unknown block
+        left, top, w, h = _struct.unpack("<HHHH", payload[pos + 1 : pos + 9])
+        ipacked = payload[pos + 9]
+        pos += 10
+        ct = gct
+        if ipacked & 0x80:
+            n = 2 << (ipacked & 0x07)
+            ct = np.frombuffer(payload[pos : pos + 3 * n], np.uint8).reshape(-1, 3)
+            pos += 3 * n
+        if ct is None or left + w > sw or top + h > sh:
+            return None
+        mcs = payload[pos]
+        pos += 1
+        if mcs < 2 or mcs > 11:
+            return None
+        data = bytearray()
+        while pos < n_data and payload[pos] != 0:
+            ln = payload[pos]
+            data += payload[pos + 1 : pos + 1 + ln]
+            pos += 1 + ln
+        pos += 1  # block terminator
+        idx = _LZWDecoder(mcs).decode(bytes(data), w * h)
+        if idx is None or len(idx) < w * h:
+            return None
+        frame = np.asarray(idx[: w * h], np.int64).reshape(h, w)
+        if ipacked & 0x40:
+            frame = _deinterlace(frame)
+        if frame.max() >= ct.shape[0]:
+            return None
+        before = screen[top : top + h, left : left + w].copy()
+        rect = screen[top : top + h, left : left + w]
+        opaque = (
+            frame != transparent if transparent is not None
+            else np.ones_like(frame, bool)
+        )
+        rect[opaque, :3] = ct[frame[opaque]]
+        rect[opaque, 3] = 255
+        frames.append((len(frames), int(delay_cs), screen.copy()))
+        if max_frames is not None and len(frames) >= max_frames:
+            return frames
+        if disposal == 2:
+            rect[:] = 0
+        elif disposal == 3:
+            rect[:] = before
+        transparent = None
+        disposal = 0
+        delay_cs = 0
+    return frames if frames else None
+
+
+def encode_gif_animation(frames, delays_cs=None, transparent_index=None) -> bytes:
+    """Multi-frame GIF89a writer for synthetic video-column corpora:
+    each entry of ``frames`` is an (h, w) palette-index array over the
+    implicit 256-gray palette (all frames full-screen, disposal 1).
+    Exercises every path ``decode_gif_frames`` has: per-frame GCEs,
+    delays, optional transparency."""
+    frames = [np.asarray(f, np.uint8) for f in frames]
+    h, w = frames[0].shape
+    if delays_cs is None:
+        delays_cs = [4] * len(frames)
+    palette = np.stack([np.arange(256)] * 3, 1).astype(np.uint8)
+    out = bytearray(b"GIF89a")
+    out += _struct.pack("<HH", w, h)
+    out += bytes([0x80 | 0x07, 0, 0])
+    out += palette.tobytes()
+    for fr, delay in zip(frames, delays_cs):
+        if fr.shape != (h, w):
+            raise ValueError("all frames must be full-screen")
+        gce_packed = 0x04  # disposal 1 (do not dispose)
+        tix = 0
+        if transparent_index is not None:
+            gce_packed |= 0x01
+            tix = transparent_index
+        out += bytes([0x21, 0xF9, 4, gce_packed])
+        out += _struct.pack("<H", int(delay)) + bytes([tix, 0])
+        out += bytes([0x2C]) + _struct.pack("<HHHH", 0, 0, w, h) + bytes([0])
+        mcs = 8
+        out += bytes([mcs])
+        lzw = _lzw_encode(fr.astype(np.int64).reshape(-1), mcs)
+        for i in range(0, len(lzw), 255):
+            chunk = lzw[i : i + 255]
+            out += bytes([len(chunk)]) + chunk
+        out += bytes([0])
+    out += bytes([0x3B])
+    return bytes(out)
 
 
 def encode_gif(

@@ -49,6 +49,7 @@ __all__ = [
     "image_pixel_stats_df",
     "image_features_df",
     "image_resize_df",
+    "audio_pcm_stats_df",
     "video_frame_sample_df",
 ]
 
@@ -626,6 +627,72 @@ def image_resize_df(
     return narrow.mapInPandas(run, schema)
 
 
+def audio_pcm_stats_df(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """REAL audio decode for WAV/PCM payloads (``operators/wav.py``:
+    RIFF chunk walk, 8/16/24/32-bit integer PCM, any channel count) →
+    exact integer sample statistics, so the aggregate admits a
+    closed-form SQL twin.  Compressed audio (MP3/OGG/FLAC) still sniffs
+    a mime but yields NULL stats — no codec libraries in this
+    container, same honest-NULL doctrine as image decode.
+
+    One row per payload: (media_id, mime, sample_rate, n_channels,
+    n_samples, sum_val, sum_abs, sum_sq, peak) — sums over every sample
+    of every channel as BIGINT (sum_sq of full-scale 32-bit audio can
+    overflow int64 only past ~2×10^18, i.e. >2 billion full-scale
+    samples per payload; payloads are row-sized, not corpus-sized).
+    """
+    import numpy as np
+    from pyspark.sql.types import LongType
+
+    from hquery_php_spark.operators.wav import decode_wav
+
+    schema = StructType(
+        [
+            StructField("media_id", StringType()),
+            StructField("mime", StringType()),
+            StructField("sample_rate", IntegerType()),
+            StructField("n_channels", IntegerType()),
+            StructField("n_samples", IntegerType()),
+            StructField("sum_val", LongType()),
+            StructField("sum_abs", LongType()),
+            StructField("sum_sq", LongType()),
+            StructField("peak", IntegerType()),
+        ]
+    )
+    narrow = df.select(F.col("media_id").cast("string"), F.col(payload_col).alias("p"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in schema.fieldNames()}
+            for mid, p in zip(pdf["media_id"], pdf["p"]):
+                payload = bytes(p) if p is not None else None
+                mime = sniff_media_type(payload)
+                dec = decode_wav(payload)
+                out["media_id"].append(mid)
+                out["mime"].append(mime)
+                if dec is None:
+                    for k in (
+                        "sample_rate", "n_channels", "n_samples",
+                        "sum_val", "sum_abs", "sum_sq", "peak",
+                    ):
+                        out[k].append(None)
+                    continue
+                rate, samples = dec
+                s64 = samples.astype(np.int64)
+                out["sample_rate"].append(rate)
+                out["n_channels"].append(samples.shape[1])
+                out["n_samples"].append(samples.shape[0])
+                out["sum_val"].append(int(s64.sum()))
+                out["sum_abs"].append(int(np.abs(s64).sum()))
+                out["sum_sq"].append(int((s64 * s64).sum()))
+                out["peak"].append(
+                    int(np.abs(s64).max()) if s64.size else 0
+                )
+            yield pd.DataFrame(out)
+
+    return narrow.mapInPandas(run, schema)
+
+
 def video_frame_sample_df(
     df: DataFrame,
     payload_col: str = "payload",
@@ -633,10 +700,15 @@ def video_frame_sample_df(
     max_frames: int = 8,
     frame_bytes: int = 256,
 ) -> DataFrame:
-    """Frame-sampling plumbing for video columns: container sniffing is
-    real; without a demuxer, "frames" are deterministic fixed-stride byte
-    windows of the payload — the schema, batching and fan-out (one row
-    per sampled frame) are exactly what a real decoder drops into."""
+    """Frame sampling for video-like columns.  For animated GIFs this
+    is REAL: ``decode_gif_frames`` composites every frame per the
+    GIF89a disposal model, every ``every_n``-th frame (up to
+    ``max_frames``) is re-encoded as a standalone PNG, and ``frame_no``
+    is the SOURCE frame index — exactly what a video demuxer's
+    key-frame sampler emits.  For containers without an in-repo demuxer
+    (MP4/WebM/MKV), "frames" fall back to deterministic fixed-stride
+    byte windows with ordinal frame numbers — the schema, batching and
+    one-row-per-frame fan-out are already the real contract."""
     schema = StructType(
         [
             StructField("media_id", StringType()),
@@ -648,11 +720,25 @@ def video_frame_sample_df(
     narrow = df.select(F.col("media_id").cast("string"), F.col(payload_col).alias("p"))
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from hquery_php_spark.operators.gif import decode_gif_frames
+
         for pdf in batches:
             out = {k: [] for k in schema.fieldNames()}
             for mid, p in zip(pdf["media_id"], pdf["p"]):
                 payload = bytes(p) if p is not None else b""
                 mime = sniff_media_type(payload)
+                if mime == "image/gif":
+                    frames = decode_gif_frames(
+                        payload, max_frames=(max_frames - 1) * every_n + 1
+                    )
+                    for fno, _delay, px in frames or []:
+                        if fno % every_n:
+                            continue
+                        out["media_id"].append(mid)
+                        out["frame_no"].append(fno)
+                        out["mime"].append(mime)
+                        out["frame"].append(encode_png(px))
+                    continue
                 stride = frame_bytes * every_n
                 for fno in range(max_frames):
                     start = fno * stride

@@ -164,3 +164,90 @@ def test_bmp_decode_all_variants():
     bad = bytearray(_make_bmp(g, 8))
     bad[30] = 1  # biCompression = BI_RLE8
     assert decode_bmp(bytes(bad)) is None
+
+
+# ------------------------------------------------------------------ #
+# Animation: decode_gif_frames (GIF89a disposal-model compositing)
+
+
+def test_animation_constant_frames_and_delays():
+    from hquery_php_spark.operators.gif import decode_gif_frames, encode_gif_animation
+
+    colors = (10, 200, 37, 255)
+    gif = encode_gif_animation(
+        [np.full((5, 7), c, np.uint8) for c in colors], delays_cs=[2, 4, 6, 8]
+    )
+    out = decode_gif_frames(gif)
+    assert [f[0] for f in out] == [0, 1, 2, 3]
+    assert [f[1] for f in out] == [2, 4, 6, 8]
+    for (_, _, px), c in zip(out, colors):
+        assert px.shape == (5, 7, 4)
+        assert (px[:, :, :3] == c).all() and (px[:, :, 3] == 255).all()
+    # max_frames stops the walk early
+    assert len(decode_gif_frames(gif, max_frames=2)) == 2
+
+
+def test_animation_transparency_reveals_prior_frame():
+    from hquery_php_spark.operators.gif import decode_gif_frames, encode_gif_animation
+
+    f0 = np.full((3, 3), 50, np.uint8)
+    f1 = np.zeros((3, 3), np.uint8)  # index 0 = transparent
+    f1[1, 1] = 80
+    out = decode_gif_frames(encode_gif_animation([f0, f1], transparent_index=0))
+    px1 = out[1][2]
+    assert px1[1, 1, 0] == 80  # opaque pixel drawn
+    assert px1[0, 0, 0] == 50  # transparent pixel shows frame 0 (disposal 1)
+    assert (px1[:, :, 3] == 255).all()
+
+
+def test_animation_disposal_2_and_3():
+    from hquery_php_spark.operators.gif import decode_gif_frames, encode_gif_animation
+
+    # hand-build: frame0 disposal 2 (restore bg) then a transparent-only
+    # frame — the cleared rect must read transparent, not frame0
+    base = encode_gif_animation(
+        [np.full((2, 2), 9, np.uint8), np.zeros((2, 2), np.uint8)],
+        transparent_index=0,
+    )
+    b = bytearray(base)
+    # first GCE packed byte: set disposal 2 (bits 2-4), keep transparency
+    gce1 = base.index(bytes([0x21, 0xF9, 4]))
+    b[gce1 + 3] = (2 << 2) | 0x01
+    out = decode_gif_frames(bytes(b))
+    assert (out[0][2][:, :, 0] == 9).all()
+    assert (out[1][2][:, :, 3] == 0).all()  # cleared + transparent draw
+    # disposal 3 (restore previous) on frame0: after frame0 the canvas
+    # reverts to its pre-frame0 state (fully transparent), and frame1 is
+    # all-transparent so it draws nothing on top
+    b[gce1 + 3] = (3 << 2) | 0x01
+    out = decode_gif_frames(bytes(b))
+    assert (out[0][2][:, :, 0] == 9).all()  # frame0 itself unaffected
+    assert (out[1][2][:, :, 3] == 0).all()
+
+
+def test_first_frame_decode_matches_animation_frame0():
+    from hquery_php_spark.operators.gif import (
+        decode_gif,
+        decode_gif_frames,
+        encode_gif_animation,
+    )
+
+    y, x = np.mgrid[0:9, 0:11]
+    f0 = ((x * 7 + y * 3) % 256).astype(np.uint8)
+    f1 = ((x + y) % 256).astype(np.uint8)
+    gif = encode_gif_animation([f0, f1])
+    frames = decode_gif_frames(gif)
+    w, h, ch, px = decode_gif(gif)
+    assert (w, h) == (11, 9) and len(frames) == 2
+    assert np.array_equal(px[:, :, 0], frames[0][2][:, :, 0])
+
+
+def test_frames_rejections():
+    from hquery_php_spark.operators.gif import decode_gif_frames
+
+    assert decode_gif_frames(None) is None
+    assert decode_gif_frames(b"GIF89a\x00") is None
+    assert decode_gif_frames(b"not a gif") is None
+    # the external still image decodes as a single frame
+    out = decode_gif_frames(_TINY_1PX)
+    assert len(out) == 1 and out[0][2].shape == (1, 1, 4)

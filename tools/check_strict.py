@@ -105,6 +105,15 @@ def main() -> int:
 
     qs = E.queries()
     oracles = E.oracle_sql()
+    # explicitly-requested per-operator names resolve through the full
+    # map + base twins, so suite members are strict-checkable alone
+    if only:
+        aq, base = E.all_queries(), E._base_oracle_sql()
+        for name in only - set(qs):
+            if name in aq:
+                qs = {**qs, name: aq[name]}
+                if name in base:
+                    oracles = {**oracles, name: base[name]}
     failures = 0
     for name, fn in qs.items():
         if only and name not in only:
