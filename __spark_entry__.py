@@ -1242,20 +1242,69 @@ def _gif_anim_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.mapInPandas(gen, schema)
 
 
+def _avi_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMPLETE uncompressed-DIB AVIs (operators/avi.py: real RIFF
+    hdrl/strl/movi structure, bottom-up BGR rows, 4-byte alignment) —
+    frame f of doc d is the constant RGB (d·3+f·5, d·5+f·7, d·9+f·11)
+    % 256, so sampled-frame sums are closed-form (media_id =
+    'x'<doc_id>)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import BinaryType, StringType, StructField, StructType
+
+    from hquery_php_spark.operators.avi import encode_avi
+
+    d = _spread(_docs(spark, sf_dir), spark).select(
+        F.col("doc_id").cast("long").alias("did")
+    )
+    schema = StructType(
+        [StructField("media_id", StringType()), StructField("payload", BinaryType())]
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            out = {"media_id": [], "payload": []}
+            for did in pdf["did"]:
+                did = int(did)
+                w, h = 4 + did % 6, 2 + did % 5
+                nf = 1 + did % 4
+                frames = [
+                    np.broadcast_to(
+                        np.array(
+                            [
+                                (did * 3 + f * 5) % 256,
+                                (did * 5 + f * 7) % 256,
+                                (did * 9 + f * 11) % 256,
+                            ],
+                            np.uint8,
+                        ),
+                        (h, w, 3),
+                    )
+                    for f in range(nf)
+                ]
+                out["media_id"].append(f"x{did}")
+                out["payload"].append(encode_avi(frames))
+            yield pd.DataFrame(out)
+
+    return d.mapInPandas(gen, schema)
+
+
 def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL video-column frame sampling: animated GIFs are decoded
-    frame-by-frame (GIF89a disposal compositing), every 2nd frame is
-    re-encoded as a standalone PNG by video_frame_sample_df, and the
-    sampled PNGs are decoded AGAIN for exact pixel sums — the whole
-    demux → sample → per-frame-feature path, end to end."""
+    """REAL video-column frame sampling over BOTH real containers:
+    animated GIFs (GIF89a disposal compositing) and uncompressed-DIB
+    AVIs (RIFF demux).  Every 2nd source frame is re-encoded as a
+    standalone PNG by video_frame_sample_df, and the sampled PNGs are
+    decoded AGAIN for exact pixel sums — the whole demux → sample →
+    per-frame-feature path, end to end."""
     from hquery_php_spark.operators.multimodal import (
         image_pixel_stats_df,
         video_frame_sample_df,
     )
 
-    frames = video_frame_sample_df(
-        _gif_anim_payloads(spark, sf_dir), every_n=2, max_frames=8
+    payloads = _gif_anim_payloads(spark, sf_dir).unionByName(
+        _avi_payloads(spark, sf_dir)
     )
+    frames = video_frame_sample_df(payloads, every_n=2, max_frames=8)
     keyed = frames.select(
         F.concat_ws(":", "media_id", "frame_no").alias("media_id"),
         F.col("frame").alias("payload"),
@@ -3251,6 +3300,20 @@ def _base_oracle_sql() -> dict[str, str]:
                      AS sum_r,
                    CAST(255 * w * h AS BIGINT) AS sum_a
             FROM fr WHERE f % 2 = 0
+            UNION ALL
+            -- AVI rows: same inversion of _avi_payloads (DIB is
+            -- lossless; red channel = (doc_id*3 + f*5) % 256, 24-bit
+            -- promotes alpha to opaque 255)
+            SELECT 'x' || CAST(doc_id AS VARCHAR),
+                   CAST(f AS INTEGER), CAST(w * h AS INTEGER),
+                   CAST(w * h * ((doc_id * 3 + f * 5) % 256) AS BIGINT),
+                   CAST(255 * w * h AS BIGINT)
+            FROM (SELECT doc_id, w, h,
+                         unnest(generate_series(0, nf - 1)) AS f
+                  FROM (SELECT doc_id, 4 + doc_id % 6 AS w,
+                               2 + doc_id % 5 AS h, 1 + doc_id % 4 AS nf
+                        FROM documents))
+            WHERE f % 2 = 0
         """,
         "embed_near_dup_exact": """
             WITH e AS (

@@ -6,12 +6,15 @@ partitioning-friendly signatures.  PNG (stdlib codec below), JPEG
 (``operators/jpeg.py``, pure numpy huffman+IDCT — baseline-sequential
 AND progressive SOF2), GIF (``operators/gif.py``, real LZW),
 lossless WebP (``operators/webp.py``, VP8L: transforms, meta-huffman,
-LZ77, color cache), and uncompressed BMP all decode for REAL; the
-remaining codecs (lossy-VP8 WebP, audio, video) are STUBBED (the media
-libraries are not in this container).  Each decode UDF:
+LZ77, color cache), and uncompressed BMP all decode for REAL; so do
+WAV/PCM audio (``operators/wav.py``) and GIF-animation / uncompressed-
+AVI video frames (``decode_gif_frames``, ``operators/avi.py``).  The
+remaining codecs (lossy-VP8 WebP, compressed audio/video) are STUBBED
+(the media libraries are not in this container).  Each decode UDF:
 
 * validates magic bytes / container headers itself (real, tested);
-* decodes PNG, JPEG, GIF, and BMP payloads to true pixels;
+* decodes PNG, JPEG, GIF, WebP-lossless, and BMP payloads to true
+  pixels, WAV to true samples, GIF/AVI videos to true frames;
 * emits deterministic fake features when ``allow_stub=True`` (default),
   so pipelines are end-to-end runnable;
 * raises ``NotImplementedError`` naming the missing codec otherwise.
@@ -700,15 +703,17 @@ def video_frame_sample_df(
     max_frames: int = 8,
     frame_bytes: int = 256,
 ) -> DataFrame:
-    """Frame sampling for video-like columns.  For animated GIFs this
-    is REAL: ``decode_gif_frames`` composites every frame per the
-    GIF89a disposal model, every ``every_n``-th frame (up to
-    ``max_frames``) is re-encoded as a standalone PNG, and ``frame_no``
-    is the SOURCE frame index — exactly what a video demuxer's
-    key-frame sampler emits.  For containers without an in-repo demuxer
-    (MP4/WebM/MKV), "frames" fall back to deterministic fixed-stride
-    byte windows with ordinal frame numbers — the schema, batching and
-    one-row-per-frame fan-out are already the real contract."""
+    """Frame sampling for video-like columns.  Two containers are REAL:
+    animated GIF (``decode_gif_frames`` composites every frame per the
+    GIF89a disposal model) and AVI with uncompressed DIB video
+    (``operators/avi.py`` demuxes the movi list).  Every ``every_n``-th
+    frame (up to ``max_frames``) is re-encoded as a standalone PNG, and
+    ``frame_no`` is the SOURCE frame index — exactly what a video
+    demuxer's key-frame sampler emits.  For containers without an
+    in-repo demuxer (MP4/WebM/MKV, compressed AVI), "frames" fall back
+    to deterministic fixed-stride byte windows with ordinal frame
+    numbers — the schema, batching and one-row-per-frame fan-out are
+    already the real contract."""
     schema = StructType(
         [
             StructField("media_id", StringType()),
@@ -720,18 +725,27 @@ def video_frame_sample_df(
     narrow = df.select(F.col("media_id").cast("string"), F.col(payload_col).alias("p"))
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from hquery_php_spark.operators.avi import decode_avi_frames
         from hquery_php_spark.operators.gif import decode_gif_frames
 
+        src_cap = (max_frames - 1) * every_n + 1
         for pdf in batches:
             out = {k: [] for k in schema.fieldNames()}
             for mid, p in zip(pdf["media_id"], pdf["p"]):
                 payload = bytes(p) if p is not None else b""
                 mime = sniff_media_type(payload)
+                real = None
                 if mime == "image/gif":
-                    frames = decode_gif_frames(
-                        payload, max_frames=(max_frames - 1) * every_n + 1
-                    )
-                    for fno, _delay, px in frames or []:
+                    real = [
+                        (fno, px)
+                        for fno, _delay, px in decode_gif_frames(
+                            payload, max_frames=src_cap
+                        ) or []
+                    ]
+                elif mime == "video/x-msvideo":
+                    real = decode_avi_frames(payload, max_frames=src_cap)
+                if real:
+                    for fno, px in real:
                         if fno % every_n:
                             continue
                         out["media_id"].append(mid)

@@ -1,0 +1,108 @@
+"""AVI demuxer tests (operators/avi.py): RIFF walk, uncompressed-DIB
+frame decode (bottom-up BGR(A), 4-byte row alignment), header parse,
+compressed-chunk skip, rejection boundaries, and the Spark
+video_frame_sample_df AVI branch."""
+
+import struct
+
+import numpy as np
+import pytest
+
+from hquery_php_spark.operators.avi import avi_dims, decode_avi_frames, encode_avi
+from hquery_php_spark.operators.multimodal import sniff_media_type
+
+
+def test_roundtrip_rgb_odd_width_padding():
+    rng = np.random.RandomState(1)
+    frs = [rng.randint(0, 256, size=(5, 7, 3)).astype(np.uint8) for _ in range(4)]
+    avi = encode_avi(frs, fps=10)
+    assert sniff_media_type(avi) == "video/x-msvideo"
+    assert avi_dims(avi) == (7, 5, 4, 100000)
+    out = decode_avi_frames(avi)
+    assert [f for f, _ in out] == [0, 1, 2, 3]
+    for (_, px), f in zip(out, frs):
+        assert np.array_equal(px, f)
+
+
+def test_roundtrip_rgba_32bit():
+    rng = np.random.RandomState(2)
+    frs = [rng.randint(0, 256, size=(3, 4, 4)).astype(np.uint8) for _ in range(2)]
+    out = decode_avi_frames(encode_avi(frs))
+    assert all(np.array_equal(px, f) for (_, px), f in zip(out, frs))
+
+
+def test_bottom_up_and_bgr_are_undone():
+    # a frame with a single red pixel at the top-left: in the FILE it
+    # must be stored as the LAST row, blue-first
+    fr = np.zeros((2, 2, 3), np.uint8)
+    fr[0, 0] = [200, 10, 30]
+    avi = encode_avi([fr])
+    movi = avi.index(b"00db")
+    body = avi[movi + 8 :]
+    stride = 8  # 2 px * 3 B = 6, padded to 8
+    last_row = body[stride : stride + 6]
+    assert last_row[:3] == bytes([30, 10, 200])  # BGR of the red pixel
+    (_, px), = decode_avi_frames(avi)
+    assert np.array_equal(px, fr)
+
+
+def test_compressed_chunks_skipped_and_max_frames():
+    frs = [np.full((2, 2, 3), c, np.uint8) for c in (1, 2, 3)]
+    avi = bytearray(encode_avi(frs))
+    # relabel the middle frame compressed ('00dc'): the demuxer skips it
+    first = avi.index(b"00db")
+    second = avi.index(b"00db", first + 4)
+    avi[second : second + 4] = b"00dc"
+    out = decode_avi_frames(bytes(avi))
+    assert len(out) == 2
+    assert out[0][1][0, 0, 0] == 1 and out[1][1][0, 0, 0] == 3
+    assert len(decode_avi_frames(encode_avi(frs), max_frames=2)) == 2
+
+
+def test_rejections():
+    assert decode_avi_frames(None) is None
+    assert decode_avi_frames(b"") is None
+    assert decode_avi_frames(b"RIFFxxxxWAVE") is None
+    assert decode_avi_frames(b"RIFF\x04\x00\x00\x00AVI ") is None
+    assert avi_dims(b"OggS") is None
+    # 8-bit palettized DIB is out of scope: header parses, frames do not
+    avi = bytearray(encode_avi([np.zeros((2, 2, 3), np.uint8)]))
+    strf = avi.index(b"strf")
+    struct.pack_into("<H", avi, strf + 8 + 14, 8)
+    assert decode_avi_frames(bytes(avi)) is None
+
+
+@pytest.fixture(scope="module")
+def spark():
+    pytest.importorskip("pyspark")
+    from pyspark.sql import SparkSession
+
+    s = (
+        SparkSession.builder.master("local[4]")
+        .appName("hquery-avi-tests")
+        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    s.sparkContext.setLogLevel("ERROR")
+    yield s
+    s.stop()
+
+
+def test_video_frame_sample_avi_branch(spark):
+    from hquery_php_spark.operators.multimodal import (
+        decode_png,
+        video_frame_sample_df,
+    )
+
+    frs = [np.full((3, 5, 3), 10 * (f + 1), np.uint8) for f in range(5)]
+    rows = [("v1", bytearray(encode_avi(frs)))]
+    df = spark.createDataFrame(rows, "media_id string, payload binary")
+    got = video_frame_sample_df(df, every_n=2, max_frames=8).collect()
+    # source frames 0, 2, 4 sampled; each re-encoded as a real PNG
+    assert [r.frame_no for r in got] == [0, 2, 4]
+    assert all(r.mime == "video/x-msvideo" for r in got)
+    for r, want in zip(got, (10, 30, 50)):
+        w, h, ch, px = decode_png(bytes(r.frame))
+        assert (w, h) == (5, 3)
+        assert (px[:, :, 0] == want).all()

@@ -76,3 +76,22 @@ def test_queries_are_callables():
         assert callable(fn), name
     for name, fn in E.all_queries().items():
         assert callable(fn), name
+
+
+def test_bench_rows_resolve_in_all_queries():
+    """bench.py's row list keys into all_queries(); a renamed/removed
+    operator must update the bench list in the same change."""
+    import ast
+    import pathlib
+
+    tree = ast.parse(pathlib.Path("bench.py").read_text())
+    names = None
+    for node in ast.walk(tree):
+        if (
+            isinstance(node, ast.Assign)
+            and getattr(node.targets[0], "id", "") == "bench_queries"
+        ):
+            names = [ast.literal_eval(e) for e in node.value.elts]
+    assert names, "bench_queries list not found in bench.py"
+    missing = set(names) - set(E.all_queries())
+    assert not missing, f"bench rows not in all_queries(): {sorted(missing)}"
