@@ -1195,13 +1195,53 @@ def _wav_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.mapInPandas(gen, schema)
 
 
+def _flac_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMPLETE FLAC payloads (operators/flac.py: fixed predictors +
+    rice residuals, CRC-8/16) over the SAME affine-mod sample formula
+    as the WAV rows — FLAC is lossless, so both codec families share
+    one closed-form twin (media_id = 'f'<doc_id>)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import BinaryType, StringType, StructField, StructType
+
+    from hquery_php_spark.operators.flac import encode_flac
+
+    d = _spread(_docs(spark, sf_dir), spark).select(
+        F.col("doc_id").cast("long").alias("did")
+    )
+    schema = StructType(
+        [StructField("media_id", StringType()), StructField("payload", BinaryType())]
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            out = {"media_id": [], "payload": []}
+            for did in pdf["did"]:
+                did = int(did)
+                ch = 1 + did % 2
+                rate = 8000 + (did % 4) * 4000
+                n = 16 + did % 49
+                i = np.arange(n)[:, None]
+                c = np.arange(ch)[None, :]
+                v = (did * 7 + i * 13 + c * 5) % 251 - 125
+                out["media_id"].append(f"f{did}")
+                out["payload"].append(encode_flac(v, rate, bits=16))
+            yield pd.DataFrame(out)
+
+    return d.mapInPandas(gen, schema)
+
+
 def q_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL audio decode: WAV/PCM payloads (8/16/24/32-bit, mono+stereo)
-    → exact integer sample statistics via operators/wav.py — the audio
-    leg of the multimodal column contract."""
+    """REAL audio decode, both codec families: WAV/PCM containers
+    (8/16/24/32-bit, mono+stereo) AND compressed FLAC (rice + fixed
+    predictors) → exact integer sample statistics — the audio leg of
+    the multimodal column contract."""
     from hquery_php_spark.operators.multimodal import audio_pcm_stats_df
 
-    return audio_pcm_stats_df(_wav_payloads(spark, sf_dir))
+    payloads = _wav_payloads(spark, sf_dir).unionByName(
+        _flac_payloads(spark, sf_dir)
+    )
+    return audio_pcm_stats_df(payloads)
 
 
 def _gif_anim_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3269,17 +3309,29 @@ def _base_oracle_sql() -> dict[str, str]:
                          (doc_id * 7 + i * 13
                           + unnest(generate_series(0, ch - 1)) * 5)
                          % 251 - 125 AS v
-                  FROM i)
+                  FROM i),
+            agg AS (
+              SELECT doc_id, rate, ch, n,
+                     CAST(SUM(v) AS BIGINT) AS sv,
+                     CAST(SUM(ABS(v)) AS BIGINT) AS sa,
+                     CAST(SUM(v * v) AS BIGINT) AS sq,
+                     CAST(MAX(ABS(v)) AS INTEGER) AS pk
+              FROM v GROUP BY doc_id, rate, ch, n
+            )
+            -- WAV and FLAC rows share the formula: both are lossless
             SELECT 'a' || CAST(doc_id AS VARCHAR) AS media_id,
                    'audio/wav' AS mime,
                    CAST(rate AS INTEGER) AS sample_rate,
                    CAST(ch AS INTEGER) AS n_channels,
                    CAST(n AS INTEGER) AS n_samples,
-                   CAST(SUM(v) AS BIGINT) AS sum_val,
-                   CAST(SUM(ABS(v)) AS BIGINT) AS sum_abs,
-                   CAST(SUM(v * v) AS BIGINT) AS sum_sq,
-                   CAST(MAX(ABS(v)) AS INTEGER) AS peak
-            FROM v GROUP BY doc_id, rate, ch, n
+                   sv AS sum_val, sa AS sum_abs, sq AS sum_sq,
+                   pk AS peak
+            FROM agg
+            UNION ALL
+            SELECT 'f' || CAST(doc_id AS VARCHAR), 'audio/flac',
+                   CAST(rate AS INTEGER), CAST(ch AS INTEGER),
+                   CAST(n AS INTEGER), sv, sa, sq, pk
+            FROM agg
         """,
         # Sampled-frame rows: frames are full-screen constant-color with
         # disposal 1 and no transparency, so composited frame f IS color

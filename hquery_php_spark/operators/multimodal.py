@@ -632,11 +632,13 @@ def image_resize_df(
 
 def audio_pcm_stats_df(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     """REAL audio decode for WAV/PCM payloads (``operators/wav.py``:
-    RIFF chunk walk, 8/16/24/32-bit integer PCM, any channel count) →
-    exact integer sample statistics, so the aggregate admits a
-    closed-form SQL twin.  Compressed audio (MP3/OGG/FLAC) still sniffs
-    a mime but yields NULL stats — no codec libraries in this
-    container, same honest-NULL doctrine as image decode.
+    RIFF chunk walk, 8/16/24/32-bit integer PCM, any channel count) AND
+    FLAC (``operators/flac.py``: rice residuals, fixed + LPC predictors,
+    stereo decorrelation, CRC-verified) → exact integer sample
+    statistics, so the aggregate admits a closed-form SQL twin (both
+    codecs are lossless).  Remaining compressed audio (MP3/OGG/AAC)
+    still sniffs a mime but yields NULL stats — no codec libraries in
+    this container, same honest-NULL doctrine as image decode.
 
     One row per payload: (media_id, mime, sample_rate, n_channels,
     n_samples, sum_val, sum_abs, sum_sq, peak) — sums over every sample
@@ -647,6 +649,7 @@ def audio_pcm_stats_df(df: DataFrame, payload_col: str = "payload") -> DataFrame
     import numpy as np
     from pyspark.sql.types import LongType
 
+    from hquery_php_spark.operators.flac import decode_flac
     from hquery_php_spark.operators.wav import decode_wav
 
     schema = StructType(
@@ -671,6 +674,8 @@ def audio_pcm_stats_df(df: DataFrame, payload_col: str = "payload") -> DataFrame
                 payload = bytes(p) if p is not None else None
                 mime = sniff_media_type(payload)
                 dec = decode_wav(payload)
+                if dec is None:
+                    dec = decode_flac(payload)
                 out["media_id"].append(mid)
                 out["mime"].append(mime)
                 if dec is None:
