@@ -1360,6 +1360,78 @@ def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _container_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimal-but-valid MP4 (ISO-BMFF boxes, version-0 AND version-1
+    mvhd/tkhd) and WebM (EBML) containers with deterministic metadata —
+    media_id 'm'<doc_id> / 'k'<doc_id>.  Frame data is out of scope by
+    design: container-walk metadata is the pre-decode filter operator."""
+    import pandas as pd
+    from pyspark.sql.types import BinaryType, StringType, StructField, StructType
+
+    from hquery_php_spark.operators.mediameta import (
+        encode_mp4_stub,
+        encode_webm_stub,
+    )
+
+    d = _spread(_docs(spark, sf_dir), spark).select(
+        F.col("doc_id").cast("long").alias("did")
+    )
+    schema = StructType(
+        [StructField("media_id", StringType()), StructField("payload", BinaryType())]
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            out = {"media_id": [], "payload": []}
+            for did in pdf["did"]:
+                did = int(did)
+                out["media_id"].append(f"m{did}")
+                out["payload"].append(
+                    encode_mp4_stub(
+                        1000 + did % 9000,
+                        16 * (1 + did % 40),
+                        16 * (1 + did % 30),
+                        n_tracks=1 + did % 2,
+                        version1=(did % 3 == 0),
+                    )
+                )
+                out["media_id"].append(f"k{did}")
+                out["payload"].append(
+                    encode_webm_stub(
+                        100000 * (1 + did % 10),
+                        2 + did % 1919,
+                        2 + did % 1079,
+                        n_tracks=1 + did % 3,
+                    )
+                )
+            yield pd.DataFrame(out)
+
+    return d.mapInPandas(gen, schema)
+
+
+def q_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video-container metadata walk (MP4 boxes, WebM EBML, AVI
+    avih) — the filter-before-decode operator.  Fields a container does
+    not carry are coalesced to 0 for the integer twin (the operator
+    itself emits honest NULLs)."""
+    from hquery_php_spark.operators.multimodal import video_meta_df
+
+    payloads = _container_payloads(spark, sf_dir).unionByName(
+        _avi_payloads(spark, sf_dir)
+    )
+    m = video_meta_df(payloads)
+    z = F.lit(0)
+    return m.select(
+        "media_id",
+        "mime",
+        F.coalesce("width", z).alias("width"),
+        F.coalesce("height", z).alias("height"),
+        F.coalesce("n_tracks", z).alias("n_tracks"),
+        F.coalesce("duration_ms", z).alias("duration_ms"),
+        F.coalesce("timescale", z).alias("timescale"),
+    )
+
+
 def q_media_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio PCM statistics + sampled-video-frame statistics in one
     driver row: the non-image legs of the multimodal contract."""
@@ -1385,7 +1457,18 @@ def q_media_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).cast("long").alias("e"),
         F.lit(0).cast("long").alias("f"),
     )
-    return a.unionByName(v)
+    m = q_media_meta(spark, sf_dir).select(
+        F.lit("vmeta").alias("fam"),
+        F.col("media_id").alias("k1"),
+        F.col("width").cast("int").alias("k2"),
+        F.col("height").cast("long").alias("a"),
+        F.col("n_tracks").cast("long").alias("b"),
+        F.col("duration_ms").cast("long").alias("c"),
+        F.col("timescale").cast("long").alias("d"),
+        F.lit(0).cast("long").alias("e"),
+        F.lit(0).cast("long").alias("f"),
+    )
+    return a.unionByName(v).unionByName(m)
 
 
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2717,7 +2800,7 @@ SUITE_COVERS = {
                      "events_topk"],
     "tpch_suite": ["revenue_by_nation", "pricing_summary"],
     "multimodal_suite": ["multimodal_meta", "multimodal_features"],
-    "media_suite": ["audio_stats", "frame_sample"],
+    "media_suite": ["audio_stats", "frame_sample", "media_meta"],
 }
 
 
@@ -2787,6 +2870,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": q_multimodal_features,
         "audio_stats": q_audio_stats,
         "frame_sample": q_frame_sample,
+        "media_meta": q_media_meta,
         "embed_near_dup_exact": q_embed_near_dup_exact,
         "embed_near_dup_lsh": q_embed_near_dup_lsh,
         "lsh_recall": q_lsh_recall,
@@ -3367,6 +3451,35 @@ def _base_oracle_sql() -> dict[str, str]:
                         FROM documents))
             WHERE f % 2 = 0
         """,
+        # Container-metadata rows: template inversion of
+        # _container_payloads + _avi_payloads (integer header fields;
+        # 0 = the container does not carry that field).
+        "media_meta": """
+            SELECT 'm' || CAST(doc_id AS VARCHAR) AS media_id,
+                   'video/mp4' AS mime,
+                   CAST(16 * (1 + doc_id % 40) AS INTEGER) AS width,
+                   CAST(16 * (1 + doc_id % 30) AS INTEGER) AS height,
+                   CAST(1 + doc_id % 2 AS INTEGER) AS n_tracks,
+                   CAST(1000 + doc_id % 9000 AS INTEGER) AS duration_ms,
+                   CAST(1000 AS INTEGER) AS timescale
+            FROM documents
+            UNION ALL
+            SELECT 'k' || CAST(doc_id AS VARCHAR), 'video/webm',
+                   CAST(2 + doc_id % 1919 AS INTEGER),
+                   CAST(2 + doc_id % 1079 AS INTEGER),
+                   CAST(1 + doc_id % 3 AS INTEGER),
+                   CAST(0 AS INTEGER),
+                   CAST(100000 * (1 + doc_id % 10) AS INTEGER)
+            FROM documents
+            UNION ALL
+            SELECT 'x' || CAST(doc_id AS VARCHAR), 'video/x-msvideo',
+                   CAST(4 + doc_id % 6 AS INTEGER),
+                   CAST(2 + doc_id % 5 AS INTEGER),
+                   CAST(1 AS INTEGER),
+                   CAST(40 * (1 + doc_id % 4) AS INTEGER),
+                   CAST(0 AS INTEGER)
+            FROM documents
+        """,
         "embed_near_dup_exact": """
             WITH e AS (
               SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
@@ -3687,5 +3800,11 @@ def oracle_sql() -> dict[str, str]:
                sum_r, sum_a, CAST(0 AS BIGINT), CAST(0 AS BIGINT),
                CAST(0 AS BIGINT)
         FROM ({base['frame_sample']})
+        UNION ALL
+        SELECT 'vmeta', media_id, width, CAST(height AS BIGINT),
+               CAST(n_tracks AS BIGINT), CAST(duration_ms AS BIGINT),
+               CAST(timescale AS BIGINT), CAST(0 AS BIGINT),
+               CAST(0 AS BIGINT)
+        FROM ({base['media_meta']})
     """
     return out

@@ -1,0 +1,282 @@
+"""Container-metadata walkers for MP4 (ISO-BMFF) and WebM/Matroska
+(EBML) — REAL parsing of the two dominant crawl video containers.
+
+A 100 TB curation pipeline filters videos by duration/resolution/track
+layout long before it pays for a decode; that needs the container walk,
+not the codec.  This module provides it with no media library:
+
+* ``mp4_meta``: box walk (nested sizes, 64-bit largesize, version 0/1
+  mvhd + tkhd), returning brand, timescale, duration, track count and
+  the first video track's 16.16 fixed-point dimensions.
+* ``webm_meta``: EBML element walk (vint ids + vint sizes), DocType
+  from the EBML header, TimestampScale from Segment>Info, track count
+  and PixelWidth/PixelHeight from Segment>Tracks>TrackEntry>Video.
+
+Everything returned is integer/string (no float fields), so synthesized
+corpora admit exact SQL twins.  Both writers emit minimal-but-valid
+containers to exercise every parse path.  Frame DATA stays honestly out
+of scope (no VP9/AVC decoder) — these are metadata legs.
+
+Reference parity note: the reference engine (duzun/hQuery.php) sniffs
+content types before parsing (hQuery.php:136-226); this extends the
+same doctrine to container internals.
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import Optional
+
+__all__ = ["encode_mp4_stub", "mp4_meta", "encode_webm_stub", "webm_meta"]
+
+
+# ------------------------------------------------------------------ #
+# MP4 / ISO-BMFF
+
+
+def _box(typ: bytes, body: bytes) -> bytes:
+    return struct.pack(">I", 8 + len(body)) + typ + body
+
+
+def encode_mp4_stub(
+    duration_ms: int,
+    width: int,
+    height: int,
+    n_tracks: int = 1,
+    brand: bytes = b"isom",
+    version1: bool = False,
+) -> bytes:
+    """Minimal valid ftyp+moov (+empty mdat): mvhd at timescale 1000,
+    one tkhd per track (the first carries the video dimensions).
+    ``version1`` emits 64-bit mvhd/tkhd variants so the parser's wide
+    path is exercised."""
+    ftyp = _box(b"ftyp", brand + struct.pack(">I", 0x200) + brand + b"mp42")
+    if version1:
+        mvhd = _box(
+            b"mvhd",
+            b"\x01\x00\x00\x00" + struct.pack(">QQIQ", 0, 0, 1000, duration_ms)
+            + b"\x00" * 80,
+        )
+    else:
+        mvhd = _box(
+            b"mvhd",
+            b"\x00\x00\x00\x00" + struct.pack(">IIII", 0, 0, 1000, duration_ms)
+            + b"\x00" * 80,
+        )
+    traks = b""
+    for t in range(n_tracks):
+        w = width if t == 0 else 0
+        h = height if t == 0 else 0
+        if version1:
+            tk = (
+                b"\x01\x00\x00\x07"
+                + struct.pack(">QQI", 0, 0, t + 1) + b"\x00" * 4
+                + struct.pack(">Q", duration_ms) + b"\x00" * 52
+                + struct.pack(">II", w << 16, h << 16)
+            )
+        else:
+            tk = (
+                b"\x00\x00\x00\x07"
+                + struct.pack(">III", 0, 0, t + 1) + b"\x00" * 4
+                + struct.pack(">I", duration_ms) + b"\x00" * 52
+                + struct.pack(">II", w << 16, h << 16)
+            )
+        traks += _box(b"trak", _box(b"tkhd", tk))
+    moov = _box(b"moov", mvhd + traks)
+    return ftyp + moov + _box(b"mdat", b"")
+
+
+def _walk_boxes(payload: bytes, start: int, end: int):
+    pos = start
+    n = min(end, len(payload))
+    while pos + 8 <= n:
+        (size,) = struct.unpack_from(">I", payload, pos)
+        typ = payload[pos + 4 : pos + 8]
+        body = pos + 8
+        if size == 1:  # 64-bit largesize
+            if body + 8 > n:
+                return
+            (size,) = struct.unpack_from(">Q", payload, body)
+            body += 8
+        elif size == 0:  # to end of file
+            size = n - pos
+        if size < 8 or pos + size > n:
+            return
+        yield typ, body, pos + size
+        pos += size
+
+
+def mp4_meta(payload: Optional[bytes]) -> Optional[dict]:
+    """{'brand', 'timescale', 'duration', 'duration_ms', 'n_tracks',
+    'width', 'height'} from ftyp/moov, or None for non-BMFF bytes.
+    Width/height come from the first track whose tkhd carries nonzero
+    dimensions (the video track convention)."""
+    try:
+        return _mp4_meta_impl(payload)
+    except (struct.error, IndexError, ValueError):
+        return None
+
+
+def _mp4_meta_impl(payload):
+    if payload is None or len(payload) < 16 or payload[4:8] != b"ftyp":
+        return None
+    out = {"brand": payload[8:12].decode("latin-1"), "timescale": None,
+           "duration": None, "duration_ms": None, "n_tracks": 0,
+           "width": None, "height": None}
+    for typ, body, end in _walk_boxes(payload, 0, len(payload)):
+        if typ != b"moov":
+            continue
+        for t2, b2, e2 in _walk_boxes(payload, body, end):
+            if t2 == b"mvhd":
+                ver = payload[b2]
+                if ver == 1:
+                    ts, dur = struct.unpack_from(">IQ", payload, b2 + 4 + 16)
+                else:
+                    ts, dur = struct.unpack_from(">II", payload, b2 + 4 + 8)
+                out["timescale"], out["duration"] = ts, dur
+                if ts:
+                    out["duration_ms"] = dur * 1000 // ts
+            elif t2 == b"trak":
+                out["n_tracks"] += 1
+                for t3, b3, e3 in _walk_boxes(payload, b2, e2):
+                    if t3 != b"tkhd":
+                        continue
+                    ver = payload[b3]
+                    # width/height are the LAST 8 bytes of tkhd payload
+                    w, h = struct.unpack_from(">II", payload, e3 - 8)
+                    if (w or h) and out["width"] is None:
+                        out["width"], out["height"] = w >> 16, h >> 16
+        break
+    if out["timescale"] is None:
+        return None
+    return out
+
+
+# ------------------------------------------------------------------ #
+# WebM / Matroska (EBML)
+
+_EBML = 0x1A45DFA3
+_DOCTYPE = 0x4282
+_SEGMENT = 0x18538067
+_INFO = 0x1549A966
+_TIMESTAMP_SCALE = 0x2AD7B1
+_TRACKS = 0x1654AE6B
+_TRACK_ENTRY = 0xAE
+_VIDEO = 0xE0
+_PIXEL_W = 0xB0
+_PIXEL_H = 0xBA
+
+
+def _vint(value: int, length: int) -> bytes:
+    # EBML size vint: marker bit in the first byte
+    v = value | (1 << (7 * length))
+    return v.to_bytes(length, "big")
+
+
+def _eid(eid: int) -> bytes:
+    # element ids are stored with their marker included
+    ln = (eid.bit_length() + 7) // 8
+    return eid.to_bytes(ln, "big")
+
+
+def _el(eid: int, body: bytes) -> bytes:
+    return _eid(eid) + _vint(len(body), 8) + body
+
+
+def _uint_el(eid: int, v: int) -> bytes:
+    ln = max(1, (v.bit_length() + 7) // 8)
+    return _el(eid, v.to_bytes(ln, "big"))
+
+
+def encode_webm_stub(
+    timestamp_scale: int, width: int, height: int, n_tracks: int = 1,
+    doctype: bytes = b"webm",
+) -> bytes:
+    """Minimal valid EBML stream: header (DocType) + Segment with Info
+    (TimestampScale) and Tracks (TrackEntry > Video > PixelWidth/
+    PixelHeight on the first track)."""
+    header = _el(_EBML, _el(_DOCTYPE, doctype))
+    info = _el(_INFO, _uint_el(_TIMESTAMP_SCALE, timestamp_scale))
+    entries = b""
+    for t in range(n_tracks):
+        video = (
+            _el(_VIDEO, _uint_el(_PIXEL_W, width) + _uint_el(_PIXEL_H, height))
+            if t == 0
+            else b""
+        )
+        entries += _el(_TRACK_ENTRY, _uint_el(0xD7, t + 1) + video)  # TrackNumber
+    segment = _el(_SEGMENT, info + _el(_TRACKS, entries))
+    return header + segment
+
+
+def _read_vint(payload: bytes, pos: int, keep_marker: bool):
+    if pos >= len(payload):
+        raise ValueError("ebml: eof")
+    first = payload[pos]
+    if first == 0:
+        raise ValueError("ebml: bad vint")
+    ln = 8 - first.bit_length() + 1
+    if pos + ln > len(payload):
+        raise ValueError("ebml: eof")
+    v = int.from_bytes(payload[pos : pos + ln], "big")
+    if not keep_marker:
+        v &= (1 << (7 * ln)) - 1
+    return v, pos + ln
+
+
+def _walk_ebml(payload: bytes, start: int, end: int):
+    pos = start
+    while pos < min(end, len(payload)):
+        eid, pos = _read_vint(payload, pos, keep_marker=True)
+        size, pos = _read_vint(payload, pos, keep_marker=False)
+        body_end = min(pos + size, end, len(payload))
+        yield eid, pos, body_end
+        pos = body_end
+
+
+def webm_meta(payload: Optional[bytes]) -> Optional[dict]:
+    """{'doctype', 'timestamp_scale', 'n_tracks', 'width', 'height'}
+    from the EBML header + Segment Info/Tracks, or None."""
+    try:
+        return _webm_meta_impl(payload)
+    except (ValueError, IndexError):
+        return None
+
+
+def _webm_meta_impl(payload):
+    if payload is None or len(payload) < 8 or payload[:4] != b"\x1aE\xdf\xa3":
+        return None
+    out = {"doctype": None, "timestamp_scale": None, "n_tracks": 0,
+           "width": None, "height": None}
+    for eid, body, end in _walk_ebml(payload, 0, len(payload)):
+        if eid == _EBML:
+            for e2, b2, e2e in _walk_ebml(payload, body, end):
+                if e2 == _DOCTYPE:
+                    out["doctype"] = payload[b2:e2e].rstrip(b"\x00").decode(
+                        "latin-1"
+                    )
+        elif eid == _SEGMENT:
+            for e2, b2, e2e in _walk_ebml(payload, body, end):
+                if e2 == _INFO:
+                    for e3, b3, e3e in _walk_ebml(payload, b2, e2e):
+                        if e3 == _TIMESTAMP_SCALE:
+                            out["timestamp_scale"] = int.from_bytes(
+                                payload[b3:e3e], "big"
+                            )
+                elif e2 == _TRACKS:
+                    for e3, b3, e3e in _walk_ebml(payload, b2, e2e):
+                        if e3 != _TRACK_ENTRY:
+                            continue
+                        out["n_tracks"] += 1
+                        for e4, b4, e4e in _walk_ebml(payload, b3, e3e):
+                            if e4 != _VIDEO:
+                                continue
+                            for e5, b5, e5e in _walk_ebml(payload, b4, e4e):
+                                v = int.from_bytes(payload[b5:e5e], "big")
+                                if e5 == _PIXEL_W and out["width"] is None:
+                                    out["width"] = v
+                                elif e5 == _PIXEL_H and out["height"] is None:
+                                    out["height"] = v
+    if out["doctype"] is None:
+        return None
+    return out

@@ -53,6 +53,7 @@ __all__ = [
     "image_features_df",
     "image_resize_df",
     "audio_pcm_stats_df",
+    "video_meta_df",
     "video_frame_sample_df",
 ]
 
@@ -696,6 +697,67 @@ def audio_pcm_stats_df(df: DataFrame, payload_col: str = "payload") -> DataFrame
                 out["peak"].append(
                     int(np.abs(s64).max()) if s64.size else 0
                 )
+            yield pd.DataFrame(out)
+
+    return narrow.mapInPandas(run, schema)
+
+
+def video_meta_df(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """REAL video-container metadata for the three walkable containers:
+    MP4/ISO-BMFF (box walk: mvhd timescale/duration, tkhd 16.16 dims),
+    WebM/Matroska (EBML walk: TimestampScale, PixelWidth/Height, track
+    count), and AVI (avih).  This is the operator a curation pipeline
+    runs BEFORE any decode — filter by duration/resolution/track layout
+    at container-walk cost.  Unknown containers keep the sniffed mime
+    with NULL fields (honest, never an error)."""
+    from hquery_php_spark.operators.avi import avi_dims
+    from hquery_php_spark.operators.mediameta import mp4_meta, webm_meta
+
+    schema = StructType(
+        [
+            StructField("media_id", StringType()),
+            StructField("mime", StringType()),
+            StructField("width", IntegerType()),
+            StructField("height", IntegerType()),
+            StructField("n_tracks", IntegerType()),
+            StructField("duration_ms", IntegerType()),
+            StructField("timescale", IntegerType()),
+        ]
+    )
+    narrow = df.select(F.col("media_id").cast("string"), F.col(payload_col).alias("p"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in schema.fieldNames()}
+            for mid, p in zip(pdf["media_id"], pdf["p"]):
+                payload = bytes(p) if p is not None else None
+                mime = sniff_media_type(payload)
+                w = h = tracks = dur = ts = None
+                if mime in ("video/mp4", "video/quicktime", "audio/mp4"):
+                    m = mp4_meta(payload)
+                    if m:
+                        w, h = m["width"], m["height"]
+                        tracks, dur, ts = (
+                            m["n_tracks"], m["duration_ms"], m["timescale"],
+                        )
+                elif mime in ("video/webm", "video/x-matroska"):
+                    m = webm_meta(payload)
+                    if m:
+                        w, h, tracks = m["width"], m["height"], m["n_tracks"]
+                        ts = m["timestamp_scale"]
+                elif mime == "video/x-msvideo":
+                    d = avi_dims(payload)
+                    if d:
+                        w, h, nf, uspf = d
+                        tracks = 1
+                        dur = nf * uspf // 1000
+                out["media_id"].append(mid)
+                out["mime"].append(mime)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["n_tracks"].append(tracks)
+                out["duration_ms"].append(dur)
+                out["timescale"].append(ts)
             yield pd.DataFrame(out)
 
     return narrow.mapInPandas(run, schema)

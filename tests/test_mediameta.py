@@ -1,0 +1,138 @@
+"""Container-metadata walker tests (operators/mediameta.py): MP4 box
+walk (version 0/1, largesize, brand variants), EBML walk (DocType,
+TimestampScale, track/video fields), rejection boundaries, fuzz, and
+the Spark video_meta_df dispatch incl. AVI."""
+
+import struct
+
+import numpy as np
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from hquery_php_spark.operators.mediameta import (
+    encode_mp4_stub,
+    encode_webm_stub,
+    mp4_meta,
+    webm_meta,
+)
+from hquery_php_spark.operators.multimodal import sniff_media_type
+
+
+@pytest.mark.parametrize("version1", [False, True])
+def test_mp4_walk(version1):
+    p = encode_mp4_stub(5321, 640, 360, n_tracks=2, version1=version1)
+    assert sniff_media_type(p) == "video/mp4"
+    m = mp4_meta(p)
+    assert m == {
+        "brand": "isom", "timescale": 1000, "duration": 5321,
+        "duration_ms": 5321, "n_tracks": 2, "width": 640, "height": 360,
+    }
+
+
+def test_mp4_largesize_box():
+    p = bytearray(encode_mp4_stub(77, 32, 16))
+    # rewrite the moov box as a 64-bit largesize box
+    moov = p.index(b"moov") - 4
+    (size,) = struct.unpack_from(">I", p, moov)
+    body = bytes(p[moov + 8 : moov + size])
+    rewritten = (
+        struct.pack(">I", 1) + b"moov" + struct.pack(">Q", size + 8) + body
+    )
+    p2 = bytes(p[:moov]) + rewritten + bytes(p[moov + size :])
+    m = mp4_meta(p2)
+    assert m and m["duration_ms"] == 77 and m["width"] == 32
+
+
+def test_mp4_brand_and_rejections():
+    assert mp4_meta(encode_mp4_stub(9, 1, 1, brand=b"M4A "))["brand"] == "M4A "
+    assert sniff_media_type(encode_mp4_stub(9, 1, 1, brand=b"M4A ")) == "audio/mp4"
+    assert mp4_meta(b"eight by") is None
+    assert mp4_meta(None) is None
+    # ftyp but no moov → no timescale → None
+    assert mp4_meta(struct.pack(">I", 16) + b"ftypisom\x00\x00\x02\x00") is None
+
+
+def test_webm_walk_and_matroska():
+    p = encode_webm_stub(1000000, 1920, 1080, n_tracks=2)
+    assert sniff_media_type(p) == "video/webm"
+    assert webm_meta(p) == {
+        "doctype": "webm", "timestamp_scale": 1000000, "n_tracks": 2,
+        "width": 1920, "height": 1080,
+    }
+    mk = encode_webm_stub(500, 10, 20, doctype=b"matroska")
+    assert sniff_media_type(mk) == "video/x-matroska"
+    assert webm_meta(mk)["doctype"] == "matroska"
+
+
+def test_webm_rejections():
+    assert webm_meta(None) is None
+    assert webm_meta(b"") is None
+    assert webm_meta(b"\x1aE\xdf\xa3") is None  # header with no DocType
+    assert webm_meta(b"RIFF1234AVI ") is None
+
+
+@settings(max_examples=80, deadline=None)
+@given(st.binary(max_size=200))
+def test_fuzz_walkers_never_raise(b):
+    mp4_meta(b)
+    mp4_meta(struct.pack(">I", len(b) + 8) + b"ftyp" + b)
+    webm_meta(b)
+    webm_meta(b"\x1aE\xdf\xa3" + b)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.data())
+def test_fuzz_truncation_corruption(data):
+    p = encode_mp4_stub(123, 48, 32, n_tracks=2)
+    k = encode_webm_stub(999, 7, 9)
+    for payload, walker in ((p, mp4_meta), (k, webm_meta)):
+        cut = data.draw(st.integers(0, len(payload)))
+        walker(payload[:cut])
+        pos = data.draw(st.integers(0, len(payload) - 1))
+        bb = bytearray(payload)
+        bb[pos] ^= data.draw(st.integers(1, 255))
+        walker(bytes(bb))
+
+
+@pytest.fixture(scope="module")
+def spark():
+    pytest.importorskip("pyspark")
+    from pyspark.sql import SparkSession
+
+    s = (
+        SparkSession.builder.master("local[4]")
+        .appName("hquery-mediameta-tests")
+        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    s.sparkContext.setLogLevel("ERROR")
+    yield s
+    s.stop()
+
+
+def test_video_meta_df_dispatch(spark):
+    from hquery_php_spark.operators.avi import encode_avi
+    from hquery_php_spark.operators.multimodal import video_meta_df
+
+    avi = encode_avi([np.zeros((4, 6, 3), np.uint8)] * 3, fps=10)
+    rows = [
+        ("m1", bytearray(encode_mp4_stub(4000, 320, 240))),
+        ("k1", bytearray(encode_webm_stub(250000, 64, 48, n_tracks=2))),
+        ("x1", bytearray(avi)),
+        ("j1", bytearray(b"\xff\xd8\xff junk")),
+        ("n1", None),
+    ]
+    df = spark.createDataFrame(rows, "media_id string, payload binary")
+    got = {r.media_id: r for r in video_meta_df(df).collect()}
+    m = got["m1"]
+    assert (m.width, m.height, m.duration_ms, m.timescale, m.n_tracks) == (
+        320, 240, 4000, 1000, 1,
+    )
+    k = got["k1"]
+    assert (k.width, k.height, k.timescale, k.n_tracks) == (64, 48, 250000, 2)
+    assert k.duration_ms is None  # honest NULL: stub carries no Duration
+    x = got["x1"]
+    assert (x.width, x.height, x.n_tracks, x.duration_ms) == (6, 4, 1, 300)
+    assert got["j1"].mime == "image/jpeg" and got["j1"].width is None
+    assert got["n1"].mime is None

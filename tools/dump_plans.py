@@ -44,6 +44,7 @@ QUERIES = [
     ("chunk_documents", "expression-only: tokens projected once, sequence/transform/explode, zero shuffle"),
     ("audio_stats", "one mapInPandas synth + one mapInPandas decode — payloads cross the Arrow boundary once, zero shuffle"),
     ("frame_sample", "demux fan-out: mapInPandas frame sampling (1 row -> n_frames PNGs) chained into mapInPandas pixel stats, zero shuffle"),
+    ("media_meta", "container walk only: one mapInPandas over header bytes, no decode, zero shuffle — the filter-before-decode operator"),
 ]
 
 def main():
