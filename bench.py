@@ -110,10 +110,12 @@ def main() -> None:
         # codec throughput: synth + decode 5 payloads/doc (PNG, baseline
         # JPEG, progressive JPEG, GIF, VP8L) through the pure-Python codecs
         "multimodal_features",
-        # non-image media legs: WAV/PCM decode and animated-GIF frame
-        # sampling (demux → per-frame PNG → pixel stats)
+        # non-image media legs: WAV+FLAC decode, animated-GIF/AVI frame
+        # sampling (demux → per-frame PNG → pixel stats), and the
+        # MP4/WebM/AVI container-metadata walk
         "audio_stats",
         "frame_sample",
+        "media_meta",
     ]
 
     timings = {}
