@@ -1432,6 +1432,57 @@ def q_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ogg_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimal valid Ogg streams with CRC-correct pages: an Opus one
+    ('oa'<doc_id>) and a Vorbis one ('ob'<doc_id>) per doc, each
+    carrying deterministic channel/rate/page/granule metadata."""
+    import pandas as pd
+    from pyspark.sql.types import BinaryType, StringType, StructField, StructType
+
+    from hquery_php_spark.operators.mediameta import encode_ogg_stub
+
+    d = _spread(_docs(spark, sf_dir), spark).select(
+        F.col("doc_id").cast("long").alias("did")
+    )
+    schema = StructType(
+        [StructField("media_id", StringType()), StructField("payload", BinaryType())]
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            out = {"media_id": [], "payload": []}
+            for did in pdf["did"]:
+                did = int(did)
+                out["media_id"].append(f"oa{did}")
+                out["payload"].append(
+                    encode_ogg_stub(
+                        "opus", 1 + did % 2, 8000 * (1 + did % 6),
+                        n_pages=1 + did % 3,
+                        last_granule=960 * (1 + did % 50),
+                    )
+                )
+                out["media_id"].append(f"ob{did}")
+                out["payload"].append(
+                    encode_ogg_stub(
+                        "vorbis", 1 + did % 8, 11025 * (1 + did % 4),
+                        n_pages=2 + did % 2,
+                        last_granule=1024 * (1 + did % 30),
+                    )
+                )
+            yield pd.DataFrame(out)
+
+    return d.mapInPandas(gen, schema)
+
+
+def q_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL compressed-audio container metadata: Ogg page walk (CRC
+    verified) + Opus/Vorbis identification headers — the pre-decode
+    filter for audio, symmetric with media_meta's video walk."""
+    from hquery_php_spark.operators.multimodal import audio_container_meta_df
+
+    return audio_container_meta_df(_ogg_payloads(spark, sf_dir))
+
+
 def q_media_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio PCM statistics + sampled-video-frame statistics in one
     driver row: the non-image legs of the multimodal contract."""
@@ -1468,7 +1519,18 @@ def q_media_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).cast("long").alias("e"),
         F.lit(0).cast("long").alias("f"),
     )
-    return a.unionByName(v).unionByName(m)
+    am = q_audio_meta(spark, sf_dir).select(
+        F.lit("ameta").alias("fam"),
+        F.concat_ws(":", "media_id", "codec").alias("k1"),
+        F.col("sample_rate").cast("int").alias("k2"),
+        F.col("channels").cast("long").alias("a"),
+        F.col("n_pages").cast("long").alias("b"),
+        F.col("n_streams").cast("long").alias("c"),
+        F.col("last_granule").cast("long").alias("d"),
+        F.lit(0).cast("long").alias("e"),
+        F.lit(0).cast("long").alias("f"),
+    )
+    return a.unionByName(v).unionByName(m).unionByName(am)
 
 
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2800,7 +2862,7 @@ SUITE_COVERS = {
                      "events_topk"],
     "tpch_suite": ["revenue_by_nation", "pricing_summary"],
     "multimodal_suite": ["multimodal_meta", "multimodal_features"],
-    "media_suite": ["audio_stats", "frame_sample", "media_meta"],
+    "media_suite": ["audio_stats", "frame_sample", "media_meta", "audio_meta"],
 }
 
 
@@ -2871,6 +2933,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_stats": q_audio_stats,
         "frame_sample": q_frame_sample,
         "media_meta": q_media_meta,
+        "audio_meta": q_audio_meta,
         "embed_near_dup_exact": q_embed_near_dup_exact,
         "embed_near_dup_lsh": q_embed_near_dup_lsh,
         "lsh_recall": q_lsh_recall,
@@ -3451,6 +3514,28 @@ def _base_oracle_sql() -> dict[str, str]:
                         FROM documents))
             WHERE f % 2 = 0
         """,
+        # Compressed-audio container rows: template inversion of
+        # _ogg_payloads (Ogg page walk + Opus/Vorbis id headers).
+        "audio_meta": """
+            SELECT 'oa' || CAST(doc_id AS VARCHAR) AS media_id,
+                   'audio/ogg' AS mime, 'opus' AS codec,
+                   CAST(1 + doc_id % 2 AS INTEGER) AS channels,
+                   CAST(8000 * (1 + doc_id % 6) AS INTEGER) AS sample_rate,
+                   CAST(1 + doc_id % 3 AS INTEGER) AS n_pages,
+                   CAST(1 AS INTEGER) AS n_streams,
+                   CAST(CASE WHEN doc_id % 3 = 0 THEN 0
+                             ELSE 960 * (1 + doc_id % 50) END AS BIGINT)
+                     AS last_granule
+            FROM documents
+            UNION ALL
+            SELECT 'ob' || CAST(doc_id AS VARCHAR), 'audio/ogg', 'vorbis',
+                   CAST(1 + doc_id % 8 AS INTEGER),
+                   CAST(11025 * (1 + doc_id % 4) AS INTEGER),
+                   CAST(2 + doc_id % 2 AS INTEGER),
+                   CAST(1 AS INTEGER),
+                   CAST(1024 * (1 + doc_id % 30) AS BIGINT)
+            FROM documents
+        """,
         # Container-metadata rows: template inversion of
         # _container_payloads + _avi_payloads (integer header fields;
         # 0 = the container does not carry that field).
@@ -3806,5 +3891,11 @@ def oracle_sql() -> dict[str, str]:
                CAST(timescale AS BIGINT), CAST(0 AS BIGINT),
                CAST(0 AS BIGINT)
         FROM ({base['media_meta']})
+        UNION ALL
+        SELECT 'ameta', media_id || ':' || codec, sample_rate,
+               CAST(channels AS BIGINT), CAST(n_pages AS BIGINT),
+               CAST(n_streams AS BIGINT), CAST(last_granule AS BIGINT),
+               CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+        FROM ({base['audio_meta']})
     """
     return out

@@ -116,6 +116,7 @@ def main() -> None:
         "audio_stats",
         "frame_sample",
         "media_meta",
+        "audio_meta",
     ]
 
     timings = {}

@@ -11,6 +11,9 @@ not the codec.  This module provides it with no media library:
 * ``webm_meta``: EBML element walk (vint ids + vint sizes), DocType
   from the EBML header, TimestampScale from Segment>Info, track count
   and PixelWidth/PixelHeight from Segment>Tracks>TrackEntry>Video.
+* ``ogg_meta``: Ogg page walk with CRC verification (poly 0x04C11DB7),
+  page/stream/granule accounting, and the BOS identification packet
+  (OpusHead / Vorbis id header) for codec, channels, sample rate.
 
 Everything returned is integer/string (no float fields), so synthesized
 corpora admit exact SQL twins.  Both writers emit minimal-but-valid
@@ -27,7 +30,14 @@ from __future__ import annotations
 import struct
 from typing import Optional
 
-__all__ = ["encode_mp4_stub", "mp4_meta", "encode_webm_stub", "webm_meta"]
+__all__ = [
+    "encode_mp4_stub",
+    "mp4_meta",
+    "encode_webm_stub",
+    "webm_meta",
+    "encode_ogg_stub",
+    "ogg_meta",
+]
 
 
 # ------------------------------------------------------------------ #
@@ -278,5 +288,131 @@ def _webm_meta_impl(payload):
                                 elif e5 == _PIXEL_H and out["height"] is None:
                                     out["height"] = v
     if out["doctype"] is None:
+        return None
+    return out
+
+
+# ------------------------------------------------------------------ #
+# Ogg (Opus / Vorbis identification headers)
+
+_OGG_CRC_TABLE = None
+
+
+def _ogg_crc(data: bytes) -> int:
+    # Ogg page CRC: poly 0x04C11DB7, init 0, no reflection, no final xor
+    global _OGG_CRC_TABLE
+    if _OGG_CRC_TABLE is None:
+        tbl = []
+        for b in range(256):
+            c = b << 24
+            for _ in range(8):
+                c = ((c << 1) ^ 0x04C11DB7) & 0xFFFFFFFF if c & 0x80000000 \
+                    else (c << 1) & 0xFFFFFFFF
+            tbl.append(c)
+        _OGG_CRC_TABLE = tbl
+    c = 0
+    for b in data:
+        c = ((c << 8) & 0xFFFFFFFF) ^ _OGG_CRC_TABLE[((c >> 24) ^ b) & 0xFF]
+    return c
+
+
+def _ogg_page(serial: int, seq: int, granule: int, header_type: int,
+              packet: bytes) -> bytes:
+    segs = []
+    rest = packet
+    while len(rest) >= 255:
+        segs.append(255)
+        rest = rest[255:]
+    segs.append(len(rest))
+    hdr = (
+        b"OggS\x00" + bytes([header_type])
+        + struct.pack("<q", granule) + struct.pack("<II", serial, seq)
+        + b"\x00\x00\x00\x00" + bytes([len(segs)]) + bytes(segs)
+    )
+    page = hdr + packet
+    crc = _ogg_crc(page)
+    return page[:22] + struct.pack("<I", crc) + page[26:]
+
+
+def encode_ogg_stub(codec: str, channels: int, sample_rate: int,
+                    n_pages: int = 2, serial: int = 1,
+                    last_granule: int = 48000) -> bytes:
+    """Minimal valid Ogg stream: a BOS page carrying the codec's
+    identification header (OpusHead / Vorbis id), then ``n_pages - 1``
+    empty continuation pages, the last carrying ``last_granule``."""
+    if codec == "opus":
+        ident = (
+            b"OpusHead" + bytes([1, channels]) + struct.pack("<H", 312)
+            + struct.pack("<I", sample_rate) + struct.pack("<h", 0) + b"\x00"
+        )
+    elif codec == "vorbis":
+        ident = (
+            b"\x01vorbis" + struct.pack("<I", 0) + bytes([channels])
+            + struct.pack("<I", sample_rate) + b"\x00" * 16 + b"\x01"
+        )
+    else:
+        raise ValueError(codec)
+    out = _ogg_page(serial, 0, 0, 0x02, ident)  # BOS
+    for p in range(1, max(n_pages, 1)):
+        granule = last_granule if p == n_pages - 1 else 0
+        ht = 0x04 if p == n_pages - 1 else 0  # EOS on the last page
+        out += _ogg_page(serial, p, granule, ht, b"")
+    return out
+
+
+def ogg_meta(payload: Optional[bytes], verify_crc: bool = True) -> Optional[dict]:
+    """{'codec', 'channels', 'sample_rate', 'n_pages', 'n_streams',
+    'last_granule'} from the Ogg page walk + the BOS identification
+    packet (OpusHead / Vorbis id header), or None.  Page CRCs are
+    verified (poly 0x04C11DB7) unless ``verify_crc=False``."""
+    try:
+        return _ogg_meta_impl(payload, verify_crc)
+    except (struct.error, IndexError, ValueError):
+        return None
+
+
+def _ogg_meta_impl(payload, verify_crc):
+    if payload is None or len(payload) < 28 or payload[:4] != b"OggS":
+        return None
+    pos = 0
+    out = {"codec": None, "channels": None, "sample_rate": None,
+           "n_pages": 0, "n_streams": 0, "last_granule": 0}
+    serials = set()
+    n = len(payload)
+    while pos + 27 <= n and payload[pos : pos + 4] == b"OggS":
+        header_type = payload[pos + 5]
+        (granule,) = struct.unpack_from("<q", payload, pos + 6)
+        (serial,) = struct.unpack_from("<I", payload, pos + 14)
+        (crc,) = struct.unpack_from("<I", payload, pos + 22)
+        n_segs = payload[pos + 26]
+        seg_table = payload[pos + 27 : pos + 27 + n_segs]
+        if len(seg_table) < n_segs:
+            break
+        body = pos + 27 + n_segs
+        body_len = sum(seg_table)
+        if body + body_len > n:
+            break
+        if verify_crc:
+            page = bytearray(payload[pos : body + body_len])
+            page[22:26] = b"\x00\x00\x00\x00"
+            if _ogg_crc(bytes(page)) != crc:
+                return None
+        out["n_pages"] += 1
+        serials.add(serial)
+        if granule > out["last_granule"]:
+            out["last_granule"] = granule
+        if header_type & 0x02:  # BOS: identification packet
+            pkt = payload[body : body + body_len]
+            if pkt.startswith(b"OpusHead") and len(pkt) >= 16:
+                out["codec"] = "opus"
+                out["channels"] = pkt[9]
+                (out["sample_rate"],) = struct.unpack_from("<I", pkt, 12)
+            elif pkt.startswith(b"\x01vorbis") and len(pkt) >= 16:
+                out["codec"] = "vorbis"
+                out["channels"] = pkt[11]
+                (out["sample_rate"],) = struct.unpack_from("<I", pkt, 12)
+        pos = body + body_len
+    out["n_streams"] = len(serials)
+    if out["n_pages"] == 0:
         return None
     return out

@@ -53,6 +53,7 @@ __all__ = [
     "image_features_df",
     "image_resize_df",
     "audio_pcm_stats_df",
+    "audio_container_meta_df",
     "video_meta_df",
     "video_frame_sample_df",
 ]
@@ -697,6 +698,51 @@ def audio_pcm_stats_df(df: DataFrame, payload_col: str = "payload") -> DataFrame
                 out["peak"].append(
                     int(np.abs(s64).max()) if s64.size else 0
                 )
+            yield pd.DataFrame(out)
+
+    return narrow.mapInPandas(run, schema)
+
+
+def audio_container_meta_df(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """REAL audio-container metadata for Ogg streams: page walk with
+    CRC verification, page/stream/granule accounting, and the BOS
+    identification header (OpusHead / Vorbis) for codec, channels and
+    sample rate — the pre-decode filter for compressed audio, symmetric
+    with ``video_meta_df``.  Non-Ogg payloads keep the sniffed mime with
+    NULL fields."""
+    from pyspark.sql.types import LongType
+
+    from hquery_php_spark.operators.mediameta import ogg_meta
+
+    schema = StructType(
+        [
+            StructField("media_id", StringType()),
+            StructField("mime", StringType()),
+            StructField("codec", StringType()),
+            StructField("channels", IntegerType()),
+            StructField("sample_rate", IntegerType()),
+            StructField("n_pages", IntegerType()),
+            StructField("n_streams", IntegerType()),
+            StructField("last_granule", LongType()),
+        ]
+    )
+    narrow = df.select(F.col("media_id").cast("string"), F.col(payload_col).alias("p"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in schema.fieldNames()}
+            for mid, p in zip(pdf["media_id"], pdf["p"]):
+                payload = bytes(p) if p is not None else None
+                mime = sniff_media_type(payload)
+                m = ogg_meta(payload) if mime == "audio/ogg" else None
+                out["media_id"].append(mid)
+                out["mime"].append(mime)
+                out["codec"].append(m["codec"] if m else None)
+                out["channels"].append(m["channels"] if m else None)
+                out["sample_rate"].append(m["sample_rate"] if m else None)
+                out["n_pages"].append(m["n_pages"] if m else None)
+                out["n_streams"].append(m["n_streams"] if m else None)
+                out["last_granule"].append(m["last_granule"] if m else None)
             yield pd.DataFrame(out)
 
     return narrow.mapInPandas(run, schema)

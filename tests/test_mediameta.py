@@ -136,3 +136,123 @@ def test_video_meta_df_dispatch(spark):
     assert (x.width, x.height, x.n_tracks, x.duration_ms) == (6, 4, 1, 300)
     assert got["j1"].mime == "image/jpeg" and got["j1"].width is None
     assert got["n1"].mime is None
+
+
+def test_media_pipeline_resume_cycle(spark, tmp_path):
+    """Idempotent resume over the MEDIA leg (north rule): a killed
+    codec job's committed per-media output is skipped on re-run and the
+    union equals a clean full run — same anti-join + append machinery
+    as the span pipeline, keyed on media_id."""
+    from pyspark.sql import functions as F
+
+    from hquery_php_spark.operators.multimodal import (
+        encode_png,
+        image_pixel_stats_df,
+    )
+    from hquery_php_spark.operators.pipeline import resume_filter
+
+    out_dir = str(tmp_path / "media_out")
+    rows = [
+        (f"p{i}", bytearray(encode_png(np.full((3, 4), i % 256, np.uint8))))
+        for i in range(40)
+    ]
+    media = spark.createDataFrame(rows, "media_id string, payload binary")
+    full = image_pixel_stats_df(media).toPandas()
+
+    # "first run dies" after committing half the payloads
+    part1 = media.where(F.substring("media_id", 2, 10).cast("int") % 2 == 0)
+    image_pixel_stats_df(part1).write.mode("overwrite").parquet(out_dir)
+    committed = spark.read.parquet(out_dir)
+    assert 0 < committed.count() < len(full)
+
+    todo = resume_filter(media, committed.select("media_id"), "media_id")
+    image_pixel_stats_df(todo).write.mode("append").parquet(out_dir)
+
+    final = spark.read.parquet(out_dir).toPandas()
+    assert len(final) == len(full)
+    a = full.sort_values("media_id").reset_index(drop=True)
+    b = final.sort_values("media_id").reset_index(drop=True)
+    assert (a["sum_r"] == b["sum_r"]).all()
+
+    # resuming again is a no-op
+    assert resume_filter(
+        media, spark.read.parquet(out_dir).select("media_id"), "media_id"
+    ).count() == 0
+
+
+# ------------------------------------------------------------------ #
+# Ogg (Opus / Vorbis identification headers)
+
+
+def test_ogg_walk_opus_and_vorbis():
+    from hquery_php_spark.operators.mediameta import encode_ogg_stub, ogg_meta
+
+    p = encode_ogg_stub("opus", 2, 48000, n_pages=3, last_granule=96000)
+    assert sniff_media_type(p) == "audio/ogg"
+    assert ogg_meta(p) == {
+        "codec": "opus", "channels": 2, "sample_rate": 48000,
+        "n_pages": 3, "n_streams": 1, "last_granule": 96000,
+    }
+    v = ogg_meta(encode_ogg_stub("vorbis", 6, 44100, n_pages=2,
+                                 last_granule=12345))
+    assert (v["codec"], v["channels"], v["sample_rate"]) == ("vorbis", 6, 44100)
+    assert v["last_granule"] == 12345
+
+
+def test_ogg_crc_catches_corruption():
+    from hquery_php_spark.operators.mediameta import encode_ogg_stub, ogg_meta
+
+    p = bytearray(encode_ogg_stub("opus", 1, 16000))
+    p[40] ^= 0x01
+    assert ogg_meta(bytes(p)) is None
+    assert ogg_meta(bytes(p), verify_crc=False) is not None  # walk still works
+
+
+def test_ogg_multi_stream_and_rejections():
+    from hquery_php_spark.operators.mediameta import (
+        _ogg_page,
+        encode_ogg_stub,
+        ogg_meta,
+    )
+
+    two = encode_ogg_stub("opus", 1, 8000, serial=1) + encode_ogg_stub(
+        "vorbis", 2, 22050, serial=2
+    )
+    m = ogg_meta(two)
+    assert m["n_streams"] == 2 and m["n_pages"] == 4
+    assert ogg_meta(b"OggS") is None
+    assert ogg_meta(b"") is None
+    assert ogg_meta(None) is None
+    # a >255-byte packet spans multiple segments — the lacing walk holds
+    big = _ogg_page(9, 0, 0, 0x02, b"OpusHead" + bytes([1, 3]) + b"\x00" * 600)
+    mb = ogg_meta(big)
+    assert mb and mb["channels"] == 3
+
+
+@settings(max_examples=80, deadline=None)
+@given(st.binary(max_size=200))
+def test_ogg_fuzz_never_raises(b):
+    from hquery_php_spark.operators.mediameta import ogg_meta
+
+    ogg_meta(b)
+    ogg_meta(b"OggS\x00\x02" + b)
+
+
+def test_audio_container_meta_df(spark):
+    from hquery_php_spark.operators.mediameta import encode_ogg_stub
+    from hquery_php_spark.operators.multimodal import audio_container_meta_df
+
+    rows = [
+        ("o1", bytearray(encode_ogg_stub("opus", 2, 48000, n_pages=2,
+                                         last_granule=4800))),
+        ("f1", bytearray(b"fLaC not really")),
+        ("n1", None),
+    ]
+    df = spark.createDataFrame(rows, "media_id string, payload binary")
+    got = {r.media_id: r for r in audio_container_meta_df(df).collect()}
+    o = got["o1"]
+    assert (o.codec, o.channels, o.sample_rate, o.n_pages, o.last_granule) == (
+        "opus", 2, 48000, 2, 4800,
+    )
+    assert got["f1"].mime == "audio/flac" and got["f1"].codec is None
+    assert got["n1"].mime is None

@@ -45,6 +45,7 @@ QUERIES = [
     ("audio_stats", "one mapInPandas synth + one mapInPandas decode — payloads cross the Arrow boundary once, zero shuffle"),
     ("frame_sample", "demux fan-out: mapInPandas frame sampling (1 row -> n_frames PNGs) chained into mapInPandas pixel stats, zero shuffle"),
     ("media_meta", "container walk only: one mapInPandas over header bytes, no decode, zero shuffle — the filter-before-decode operator"),
+    ("audio_meta", "Ogg page walk + id-header parse: one mapInPandas, zero shuffle"),
 ]
 
 def main():
