@@ -1156,6 +1156,39 @@ def _webp_full_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.mapInPandas(gen, schema)
 
 
+def _tiff_full_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMPLETE uncompressed TIFFs from the in-repo codec — constant
+    gray c = doc_id % 256, alternating II/MM byte order, 4-row strips
+    (media_id = 't'<doc_id>).  Lossless → sums are exactly w·h·c."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import BinaryType, StringType, StructField, StructType
+
+    from hquery_php_spark.operators.tiff import encode_tiff
+
+    d = _spread(_docs(spark, sf_dir), spark).select(
+        F.col("doc_id").cast("long").alias("did")
+    )
+    schema = StructType(
+        [StructField("media_id", StringType()), StructField("payload", BinaryType())]
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            out = {"media_id": [], "payload": []}
+            for did in pdf["did"]:
+                did = int(did)
+                w, h = 6 + did % 21, 4 + did % 17
+                g = np.full((h, w), did % 256, dtype=np.uint8)
+                out["media_id"].append(f"t{did}")
+                out["payload"].append(
+                    encode_tiff(g, big_endian=bool(did % 2), rows_per_strip=4)
+                )
+            yield pd.DataFrame(out)
+
+    return d.mapInPandas(gen, schema)
+
+
 def _wav_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
     """COMPLETE RIFF/WAVE PCM payloads from the in-repo encoder
     (operators/wav.py) — per doc the bit depth cycles 8/16/24/32, the
@@ -1545,6 +1578,7 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(_jpeg_hdr_payloads(spark, sf_dir, sof="FFC2", prefix="p"))
         .unionByName(_gif_hdr_payloads(spark, sf_dir))
         .unionByName(_webp_hdr_payloads(spark, sf_dir))
+        .unionByName(_tiff_full_payloads(spark, sf_dir))
     )
     return image_meta_df(payloads)
 
@@ -1598,15 +1632,16 @@ def _png_full_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL image features end-to-end, ALL THREE codecs: full PNGs
-    (stdlib zlib + all five scanline unfilters), full baseline JPEGs
-    (the numpy huffman+IDCT codec), and full GIFs (real LZW) are
-    synthesized, decoded, and reduced to exact per-channel pixel sums +
-    dimensions.  PNG sums invert the pixel template; JPEG sums follow
-    the constant-gray closed form; GIF is lossless (sums = w·h·c) —
-    all value-checked in SQL.  allow_stub=False: every payload MUST
-    decode (no silent NULL row).  Means derive from the sums JVM-side
-    (identical rounding semantics in both engines)."""
+    """REAL image features end-to-end, ALL SIX codec families: full
+    PNGs (stdlib zlib + all five scanline unfilters), baseline AND
+    progressive JPEGs (the numpy huffman+IDCT codec), GIFs (real LZW),
+    lossless WebP (VP8L), and uncompressed TIFFs (both byte orders)
+    are synthesized, decoded, and reduced to exact per-channel pixel
+    sums + dimensions.  PNG sums invert the pixel template; JPEG sums
+    follow the constant-gray closed form; GIF/VP8L/TIFF are lossless
+    (sums = w·h·c) — all value-checked in SQL.  allow_stub=False:
+    every payload MUST decode (no silent NULL row).  Means derive from
+    the sums JVM-side (identical rounding semantics in both engines)."""
     from hquery_php_spark.operators.multimodal import image_pixel_stats_df
 
     payloads = (
@@ -1614,6 +1649,7 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(_jpeg_full_payloads(spark, sf_dir))
         .unionByName(_gif_full_payloads(spark, sf_dir))
         .unionByName(_webp_full_payloads(spark, sf_dir))
+        .unionByName(_tiff_full_payloads(spark, sf_dir))
     )
     stats = image_pixel_stats_df(payloads, allow_stub=False)
     npx = F.col("n_px").cast("double")
@@ -3338,6 +3374,18 @@ def _base_oracle_sql() -> dict[str, str]:
                    CAST(doc_id % 23 + 3 AS INTEGER),
                    25
             FROM documents
+            UNION ALL
+            -- TIFF: full files (8B header + w*h gray strip bytes +
+            -- offset/count arrays when >1 strip + 9-tag IFD = 114B)
+            SELECT 't' || CAST(doc_id AS VARCHAR),
+                   'image/tiff',
+                   CAST(w AS INTEGER), CAST(h AS INTEGER),
+                   CAST(122 + w * h
+                        + CASE WHEN (h + 3) // 4 > 1
+                               THEN 8 * ((h + 3) // 4) ELSE 0 END
+                        AS INTEGER)
+            FROM (SELECT doc_id, 6 + doc_id % 21 AS w, 4 + doc_id % 17 AS h
+                  FROM documents)
         """,
         # PNG rows: template inversion of _png_full_payloads (decoded
         # sums equal the generating formula summed over the grid).
@@ -3436,6 +3484,17 @@ def _base_oracle_sql() -> dict[str, str]:
                      CAST(255 * w * h AS BIGINT)
               FROM (SELECT doc_id, doc_id % 37 + 3 AS w,
                            doc_id % 23 + 3 AS h, doc_id % 256 AS c
+                    FROM documents)
+              UNION ALL
+              -- uncompressed TIFF: lossless gray, same argument
+              SELECT 't' || CAST(doc_id AS VARCHAR),
+                     CAST(w AS INTEGER), CAST(h AS INTEGER),
+                     CAST(w * h AS INTEGER),
+                     CAST(w * h * c AS BIGINT), CAST(w * h * c AS BIGINT),
+                     CAST(w * h * c AS BIGINT),
+                     CAST(255 * w * h AS BIGINT)
+              FROM (SELECT doc_id, 6 + doc_id % 21 AS w,
+                           4 + doc_id % 17 AS h, doc_id % 256 AS c
                     FROM documents)
             )
         """,

@@ -80,6 +80,8 @@ _MAGIC = [
     (b"\x1a\x45\xdf\xa3", "video/x-matroska-or-webm"),  # EBML, refined below
     (b"%PDF-", "application/pdf"),
     (b"BM", "image/bmp"),
+    (b"II*\x00", "image/tiff"),
+    (b"MM\x00*", "image/tiff"),
 ]
 
 
@@ -362,6 +364,11 @@ def decode_image(payload: Optional[bytes]):
     dec = decode_bmp(payload)
     if dec is not None:
         return dec
+    from hquery_php_spark.operators.tiff import decode_tiff
+
+    dec = decode_tiff(payload)
+    if dec is not None:
+        return dec
     from hquery_php_spark.operators.webp import decode_webp
 
     return decode_webp(payload)
@@ -401,6 +408,10 @@ def image_meta_df(df: DataFrame, payload_col: str = "payload") -> DataFrame:
                     from hquery_php_spark.operators.webp import webp_dims
 
                     dims = webp_dims(payload)
+                elif payload and mime == "image/tiff":
+                    from hquery_php_spark.operators.tiff import tiff_dims
+
+                    dims = tiff_dims(payload)
                 else:
                     dims = None
                 out["media_id"].append(mid)
