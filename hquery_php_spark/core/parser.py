@@ -245,20 +245,33 @@ def parse_html(s: bytes) -> ParseResult:
     finditer = _SCAN_RE.finditer
     # n -> (lowercased bytes, decoded original-case str): one probe per tag
     name_cache: Dict[bytes, Tuple[bytes, str]] = {}
+    # per-match bookkeeping is the per-tag cost floor: bind the bound
+    # methods once (each `.append`/`.get` attribute lookup costs as much
+    # as the append itself at ~100k matches/doc) and drive the iterator
+    # through __next__ with a try/except so the sentinel-default branch
+    # of next(it, None) is not paid per tag
+    name_cache_get = name_cache.get
+    extents_append = extents.append
+    attr_get = attr.get
+    stack_get = stack.get
+    tg_get = tg.get
     i = 0
     it = finditer(s)
+    nxt = it.__next__
     while True:
-        m = next(it, None)
-        if m is None:
+        try:
+            m = nxt()
+        except StopIteration:
             break
         lt, me = m.span()
         if lt < i:
             if me > i:
                 it = finditer(s, i)
+                nxt = it.__next__
             continue
         if lt >= l:
             break
-        n = m.group(2)
+        n = m[2]
         if n is not None:
             # regular tag; classification comes from offset arithmetic
             # instead of further Match-object calls — group(3) (the whole
@@ -267,7 +280,7 @@ def parse_html(s: bytes) -> ParseResult:
             is_close = s[lt + 1] == 0x2F
             ne = lt + 1 + is_close + len(n)  # name end = attr region start
             i = me
-            ent = name_cache.get(n)
+            ent = name_cache_get(n)
             if ent is None:
                 ent = name_cache[n] = (n.lower(), n.decode("latin-1"))
             nl, ns = ent
@@ -279,9 +292,10 @@ def parse_html(s: bytes) -> ParseResult:
                     i = ne
                     if ne < me:
                         it = finditer(s, ne)
+                        nxt = it.__next__
                     continue
                 # close of the unparsed tag: mask its body
-                extents.append((utn_from + 1, lt))
+                extents_append((utn_from + 1, lt))
                 utn = None
             if me != ne:  # group 3 matched iff the match extends past the name
                 # the regex consumed the whole attr region through '>';
@@ -295,26 +309,28 @@ def parse_html(s: bytes) -> ParseResult:
                 i = e + 1
                 if i < me:
                     it = finditer(s, i)
+                    nxt = it.__next__
             else:
                 e = find_tag_close(s, ne, l)
                 if e < 0:
                     break  # tag never closes — malformed tail
                 i = e + 1
-            extents.append((lt, i))
+            extents_append((lt, i))
             if not is_close:
                 ids[e] = e
                 tags[e] = ns
-                b = ne
-                while b < e and s[b] in _WS:
-                    b += 1
-                if b < e:
-                    at = s[b:e].strip(_PHP_TRIM)
+                if ne < e:
+                    # strip(PHP trim charlist) subsumes the reference's
+                    # leading-whitespace skip (the charlist is a superset
+                    # of the tag-name whitespace class), so one C-level
+                    # strip replaces the per-byte skip loop
+                    at = s[ne:e].strip(_PHP_TRIM)
                     # PHP `if ($at)`: the 1-byte string "0" is falsy
                     if at and at != b"0":
-                        prev = attr.get(at)
+                        prev = attr_get(at)
                         if prev is None:
                             attr[at] = e
-                        elif isinstance(prev, list):
+                        elif type(prev) is list:
                             prev.append(e)
                         else:
                             attr[at] = [prev, e]
@@ -323,30 +339,30 @@ def parse_html(s: bytes) -> ParseResult:
                     if nl in UNPARSED_TAGS:
                         utn = nl
                         utn_from = e
-                    st = stack.get(nl)
+                    st = stack_get(nl)
                     if st is None:
                         st = stack[nl] = []
                     st.append(e)
             else:
-                st = stack.get(nl)
+                st = stack_get(nl)
                 if st:
                     q = st.pop()  # per-name LIFO repair
                     ids[q] = lt
         else:
             # special tags: <!...> (doctype/comment/CDATA-ish), <?...>
-            ce = tg.get(lt)
+            ce = tg_get(lt)
             if ce is not None:
-                extents.append((lt, ce))
+                extents_append((lt, ce))
                 i = ce
                 continue
-            gi = s.find(b">", lt + 2)
+            gi = find(b">", lt + 2)
             if gi < 0 or gi >= l:
                 break
-            extents.append((lt, gi + 1))
+            extents_append((lt, gi + 1))
             i = gi + 1
 
     if utn is not None:
         # unparsed tag never closed: the rest of the document is opaque
-        extents.append((utn_from + 1, l))
+        extents_append((utn_from + 1, l))
 
     return ParseResult(ids, tags, attr, extents)
