@@ -39,7 +39,6 @@ __all__ = ["HDoc", "HElement", "strip_tags"]
 _COMMENT_RE = re.compile(rb"<!--.*?-->", re.S)
 _TAG_RE = re.compile(rb"<[^>]*>")
 _TRAILING_LT_RE = re.compile(rb"<[^>]*\Z")
-_WS_COLLAPSE = re.compile(r"\s+")
 _INT_PREFIX = re.compile(r"[+-]?\d+")
 
 

@@ -105,13 +105,18 @@ def extract_spans_df(
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = {k: [] for k in SPANS_SCHEMA.fieldNames()}
-            urls = pdf["__url"] if "__url" in pdf.columns else None
-            hdrs_s = pdf["__headers"] if "__headers" in pdf.columns else None
-            for i in range(len(pdf)):
-                doc_id = pdf["doc_id"].iat[i]
-                raw = pdf["__html"].iat[i]
-                url = urls.iat[i] if urls is not None else None
-                hdrs = hdrs_s.iat[i] if hdrs_s is not None else None
+            # one bulk tolist() per column per batch: pandas .iat is a
+            # per-call indexer (~µs each), measurable against a ~100µs
+            # per-doc parse at 10k-row Arrow batches
+            ids_l = pdf["doc_id"].tolist()
+            html_l = pdf["__html"].tolist()
+            urls = pdf["__url"].tolist() if "__url" in pdf.columns else None
+            hdrs_s = pdf["__headers"].tolist() if "__headers" in pdf.columns else None
+            for i in range(len(ids_l)):
+                doc_id = ids_l[i]
+                raw = html_l[i]
+                url = urls[i] if urls is not None else None
+                hdrs = hdrs_s[i] if hdrs_s is not None else None
                 t0 = time.perf_counter_ns()
                 err = None
                 spans = []
@@ -133,12 +138,16 @@ def extract_spans_df(
                     err = f"{type(ex).__name__}: {ex}"
                 el = (time.perf_counter_ns() - t0) // 1000
                 out["doc_id"].append(doc_id)
-                out["spans"].append(
-                    [(s.kind, s.text, s.media_ref, s.offset) for s in spans]
-                )
+                n_text = 0
+                tuples = []
+                for s in spans:
+                    if s.kind == "text":
+                        n_text += 1
+                    tuples.append((s.kind, s.text, s.media_ref, s.offset))
+                out["spans"].append(tuples)
                 out["n_tags"].append(n_tags)
-                out["n_text"].append(sum(1 for s in spans if s.kind == "text"))
-                out["n_media"].append(sum(1 for s in spans if s.kind == "media"))
+                out["n_text"].append(n_text)
+                out["n_media"].append(len(spans) - n_text)
                 out["size_bytes"].append(size)
                 out["charset"].append(charset)
                 out["error"].append(err)
