@@ -190,6 +190,38 @@ def main() -> None:
         scaled_best = dt if scaled_best is None else min(scaled_best, dt)
     docs8.unpersist()
 
+    # Overhead-amortized steady leg: the 40k-doc (x8) corpus finishes in
+    # ~1.2 s at local[32], of which ~0.7 s is fixed stage/scheduling/
+    # Arrow-worker cost — the per-doc engine rate is invisible at that
+    # size.  A x40 corpus (200k docs, ~2.5 s wall) amortizes the fixed
+    # cost and reads ~2.5x higher; both figures are reported because the
+    # x8 one is comparable across rounds and the x40 one is the honest
+    # per-doc rate a long-running 1000-executor stage would see.
+    d40 = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .crossJoin(spark.range(40).withColumnRenamed("id", "rep"))
+        .withColumn("doc_id", F.concat_ws("_", "doc_id", "rep"))
+        .drop("rep")
+    )
+    docs40 = salted_repartition(
+        d40.select(
+            "doc_id",
+            synth_html_col(F.col("doc_id"), F.col("text"), F.col("source")).alias("html"),
+            F.lit(BASE_URL).alias("base_url"),
+            F.length("text").cast("long").alias("size_bytes"),
+        ),
+        int(cpus) * 6,
+        size_col="size_bytes",
+    ).persist()
+    n40 = docs40.count()
+    amortized_best = None
+    for _ in range(2):
+        t0 = time.perf_counter()
+        extract_spans_df(docs40).count()
+        dt = time.perf_counter() - t0
+        amortized_best = dt if amortized_best is None else min(amortized_best, dt)
+    docs40.unpersist()
+
     # Mega-doc skew row: the regular body corpus + 8 synthetic ~1MB-text
     # mega docs (span-per-word: ~300k tags each) routed through
     # split_tail_repartition.  Each mega parses alone in its own
@@ -341,6 +373,8 @@ def main() -> None:
         "extract_docs_per_sec": spans_docs_per_sec,
         "extract_docs_per_sec_steady": round(n8 / scaled_best, 2),
         "steady_n_docs": n8,
+        "extract_docs_per_sec_steady_amortized": round(n40 / amortized_best, 2),
+        "steady_amortized_n_docs": n40,
         "mega_skew": {
             "mix_wall": wall_mix,
             "body_wall": wall_body,
