@@ -1507,13 +1507,57 @@ def _ogg_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.mapInPandas(gen, schema)
 
 
+def _mp3_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimal valid MPEG Layer III streams ('p3'<doc_id>): version/
+    bitrate/channel/frame-count parameters all derive from doc_id, with
+    an ID3v2 prefix every 3rd doc and a Xing tag every 4th, so the
+    frame-header walk's metadata inverts to closed-form SQL."""
+    import pandas as pd
+    from pyspark.sql.types import BinaryType, StringType, StructField, StructType
+
+    from hquery_php_spark.operators.mediameta import encode_mp3_stub
+
+    d = _spread(_docs(spark, sf_dir), spark).select(
+        F.col("doc_id").cast("long").alias("did")
+    )
+    schema = StructType(
+        [StructField("media_id", StringType()), StructField("payload", BinaryType())]
+    )
+    rates = (44100, 48000, 32000, 22050, 24000, 16000)
+    br_v1 = (64, 128, 192, 320)
+    br_v2 = (32, 64, 96, 160)
+
+    def gen(batches):
+        for pdf in batches:
+            out = {"media_id": [], "payload": []}
+            for did in pdf["did"]:
+                did = int(did)
+                rate = rates[did % 6]
+                br = (br_v1 if did % 6 < 3 else br_v2)[did % 4]
+                out["media_id"].append(f"p3{did}")
+                out["payload"].append(
+                    encode_mp3_stub(
+                        1 + did % 5, br, rate, 1 + did % 2,
+                        id3v2_tag_size=(16 + did % 40) if did % 3 == 0 else None,
+                        xing=did % 4 == 0,
+                    )
+                )
+            yield pd.DataFrame(out)
+
+    return d.mapInPandas(gen, schema)
+
+
 def q_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL compressed-audio container metadata: Ogg page walk (CRC
-    verified) + Opus/Vorbis identification headers — the pre-decode
-    filter for audio, symmetric with media_meta's video walk."""
+    verified) + Opus/Vorbis identification headers, plus the MP3
+    Layer III frame-header walk (ID3v2 skip, size arithmetic, Xing
+    detection) — the pre-decode filter for audio, symmetric with
+    media_meta's video walk."""
     from hquery_php_spark.operators.multimodal import audio_container_meta_df
 
-    return audio_container_meta_df(_ogg_payloads(spark, sf_dir))
+    return audio_container_meta_df(
+        _ogg_payloads(spark, sf_dir).unionByName(_mp3_payloads(spark, sf_dir))
+    )
 
 
 def q_media_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3593,6 +3637,21 @@ def _base_oracle_sql() -> dict[str, str]:
                    CAST(2 + doc_id % 2 AS INTEGER),
                    CAST(1 AS INTEGER),
                    CAST(1024 * (1 + doc_id % 30) AS BIGINT)
+            FROM documents
+            UNION ALL
+            -- template inversion of _mp3_payloads: n_pages carries the
+            -- frame count, last_granule the PCM sample total
+            -- (frames x 1152 for MPEG-1 rates, x 576 for MPEG-2)
+            SELECT 'p3' || CAST(doc_id AS VARCHAR), 'audio/mpeg', 'mp3',
+                   CAST(1 + doc_id % 2 AS INTEGER),
+                   CAST(CASE doc_id % 6 WHEN 0 THEN 44100 WHEN 1 THEN 48000
+                        WHEN 2 THEN 32000 WHEN 3 THEN 22050 WHEN 4 THEN 24000
+                        ELSE 16000 END AS INTEGER),
+                   CAST(1 + doc_id % 5 AS INTEGER),
+                   CAST(1 AS INTEGER),
+                   CAST((1 + doc_id % 5) *
+                        (CASE WHEN doc_id % 6 < 3 THEN 1152 ELSE 576 END)
+                        AS BIGINT)
             FROM documents
         """,
         # Container-metadata rows: template inversion of

@@ -14,6 +14,9 @@ not the codec.  This module provides it with no media library:
 * ``ogg_meta``: Ogg page walk with CRC verification (poly 0x04C11DB7),
   page/stream/granule accounting, and the BOS identification packet
   (OpusHead / Vorbis id header) for codec, channels, sample rate.
+* ``mp3_meta``: MPEG Layer III frame-header walk (ID3v2 skip, version/
+  bitrate/rate tables, per-frame size arithmetic, Xing detection) for
+  bitrate, sample rate, channels, frame count and duration.
 
 Everything returned is integer/string (no float fields), so synthesized
 corpora admit exact SQL twins.  Both writers emit minimal-but-valid
@@ -37,6 +40,8 @@ __all__ = [
     "webm_meta",
     "encode_ogg_stub",
     "ogg_meta",
+    "encode_mp3_stub",
+    "mp3_meta",
 ]
 
 
@@ -415,4 +420,172 @@ def _ogg_meta_impl(payload, verify_crc):
     out["n_streams"] = len(serials)
     if out["n_pages"] == 0:
         return None
+    return out
+
+
+# ------------------------------------------------------------------ #
+# MP3 / MPEG audio (Layer III frame-header walk)
+#
+# The dominant compressed-audio format in web crawls.  Like the MP4/
+# WebM/Ogg walkers above, this is the filter-before-decode leg: frame
+# headers carry bitrate/rate/mode and the frame count gives duration,
+# no Huffman/MDCT decode needed.  Header layout (ISO/IEC 11172-3):
+#   AAAAAAAA AAABBCCD EEEEFFGH IIJJKLMM
+#   A sync(11x1)  B version(00=2.5,10=2,11=1)  C layer(01=III)
+#   D no-CRC      E bitrate idx  F samplerate idx  G padding
+#   I channel mode(00 stereo,01 joint,10 dual,11 mono)
+
+_MP3_BITRATES_V1L3 = (0, 32, 40, 48, 56, 64, 80, 96, 112,
+                      128, 160, 192, 224, 256, 320)
+_MP3_BITRATES_V2L3 = (0, 8, 16, 24, 32, 40, 48, 56, 64,
+                      80, 96, 112, 128, 144, 160)
+# version bits -> sample-rate table (index by F bits)
+_MP3_RATES = {3: (44100, 48000, 32000),   # MPEG-1
+              2: (22050, 24000, 16000),   # MPEG-2
+              0: (11025, 12000, 8000)}    # MPEG-2.5
+
+
+def _mp3_frame_len(version_bits: int, bitrate_kbps: int,
+                   sample_rate: int, padding: int) -> int:
+    # Layer III: 144000*kbps/rate for MPEG-1, 72000*kbps/rate otherwise
+    base = 144000 if version_bits == 3 else 72000
+    return base * bitrate_kbps // sample_rate + padding
+
+
+def _mp3_side_info_len(version_bits: int, mono: bool) -> int:
+    # side-info size after the 4-byte header (Xing tag offset)
+    if version_bits == 3:
+        return 17 if mono else 32
+    return 9 if mono else 17
+
+
+def encode_mp3_stub(
+    n_frames: int,
+    bitrate_kbps: int,
+    sample_rate: int,
+    channels: int = 2,
+    id3v2_tag_size: Optional[int] = None,
+    xing: bool = False,
+) -> bytes:
+    """Minimal valid MPEG Layer III stream: ``n_frames`` correctly sized
+    frames (padding bit alternates per frame so the walker's size
+    arithmetic is exercised), an optional ID3v2.3 prefix tag and an
+    optional Xing tag in the first frame.  ``sample_rate`` selects the
+    MPEG version; ``bitrate_kbps`` must exist in that version's Layer
+    III table."""
+    for vbits, rates in _MP3_RATES.items():
+        if sample_rate in rates:
+            version_bits = vbits
+            rate_idx = rates.index(sample_rate)
+            break
+    else:
+        raise ValueError(f"unsupported sample rate {sample_rate}")
+    table = _MP3_BITRATES_V1L3 if version_bits == 3 else _MP3_BITRATES_V2L3
+    if bitrate_kbps not in table[1:]:
+        raise ValueError(f"bitrate {bitrate_kbps} not in L3 table")
+    bit_idx = table.index(bitrate_kbps)
+    mono = channels == 1
+    out = bytearray()
+    if id3v2_tag_size is not None:
+        sz = id3v2_tag_size
+        out += b"ID3\x03\x00\x00" + bytes(
+            [(sz >> 21) & 0x7F, (sz >> 14) & 0x7F, (sz >> 7) & 0x7F, sz & 0x7F]
+        )
+        out += bytes((i * 37) % 251 for i in range(sz))
+    for f in range(n_frames):
+        pad = f % 2
+        flen = _mp3_frame_len(version_bits, bitrate_kbps, sample_rate, pad)
+        hdr = bytes([
+            0xFF,
+            0xE0 | (version_bits << 3) | (0b01 << 1) | 1,  # layer III, no CRC
+            (bit_idx << 4) | (rate_idx << 2) | (pad << 1),
+            (0b11 if mono else 0b00) << 6,
+        ])
+        body = bytearray(hdr)
+        body += bytes((flen - 4))  # zero fill
+        if f == 0 and xing:
+            off = 4 + _mp3_side_info_len(version_bits, mono)
+            body[off : off + 4] = b"Xing"
+            body[off + 4 : off + 8] = struct.pack(">I", 0x0001)  # frames flag
+            body[off + 8 : off + 12] = struct.pack(">I", n_frames)
+        out += body
+    return bytes(out)
+
+
+def mp3_meta(payload: Optional[bytes]) -> Optional[dict]:
+    """{'version', 'bitrate_kbps', 'sample_rate', 'channels',
+    'n_frames', 'total_samples', 'duration_ms', 'has_id3v2',
+    'has_xing'} from the Layer III frame-header walk, or None.
+
+    The walk skips an ID3v2 prefix (synchsafe size), then advances
+    frame-by-frame using each header's own size arithmetic; it stops at
+    the first byte position that is not a valid Layer III sync (no
+    resync scan — truncated/corrupt tails end the walk, they never
+    raise).  ``n_frames`` counts every frame including a Xing/Info
+    frame; free-format (bitrate index 0) and reserved fields stop the
+    walk."""
+    try:
+        return _mp3_meta_impl(payload)
+    except (struct.error, IndexError, ValueError):
+        return None
+
+
+def _mp3_meta_impl(payload):
+    if payload is None or len(payload) < 4:
+        return None
+    pos = 0
+    has_id3 = False
+    n = len(payload)
+    if payload[:3] == b"ID3" and n >= 10:
+        sz = ((payload[6] & 0x7F) << 21) | ((payload[7] & 0x7F) << 14) | \
+             ((payload[8] & 0x7F) << 7) | (payload[9] & 0x7F)
+        pos = 10 + sz
+        has_id3 = True
+    out = None
+    n_frames = 0
+    total_samples = 0
+    has_xing = False
+    while pos + 4 <= n:
+        b0, b1, b2, b3 = payload[pos : pos + 4]
+        if b0 != 0xFF or (b1 & 0xE0) != 0xE0:
+            break
+        version_bits = (b1 >> 3) & 0x03
+        layer_bits = (b1 >> 1) & 0x03
+        if version_bits == 1 or layer_bits != 0b01:  # reserved / not L3
+            break
+        bit_idx = (b2 >> 4) & 0x0F
+        rate_idx = (b2 >> 2) & 0x03
+        if bit_idx in (0, 15) or rate_idx == 3:  # free-format / reserved
+            break
+        table = _MP3_BITRATES_V1L3 if version_bits == 3 else _MP3_BITRATES_V2L3
+        bitrate = table[bit_idx]
+        sample_rate = _MP3_RATES[version_bits][rate_idx]
+        pad = (b2 >> 1) & 1
+        mode = (b3 >> 6) & 0x03
+        channels = 1 if mode == 0b11 else 2
+        spf = 1152 if version_bits == 3 else 576
+        flen = _mp3_frame_len(version_bits, bitrate, sample_rate, pad)
+        if flen < 4 or pos + flen > n:
+            break
+        if out is None:
+            out = {
+                "version": {3: "1", 2: "2", 0: "2.5"}[version_bits],
+                "bitrate_kbps": bitrate,
+                "sample_rate": sample_rate,
+                "channels": channels,
+            }
+            off = pos + 4 + _mp3_side_info_len(version_bits, channels == 1)
+            tag = payload[off : off + 4]
+            if tag in (b"Xing", b"Info"):
+                has_xing = True
+        n_frames += 1
+        total_samples += spf
+        pos += flen
+    if out is None or n_frames == 0:
+        return None
+    out["n_frames"] = n_frames
+    out["total_samples"] = total_samples
+    out["duration_ms"] = total_samples * 1000 // out["sample_rate"]
+    out["has_id3v2"] = has_id3
+    out["has_xing"] = has_xing
     return out

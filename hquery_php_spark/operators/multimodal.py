@@ -114,6 +114,17 @@ def sniff_media_type(payload: Optional[bytes]) -> Optional[str]:
                     return "video/webm"
                 return "video/x-matroska"
             return mime
+    # raw MPEG-audio sync (no ID3 prefix): FF Ex/Fx with a valid
+    # (non-reserved) version + Layer III — checked after _MAGIC so the
+    # JPEG FF D8 FF prefix has already matched above
+    if (
+        len(payload) >= 4
+        and payload[0] == 0xFF
+        and (payload[1] & 0xE0) == 0xE0
+        and ((payload[1] >> 3) & 0x03) != 1
+        and ((payload[1] >> 1) & 0x03) == 0b01
+    ):
+        return "audio/mpeg"
     return "application/octet-stream"
 
 
@@ -715,15 +726,17 @@ def audio_pcm_stats_df(df: DataFrame, payload_col: str = "payload") -> DataFrame
 
 
 def audio_container_meta_df(df: DataFrame, payload_col: str = "payload") -> DataFrame:
-    """REAL audio-container metadata for Ogg streams: page walk with
-    CRC verification, page/stream/granule accounting, and the BOS
-    identification header (OpusHead / Vorbis) for codec, channels and
-    sample rate — the pre-decode filter for compressed audio, symmetric
-    with ``video_meta_df``.  Non-Ogg payloads keep the sniffed mime with
-    NULL fields."""
+    """REAL audio-container metadata for Ogg and MPEG-audio streams:
+    Ogg page walk with CRC verification + BOS identification header
+    (OpusHead / Vorbis), and the MP3 Layer III frame-header walk — the
+    pre-decode filter for compressed audio, symmetric with
+    ``video_meta_df``.  MP3 rows map onto the shared schema as
+    n_pages=n_frames, n_streams=1, last_granule=total_samples (the
+    granule analogue: PCM sample count).  Other payloads keep the
+    sniffed mime with NULL fields."""
     from pyspark.sql.types import LongType
 
-    from hquery_php_spark.operators.mediameta import ogg_meta
+    from hquery_php_spark.operators.mediameta import mp3_meta, ogg_meta
 
     schema = StructType(
         [
@@ -745,7 +758,24 @@ def audio_container_meta_df(df: DataFrame, payload_col: str = "payload") -> Data
             for mid, p in zip(pdf["media_id"], pdf["p"]):
                 payload = bytes(p) if p is not None else None
                 mime = sniff_media_type(payload)
-                m = ogg_meta(payload) if mime == "audio/ogg" else None
+                if mime == "audio/ogg":
+                    m = ogg_meta(payload)
+                elif mime == "audio/mpeg":
+                    w = mp3_meta(payload)
+                    m = (
+                        {
+                            "codec": "mp3",
+                            "channels": w["channels"],
+                            "sample_rate": w["sample_rate"],
+                            "n_pages": w["n_frames"],
+                            "n_streams": 1,
+                            "last_granule": w["total_samples"],
+                        }
+                        if w
+                        else None
+                    )
+                else:
+                    m = None
                 out["media_id"].append(mid)
                 out["mime"].append(mime)
                 out["codec"].append(m["codec"] if m else None)

@@ -1,0 +1,158 @@
+"""MP3 / MPEG Layer III frame-header walk tests (operators/mediameta.py):
+version/bitrate/rate table coverage, per-frame size arithmetic with the
+alternating padding bit, ID3v2 skip, Xing detection, truncation/garbage
+boundaries, never-raise fuzz, and the audio_container_meta_df dispatch.
+"""
+
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from hquery_php_spark.operators.mediameta import (
+    _MP3_BITRATES_V1L3,
+    _MP3_BITRATES_V2L3,
+    _MP3_RATES,
+    encode_mp3_stub,
+    mp3_meta,
+)
+from hquery_php_spark.operators.multimodal import sniff_media_type
+
+
+@pytest.mark.parametrize("rate", [44100, 48000, 32000])
+@pytest.mark.parametrize("br", [32, 128, 320])
+@pytest.mark.parametrize("channels", [1, 2])
+def test_mpeg1_roundtrip(rate, br, channels):
+    p = encode_mp3_stub(4, br, rate, channels)
+    assert sniff_media_type(p) == "audio/mpeg"
+    m = mp3_meta(p)
+    assert m == {
+        "version": "1", "bitrate_kbps": br, "sample_rate": rate,
+        "channels": channels, "n_frames": 4, "total_samples": 4 * 1152,
+        "duration_ms": 4 * 1152 * 1000 // rate,
+        "has_id3v2": False, "has_xing": False,
+    }
+
+
+@pytest.mark.parametrize("rate,ver", [(22050, "2"), (24000, "2"), (16000, "2"),
+                                      (11025, "2.5"), (12000, "2.5"), (8000, "2.5")])
+def test_mpeg2_and_25_roundtrip(rate, ver):
+    p = encode_mp3_stub(3, 64, rate, 1)
+    m = mp3_meta(p)
+    assert m["version"] == ver
+    assert m["sample_rate"] == rate
+    assert m["n_frames"] == 3
+    assert m["total_samples"] == 3 * 576
+    assert m["channels"] == 1
+
+
+def test_every_table_bitrate_roundtrips():
+    for br in _MP3_BITRATES_V1L3[1:]:
+        assert mp3_meta(encode_mp3_stub(2, br, 44100))["bitrate_kbps"] == br
+    for br in _MP3_BITRATES_V2L3[1:]:
+        assert mp3_meta(encode_mp3_stub(2, br, 22050))["bitrate_kbps"] == br
+
+
+def test_id3v2_skip_and_xing():
+    p = encode_mp3_stub(6, 128, 44100, 2, id3v2_tag_size=77, xing=True)
+    assert p[:3] == b"ID3"
+    assert sniff_media_type(p) == "audio/mpeg"  # via the ID3 magic
+    m = mp3_meta(p)
+    assert m["has_id3v2"] and m["has_xing"]
+    assert m["n_frames"] == 6  # Xing frame counts, documented
+
+    mono = mp3_meta(encode_mp3_stub(2, 64, 22050, 1, xing=True))
+    assert mono["has_xing"]  # MPEG-2 mono side-info offset (9 bytes)
+
+
+def test_padding_alternates_frame_sizes():
+    # frame length differs by exactly 1 byte between pad=0 and pad=1
+    one = len(encode_mp3_stub(1, 128, 44100))   # frame 0: pad 0
+    two = len(encode_mp3_stub(2, 128, 44100))   # + frame 1: pad 1
+    assert two - one == one + 1
+
+
+def test_truncation_and_garbage_return_none():
+    p = encode_mp3_stub(3, 128, 44100)
+    # a quarter of the stream is shorter than one whole frame
+    assert mp3_meta(p[: len(p) // 4]) is None
+    assert mp3_meta(b"") is None
+    assert mp3_meta(None) is None
+    assert mp3_meta(b"\xff\xfb") is None          # header cut short
+    assert mp3_meta(b"ID3\x03\x00\x00\x00\x00\x00\x05hello") is None  # tag only
+    assert mp3_meta(b"garbage bytes here") is None
+
+
+def test_walk_stops_at_corrupt_tail():
+    p = encode_mp3_stub(4, 128, 44100)
+    m_full = mp3_meta(p)
+    # cut mid-3rd-frame: the walk keeps the 2 complete frames
+    flen0 = 144000 * 128 // 44100      # pad 0
+    flen1 = flen0 + 1                  # pad 1
+    cut = p[: flen0 + flen1 + 10]
+    m_cut = mp3_meta(cut)
+    assert m_full["n_frames"] == 4 and m_cut["n_frames"] == 2
+    assert m_cut["total_samples"] == 2 * 1152
+
+
+def test_free_format_and_reserved_stop_walk():
+    p = bytearray(encode_mp3_stub(2, 128, 44100))
+    p[2] = p[2] & 0x0F          # bitrate idx 0 (free format) in frame 0
+    assert mp3_meta(bytes(p)) is None
+    q = bytearray(encode_mp3_stub(2, 128, 44100))
+    q[1] = (q[1] & ~0x06) | 0x06  # layer I bits: not our walker's target
+    assert mp3_meta(bytes(q)) is None
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.binary(max_size=600))
+def test_mp3_meta_never_raises(data):
+    m = mp3_meta(data)
+    assert m is None or m["n_frames"] >= 1
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    st.integers(1, 6),
+    st.sampled_from([44100, 48000, 32000, 22050, 24000, 16000, 11025, 12000, 8000]),
+    st.integers(0, 13),
+    st.integers(1, 2),
+)
+def test_roundtrip_property(n_frames, rate, br_i, channels):
+    table = _MP3_BITRATES_V1L3 if rate >= 32000 else _MP3_BITRATES_V2L3
+    br = table[1 + br_i]
+    m = mp3_meta(encode_mp3_stub(n_frames, br, rate, channels))
+    assert (m["n_frames"], m["bitrate_kbps"], m["sample_rate"], m["channels"]) == (
+        n_frames, br, rate, channels
+    )
+
+
+@pytest.fixture(scope="module")
+def spark():
+    pytest.importorskip("pyspark")
+    from pyspark.sql import SparkSession
+
+    s = (
+        SparkSession.builder.master("local[4]")
+        .appName("hquery-mp3-tests")
+        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    s.sparkContext.setLogLevel("ERROR")
+    yield s
+
+
+def test_audio_container_meta_df_dispatch(spark):
+    from hquery_php_spark.operators.multimodal import audio_container_meta_df
+
+    rows = [
+        ("a", bytearray(encode_mp3_stub(3, 128, 44100, 2, xing=True))),
+        ("b", bytearray(encode_mp3_stub(2, 64, 22050, 1, id3v2_tag_size=20))),
+        ("c", bytearray(b"not audio at all")),
+    ]
+    df = spark.createDataFrame(rows, "media_id string, payload binary")
+    got = {r["media_id"]: r.asDict() for r in audio_container_meta_df(df).collect()}
+    assert got["a"]["codec"] == "mp3" and got["a"]["n_pages"] == 3
+    assert got["a"]["last_granule"] == 3 * 1152
+    assert got["b"]["channels"] == 1 and got["b"]["sample_rate"] == 22050
+    assert got["b"]["last_granule"] == 2 * 576
+    assert got["c"]["codec"] is None
