@@ -1669,7 +1669,15 @@ def _png_full_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
                     axis=-1,
                 ).astype(np.uint8)
                 out["media_id"].append(str(did))
-                out["payload"].append(encode_png(px, row_filter=lambda yy: yy % 5))
+                # every 7th payload is Adam7-interlaced: same pixels,
+                # same oracle — the seven-pass decode path gets
+                # driver-checked for free
+                out["payload"].append(
+                    encode_png(
+                        px, row_filter=lambda yy: yy % 5,
+                        interlace=did % 7 == 0,
+                    )
+                )
             yield pd.DataFrame(out)
 
     return d.mapInPandas(gen, schema)

@@ -159,24 +159,19 @@ def _paeth(a: int, b: int, c: int) -> int:
     return c
 
 
-def encode_png(pixels, row_filter=None) -> bytes:
-    """Minimal real PNG encoder: (h, w, ch) uint8 array → PNG bytes
-    with valid chunk CRCs.  ``row_filter(y) -> 0..4`` selects the
-    scanline filter per row (default 0) — the test corpus cycles all
-    five so decode exercises every unfilter path."""
+def _png_filter_rows(sub, ch: int, row_filter, y_base: int) -> list:
+    """Filter the rows of one (sequential or Adam7-pass) sub-image.
+    ``sub`` is (h, w, ch) uint8; ``row_filter(y_base + y) -> 0..4``.
+    The up-reference (prev) resets at the sub-image top, per spec."""
     import numpy as np
-    import zlib
 
-    arr = np.asarray(pixels, dtype=np.uint8)
-    if arr.ndim == 2:
-        arr = arr[:, :, None]
-    h, w, ch = arr.shape
+    h, w, _ = sub.shape
     bpp = ch
-    raw = arr.reshape(h, w * ch).astype(np.int32)
+    raw = sub.reshape(h, w * ch).astype(np.int32)
     prev = np.zeros(w * ch, dtype=np.int32)
     lines = []
     for y in range(h):
-        f = int(row_filter(y)) if row_filter is not None else 0
+        f = int(row_filter(y_base + y)) if row_filter is not None else 0
         cur = raw[y]
         left = np.zeros_like(cur)
         left[bpp:] = cur[:-bpp]
@@ -201,6 +196,34 @@ def encode_png(pixels, row_filter=None) -> bytes:
             raise ValueError(f"bad filter {f}")
         lines.append(bytes([f]) + (filt % 256).astype(np.uint8).tobytes())
         prev = cur
+    return lines
+
+
+def encode_png(pixels, row_filter=None, interlace: bool = False) -> bytes:
+    """Minimal real PNG encoder: (h, w, ch) uint8 array → PNG bytes
+    with valid chunk CRCs.  ``row_filter(y) -> 0..4`` selects the
+    scanline filter per row (default 0) — the test corpus cycles all
+    five so decode exercises every unfilter path.  ``interlace=True``
+    writes the Adam7 seven-pass layout (each pass independently
+    filtered, empty passes omitted, per spec)."""
+    import numpy as np
+    import zlib
+
+    arr = np.asarray(pixels, dtype=np.uint8)
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, ch = arr.shape
+    if interlace:
+        lines = []
+        y_base = 0
+        for x0, y0, xs, ys in _ADAM7:
+            sub = arr[y0::ys, x0::xs]
+            if sub.shape[0] == 0 or sub.shape[1] == 0:
+                continue
+            lines.extend(_png_filter_rows(sub, ch, row_filter, y_base))
+            y_base += sub.shape[0]
+    else:
+        lines = _png_filter_rows(arr, ch, row_filter, 0)
 
     def chunk(typ: bytes, data: bytes) -> bytes:
         return (
@@ -210,7 +233,9 @@ def encode_png(pixels, row_filter=None) -> bytes:
             + _struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
         )
 
-    ihdr = _struct.pack(">IIBBBBB", w, h, 8, _CH_TO_COLORTYPE[ch], 0, 0, 0)
+    ihdr = _struct.pack(
+        ">IIBBBBB", w, h, 8, _CH_TO_COLORTYPE[ch], 0, 0, 1 if interlace else 0
+    )
     idat = zlib.compress(b"".join(lines), 6)
     return (
         _PNG_SIG
@@ -220,11 +245,60 @@ def encode_png(pixels, row_filter=None) -> bytes:
     )
 
 
+# Adam7 pass lattice: (x_start, y_start, x_step, y_step) per pass
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
+def _png_unfilter(raw: bytes, p: int, w: int, h: int, ch: int):
+    """Unfilter ``h`` scanlines of ``w`` pixels starting at offset ``p``
+    of the inflated stream; returns ((h, w*ch) uint8 array, next offset)
+    or None on truncation / bad filter byte."""
+    import numpy as np
+
+    stride = w * ch
+    if len(raw) - p < h * (stride + 1):
+        return None
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        f = raw[p]
+        p += 1
+        line = np.frombuffer(raw, np.uint8, stride, p).astype(np.int32)
+        p += stride
+        if f == 0:
+            cur = line
+        elif f == 1:
+            # recon[i] = raw[i] + recon[i-bpp]: a per-channel prefix sum
+            cur = (line.reshape(w, ch).cumsum(axis=0) % 256).reshape(stride)
+        elif f == 2:
+            cur = (line + prev) % 256
+        elif f == 3:
+            cur = np.empty(stride, np.int32)
+            for i in range(stride):
+                left = cur[i - ch] if i >= ch else 0
+                cur[i] = (line[i] + (left + prev[i]) // 2) % 256
+        elif f == 4:
+            cur = np.empty(stride, np.int32)
+            for i in range(stride):
+                a = cur[i - ch] if i >= ch else 0
+                c = prev[i - ch] if i >= ch else 0
+                cur[i] = (line[i] + _paeth(int(a), int(prev[i]), int(c))) % 256
+        else:
+            return None
+        out[y] = cur.astype(np.uint8)
+        prev = cur
+    return out, p
+
+
 def decode_png(payload: Optional[bytes]):
     """Stdlib PNG decode: chunk walk (CRC-verified) → zlib inflate →
-    per-spec scanline unfiltering.  Returns (w, h, ch, pixels) with
-    pixels an (h, w, ch) uint8 numpy array, or None for anything this
-    decoder does not cover (non-8-bit, interlaced, corrupt)."""
+    per-spec scanline unfiltering, sequential or Adam7-interlaced.
+    Returns (w, h, ch, pixels) with pixels an (h, w, ch) uint8 numpy
+    array, or None for anything this decoder does not cover (non-8-bit,
+    corrupt)."""
     import numpy as np
     import zlib
 
@@ -257,46 +331,33 @@ def decode_png(payload: Optional[bytes]):
         elif typ == b"IEND":
             break
     ch = _COLORTYPE_TO_CH.get(color_type)
-    if w is None or not idat or ch is None or bit_depth != 8 or interlace != 0:
+    if w is None or not idat or ch is None or bit_depth != 8 or interlace > 1:
         return None
     try:
         raw = zlib.decompress(b"".join(idat))
     except zlib.error:
         return None
-    stride = w * ch
-    if len(raw) < h * (stride + 1):
-        return None
-    out = np.zeros((h, stride), dtype=np.uint8)
-    prev = np.zeros(stride, dtype=np.int32)
-    p = 0
-    for y in range(h):
-        f = raw[p]
-        p += 1
-        line = np.frombuffer(raw, np.uint8, stride, p).astype(np.int32)
-        p += stride
-        if f == 0:
-            cur = line
-        elif f == 1:
-            # recon[i] = raw[i] + recon[i-bpp]: a per-channel prefix sum
-            cur = (line.reshape(w, ch).cumsum(axis=0) % 256).reshape(stride)
-        elif f == 2:
-            cur = (line + prev) % 256
-        elif f == 3:
-            cur = np.empty(stride, np.int32)
-            for i in range(stride):
-                left = cur[i - ch] if i >= ch else 0
-                cur[i] = (line[i] + (left + prev[i]) // 2) % 256
-        elif f == 4:
-            cur = np.empty(stride, np.int32)
-            for i in range(stride):
-                a = cur[i - ch] if i >= ch else 0
-                c = prev[i - ch] if i >= ch else 0
-                cur[i] = (line[i] + _paeth(int(a), int(prev[i]), int(c))) % 256
-        else:
+    if interlace == 0:
+        got = _png_unfilter(raw, 0, w, h, ch)
+        if got is None:
             return None
-        out[y] = cur.astype(np.uint8)
-        prev = cur
-    px = out.reshape(h, w, ch)
+        out, _ = got
+        px = out.reshape(h, w, ch)
+    else:
+        # Adam7: seven independently-filtered sub-images, scattered back
+        # on the (x0, y0, xstep, ystep) lattice per pass
+        px = np.zeros((h, w, ch), dtype=np.uint8)
+        p = 0
+        for x0, y0, xs, ys in _ADAM7:
+            pw = (w - x0 + xs - 1) // xs
+            ph = (h - y0 + ys - 1) // ys
+            if pw <= 0 or ph <= 0:
+                continue
+            got = _png_unfilter(raw, p, pw, ph, ch)
+            if got is None:
+                return None
+            sub, p = got
+            px[y0::ys, x0::xs] = sub.reshape(ph, pw, ch)
     if color_type == 3:
         if palette is None:
             return None

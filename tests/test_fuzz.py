@@ -386,10 +386,13 @@ def test_portable_winnow_cross_engine_fuzz(spark, texts):
     ch=st.sampled_from([1, 2, 3, 4]),
     seed=st.integers(0, 2**31 - 1),
     filt_mode=st.sampled_from(["cycle", "zero", "sub", "up", "avg", "paeth"]),
+    interlace=st.booleans(),
 )
-def test_png_codec_roundtrip_property(w, h, ch, seed, filt_mode):
+def test_png_codec_roundtrip_property(w, h, ch, seed, filt_mode, interlace):
     """encode_png → decode_png is pixel-exact for every size, channel
-    count, and scanline filter type (incl. Paeth chains)."""
+    count, scanline filter type (incl. Paeth chains), and both the
+    sequential and Adam7-interlaced layouts (small sizes exercise the
+    empty-pass cases)."""
     import numpy as np
 
     from hquery_php_spark.operators.multimodal import decode_png, encode_png
@@ -404,7 +407,7 @@ def test_png_codec_roundtrip_property(w, h, ch, seed, filt_mode):
         "avg": lambda y: 3,
         "paeth": lambda y: 4,
     }
-    out = decode_png(encode_png(px, row_filter=filters[filt_mode]))
+    out = decode_png(encode_png(px, row_filter=filters[filt_mode], interlace=interlace))
     assert out is not None
     dw, dh, dch, dpx = out
     assert (dw, dh, dch) == (w, h, ch)
