@@ -2626,9 +2626,14 @@ def q_charset_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc text-analysis profile in ONE scan: whitespace + BPE-ish
-    token counts, language id, literal-needle occurrence, fingerprint,
-    and the full quality-score struct — zero shuffles, one row per doc."""
-    from hquery_php_spark.functions.text import bpe_token_count, occurrence_count
+    token counts, language id (en-detector + 6-language marker argmax),
+    literal-needle occurrence, fingerprint, and the full quality-score
+    struct — zero shuffles, one row per doc."""
+    from hquery_php_spark.functions.text import (
+        bpe_token_count,
+        lang_id_multi,
+        occurrence_count,
+    )
 
     q = quality_score(F.col("text"))
     return _docs(spark, sf_dir).select(
@@ -2636,6 +2641,7 @@ def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         token_count(F.col("text")).alias("n_tokens"),
         bpe_token_count(F.col("text")).alias("n_bpe_tokens"),
         lang_id_en(F.col("text")).alias("lang"),
+        lang_id_multi(F.col("text")).alias("lang_multi"),
         occurrence_count(F.col("text"), "the").alias("n_the"),
         fingerprint(F.col("text")).alias("fp"),
         q["n_chars"].alias("n_chars"),
@@ -2933,8 +2939,8 @@ SUITE_COVERS = {
     # and parameters; only the hash family differs)
     "curate": ["curate_fast"],
     "charset_suite": ["charset_detect", "charset_extract"],
-    "text_profile": ["token_count", "lang_id", "occurrence", "fingerprint",
-                     "text_quality"],
+    "text_profile": ["token_count", "lang_id", "lang_id_multi", "occurrence",
+                     "fingerprint", "text_quality"],
     "interleaved_suite": ["interleaved_docs", "interleaved_stats"],
     "dedup_minhash_clusters": ["dedup_minhash", "text_dedup_clusters"],
     "incremental_suite": ["incremental_dedup", "incremental_dedup_near"],
@@ -3849,6 +3855,7 @@ def oracle_sql() -> dict[str, str]:
         f"SELECT doc_id, {wordcount} AS n_tokens, "
         f"CAST({TSQL.bpe_token_count('text')} AS INT) AS n_bpe_tokens, "
         f"{TSQL.lang_id_en('text')} AS lang, "
+        f"{TSQL.lang_id_multi('text')} AS lang_multi, "
         f"{TSQL.occurrence_count('text', 'the')} AS n_the, "
         f"{TSQL.fingerprint('text')} AS fp, "
         + ", ".join(

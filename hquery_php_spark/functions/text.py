@@ -23,6 +23,7 @@ __all__ = [
     "token_count",
     "occurrence_count",
     "lang_id_en",
+    "lang_id_multi",
     "quality_score",
     "repetition_stats",
     "word_ngrams",
@@ -80,6 +81,43 @@ def lang_id_en(col: Column, threshold: int = 1) -> Column:
         c = occurrence_count(padded, m)
         score = c if score is None else (score + c)
     return F.when(score >= threshold, F.lit("en")).otherwise(F.lit("unk"))
+
+
+# marker stopwords per language, chosen to be short, frequent, and
+# mostly language-distinctive; overlaps (que/con/para across Romance
+# languages) are resolved by the deterministic argmax tie-break below.
+# Priority order = dict order: on equal scores the EARLIER language
+# wins (both engines use the same CASE chain, so ties are stable).
+_LANG_MARKERS = {
+    "en": (" the ", " and ", " of ", " is ", " that "),
+    "de": (" und ", " der ", " nicht ", " das ", " ist "),
+    "fr": (" les ", " est ", " dans ", " pour ", " que "),
+    "es": (" los ", " las ", " por ", " una ", " para "),
+    "it": (" che ", " della ", " per ", " con ", " gli "),
+    "pt": (" que ", " uma ", " com ", " para ", " mais "),
+}
+
+
+def lang_id_multi(col: Column, threshold: int = 1) -> Column:
+    """n-gram-heuristic language ID over six languages: per-language
+    marker-stopword counts (padded-spaces boundary trick, length
+    arithmetic — no regex, no UDF), argmax with the deterministic
+    priority tie-break of ``_LANG_MARKERS`` order; 'unk' when the best
+    score is below ``threshold``.  Zero-shuffle expression — scales as
+    a projection at any corpus size."""
+    padded = F.concat(F.lit(" "), norm_ws(F.lower(col)), F.lit(" "))
+    scores = {}
+    for lang, markers in _LANG_MARKERS.items():
+        s = None
+        for m in markers:
+            c = occurrence_count(padded, m)
+            s = c if s is None else (s + c)
+        scores[lang] = s
+    best = F.greatest(*scores.values())
+    out = F.lit("unk")
+    for lang in reversed(list(_LANG_MARKERS)):  # earlier langs win ties
+        out = F.when(scores[lang] == best, F.lit(lang)).otherwise(out)
+    return F.when(best >= threshold, out).otherwise(F.lit("unk"))
 
 
 def quality_score(col: Column) -> Column:
@@ -152,6 +190,27 @@ class SQL:
         padded = f"(' ' || {SQL.norm_ws(f'lower({col})')} || ' ')"
         score = " + ".join(SQL.occurrence_count(padded, m) for m in _EN_MARKERS)
         return f"CASE WHEN ({score}) >= {threshold} THEN 'en' ELSE 'unk' END"
+
+    @staticmethod
+    def lang_id_multi(col: str, threshold: int = 1) -> str:
+        padded = f"(' ' || {SQL.norm_ws(f'lower({col})')} || ' ')"
+        scores = {
+            lang: "(" + " + ".join(
+                SQL.occurrence_count(padded, m) for m in markers
+            ) + ")"
+            for lang, markers in _LANG_MARKERS.items()
+        }
+        best = "greatest(" + ", ".join(scores.values()) + ")"
+        # same priority CASE chain as the Spark expression: earlier
+        # languages in _LANG_MARKERS order win ties
+        whens = " ".join(
+            f"WHEN {scores[lang]} = {best} THEN '{lang}'"
+            for lang in _LANG_MARKERS
+        )
+        return (
+            f"CASE WHEN {best} >= {threshold} "
+            f"THEN (CASE {whens} ELSE 'unk' END) ELSE 'unk' END"
+        )
 
     @staticmethod
     def fingerprint(col: str) -> str:

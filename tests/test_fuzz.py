@@ -719,3 +719,66 @@ SELECT d, least({mod}, ((sd * {mod}) // sS) * nN // n) FROM s, tot
 """).fetchall()
     got = {d: int(t) for d, t in rows}
     assert got == want
+
+
+@settings(max_examples=10, deadline=None)
+@given(texts=_texts)
+def test_lang_id_multi_cross_engine_fuzz(spark, texts):
+    """lang_id_multi twins in lockstep — the greatest() + priority CASE
+    chain must tie-break identically in both engines on arbitrary
+    character soup (all-zero scores included)."""
+    import duckdb
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from hquery_php_spark.functions.text import SQL as TSQL, lang_id_multi
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: r.lang
+        for r in df.select(
+            "doc_id", lang_id_multi(F.col("text")).alias("lang")
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame(rows, columns=["doc_id", "text"]))
+    want = {
+        r[0]: r[1]
+        for r in con.execute(
+            f"SELECT doc_id, {TSQL.lang_id_multi('text')} AS lang FROM documents"
+        ).fetchall()
+    }
+    assert got == want
+
+
+def test_lang_id_multi_known_sentences(spark):
+    """One natural sentence per language classifies correctly; an
+    all-marker tie resolves to the priority order; no markers -> unk."""
+    from pyspark.sql import functions as F
+
+    from hquery_php_spark.functions.text import lang_id_multi
+
+    cases = [
+        ("the cat and the dog is on that mat", "en"),
+        ("der hund und die katze ist nicht das problem", "de"),
+        ("les enfants est dans la maison pour que tout aille bien", "fr"),
+        ("los perros y las casas por una parte para todos", "es"),
+        ("il fatto che della juventus per i tifosi con gli amici", "it"),
+        ("acho que uma pessoa com mais tempo para tudo", "pt"),
+        ("zxqj kwv 123", "unk"),
+        # ' que ' occurs in the fr AND pt marker sets: a text with only
+        # ' que ' ties fr/pt and the earlier language (fr) must win
+        ("digo que sim", "fr"),
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, (t, _) in enumerate(cases)], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: r.lang
+        for r in df.select(
+            "doc_id", lang_id_multi(F.col("text")).alias("lang")
+        ).collect()
+    }
+    for i, (t, want) in enumerate(cases):
+        assert got[i] == want, (t, got[i], want)
