@@ -466,13 +466,16 @@ def encode_mp3_stub(
     channels: int = 2,
     id3v2_tag_size: Optional[int] = None,
     xing: bool = False,
+    id3_frames: Optional[dict] = None,
 ) -> bytes:
     """Minimal valid MPEG Layer III stream: ``n_frames`` correctly sized
     frames (padding bit alternates per frame so the walker's size
     arithmetic is exercised), an optional ID3v2.3 prefix tag and an
     optional Xing tag in the first frame.  ``sample_rate`` selects the
     MPEG version; ``bitrate_kbps`` must exist in that version's Layer
-    III table."""
+    III table.  ``id3_frames`` ({'TIT2': 'title', ...}) emits real
+    ID3v2.3 text frames (ISO-8859-1 encoding byte 0) inside the tag;
+    ``id3v2_tag_size`` then sets the minimum tag size (junk-padded)."""
     for vbits, rates in _MP3_RATES.items():
         if sample_rate in rates:
             version_bits = vbits
@@ -486,12 +489,19 @@ def encode_mp3_stub(
     bit_idx = table.index(bitrate_kbps)
     mono = channels == 1
     out = bytearray()
-    if id3v2_tag_size is not None:
-        sz = id3v2_tag_size
+    if id3v2_tag_size is not None or id3_frames:
+        body = bytearray()
+        for fid, text in (id3_frames or {}).items():
+            payload_f = b"\x00" + text.encode("latin-1", "replace")
+            body += fid.encode("ascii") + struct.pack(">I", len(payload_f))
+            body += b"\x00\x00" + payload_f
+        pad = max(0, (id3v2_tag_size or 0) - len(body))
+        body += bytes((i * 37) % 251 for i in range(pad))
+        sz = len(body)
         out += b"ID3\x03\x00\x00" + bytes(
             [(sz >> 21) & 0x7F, (sz >> 14) & 0x7F, (sz >> 7) & 0x7F, sz & 0x7F]
         )
-        out += bytes((i * 37) % 251 for i in range(sz))
+        out += body
     for f in range(n_frames):
         pad = f % 2
         flen = _mp3_frame_len(version_bits, bitrate_kbps, sample_rate, pad)
@@ -536,11 +546,36 @@ def _mp3_meta_impl(payload):
     pos = 0
     has_id3 = False
     n = len(payload)
+    title = artist = album = None
     if payload[:3] == b"ID3" and n >= 10:
         sz = ((payload[6] & 0x7F) << 21) | ((payload[7] & 0x7F) << 14) | \
              ((payload[8] & 0x7F) << 7) | (payload[9] & 0x7F)
         pos = 10 + sz
         has_id3 = True
+        # ID3v2.3 text frames inside the tag we would otherwise skip
+        # blindly: 4-char id + 32-bit size + 2 flag bytes, body starts
+        # with an encoding byte (0 = ISO-8859-1, the only one emitted
+        # by the stub writer; others are skipped, not mis-decoded)
+        fp = 10
+        tag_end = min(10 + sz, n)
+        while fp + 10 <= tag_end:
+            fid = payload[fp : fp + 4]
+            if not all(0x30 <= c <= 0x5A for c in fid):  # padding/junk
+                break
+            (flen,) = struct.unpack_from(">I", payload, fp + 4)
+            body = fp + 10
+            if flen < 1 or body + flen > tag_end:
+                break
+            if payload[body] == 0:  # ISO-8859-1
+                txt = payload[body + 1 : body + flen].split(b"\x00")[0]
+                val = txt.decode("latin-1")
+                if fid == b"TIT2":
+                    title = val
+                elif fid == b"TPE1":
+                    artist = val
+                elif fid == b"TALB":
+                    album = val
+            fp = body + flen
     out = None
     n_frames = 0
     total_samples = 0
@@ -588,4 +623,7 @@ def _mp3_meta_impl(payload):
     out["duration_ms"] = total_samples * 1000 // out["sample_rate"]
     out["has_id3v2"] = has_id3
     out["has_xing"] = has_xing
+    out["title"] = title
+    out["artist"] = artist
+    out["album"] = album
     return out

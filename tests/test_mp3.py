@@ -29,6 +29,7 @@ def test_mpeg1_roundtrip(rate, br, channels):
         "channels": channels, "n_frames": 4, "total_samples": 4 * 1152,
         "duration_ms": 4 * 1152 * 1000 // rate,
         "has_id3v2": False, "has_xing": False,
+        "title": None, "artist": None, "album": None,
     }
 
 
@@ -49,6 +50,21 @@ def test_every_table_bitrate_roundtrips():
         assert mp3_meta(encode_mp3_stub(2, br, 44100))["bitrate_kbps"] == br
     for br in _MP3_BITRATES_V2L3[1:]:
         assert mp3_meta(encode_mp3_stub(2, br, 22050))["bitrate_kbps"] == br
+
+
+def test_id3v2_text_frames():
+    p = encode_mp3_stub(
+        2, 128, 44100, 2, id3v2_tag_size=64,
+        id3_frames={"TIT2": "My Song", "TPE1": "Some Artist", "TALB": "An Album"},
+    )
+    m = mp3_meta(p)
+    assert (m["title"], m["artist"], m["album"]) == (
+        "My Song", "Some Artist", "An Album"
+    )
+    assert m["n_frames"] == 2 and m["has_id3v2"]
+    # junk-only tag (no frames): fields stay None, frames still counted
+    j = mp3_meta(encode_mp3_stub(3, 64, 22050, 1, id3v2_tag_size=50))
+    assert j["title"] is None and j["n_frames"] == 3
 
 
 def test_id3v2_skip_and_xing():
