@@ -35,6 +35,7 @@ __all__ = [
     "read_warc_files",
     "index_warc_slices",
     "read_warc_files_split",
+    "write_warc_files",
 ]
 
 _CRLF = b"\r\n"
@@ -494,3 +495,82 @@ def read_warc_files(spark, glob_path: str):
             yield pd.DataFrame(out)
 
     return raw.mapInPandas(run, schema)
+
+
+# ------------------------------------------------------------------ #
+# WARC sink: the write half of the archive round trip.  A curation
+# pipeline that filters/redacts crawl data re-archives the survivors;
+# writing one gzip member per record keeps the OUTPUT re-splittable by
+# the same index_warc_slices pass that ingests it.
+
+
+def write_warc_files(
+    df,
+    out_dir: str,
+    url_col: str = "url",
+    status_col: str = "http_status",
+    ctype_col: str = "content_type",
+    payload_col: str = "payload",
+):
+    """Distributed WARC sink: one ``part-<pid>.warc.gz`` per input
+    partition (one gzip member per record — the standard re-splittable
+    layout), written atomically (``.tmp`` + rename) so a re-run never
+    exposes a torn archive.  Returns the manifest DataFrame
+    (path, n_records, n_bytes) — the lineage sidecar, one row per
+    written file; materializing it IS the write.
+
+    ``out_dir`` must be a filesystem visible to the executors (local
+    dir in local mode; a mounted/NFS path on a cluster — for object
+    stores, write to the executor-local staging dir and promote).
+    Partition sizing bounds memory: each task buffers one partition's
+    records before the single compress+write."""
+    import os
+
+    import pandas as pd
+    from pyspark import TaskContext
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    manifest_schema = StructType(
+        [
+            StructField("path", StringType()),
+            StructField("n_records", LongType()),
+            StructField("n_bytes", LongType()),
+        ]
+    )
+    narrow = df.select(
+        F.col(url_col).cast("string").alias("u"),
+        F.col(status_col).cast("int").alias("s"),
+        F.col(ctype_col).cast("string").alias("c"),
+        F.col(payload_col).alias("p"),
+    )
+
+    def run(batches):
+        recs = []
+        for pdf in batches:
+            for u, s, c, p in zip(
+                pdf["u"].tolist(), pdf["s"].tolist(),
+                pdf["c"].tolist(), pdf["p"].tolist(),
+            ):
+                body = bytes(p) if p is not None else b""
+                recs.append((u, int(s), c or "application/octet-stream", body))
+        if not recs:
+            return
+        pid = TaskContext.get().partitionId()
+        data = make_warc(recs, gzip_members=True)
+        os.makedirs(out_dir, exist_ok=True)
+        path = os.path.join(out_dir, f"part-{pid:05d}.warc.gz")
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(data)
+        os.replace(tmp, path)
+        yield pd.DataFrame(
+            {"path": [path], "n_records": [len(recs)], "n_bytes": [len(data)]}
+        )
+
+    return narrow.mapInPandas(run, manifest_schema)
