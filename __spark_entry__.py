@@ -968,15 +968,34 @@ def _jpeg_h(did):
 
 
 def _jpeg_hdr_payloads(
-    spark: SparkSession, sf_dir: str, sof: str = "FFC0", prefix: str = "j"
+    spark: SparkSession, sf_dir: str, sof: str = "FFC0", prefix: str = "j",
+    exif: bool = False,
 ) -> DataFrame:
     """Deterministic JPEG headers synthesized JVM-side: SOI + SOFn
     (precision 8, h, w, 1 component) — 15 bytes each, enough for mime
     sniff + SOF dimension parse.  ``sof='FFC2'`` makes progressive
-    headers (media_id prefix 'p')."""
+    headers (media_id prefix 'p').  ``exif=True`` inserts a real APP1
+    EXIF block (little-endian TIFF, single IFD, Orientation tag 274 =
+    1 + doc_id % 8 — 36 bytes) between SOI and SOF, so the EXIF walk
+    is driver-checked."""
     did = F.col("doc_id")
+    exif_hex = (
+        F.concat(
+            # FFE1 len=0x22 'Exif\0\0' 'II*\0' ifd@8 n_tags=1
+            F.lit("FFE10022" "457869660000" "49492A00" "08000000" "0100"
+                  # tag 274 (0x0112 LE), type SHORT, count 1
+                  "12010300" "01000000"),
+            # orientation value: short LE + 2 pad bytes
+            F.lit("0"), F.hex(F.lit(1) + F.pmod(did, F.lit(8))),
+            F.lit("000000" "00000000"),
+        )
+        if exif
+        else F.lit("")
+    )
     hexstr = F.concat(
-        F.lit("FFD8" + sof + "000B" + "08"),
+        F.lit("FFD8"),
+        exif_hex,
+        F.lit(sof + "000B" + "08"),
         F.lpad(F.hex(_jpeg_h(did)), 4, "0"),
         F.lpad(F.hex(_jpeg_w(did)), 4, "0"),
         F.lit("01" + "011100"),
@@ -1618,7 +1637,7 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     payloads = (
         _png_payloads(spark, sf_dir)
-        .unionByName(_jpeg_hdr_payloads(spark, sf_dir))
+        .unionByName(_jpeg_hdr_payloads(spark, sf_dir, exif=True))
         .unionByName(_jpeg_hdr_payloads(spark, sf_dir, sof="FFC2", prefix="p"))
         .unionByName(_gif_hdr_payloads(spark, sf_dir))
         .unionByName(_webp_hdr_payloads(spark, sf_dir))
@@ -2926,7 +2945,9 @@ def q_tpch_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_multimodal_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-payload plumbing end-to-end: IHDR metadata sniff (mime,
     n_bytes) joined with the full decode→pixel-stats path on media_id."""
-    meta = q_multimodal_meta(spark, sf_dir).select("media_id", "mime", "n_bytes")
+    meta = q_multimodal_meta(spark, sf_dir).select(
+        "media_id", "mime", "n_bytes", "orientation"
+    )
     feats = q_multimodal_features(spark, sf_dir)
     return feats.join(meta, "media_id")
 
@@ -3402,35 +3423,42 @@ def _base_oracle_sql() -> dict[str, str]:
                    'image/png' AS mime,
                    CAST(16 + doc_id % 64 AS INTEGER) AS width,
                    CAST(16 + doc_id % 48 AS INTEGER) AS height,
-                   29 AS n_bytes
+                   29 AS n_bytes,
+                   CAST(NULL AS INTEGER) AS orientation
             FROM documents
             UNION ALL
+            -- baseline headers carry the 36-byte EXIF APP1 block:
+            -- orientation inverts to 1 + doc_id % 8
             SELECT 'j' || CAST(doc_id AS VARCHAR),
                    'image/jpeg',
                    CAST((doc_id % 8 + 1) * 8 AS INTEGER),
                    CAST((doc_id % 6 + 1) * 8 AS INTEGER),
-                   15
+                   51,
+                   CAST(1 + doc_id % 8 AS INTEGER)
             FROM documents
             UNION ALL
             SELECT 'p' || CAST(doc_id AS VARCHAR),
                    'image/jpeg',
                    CAST((doc_id % 8 + 1) * 8 AS INTEGER),
                    CAST((doc_id % 6 + 1) * 8 AS INTEGER),
-                   15
+                   15,
+                   CAST(NULL AS INTEGER)
             FROM documents
             UNION ALL
             SELECT 'g' || CAST(doc_id AS VARCHAR),
                    'image/gif',
                    CAST(doc_id % 40 + 5 AS INTEGER),
                    CAST(doc_id % 30 + 5 AS INTEGER),
-                   13
+                   13,
+                   CAST(NULL AS INTEGER)
             FROM documents
             UNION ALL
             SELECT 'w' || CAST(doc_id AS VARCHAR),
                    'image/webp',
                    CAST(doc_id % 37 + 3 AS INTEGER),
                    CAST(doc_id % 23 + 3 AS INTEGER),
-                   25
+                   25,
+                   CAST(NULL AS INTEGER)
             FROM documents
             UNION ALL
             -- TIFF: full files (8B header + w*h gray strip bytes +
@@ -3441,7 +3469,8 @@ def _base_oracle_sql() -> dict[str, str]:
                    CAST(122 + w * h
                         + CASE WHEN (h + 3) // 4 > 1
                                THEN 8 * ((h + 3) // 4) ELSE 0 END
-                        AS INTEGER)
+                        AS INTEGER),
+                   CAST(NULL AS INTEGER)
             FROM (SELECT doc_id, 6 + doc_id % 21 AS w, 4 + doc_id % 17 AS h
                   FROM documents)
         """,
@@ -4001,7 +4030,8 @@ def oracle_sql() -> dict[str, str]:
     out["multimodal_suite"] = f"""
         SELECT f.media_id, f.width, f.height, f.n_px,
                f.sum_r, f.sum_g, f.sum_b, f.sum_a,
-               f.mean_r, f.mean_g, f.mean_b, m.mime, m.n_bytes
+               f.mean_r, f.mean_g, f.mean_b, m.mime, m.n_bytes,
+               m.orientation
         FROM ({base['multimodal_features']}) f
         JOIN ({base['multimodal_meta']}) m ON f.media_id = m.media_id
     """

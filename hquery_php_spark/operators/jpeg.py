@@ -50,6 +50,7 @@ __all__ = [
     "encode_jpeg",
     "decode_jpeg",
     "jpeg_dims",
+    "jpeg_exif_orientation",
     "quant_tables",
     "constant_gray_decoded_level",
 ]
@@ -1095,3 +1096,38 @@ def constant_gray_decoded_level(c: int, quality: int = 75) -> int:
     # floor(d/8 + 0.5) = floor((d+4)/8) with floor (not trunc) division
     p0 = (d + 4) // 8 + 128
     return max(0, min(255, p0))
+
+
+def jpeg_exif_orientation(payload: Optional[bytes]) -> Optional[int]:
+    """EXIF Orientation (tag 274, values 1..8) from the first APP1
+    segment, or None.  EXIF is a TIFF stream ('Exif\\0\\0' prefix inside
+    FFE1) — the walk reuses the TIFF IFD reader (operators/tiff.py), so
+    both byte orders come for free.  A 100 TB image pipeline needs this
+    before any resize: orientations 5-8 transpose the raster."""
+    if not payload or not payload.startswith(b"\xff\xd8"):
+        return None
+    pos = 2
+    n = len(payload)
+    try:
+        while pos + 4 <= n:
+            if payload[pos] != 0xFF:
+                return None
+            m = payload[pos + 1]
+            if m in (0xD8, 0x01) or 0xD0 <= m <= 0xD7:
+                pos += 2
+                continue
+            if m in (0xD9, 0xDA):  # EOI / entropy-coded data: no EXIF
+                return None
+            (ln,) = _struct.unpack(">H", payload[pos + 2 : pos + 4])
+            if m == 0xE1 and payload[pos + 4 : pos + 10] == b"Exif\x00\x00":
+                from hquery_php_spark.operators.tiff import read_ifd0_tags
+
+                tags = read_ifd0_tags(payload[pos + 10 : pos + 2 + ln])
+                if not tags:
+                    return None
+                o = tags.get(274, [None])[0]
+                return int(o) if o is not None and 1 <= o <= 8 else None
+            pos += 2 + ln
+    except (_struct.error, IndexError, ValueError):
+        return None
+    return None

@@ -448,7 +448,9 @@ def decode_image(payload: Optional[bytes]):
 
 def image_meta_df(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     """Sniff mime + (PNG IHDR / JPEG SOF) dimensions per row — header
-    parsing only, no pixel decode."""
+    parsing only, no pixel decode.  ``orientation`` is the EXIF tag-274
+    value (1..8) for JPEGs carrying an APP1 EXIF block, NULL otherwise —
+    the field a resize stage must consult before touching pixels."""
     schema = StructType(
         [
             StructField("media_id", StringType()),
@@ -456,6 +458,7 @@ def image_meta_df(df: DataFrame, payload_col: str = "payload") -> DataFrame:
             StructField("width", IntegerType()),
             StructField("height", IntegerType()),
             StructField("n_bytes", IntegerType()),
+            StructField("orientation", IntegerType()),
         ]
     )
     narrow = df.select(F.col("media_id").cast("string"), F.col(payload_col).alias("p"))
@@ -466,12 +469,17 @@ def image_meta_df(df: DataFrame, payload_col: str = "payload") -> DataFrame:
             for mid, p in zip(pdf["media_id"], pdf["p"]):
                 payload = bytes(p) if p is not None else None
                 mime = sniff_media_type(payload)
+                orient = None
                 if payload and mime == "image/png":
                     dims = _png_dims(payload)
                 elif payload and mime == "image/jpeg":
-                    from hquery_php_spark.operators.jpeg import jpeg_dims
+                    from hquery_php_spark.operators.jpeg import (
+                        jpeg_dims,
+                        jpeg_exif_orientation,
+                    )
 
                     dims = jpeg_dims(payload)
+                    orient = jpeg_exif_orientation(payload)
                 elif payload and mime == "image/gif":
                     from hquery_php_spark.operators.gif import gif_dims
 
@@ -491,6 +499,7 @@ def image_meta_df(df: DataFrame, payload_col: str = "payload") -> DataFrame:
                 out["width"].append(dims[0] if dims else None)
                 out["height"].append(dims[1] if dims else None)
                 out["n_bytes"].append(len(payload) if payload else 0)
+                out["orientation"].append(orient)
             yield pd.DataFrame(out)
 
     return narrow.mapInPandas(run, schema)

@@ -24,7 +24,7 @@ from typing import Optional
 
 import numpy as np
 
-__all__ = ["encode_tiff", "decode_tiff", "tiff_dims"]
+__all__ = ["encode_tiff", "decode_tiff", "tiff_dims", "read_ifd0_tags"]
 
 _TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4, 10: 8}
 
@@ -144,7 +144,11 @@ def _read_values(payload, bo, typ, count, raw):
     return None  # rationals/sbytes not needed for the baseline subset
 
 
-def _decode_impl(payload):
+def read_ifd0_tags(payload: Optional[bytes]):
+    """First-IFD tag map of a TIFF stream: {tag_id: [values]} or None.
+    Shared by the TIFF decoder and the JPEG EXIF (APP1) walk — EXIF is
+    a TIFF stream embedded in a JPEG segment, same byte-order header,
+    same IFD layout."""
     if payload is None or len(payload) < 8:
         return None
     if payload[:2] == b"II":
@@ -163,10 +167,19 @@ def _decode_impl(payload):
     tags = {}
     for i in range(n_tags):
         base = ifd + 2 + 12 * i
+        if base + 12 > len(payload):
+            return None
         tid, typ, count = struct.unpack_from(bo + "HHI", payload, base)
         vals = _read_values(payload, bo, typ, count, payload[base + 8 : base + 12])
         if vals is not None:
             tags[tid] = vals
+    return tags
+
+
+def _decode_impl(payload):
+    tags = read_ifd0_tags(payload)
+    if tags is None:
+        return None
     w = tags.get(256, [None])[0]
     h = tags.get(257, [None])[0]
     if not w or not h:

@@ -330,3 +330,38 @@ def test_binned_quantiles_negative_values_lockstep(spark):
     assert got == want
     # the floor bin itself: -150 must land in bin -2 (value -200)
     assert got["a"][0] in (-200, -100, 0)  # sanity: median within range
+
+
+def test_exif_orientation_walk():
+    """APP1 EXIF orientation in both byte orders, reusing the TIFF IFD
+    reader; absent/corrupt APP1 and non-JPEG bytes return None."""
+    import struct
+
+    from hquery_php_spark.operators.jpeg import (
+        jpeg_dims,
+        jpeg_exif_orientation,
+    )
+
+    def exif_app1(orient, le=True):
+        bo = "<" if le else ">"
+        hdr = b"II*\x00" if le else b"MM\x00*"
+        tiff = (
+            hdr + struct.pack(bo + "I", 8) + struct.pack(bo + "H", 1)
+            + struct.pack(bo + "HHI", 274, 3, 1)
+            + struct.pack(bo + "H", orient) + b"\x00\x00"
+            + struct.pack(bo + "I", 0)
+        )
+        body = b"Exif\x00\x00" + tiff
+        return b"\xff\xe1" + struct.pack(">H", len(body) + 2) + body
+
+    sof = b"\xff\xc0\x00\x0b\x08" + struct.pack(">HH", 24, 32) + b"\x01\x01\x11\x00"
+    for le in (True, False):
+        for o in (1, 5, 8):
+            p = b"\xff\xd8" + exif_app1(o, le) + sof
+            assert jpeg_exif_orientation(p) == o
+            assert jpeg_dims(p) == (32, 24)  # dims walk skips APP1
+    assert jpeg_exif_orientation(b"\xff\xd8" + sof) is None
+    assert jpeg_exif_orientation(b"\xff\xd8" + exif_app1(9) + sof) is None  # >8
+    assert jpeg_exif_orientation(b"\xff\xd8\xff\xe1\x00\x08Exif") is None
+    assert jpeg_exif_orientation(b"not a jpeg") is None
+    assert jpeg_exif_orientation(None) is None
