@@ -52,6 +52,7 @@ __all__ = [
     "image_pixel_stats_df",
     "image_features_df",
     "image_resize_df",
+    "apply_exif_orientation",
     "audio_pcm_stats_df",
     "audio_container_meta_df",
     "video_meta_df",
@@ -652,6 +653,31 @@ def _nearest_resample(px, ow: int, oh: int):
     return px[ys[:, None], xs[None, :]]
 
 
+def apply_exif_orientation(px, orientation):
+    """Normalize a decoded (h, w, ch) raster to EXIF orientation 1.
+    The eight standard corrections (EXIF tag 274 value = where the
+    stored row-0/col-0 lands): 2 mirror, 3 rot180, 4 flip, 5 transpose
+    (main diagonal), 6 rot90 CW, 7 transverse (anti-diagonal), 8 rot90
+    CCW.  Unknown/None values return the raster unchanged."""
+    import numpy as np
+
+    if orientation == 2:
+        return px[:, ::-1]
+    if orientation == 3:
+        return px[::-1, ::-1]
+    if orientation == 4:
+        return px[::-1]
+    if orientation == 5:
+        return px.transpose(1, 0, 2)
+    if orientation == 6:
+        return np.rot90(px, k=3)
+    if orientation == 7:
+        return px[::-1, ::-1].transpose(1, 0, 2)
+    if orientation == 8:
+        return np.rot90(px, k=1)
+    return px
+
+
 def image_resize_df(
     df: DataFrame,
     payload_col: str = "payload",
@@ -687,6 +713,19 @@ def image_resize_df(
                 out["media_id"].append(mid)
                 if dec is not None:
                     w, h, ch, px = dec
+                    if sniff_media_type(payload) == "image/jpeg":
+                        from hquery_php_spark.operators.jpeg import (
+                            jpeg_exif_orientation,
+                        )
+
+                        o = jpeg_exif_orientation(payload)
+                        if o and o != 1:
+                            import numpy as np
+
+                            px = np.ascontiguousarray(
+                                apply_exif_orientation(px, o)
+                            )
+                            h, w = px.shape[0], px.shape[1]
                     scale = min(target / w, target / h, 1.0)
                     ow = max(1, int(round(w * scale)))
                     oh = max(1, int(round(h * scale)))

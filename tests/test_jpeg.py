@@ -365,3 +365,85 @@ def test_exif_orientation_walk():
     assert jpeg_exif_orientation(b"\xff\xd8\xff\xe1\x00\x08Exif") is None
     assert jpeg_exif_orientation(b"not a jpeg") is None
     assert jpeg_exif_orientation(None) is None
+
+
+def test_apply_exif_orientation_all_eight():
+    """All eight corrections on an asymmetric raster: pinned pixel
+    positions + the involution/rotation-group identities."""
+    import numpy as np
+
+    from hquery_php_spark.operators.multimodal import apply_exif_orientation
+
+    # 2x3 raster, distinct values; v[y,x,0] = 10*y + x
+    px = np.array([[[0], [1], [2]], [[10], [11], [12]]], dtype=np.uint8)
+    A = apply_exif_orientation
+    assert A(px, 1).tolist() == px.tolist()
+    assert A(px, 2)[:, :, 0].tolist() == [[2, 1, 0], [12, 11, 10]]
+    assert A(px, 3)[:, :, 0].tolist() == [[12, 11, 10], [2, 1, 0]]
+    assert A(px, 4)[:, :, 0].tolist() == [[10, 11, 12], [0, 1, 2]]
+    assert A(px, 5)[:, :, 0].tolist() == [[0, 10], [1, 11], [2, 12]]
+    assert A(px, 6)[:, :, 0].tolist() == [[10, 0], [11, 1], [12, 2]]
+    assert A(px, 7)[:, :, 0].tolist() == [[12, 2], [11, 1], [10, 0]]
+    assert A(px, 8)[:, :, 0].tolist() == [[2, 12], [1, 11], [0, 10]]
+    # group identities: 2,3,4,5,7 are involutions; 6 then 8 = identity
+    for o in (2, 3, 4, 5, 7):
+        assert A(A(px, o), o).tolist() == px.tolist()
+    assert A(A(px, 6), 8).tolist() == px.tolist()
+    assert A(px, None).tolist() == px.tolist()
+
+
+def test_resize_honors_exif_orientation(tmp_path):
+    """A full baseline JPEG with an injected APP1 orientation=6 block
+    resizes to the ROTATED aspect; the re-encoded PNG decodes to the
+    rotated raster."""
+    import struct
+
+    import numpy as np
+
+    from hquery_php_spark.operators.jpeg import encode_jpeg
+    from hquery_php_spark.operators.multimodal import (
+        apply_exif_orientation,
+        decode_image,
+        decode_png,
+    )
+
+    def with_exif(jpg, orient):
+        tiff = (
+            b"II*\x00" + struct.pack("<I", 8) + struct.pack("<H", 1)
+            + struct.pack("<HHI", 274, 3, 1)
+            + struct.pack("<H", orient) + b"\x00\x00" + struct.pack("<I", 0)
+        )
+        body = b"Exif\x00\x00" + tiff
+        app1 = b"\xff\xe1" + struct.pack(">H", len(body) + 2) + body
+        return jpg[:2] + app1 + jpg[2:]
+
+    gray = np.full((16, 32), 77, dtype=np.uint8)  # wide landscape
+    jpg = with_exif(encode_jpeg(gray), 6)
+
+    import pandas as pd
+
+    from hquery_php_spark.operators.multimodal import image_resize_df
+
+    # run the UDF body directly (no Spark session needed): call the
+    # pandas-level pipeline through a local one-batch invocation
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master("local[2]")
+        .config("spark.sql.shuffle.partitions", "2")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    df = spark.createDataFrame(
+        [("a", bytearray(jpg))], "media_id string, payload binary"
+    )
+    row = image_resize_df(df, target=64).collect()[0]
+    # 32x16 stored; orientation 6 -> upright 16x32 (portrait)
+    assert (row.out_w, row.out_h) == (16, 32)
+    w, h, ch, px = decode_png(bytes(row.payload))
+    assert (w, h) == (16, 32)
+    # constant-gray content survives the rotate+resample round trip
+    dec_w, dec_h, _, dec_px = decode_image(jpg)
+    want = apply_exif_orientation(dec_px, 6)
+    assert px[:, :, 0].tolist() == want[:, :, 0].tolist()
