@@ -25,6 +25,89 @@ import numpy as np
 
 __all__ = ["load_libwebp", "LibWebP"]
 
+_ENC_ABI = 0x020F  # libwebp 1.2.x encoder ABI (verified 1.2.4 in-container)
+
+
+class _WebPConfig(ctypes.Structure):
+    # layout of libwebp 1.2.x <webp/encode.h> WebPConfig
+    _fields_ = [
+        ("lossless", ctypes.c_int),
+        ("quality", ctypes.c_float),
+        ("method", ctypes.c_int),
+        ("image_hint", ctypes.c_int),
+        ("target_size", ctypes.c_int),
+        ("target_PSNR", ctypes.c_float),
+        ("segments", ctypes.c_int),
+        ("sns_strength", ctypes.c_int),
+        ("filter_strength", ctypes.c_int),
+        ("filter_sharpness", ctypes.c_int),
+        ("filter_type", ctypes.c_int),
+        ("autofilter", ctypes.c_int),
+        ("alpha_compression", ctypes.c_int),
+        ("alpha_filtering", ctypes.c_int),
+        ("alpha_quality", ctypes.c_int),
+        ("pass_", ctypes.c_int),
+        ("show_compressed", ctypes.c_int),
+        ("preprocessing", ctypes.c_int),
+        ("partitions", ctypes.c_int),
+        ("partition_limit", ctypes.c_int),
+        ("emulate_jpeg_size", ctypes.c_int),
+        ("thread_level", ctypes.c_int),
+        ("low_memory", ctypes.c_int),
+        ("near_lossless", ctypes.c_int),
+        ("exact", ctypes.c_int),
+        ("use_delta_palette", ctypes.c_int),
+        ("use_sharp_yuv", ctypes.c_int),
+        ("qmin", ctypes.c_int),
+        ("qmax", ctypes.c_int),
+    ]
+
+
+class _WebPPicture(ctypes.Structure):
+    # layout of libwebp 1.2.x <webp/encode.h> WebPPicture
+    _fields_ = [
+        ("use_argb", ctypes.c_int),
+        ("colorspace", ctypes.c_int),
+        ("width", ctypes.c_int),
+        ("height", ctypes.c_int),
+        ("y", ctypes.c_void_p),
+        ("u", ctypes.c_void_p),
+        ("v", ctypes.c_void_p),
+        ("y_stride", ctypes.c_int),
+        ("uv_stride", ctypes.c_int),
+        ("a", ctypes.c_void_p),
+        ("a_stride", ctypes.c_int),
+        ("pad1", ctypes.c_uint32 * 2),
+        ("argb", ctypes.c_void_p),
+        ("argb_stride", ctypes.c_int),
+        ("pad2", ctypes.c_uint32 * 3),
+        ("writer", ctypes.c_void_p),
+        ("custom_ptr", ctypes.c_void_p),
+        ("extra_info_type", ctypes.c_int),
+        ("extra_info", ctypes.c_void_p),
+        ("stats", ctypes.c_void_p),
+        ("error_code", ctypes.c_int),
+        ("progress_hook", ctypes.c_void_p),
+        ("user_data", ctypes.c_void_p),
+        ("pad3", ctypes.c_uint32 * 3),
+        ("pad4", ctypes.c_void_p),
+        ("pad5", ctypes.c_void_p),
+        ("pad6", ctypes.c_uint32 * 8),
+        # private (still part of the ABI struct size):
+        ("memory_", ctypes.c_void_p),
+        ("memory_argb_", ctypes.c_void_p),
+        ("pad7", ctypes.c_void_p * 2),
+    ]
+
+
+class _WebPMemoryWriter(ctypes.Structure):
+    _fields_ = [
+        ("mem", ctypes.c_void_p),
+        ("size", ctypes.c_size_t),
+        ("max_size", ctypes.c_size_t),
+        ("pad", ctypes.c_uint32 * 1),
+    ]
+
 
 class LibWebP:
     """Thin ctypes wrapper over libwebp's *simple* encode/decode API.
@@ -87,6 +170,76 @@ class LibWebP:
             raise RuntimeError("WebPEncodeLosslessRGBA failed")
         data = ctypes.string_at(out, n)
         self._lib.WebPFree(out)
+        return data
+
+    def encode_rgba_advanced(self, px: np.ndarray, **cfg) -> bytes:
+        """Encode via the advanced WebPConfig/WebPPicture API so tests can
+        pin individual encoder features (``filter_strength=0`` to disable
+        the loop filter, ``partitions=2`` for multi-partition streams,
+        ``segments=1`` to turn off segmentation, ...).  Keyword names are
+        WebPConfig field names ('pass' may be spelled 'pass_')."""
+        lib = self._lib
+        lib.WebPConfigInitInternal.restype = ctypes.c_int
+        lib.WebPConfigInitInternal.argtypes = [
+            ctypes.c_void_p, ctypes.c_int, ctypes.c_float, ctypes.c_int,
+        ]
+        lib.WebPPictureInitInternal.restype = ctypes.c_int
+        lib.WebPPictureInitInternal.argtypes = [ctypes.c_void_p, ctypes.c_int]
+        lib.WebPPictureImportRGBA.restype = ctypes.c_int
+        lib.WebPPictureImportRGBA.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_uint8), ctypes.c_int,
+        ]
+        lib.WebPEncode.restype = ctypes.c_int
+        lib.WebPEncode.argtypes = [ctypes.c_void_p, ctypes.c_void_p]
+        lib.WebPPictureFree.restype = None
+        lib.WebPPictureFree.argtypes = [ctypes.c_void_p]
+        lib.WebPMemoryWriterInit.restype = None
+        lib.WebPMemoryWriterInit.argtypes = [ctypes.c_void_p]
+        lib.WebPMemoryWriterClear.restype = None
+        lib.WebPMemoryWriterClear.argtypes = [ctypes.c_void_p]
+
+        config = _WebPConfig()
+        if not lib.WebPConfigInitInternal(
+            ctypes.byref(config), 0, ctypes.c_float(75.0), _ENC_ABI
+        ):
+            raise RuntimeError("WebPConfigInit failed (ABI mismatch?)")
+        for k, v in cfg.items():
+            field = "pass_" if k == "pass" else k
+            setattr(config, field, type(getattr(config, field))(v))
+        lib.WebPValidateConfig.restype = ctypes.c_int
+        lib.WebPValidateConfig.argtypes = [ctypes.c_void_p]
+        if not lib.WebPValidateConfig(ctypes.byref(config)):
+            raise RuntimeError(f"invalid WebPConfig: {cfg}")
+
+        pic = _WebPPicture()
+        if not lib.WebPPictureInitInternal(ctypes.byref(pic), _ENC_ABI):
+            raise RuntimeError("WebPPictureInit failed")
+        h, w, ch = px.shape
+        assert ch == 4
+        pic.width = w
+        pic.height = h
+        pic.use_argb = 0 if not cfg.get("lossless") else 1
+        buf = np.ascontiguousarray(px, dtype=np.uint8)
+        if not lib.WebPPictureImportRGBA(
+            ctypes.byref(pic),
+            buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            w * 4,
+        ):
+            raise RuntimeError("WebPPictureImportRGBA failed")
+
+        wr = _WebPMemoryWriter()
+        lib.WebPMemoryWriterInit(ctypes.byref(wr))
+        pic.writer = ctypes.cast(
+            lib.WebPMemoryWrite, ctypes.c_void_p
+        )
+        pic.custom_ptr = ctypes.cast(ctypes.byref(wr), ctypes.c_void_p)
+        ok = lib.WebPEncode(ctypes.byref(config), ctypes.byref(pic))
+        lib.WebPPictureFree(ctypes.byref(pic))
+        if not ok:
+            lib.WebPMemoryWriterClear(ctypes.byref(wr))
+            raise RuntimeError(f"WebPEncode failed: error {pic.error_code}")
+        data = ctypes.string_at(wr.mem, wr.size)
+        lib.WebPMemoryWriterClear(ctypes.byref(wr))
         return data
 
     # -- decode ---------------------------------------------------------
