@@ -1175,6 +1175,49 @@ def _webp_full_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.mapInPandas(gen, schema)
 
 
+def _vp8_full_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMPLETE lossy-WebP (VP8 key frame) payloads from the in-repo
+    stream writer: a Y2-DC-only frame (level L = 1 + doc_id % 24 at
+    qi=100, all macroblocks DC-predicted) whose reconstruction is the
+    uniform luma 128 + ((L*196 + 3)//8 + 4)//8 — the iWHT/iDCT DC
+    closed form, so the decode (bool decoder, header, mode parse,
+    token decode, dequant, transforms, prediction) is value-checked in
+    SQL.  Every payload also decodes bit-exact in libwebp (pinned by
+    tests/test_vp8_conformance.py)."""
+    import pandas as pd
+    from pyspark.sql.types import BinaryType, StringType, StructField, StructType
+
+    from hquery_php_spark.operators.vp8 import (
+        MBSpec,
+        encode_vp8_stream,
+        wrap_webp,
+    )
+
+    d = _spread(_docs(spark, sf_dir), spark).select(
+        F.col("doc_id").cast("long").alias("did")
+    )
+    schema = StructType(
+        [StructField("media_id", StringType()), StructField("payload", BinaryType())]
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            out = {"media_id": [], "payload": []}
+            for did in pdf["did"]:
+                did = int(did)
+                w, h = 5 + did % 44, 4 + did % 37
+                lvl = 1 + did % 24
+                mbw, mbh = (w + 15) // 16, (h + 15) // 16
+                mbs = [MBSpec(y2_block=[lvl] + [0] * 15)] + [
+                    MBSpec() for _ in range(mbw * mbh - 1)
+                ]
+                out["media_id"].append(f"v{did}")
+                out["payload"].append(wrap_webp(encode_vp8_stream(w, h, mbs, qi=100)))
+            yield pd.DataFrame(out)
+
+    return d.mapInPandas(gen, schema)
+
+
 def _tiff_full_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
     """COMPLETE uncompressed TIFFs from the in-repo codec — constant
     gray c = doc_id % 256, alternating II/MM byte order, 4-row strips
@@ -1703,16 +1746,18 @@ def _png_full_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL image features end-to-end, ALL SIX codec families: full
+    """REAL image features end-to-end, ALL SEVEN codec families: full
     PNGs (stdlib zlib + all five scanline unfilters), baseline AND
     progressive JPEGs (the numpy huffman+IDCT codec), GIFs (real LZW),
-    lossless WebP (VP8L), and uncompressed TIFFs (both byte orders)
-    are synthesized, decoded, and reduced to exact per-channel pixel
-    sums + dimensions.  PNG sums invert the pixel template; JPEG sums
-    follow the constant-gray closed form; GIF/VP8L/TIFF are lossless
-    (sums = w·h·c) — all value-checked in SQL.  allow_stub=False:
-    every payload MUST decode (no silent NULL row).  Means derive from
-    the sums JVM-side (identical rounding semantics in both engines)."""
+    lossless WebP (VP8L), lossy WebP (the RFC 6386 VP8 key-frame
+    decoder, bit-exact vs libwebp), and uncompressed TIFFs (both byte
+    orders) are synthesized, decoded, and reduced to exact per-channel
+    pixel sums + dimensions.  PNG sums invert the pixel template; JPEG
+    and VP8 sums follow constant-gray DC closed forms; GIF/VP8L/TIFF
+    are lossless (sums = w·h·c) — all value-checked in SQL.
+    allow_stub=False: every payload MUST decode (no silent NULL row).
+    Means derive from the sums JVM-side (identical rounding semantics
+    in both engines)."""
     from hquery_php_spark.operators.multimodal import image_pixel_stats_df
 
     payloads = (
@@ -1720,6 +1765,7 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(_jpeg_full_payloads(spark, sf_dir))
         .unionByName(_gif_full_payloads(spark, sf_dir))
         .unionByName(_webp_full_payloads(spark, sf_dir))
+        .unionByName(_vp8_full_payloads(spark, sf_dir))
         .unionByName(_tiff_full_payloads(spark, sf_dir))
     )
     stats = image_pixel_stats_df(payloads, allow_stub=False)
@@ -3572,6 +3618,26 @@ def _base_oracle_sql() -> dict[str, str]:
               FROM (SELECT doc_id, doc_id % 37 + 3 AS w,
                            doc_id % 23 + 3 AS h, doc_id % 256 AS c
                     FROM documents)
+              UNION ALL
+              -- lossy WebP (VP8): the Y2-DC-only key frame decodes to
+              -- the uniform gray r = (298*(112 + delta) + 128) // 256,
+              -- delta = ((L*196 + 3) // 8 + 4) // 8 with L = 1 +
+              -- doc_id % 24 and 196 = 2*dc_qlookup[100] (the y2 DC
+              -- quantizer at qi=100).  All terms non-negative, so
+              -- DuckDB's truncating // equals the decoder's >> shifts.
+              SELECT 'v' || CAST(doc_id AS VARCHAR),
+                     CAST(w AS INTEGER), CAST(h AS INTEGER),
+                     CAST(w * h AS INTEGER),
+                     CAST(w * h * r AS BIGINT), CAST(w * h * r AS BIGINT),
+                     CAST(w * h * r AS BIGINT),
+                     CAST(255 * w * h AS BIGINT)
+              FROM (SELECT doc_id, w, h,
+                           LEAST(255, (298 * (112 + ((L * 196 + 3) // 8 + 4) // 8)
+                                       + 128) // 256) AS r
+                    FROM (SELECT doc_id, 5 + doc_id % 44 AS w,
+                                 4 + doc_id % 37 AS h,
+                                 1 + doc_id % 24 AS L
+                          FROM documents))
               UNION ALL
               -- uncompressed TIFF: lossless gray, same argument
               SELECT 't' || CAST(doc_id AS VARCHAR),

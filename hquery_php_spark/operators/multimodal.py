@@ -5,12 +5,13 @@ this module provides the real Spark plumbing — schemas, batch shapes,
 partitioning-friendly signatures.  PNG (stdlib codec below), JPEG
 (``operators/jpeg.py``, pure numpy huffman+IDCT — baseline-sequential
 AND progressive SOF2), GIF (``operators/gif.py``, real LZW),
-lossless WebP (``operators/webp.py``, VP8L: transforms, meta-huffman,
-LZ77, color cache), and uncompressed BMP all decode for REAL; so do
-WAV/PCM audio (``operators/wav.py``) and GIF-animation / uncompressed-
-AVI video frames (``decode_gif_frames``, ``operators/avi.py``).  The
-remaining codecs (lossy-VP8 WebP, compressed audio/video) are STUBBED
-(the media libraries are not in this container).  Each decode UDF:
+WebP — BOTH lossless VP8L (``operators/webp.py``: transforms,
+meta-huffman, LZ77, color cache) and lossy VP8 (``operators/vp8.py``:
+full RFC 6386 key-frame decode, bit-exact vs libwebp, incl. ALPH
+alpha) — and uncompressed BMP all decode for REAL; so do WAV/PCM
+audio (``operators/wav.py``) and GIF-animation / uncompressed-AVI
+video frames (``decode_gif_frames``, ``operators/avi.py``).  Each
+decode UDF:
 
 * validates magic bytes / container headers itself (real, tested);
 * decodes PNG, JPEG, GIF, WebP-lossless, and BMP payloads to true

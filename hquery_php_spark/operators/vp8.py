@@ -608,8 +608,8 @@ def decode_vp8_yuv(data: bytes):
     h = (data[8] | (data[9] << 8)) & 0x3FFF
     if w == 0 or h == 0:
         raise ValueError("zero dimensions")
-    if 10 + first_part_size > len(data):
-        raise ValueError("partition 0 overruns buffer")
+    if first_part_size == 0 or 10 + first_part_size > len(data):
+        raise ValueError("partition 0 missing or overruns buffer")
 
     bd = _BoolDec(data[10 : 10 + first_part_size])
     hdr = _FrameHeader()

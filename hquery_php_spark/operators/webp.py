@@ -7,7 +7,9 @@ Bitstream Specification": LSB-first bit reading, canonical
 entropy images, LZ77 backward references with the 2-D distance map,
 the color cache, and all four transforms (predictor [14 modes], color,
 subtract-green, color-indexing with pixel bundling).  Lossy WebP (VP8
-chunk) and animations return ``None`` — the remaining honest stub.
+chunk) decodes through the RFC 6386 key-frame decoder in vp8.py —
+including VP8X-wrapped images with an ALPH alpha chunk (raw or
+VP8L-compressed, all four unfilter modes).  Animations return ``None``.
 
 ``encode_webp_lossless`` writes a real, conformant VP8L stream —
 frequency-built canonical huffman literals, optional subtract-green /
@@ -354,12 +356,71 @@ def webp_dims(payload: bytes) -> Optional[tuple]:
 
 
 def decode_webp(payload: Optional[bytes]):
-    """Lossless (VP8L) decode → (w, h, ch, pixels) with ch = 4 (RGBA).
-    Lossy VP8 / VP8X-wrapped-lossy / animation → None."""
+    """WebP decode → (w, h, ch, pixels) with ch = 4 (RGBA).
+
+    VP8L losslessly; ``VP8 `` (lossy key frame) via vp8.decode_vp8_yuv
+    with the documented BT.601 conversion, merging a VP8X ALPH chunk
+    when present.  Animations → None."""
     try:
         return _decode_webp_impl(payload)
     except (ValueError, IndexError, _struct.error, KeyError):
         return None
+
+
+def _unfilter_alpha(plane: np.ndarray, method: int) -> np.ndarray:
+    """Invert the ALPH chunk's row filter (WebP container spec §Alpha;
+    semantics mirror libwebp filters.c: the first pixel of each row
+    predicts from the pixel above it, the first row from 0/left)."""
+    if method == 0:
+        return plane
+    h, w = plane.shape
+    out = np.zeros_like(plane)
+    for yrow in range(h):
+        prev = out[yrow - 1] if yrow > 0 else None
+        row = plane[yrow]
+        if prev is None:
+            pred = 0
+            for i in range(w):
+                pred = (pred + int(row[i])) & 0xFF
+                out[0, i] = pred
+        elif method == 1:  # horizontal
+            pred = int(prev[0])
+            for i in range(w):
+                pred = (pred + int(row[i])) & 0xFF
+                out[yrow, i] = pred
+        elif method == 2:  # vertical
+            out[yrow] = (prev.astype(np.int32) + row) & 0xFF
+        else:  # gradient
+            left = top_left = int(prev[0])
+            for i in range(w):
+                top = int(prev[i])
+                g = left + top - top_left
+                g = 0 if g < 0 else 255 if g > 255 else g
+                left = (int(row[i]) + g) & 0xFF
+                top_left = top
+                out[yrow, i] = left
+    return out
+
+
+def _decode_alpha_chunk(alph: bytes, w: int, h: int) -> Optional[np.ndarray]:
+    """ALPH chunk → (h, w) uint8 alpha plane, or None if undecodable."""
+    if not alph:
+        return None
+    b0 = alph[0]
+    comp = b0 & 3
+    filt = (b0 >> 2) & 3
+    if comp == 0:  # uncompressed
+        raw = alph[1 : 1 + w * h]
+        if len(raw) < w * h:
+            return None
+        plane = np.frombuffer(raw, dtype=np.uint8).reshape(h, w).copy()
+    elif comp == 1:  # VP8L image stream (no signature/size header)
+        br = _Bits(alph[1:])
+        argb = _decode_image_stream(br, w, h, top_level=True).reshape(h, w, 4)
+        plane = argb[:, :, 1].astype(np.uint8)  # alpha rides in GREEN
+    else:
+        return None
+    return _unfilter_alpha(plane, filt)
 
 
 def _decode_webp_impl(payload):
@@ -370,9 +431,11 @@ def _decode_webp_impl(payload):
         or payload[8:12] != b"WEBP"
     ):
         return None
-    # walk RIFF chunks for VP8L (covers bare and VP8X-wrapped lossless)
+    # walk RIFF chunks (covers bare and VP8X-wrapped images)
     pos = 12
     data = None
+    lossy = None
+    alph = None
     while pos + 8 <= len(payload):
         tag = payload[pos : pos + 4]
         (ln,) = _struct.unpack("<I", payload[pos + 4 : pos + 8])
@@ -380,8 +443,23 @@ def _decode_webp_impl(payload):
             data = payload[pos + 8 : pos + 8 + ln]
             break
         if tag == b"VP8 ":
-            return None  # lossy: out of scope
+            lossy = payload[pos + 8 : pos + 8 + ln]
+            break
+        if tag == b"ALPH":
+            alph = payload[pos + 8 : pos + 8 + ln]
+        if tag in (b"ANIM", b"ANMF"):
+            return None  # animation: out of scope
         pos += 8 + ln + (ln & 1)
+    if lossy is not None:
+        from .vp8 import decode_vp8_rgba  # local import: keeps module load light
+
+        w, h, ch, rgba = decode_vp8_rgba(lossy)
+        if alph is not None:
+            a = _decode_alpha_chunk(alph, w, h)
+            if a is not None:
+                rgba = rgba.copy()
+                rgba[:, :, 3] = a
+        return w, h, ch, rgba
     if data is None or not data or data[0] != 0x2F:
         return None
     br = _Bits(data[1:])

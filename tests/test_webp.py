@@ -2,8 +2,9 @@
 round trips across every encoder-exercisable decoder path (literals,
 subtract-green, left-predictor tiles, palette with pixel bundling,
 color cache, LZ77 backward references), header parsing for all three
-WebP container flavors, and the rejection boundary (lossy VP8 stays an
-honest stub)."""
+WebP container flavors, and the rejection boundary for truncated or
+animated payloads.  Lossy VP8 decode conformance lives in
+test_vp8_conformance.py."""
 
 import struct
 
@@ -109,7 +110,8 @@ def test_dims_all_container_flavors():
         + (99).to_bytes(3, "little") + (49).to_bytes(3, "little")
     )
     assert webp_dims(vp8x) == (100, 50)
-    # lossy VP8: dims parse from the frame tag, decode stays None
+    # lossy VP8: dims parse from the frame tag; a truncated stream
+    # (no partition 0) must still be rejected, not misdecoded
     vp8 = (
         b"RIFF" + struct.pack("<I", 4 + 18) + b"WEBP"
         + b"VP8 " + struct.pack("<I", 10)
