@@ -1377,6 +1377,44 @@ def _gif_anim_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.mapInPandas(gen, schema)
 
 
+def _webp_anim_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMPLETE animated WebPs (ANIM/ANMF; 2-5 full-canvas VP8L frames,
+    overwrite blending) — frame f is the constant color
+    (doc_id·13 + f·19) % 256, so every composited frame's pixel sums
+    are closed-form (media_id = 'y'<doc_id>)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import BinaryType, StringType, StructField, StructType
+
+    from hquery_php_spark.operators.webp import encode_webp_anim
+
+    d = _spread(_docs(spark, sf_dir), spark).select(
+        F.col("doc_id").cast("long").alias("did")
+    )
+    schema = StructType(
+        [StructField("media_id", StringType()), StructField("payload", BinaryType())]
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            out = {"media_id": [], "payload": []}
+            for did in pdf["did"]:
+                did = int(did)
+                w, h = 3 + did % 8, 2 + did % 6
+                nf = 2 + did % 4
+                frames = [
+                    (0, 0,
+                     np.full((h, w, 3), (did * 13 + f * 19) % 256, np.uint8),
+                     10 * (f + 1), 1, 0)
+                    for f in range(nf)
+                ]
+                out["media_id"].append(f"y{did}")
+                out["payload"].append(encode_webp_anim(w, h, frames))
+            yield pd.DataFrame(out)
+
+    return d.mapInPandas(gen, schema)
+
+
 def _avi_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
     """COMPLETE uncompressed-DIB AVIs (operators/avi.py: real RIFF
     hdrl/strl/movi structure, bottom-up BGR rows, 4-byte alignment) —
@@ -1425,19 +1463,22 @@ def _avi_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL video-column frame sampling over BOTH real containers:
-    animated GIFs (GIF89a disposal compositing) and uncompressed-DIB
-    AVIs (RIFF demux).  Every 2nd source frame is re-encoded as a
-    standalone PNG by video_frame_sample_df, and the sampled PNGs are
-    decoded AGAIN for exact pixel sums — the whole demux → sample →
-    per-frame-feature path, end to end."""
+    """REAL video-column frame sampling over all THREE real containers:
+    animated GIFs (GIF89a disposal compositing), animated WebPs
+    (ANIM/ANMF canvas composition over VP8L frames), and
+    uncompressed-DIB AVIs (RIFF demux).  Every 2nd source frame is
+    re-encoded as a standalone PNG by video_frame_sample_df, and the
+    sampled PNGs are decoded AGAIN for exact pixel sums — the whole
+    demux → sample → per-frame-feature path, end to end."""
     from hquery_php_spark.operators.multimodal import (
         image_pixel_stats_df,
         video_frame_sample_df,
     )
 
-    payloads = _gif_anim_payloads(spark, sf_dir).unionByName(
-        _avi_payloads(spark, sf_dir)
+    payloads = (
+        _gif_anim_payloads(spark, sf_dir)
+        .unionByName(_webp_anim_payloads(spark, sf_dir))
+        .unionByName(_avi_payloads(spark, sf_dir))
     )
     frames = video_frame_sample_df(payloads, every_n=2, max_frames=8)
     keyed = frames.select(
@@ -3711,6 +3752,20 @@ def _base_oracle_sql() -> dict[str, str]:
                      AS sum_r,
                    CAST(255 * w * h AS BIGINT) AS sum_a
             FROM fr WHERE f % 2 = 0
+            UNION ALL
+            -- animated-WebP rows: inversion of _webp_anim_payloads
+            -- (full-canvas VP8L frames with overwrite blending, so the
+            -- composited canvas IS frame f's constant color)
+            SELECT 'y' || CAST(doc_id AS VARCHAR),
+                   CAST(f AS INTEGER), CAST(w * h AS INTEGER),
+                   CAST(w * h * ((doc_id * 13 + f * 19) % 256) AS BIGINT),
+                   CAST(255 * w * h AS BIGINT)
+            FROM (SELECT doc_id, w, h,
+                         unnest(generate_series(0, nf - 1)) AS f
+                  FROM (SELECT doc_id, 3 + doc_id % 8 AS w,
+                               2 + doc_id % 6 AS h, 2 + doc_id % 4 AS nf
+                        FROM documents))
+            WHERE f % 2 = 0
             UNION ALL
             -- AVI rows: same inversion of _avi_payloads (DIB is
             -- lossless; red channel = (doc_id*3 + f*5) % 256, 24-bit

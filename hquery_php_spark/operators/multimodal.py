@@ -991,6 +991,7 @@ def video_frame_sample_df(
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from hquery_php_spark.operators.avi import decode_avi_frames
         from hquery_php_spark.operators.gif import decode_gif_frames
+        from hquery_php_spark.operators.webp import decode_webp_frames
 
         src_cap = (max_frames - 1) * every_n + 1
         for pdf in batches:
@@ -1008,6 +1009,18 @@ def video_frame_sample_df(
                     ]
                 elif mime == "video/x-msvideo":
                     real = decode_avi_frames(payload, max_frames=src_cap)
+                elif (
+                    mime == "image/webp"
+                    and len(payload) > 20
+                    and payload[12:16] == b"VP8X"
+                    and payload[20] & 0x02  # VP8X animation flag
+                ):
+                    real = [
+                        (fno, px)
+                        for fno, _dur, px in decode_webp_frames(
+                            payload, max_frames=src_cap
+                        ) or []
+                    ]
                 if real:
                     for fno, px in real:
                         if fno % every_n:

@@ -9,7 +9,11 @@ the color cache, and all four transforms (predictor [14 modes], color,
 subtract-green, color-indexing with pixel bundling).  Lossy WebP (VP8
 chunk) decodes through the RFC 6386 key-frame decoder in vp8.py —
 including VP8X-wrapped images with an ALPH alpha chunk (raw or
-VP8L-compressed, all four unfilter modes).  Animations return ``None``.
+VP8L-compressed, all four unfilter modes).  Animations decode through
+``decode_webp_frames`` (ANIM/ANMF canvas composition with both
+blending methods and dispose-to-background); the single-image
+``decode_webp`` returns ``None`` for them, mirroring gif.decode_gif
+vs gif.decode_gif_frames.
 
 ``encode_webp_lossless`` writes a real, conformant VP8L stream —
 frequency-built canonical huffman literals, optional subtract-green /
@@ -29,7 +33,13 @@ from typing import Optional
 
 import numpy as np
 
-__all__ = ["encode_webp_lossless", "decode_webp", "webp_dims"]
+__all__ = [
+    "encode_webp_lossless",
+    "decode_webp",
+    "decode_webp_frames",
+    "encode_webp_anim",
+    "webp_dims",
+]
 
 
 # ------------------------------------------------------------------ #
@@ -921,3 +931,173 @@ def _encode_substream(bw, argb_rows, cache_bits=0, lz77=False, top_level=False):
                 bw.write(ebv, ebn)
             # distance 1 (previous pixel) = plane code 2 → prefix code 1
             _emit_sym(bw, dtree, 1)
+
+
+# ------------------------------------------------------------------ #
+# Animated WebP (VP8X + ANIM/ANMF)
+#
+# Frame payloads are ordinary VP8L / VP8(+ALPH) still images placed on
+# a canvas.  Composition doctrine (documented; matches libwebp's
+# WebPAnimDecoder): the canvas starts fully transparent black,
+# blending method 0 alpha-composites the frame over the canvas with
+# the exact integer over-operator below, method 1 overwrites the
+# rect; disposal 1 clears the frame rect back to transparent black
+# after the snapshot.  Mirrors gif.decode_gif_frames' contract.
+# ------------------------------------------------------------------ #
+
+
+def _blend_over(dst: np.ndarray, src: np.ndarray) -> np.ndarray:
+    """Integer alpha 'over' per the WebP container spec formula:
+    A = As + Ad*(255-As)/255; RGB = (RGBs*As + RGBd*Ad*(255-As)/255)/A."""
+    sa = src[:, :, 3].astype(np.int64)
+    da = dst[:, :, 3].astype(np.int64)
+    keep = da * (255 - sa)  # scaled by 255
+    oa255 = sa * 255 + keep  # out alpha scaled by 255
+    out = np.zeros_like(src)
+    rgb = (
+        src[:, :, :3].astype(np.int64) * (sa * 255)[..., None]
+        + dst[:, :, :3].astype(np.int64) * keep[..., None]
+    )
+    nz = oa255 > 0
+    out_rgb = np.zeros_like(rgb)
+    np.divide(rgb + (oa255[..., None] // 2), oa255[..., None],
+              out=out_rgb, where=oa255[..., None] > 0, casting="unsafe")
+    out[:, :, :3] = np.where(nz[..., None], out_rgb, 0).astype(np.uint8)
+    out[:, :, 3] = ((oa255 + 127) // 255).astype(np.uint8)
+    return out
+
+
+def _decode_still_chunks(chunks, w, h):
+    """Decode a (ALPH?, VP8|VP8L) chunk set to (h, w, 4) RGBA."""
+    alph = chunks.get(b"ALPH")
+    if b"VP8L" in chunks:
+        data = chunks[b"VP8L"]
+        if not data or data[0] != 0x2F:
+            raise ValueError("bad VP8L frame")
+        br = _Bits(data[1:])
+        fw = br.read(14) + 1
+        fh = br.read(14) + 1
+        br.read(1)
+        if br.read(3) != 0:
+            raise ValueError("bad VP8L version")
+        argb = _decode_image_stream(br, fw, fh, top_level=True).reshape(fh, fw, 4)
+        return argb[:, :, [1, 2, 3, 0]].astype(np.uint8)
+    if b"VP8 " in chunks:
+        from .vp8 import decode_vp8_rgba
+
+        fw, fh, _, rgba = decode_vp8_rgba(chunks[b"VP8 "])
+        if alph is not None:
+            a = _decode_alpha_chunk(alph, fw, fh)
+            if a is not None:
+                rgba = rgba.copy()
+                rgba[:, :, 3] = a
+        return rgba
+    raise ValueError("frame without image chunk")
+
+
+def decode_webp_frames(payload: Optional[bytes], max_frames: Optional[int] = None):
+    """REAL animated-WebP decode: every ANMF frame composited onto the
+    canvas.  Returns a list of ``(frame_no, duration_ms, pixels)`` with
+    ``pixels`` the full canvas RGBA uint8 after the frame is drawn, or
+    None for corrupt / non-animated payloads.  A plain still image
+    returns a single zero-duration frame (mirrors decode_gif_frames on
+    single-frame GIFs)."""
+    try:
+        return _decode_webp_frames_impl(payload, max_frames)
+    except (ValueError, IndexError, KeyError, _struct.error):
+        return None
+
+
+def _decode_webp_frames_impl(payload, max_frames):
+    if (
+        not payload
+        or len(payload) < 21
+        or payload[:4] != b"RIFF"
+        or payload[8:12] != b"WEBP"
+    ):
+        return None
+    pos = 12
+    canvas_wh = None
+    frames = []
+    saw_anim = False
+    while pos + 8 <= len(payload):
+        tag = payload[pos : pos + 4]
+        (ln,) = _struct.unpack("<I", payload[pos + 4 : pos + 8])
+        body = payload[pos + 8 : pos + 8 + ln]
+        if tag == b"VP8X" and len(body) >= 10:
+            cw = int.from_bytes(body[4:7], "little") + 1
+            ch = int.from_bytes(body[7:10], "little") + 1
+            canvas_wh = (cw, ch)
+        elif tag == b"ANIM":
+            saw_anim = True
+        elif tag == b"ANMF" and len(body) >= 16:
+            fx = int.from_bytes(body[0:3], "little") * 2
+            fy = int.from_bytes(body[3:6], "little") * 2
+            fw = int.from_bytes(body[6:9], "little") + 1
+            fh = int.from_bytes(body[9:12], "little") + 1
+            dur = int.from_bytes(body[12:15], "little")
+            flags = body[15]
+            frames.append((fx, fy, fw, fh, dur, flags, body[16:]))
+        elif tag in (b"VP8 ", b"VP8L") and not saw_anim:
+            r = _decode_webp_impl(payload)
+            if r is None:
+                return None
+            return [(0, 0, r[3])]
+        pos += 8 + ln + (ln & 1)
+    if not saw_anim or canvas_wh is None or not frames:
+        return None
+    cw, ch = canvas_wh
+    canvas = np.zeros((ch, cw, 4), np.uint8)
+    out = []
+    for fno, (fx, fy, fw, fh, dur, flags, sub) in enumerate(frames):
+        if max_frames is not None and fno >= max_frames:
+            break
+        # parse the frame's own chunk list
+        chunks = {}
+        sp = 0
+        while sp + 8 <= len(sub):
+            stag = sub[sp : sp + 4]
+            (sln,) = _struct.unpack("<I", sub[sp + 4 : sp + 8])
+            chunks[stag] = sub[sp + 8 : sp + 8 + sln]
+            sp += 8 + sln + (sln & 1)
+        rgba = _decode_still_chunks(chunks, fw, fh)
+        fh2, fw2 = rgba.shape[:2]
+        if fy + fh2 > ch or fx + fw2 > cw:
+            raise ValueError("frame exceeds canvas")
+        region = canvas[fy : fy + fh2, fx : fx + fw2]
+        if flags & 2:  # blending method 1: do not blend
+            canvas[fy : fy + fh2, fx : fx + fw2] = rgba
+        else:
+            canvas[fy : fy + fh2, fx : fx + fw2] = _blend_over(region, rgba)
+        out.append((fno, dur, canvas.copy()))
+        if flags & 1:  # disposal: clear rect to transparent black
+            canvas[fy : fy + fh2, fx : fx + fw2] = 0
+    return out
+
+
+def encode_webp_anim(canvas_w: int, canvas_h: int, frames, loop: int = 0) -> bytes:
+    """Assemble an animated WebP from lossless frames — the write half
+    of the animation round trip.  ``frames`` is a list of
+    ``(x, y, rgba_array, duration_ms, blend_method, dispose)`` with
+    even x/y; each frame is VP8L-encoded (exact)."""
+    body = bytearray()
+    flags = 0x02 | 0x10  # animation + alpha
+    body += b"VP8X" + _struct.pack("<I", 10)
+    body += bytes([flags, 0, 0, 0])
+    body += (canvas_w - 1).to_bytes(3, "little") + (canvas_h - 1).to_bytes(3, "little")
+    body += b"ANIM" + _struct.pack("<I", 6) + b"\x00\x00\x00\x00" + _struct.pack("<H", loop)
+    for (fx, fy, px, dur, blend, dispose) in frames:
+        if fx % 2 or fy % 2:
+            raise ValueError("frame offsets must be even")
+        inner = encode_webp_lossless(px)[12:]  # the VP8L chunk incl. header
+        fh, fw = px.shape[:2]
+        anmf = bytearray()
+        anmf += (fx // 2).to_bytes(3, "little") + (fy // 2).to_bytes(3, "little")
+        anmf += (fw - 1).to_bytes(3, "little") + (fh - 1).to_bytes(3, "little")
+        anmf += int(dur).to_bytes(3, "little")
+        anmf += bytes([(2 if blend else 0) | (1 if dispose else 0)])
+        anmf += inner
+        body += b"ANMF" + _struct.pack("<I", len(anmf)) + bytes(anmf)
+        if len(anmf) & 1:
+            body += b"\x00"
+    return b"RIFF" + _struct.pack("<I", 4 + len(body)) + b"WEBP" + bytes(body)
