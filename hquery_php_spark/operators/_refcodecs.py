@@ -11,8 +11,8 @@ reference libraries (libwebp etc.), tests use this ctypes shim to
   implementation — true conformance evidence, stronger than
   encoder/decoder self-consistency.
 
-Everything is dlopen-gated: ``load_libwebp()`` returns ``None`` when the
-library is absent and the dependent tests skip.
+Everything is dlopen-gated: the ``load_*`` loaders return ``None`` when
+the library is absent and the dependent tests skip.
 """
 
 from __future__ import annotations
@@ -23,7 +23,7 @@ from typing import Optional
 
 import numpy as np
 
-__all__ = ["load_libwebp", "LibWebP"]
+__all__ = ["load_libwebp", "LibWebP", "load_libpng", "LibPNG"]
 
 _ENC_ABI = 0x020F  # libwebp 1.2.x encoder ABI (verified 1.2.4 in-container)
 
@@ -297,6 +297,109 @@ def load_libwebp() -> Optional[LibWebP]:
     if path:
         try:
             return LibWebP(ctypes.CDLL(path))
+        except OSError:
+            pass
+    return None
+
+
+class _PngImage(ctypes.Structure):
+    # libpng 1.6 <png.h> png_image (simplified API control struct)
+    _fields_ = [
+        ("opaque", ctypes.c_void_p),
+        ("version", ctypes.c_uint32),
+        ("width", ctypes.c_uint32),
+        ("height", ctypes.c_uint32),
+        ("format", ctypes.c_uint32),
+        ("flags", ctypes.c_uint32),
+        ("colormap_entries", ctypes.c_uint32),
+        ("warning_or_error", ctypes.c_uint32),
+        ("message", ctypes.c_char * 64),
+    ]
+
+
+_PNG_IMAGE_VERSION = 1
+_PNG_FORMAT_RGBA = 0x03  # COLOR | ALPHA
+
+
+class LibPNG:
+    """ctypes wrapper over libpng 1.6's simplified (png_image) API —
+    struct-light, no setjmp exposure, RGBA-only."""
+
+    def __init__(self, lib: ctypes.CDLL):
+        self._lib = lib
+        lib.png_image_begin_read_from_memory.restype = ctypes.c_int
+        lib.png_image_begin_read_from_memory.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_size_t,
+        ]
+        lib.png_image_finish_read.restype = ctypes.c_int
+        lib.png_image_finish_read.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int, ctypes.c_void_p,
+        ]
+        lib.png_image_write_to_memory.restype = ctypes.c_int
+        lib.png_image_write_to_memory.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.POINTER(ctypes.c_size_t), ctypes.c_int,
+            ctypes.c_void_p, ctypes.c_int, ctypes.c_void_p,
+        ]
+        lib.png_image_free.restype = None
+        lib.png_image_free.argtypes = [ctypes.c_void_p]
+
+    def decode_rgba(self, data: bytes) -> Optional[np.ndarray]:
+        img = _PngImage()
+        img.version = _PNG_IMAGE_VERSION
+        buf = (ctypes.c_uint8 * len(data)).from_buffer_copy(data)
+        if not self._lib.png_image_begin_read_from_memory(
+            ctypes.byref(img), buf, len(data)
+        ):
+            return None
+        img.format = _PNG_FORMAT_RGBA
+        out = np.empty((img.height, img.width, 4), np.uint8)
+        ok = self._lib.png_image_finish_read(
+            ctypes.byref(img), None,
+            out.ctypes.data_as(ctypes.c_void_p), 0, None,
+        )
+        if not ok:
+            self._lib.png_image_free(ctypes.byref(img))
+            return None
+        return out
+
+    def encode_rgba(self, px: np.ndarray) -> bytes:
+        h, w, ch = px.shape
+        assert ch == 4
+        img = _PngImage()
+        img.version = _PNG_IMAGE_VERSION
+        img.width = w
+        img.height = h
+        img.format = _PNG_FORMAT_RGBA
+        buf = np.ascontiguousarray(px, dtype=np.uint8)
+        size = ctypes.c_size_t(0)
+        # first call with NULL memory computes the required size
+        self._lib.png_image_write_to_memory(
+            ctypes.byref(img), None, ctypes.byref(size), 0,
+            buf.ctypes.data_as(ctypes.c_void_p), 0, None,
+        )
+        if size.value == 0:
+            raise RuntimeError(f"libpng write sizing failed: {img.message!r}")
+        mem = ctypes.create_string_buffer(size.value)
+        if not self._lib.png_image_write_to_memory(
+            ctypes.byref(img), mem, ctypes.byref(size), 0,
+            buf.ctypes.data_as(ctypes.c_void_p), 0, None,
+        ):
+            raise RuntimeError(f"libpng write failed: {img.message!r}")
+        return mem.raw[: size.value]
+
+
+def load_libpng() -> Optional[LibPNG]:
+    for name in ("libpng16.so.16", "libpng16.so", "libpng.so", "libpng16.dylib"):
+        try:
+            return LibPNG(ctypes.CDLL(name))
+        except OSError:
+            continue
+    path = ctypes.util.find_library("png16") or ctypes.util.find_library("png")
+    if path:
+        try:
+            return LibPNG(ctypes.CDLL(path))
         except OSError:
             pass
     return None
