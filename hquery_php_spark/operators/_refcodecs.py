@@ -403,3 +403,135 @@ def load_libpng() -> Optional[LibPNG]:
         except OSError:
             pass
     return None
+
+
+# -- giflib (5.x ABI) -------------------------------------------------
+
+class _GifColorType(ctypes.Structure):
+    _fields_ = [("Red", ctypes.c_uint8), ("Green", ctypes.c_uint8),
+                ("Blue", ctypes.c_uint8)]
+
+
+class _ColorMapObject(ctypes.Structure):
+    _fields_ = [
+        ("ColorCount", ctypes.c_int),
+        ("BitsPerPixel", ctypes.c_int),
+        ("SortFlag", ctypes.c_int),
+        ("Colors", ctypes.POINTER(_GifColorType)),
+    ]
+
+
+class _GifImageDesc(ctypes.Structure):
+    _fields_ = [
+        ("Left", ctypes.c_int), ("Top", ctypes.c_int),
+        ("Width", ctypes.c_int), ("Height", ctypes.c_int),
+        ("Interlace", ctypes.c_int),
+        ("ColorMap", ctypes.POINTER(_ColorMapObject)),
+    ]
+
+
+class _SavedImage(ctypes.Structure):
+    _fields_ = [
+        ("ImageDesc", _GifImageDesc),
+        ("RasterBits", ctypes.POINTER(ctypes.c_uint8)),
+        ("ExtensionBlockCount", ctypes.c_int),
+        ("ExtensionBlocks", ctypes.c_void_p),
+    ]
+
+
+class _GifFileType(ctypes.Structure):
+    _fields_ = [
+        ("SWidth", ctypes.c_int), ("SHeight", ctypes.c_int),
+        ("SColorResolution", ctypes.c_int),
+        ("SBackGroundColor", ctypes.c_int),
+        ("AspectByte", ctypes.c_uint8),
+        ("SColorMap", ctypes.POINTER(_ColorMapObject)),
+        ("ImageCount", ctypes.c_int),
+        ("Image", _GifImageDesc),
+        ("SavedImages", ctypes.POINTER(_SavedImage)),
+        ("ExtensionBlockCount", ctypes.c_int),
+        ("ExtensionBlocks", ctypes.c_void_p),
+        ("Error", ctypes.c_int),
+        ("UserData", ctypes.c_void_p),
+        ("Private", ctypes.c_void_p),
+    ]
+
+
+_GIF_READ_FUNC = ctypes.CFUNCTYPE(
+    ctypes.c_int, ctypes.POINTER(_GifFileType),
+    ctypes.POINTER(ctypes.c_uint8), ctypes.c_int,
+)
+
+
+class LibGIF:
+    """ctypes wrapper over giflib 5.x: DGifOpen + DGifSlurp, returning
+    per-frame palette-indexed rasters + their palettes (undisposed,
+    uncomposited — the raw decoder output)."""
+
+    def __init__(self, lib: ctypes.CDLL):
+        self._lib = lib
+        lib.DGifOpen.restype = ctypes.POINTER(_GifFileType)
+        lib.DGifOpen.argtypes = [ctypes.c_void_p, _GIF_READ_FUNC,
+                                 ctypes.POINTER(ctypes.c_int)]
+        lib.DGifSlurp.restype = ctypes.c_int
+        lib.DGifSlurp.argtypes = [ctypes.POINTER(_GifFileType)]
+        lib.DGifCloseFile.restype = ctypes.c_int
+        lib.DGifCloseFile.argtypes = [ctypes.POINTER(_GifFileType),
+                                      ctypes.POINTER(ctypes.c_int)]
+
+    def decode_frames_indexed(self, data: bytes):
+        """GIF bytes → (screen_w, screen_h, [(left, top, raster(h,w) uint8,
+        palette(n,3) uint8)]) or None on decoder error."""
+        state = {"pos": 0}
+
+        def read_cb(_gif, buf, count):
+            p = state["pos"]
+            chunk = data[p : p + count]
+            ctypes.memmove(buf, chunk, len(chunk))
+            state["pos"] = p + len(chunk)
+            return len(chunk)
+
+        cb = _GIF_READ_FUNC(read_cb)
+        err = ctypes.c_int(0)
+        gif = self._lib.DGifOpen(None, cb, ctypes.byref(err))
+        if not gif:
+            return None
+        try:
+            if self._lib.DGifSlurp(gif) != 1:
+                return None
+            g = gif.contents
+            frames = []
+            for i in range(g.ImageCount):
+                si = g.SavedImages[i]
+                d = si.ImageDesc
+                n = d.Width * d.Height
+                raster = np.frombuffer(
+                    ctypes.string_at(si.RasterBits, n), dtype=np.uint8
+                ).reshape(d.Height, d.Width).copy()
+                cm = d.ColorMap if d.ColorMap else g.SColorMap
+                if not cm:
+                    return None
+                cc = cm.contents.ColorCount
+                pal = np.frombuffer(
+                    ctypes.string_at(cm.contents.Colors, cc * 3), dtype=np.uint8
+                ).reshape(cc, 3).copy()
+                frames.append((d.Left, d.Top, raster, pal))
+            return g.SWidth, g.SHeight, frames
+        finally:
+            e = ctypes.c_int(0)
+            self._lib.DGifCloseFile(gif, ctypes.byref(e))
+
+
+def load_libgif() -> Optional[LibGIF]:
+    for name in ("libgif.so.7", "libgif.so", "libgif.dylib"):
+        try:
+            return LibGIF(ctypes.CDLL(name))
+        except OSError:
+            continue
+    path = ctypes.util.find_library("gif")
+    if path:
+        try:
+            return LibGIF(ctypes.CDLL(path))
+        except OSError:
+            pass
+    return None
