@@ -1,16 +1,23 @@
-"""Pure-numpy AVI demuxer (RIFF 'AVI ', uncompressed DIB frames).
+"""Pure-numpy AVI demuxer (RIFF 'AVI ', uncompressed DIB + MJPEG).
 
 The second REAL video container behind ``video_frame_sample_df``
 (animated GIF is the first): a genuine RIFF walk — hdrl/avih for
-dimensions and frame count, strl/strf for the bitmap depth, movi for
-the frame chunks — decoding '00db' uncompressed DIB video frames
-(bottom-up, BGR(A), 4-byte-aligned rows) to top-down RGB(A) arrays.
-Compressed fourccs ('00dc' with a non-DIB handler, MJPG, etc.) stay
-honestly out of scope: the demux walk still works, the frame decode
-yields nothing, and callers fall back to the byte-window stub.
+dimensions and frame count, strl/strf for depth + compression fourcc,
+movi for the frame chunks — decoding '00db' uncompressed DIB video
+frames (bottom-up, BGR(A), 4-byte-aligned rows) to top-down RGB(A)
+arrays AND '00dc' MJPG frames through the in-repo T.81 JPEG codec
+(operators/jpeg.py).  MJPEG quirk handled for real: most MJPEG-in-AVI
+streams omit the Huffman tables (the OpenDML spec says decoders must
+assume the JPEG Annex K defaults), so ``_mjpeg_to_jpeg`` splices the
+standard DHT segments in front of SOS when the frame carries none.
+Other compressed fourccs (cvid, h264, ...) stay honestly out of scope:
+the demux walk still works, the frame decode yields nothing, and
+callers fall back to the byte-window stub.
 
 Exactness: DIB storage is lossless integer pixels, so sampled-frame
-statistics admit closed-form SQL twins, same argument as PNG/GIF/VP8L.
+statistics admit closed-form SQL twins, same argument as PNG/GIF/VP8L;
+MJPEG frames are constant-gray-closed-form exact, same argument as the
+baseline-JPEG oracle rows.
 
 Reference parity note: the reference engine (duzun/hQuery.php) has no
 media codec; this is beyond-reference multimodal surface under its
@@ -24,7 +31,7 @@ from typing import Optional
 
 import numpy as np
 
-__all__ = ["encode_avi", "decode_avi_frames", "avi_dims"]
+__all__ = ["encode_avi", "encode_avi_mjpeg", "decode_avi_frames", "avi_dims"]
 
 
 def _chunks(payload: bytes, start: int, end: int):
@@ -44,7 +51,7 @@ def avi_dims(payload: Optional[bytes]) -> Optional[tuple]:
     hdr = _parse_headers(payload)
     if hdr is None:
         return None
-    w, h, nf, uspf, _bits = hdr
+    w, h, nf, uspf, _bits, _comp = hdr
     return (w, h, nf, uspf)
 
 
@@ -58,6 +65,7 @@ def _parse_headers(payload: Optional[bytes]):
         return None
     w = h = nf = uspf = None
     bits = 24
+    comp = b"\x00\x00\x00\x00"
     for cc, off, size in _chunks(payload, 12, len(payload)):
         if cc != b"LIST" or payload[off : off + 4] != b"hdrl":
             continue
@@ -69,12 +77,15 @@ def _parse_headers(payload: Optional[bytes]):
             elif c2 == b"LIST" and payload[o2 : o2 + 4] == b"strl":
                 for c3, o3, s3 in _chunks(payload, o2 + 4, o2 + s2):
                     if c3 == b"strf" and s3 >= 16:
-                        # BITMAPINFOHEADER: biBitCount at offset 14
+                        # BITMAPINFOHEADER: biBitCount at offset 14,
+                        # biCompression fourcc at offset 16
                         bits, = struct.unpack_from("<H", payload, o3 + 14)
+                        if s3 >= 20:
+                            comp = bytes(payload[o3 + 16 : o3 + 20])
         break
     if w is None or not w or not h:
         return None
-    return int(w), int(h), int(nf or 0), int(uspf or 0), int(bits)
+    return int(w), int(h), int(nf or 0), int(uspf or 0), int(bits), comp
 
 
 def decode_avi_frames(payload: Optional[bytes], max_frames: Optional[int] = None):
@@ -89,28 +100,96 @@ def decode_avi_frames(payload: Optional[bytes], max_frames: Optional[int] = None
         return None
 
 
+_MJPEG_FOURCCS = (b"MJPG", b"mjpg", b"dmb1", b"AVRn")
+_DEFAULT_DHT = None
+
+
+def _default_dht() -> bytes:
+    """The JPEG Annex K Huffman tables as ready-to-splice DHT segments,
+    harvested once from the in-repo encoder's own output (so injection
+    is bit-consistent with what the codec writes)."""
+    global _DEFAULT_DHT
+    if _DEFAULT_DHT is None:
+        from .jpeg import encode_jpeg
+
+        sample = encode_jpeg(np.zeros((8, 8), np.uint8))
+        segs = []
+        pos = 2
+        while pos + 4 <= len(sample) and sample[pos] == 0xFF:
+            m = sample[pos + 1]
+            (ln,) = struct.unpack_from(">H", sample, pos + 2)
+            if m == 0xC4:
+                segs.append(sample[pos : pos + 2 + ln])
+            if m == 0xDA:
+                break
+            pos += 2 + ln
+        _DEFAULT_DHT = b"".join(segs)
+    return _DEFAULT_DHT
+
+
+def _mjpeg_to_jpeg(data: bytes) -> bytes:
+    """MJPEG frame → standalone JFIF: if the frame carries no DHT
+    (OpenDML says decoders must then assume the Annex K defaults),
+    splice the standard tables in front of SOS."""
+    if len(data) < 4 or data[:2] != b"\xff\xd8":
+        return data
+    pos = 2
+    while pos + 4 <= len(data) and data[pos] == 0xFF:
+        m = data[pos + 1]
+        if m == 0xC4:  # has its own DHT — standalone already
+            return data
+        if m == 0xDA:  # SOS without any DHT: inject defaults here
+            return data[:pos] + _default_dht() + data[pos:]
+        if m == 0xD8 or 0xD0 <= m <= 0xD7:
+            pos += 2
+            continue
+        (ln,) = struct.unpack_from(">H", data, pos + 2)
+        pos += 2 + ln
+    return data
+
+
 def _decode_impl(payload, max_frames):
     hdr = _parse_headers(payload)
     if hdr is None:
         return None
-    w, h, _nf, _uspf, bits = hdr
-    if bits not in (24, 32):
+    w, h, _nf, _uspf, bits, comp = hdr
+    mjpeg = comp in _MJPEG_FOURCCS
+    if not mjpeg and bits not in (24, 32):
         return None
     bpp = bits // 8
     stride = (w * bpp + 3) & ~3
     need = stride * h
     frames = []
+    if mjpeg:
+        from .jpeg import decode_jpeg
     for cc, off, size in _chunks(payload, 12, len(payload)):
         if cc != b"LIST" or payload[off : off + 4] != b"movi":
             continue
+        src_no = 0
         for c2, o2, s2 in _chunks(payload, off + 4, off + size):
-            if c2[2:4] != b"db" or s2 < need:
-                continue  # compressed ('dc'), audio ('wb'), or truncated
-            raw = np.frombuffer(payload, np.uint8, count=need, offset=o2)
-            rows = raw.reshape(h, stride)[:, : w * bpp].reshape(h, w, bpp)
-            rows = rows[::-1]  # DIB is bottom-up
-            rgb = rows[:, :, [2, 1, 0]] if bpp == 3 else rows[:, :, [2, 1, 0, 3]]
-            frames.append((len(frames), np.ascontiguousarray(rgb)))
+            if c2[2:4] not in (b"db", b"dc"):
+                continue  # audio ('wb'), index, ...
+            if mjpeg and c2[2:4] == b"dc":
+                res = decode_jpeg(_mjpeg_to_jpeg(bytes(payload[o2 : o2 + s2])))
+                src_no += 1
+                if res is None:
+                    continue  # corrupt frame: skip, keep source numbering
+                _jw, _jh, ch, px = res
+                if ch == 1:
+                    px = np.repeat(px, 3, axis=2)  # gray → RGB frame
+                frames.append((src_no - 1, px))
+            elif not mjpeg and c2[2:4] == b"db":
+                if s2 < need:
+                    continue  # truncated
+                raw = np.frombuffer(payload, np.uint8, count=need, offset=o2)
+                rows = raw.reshape(h, stride)[:, : w * bpp].reshape(h, w, bpp)
+                rows = rows[::-1]  # DIB is bottom-up
+                rgb = (
+                    rows[:, :, [2, 1, 0]] if bpp == 3 else rows[:, :, [2, 1, 0, 3]]
+                )
+                frames.append((len(frames), np.ascontiguousarray(rgb)))
+            else:
+                continue
             if max_frames is not None and len(frames) >= max_frames:
                 return frames
         break
@@ -157,5 +236,70 @@ def encode_avi(frames, fps: int = 25) -> bytes:
         padded = np.zeros((h, stride), np.uint8)
         padded[:, : w * bpp] = bgr[::-1].reshape(h, w * bpp)
         movi_body += chunk(b"00db", padded.tobytes())
+    body = b"AVI " + hdrl + lst(b"movi", movi_body)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def _strip_dht(jpeg: bytes) -> bytes:
+    """Remove every DHT segment — produces the table-less frames real
+    MJPEG hardware writes (decoders must assume the Annex K defaults)."""
+    out = bytearray(jpeg[:2])
+    pos = 2
+    while pos + 4 <= len(jpeg) and jpeg[pos] == 0xFF:
+        m = jpeg[pos + 1]
+        if m == 0xDA:
+            out += jpeg[pos:]
+            return bytes(out)
+        (ln,) = struct.unpack_from(">H", jpeg, pos + 2)
+        if m != 0xC4:
+            out += jpeg[pos : pos + 2 + ln]
+        pos += 2 + ln
+    return jpeg
+
+
+def encode_avi_mjpeg(
+    frames, fps: int = 25, quality: int = 90, omit_dht: bool = False
+) -> bytes:
+    """MJPEG-in-AVI writer: (h, w) gray or (h, w, 3) RGB uint8 frames →
+    RIFF/AVI with a 'vids'/MJPG stream and one '00dc' JPEG per frame
+    (the in-repo T.81 encoder).  ``omit_dht=True`` writes the
+    table-less frames most capture hardware emits, exercising the
+    decoder's Annex-K default-table injection."""
+    from .jpeg import encode_jpeg
+
+    frames = [np.asarray(f, np.uint8) for f in frames]
+    shape = frames[0].shape
+    h, w = shape[0], shape[1]
+    uspf = 1_000_000 // fps
+
+    def chunk(cc: bytes, body: bytes) -> bytes:
+        return cc + struct.pack("<I", len(body)) + body + (b"\x00" * (len(body) & 1))
+
+    def lst(kind: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", kind + body)
+
+    jpegs = []
+    for fr in frames:
+        if fr.shape != shape:
+            raise ValueError("all frames must share one shape")
+        j = encode_jpeg(fr, quality=quality)
+        jpegs.append(_strip_dht(j) if omit_dht else j)
+    maxbuf = max(len(j) for j in jpegs)
+    mjpg = int.from_bytes(b"MJPG", "little")
+    avih = struct.pack(
+        "<14I", uspf, maxbuf * fps, 0, 0x10, len(frames), 0, 1,
+        maxbuf, w, h, 0, 0, 0, 0,
+    )
+    strh = (
+        b"vids" + b"MJPG" + struct.pack("<I", 0)
+        + struct.pack("<HHIIIII", 0, 0, 0, 1, fps, 0, len(frames))
+        + struct.pack("<IiI", maxbuf, -1, 0) + struct.pack("<4H", 0, 0, w, h)
+    )
+    strf = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, mjpg, maxbuf, 0, 0, 0, 0
+    )
+    hdrl = lst(b"hdrl", chunk(b"avih", avih)
+               + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi_body = b"".join(chunk(b"00dc", j) for j in jpegs)
     body = b"AVI " + hdrl + lst(b"movi", movi_body)
     return b"RIFF" + struct.pack("<I", len(body)) + body

@@ -20,8 +20,16 @@ not the codec.  This module provides it with no media library:
 
 Everything returned is integer/string (no float fields), so synthesized
 corpora admit exact SQL twins.  Both writers emit minimal-but-valid
-containers to exercise every parse path.  Frame DATA stays honestly out
-of scope (no VP9/AVC decoder) — these are metadata legs.
+containers to exercise every parse path.
+
+WebM video frame data IS in scope: ``webm_video_blocks`` walks
+Segment > Cluster > SimpleBlock/BlockGroup for the first ``V_VP8``
+track (all three lacing modes: Xiph, fixed, EBML) and
+``decode_webm_frames`` feeds each key frame to the in-repo RFC 6386
+VP8 decoder (operators/vp8.py, pinned bit-exact against libwebp) —
+real compressed-video decode with no media library.  ``encode_webm_vp8``
+is the matching muxer (fixture generation + the WARC-style write leg).
+VP9/AVC frame data stays honestly out of scope (no such decoder).
 
 Reference parity note: the reference engine (duzun/hQuery.php) sniffs
 content types before parsing (hQuery.php:136-226); this extends the
@@ -37,7 +45,10 @@ __all__ = [
     "encode_mp4_stub",
     "mp4_meta",
     "encode_webm_stub",
+    "encode_webm_vp8",
     "webm_meta",
+    "webm_video_blocks",
+    "decode_webm_frames",
     "encode_ogg_stub",
     "ogg_meta",
     "encode_mp3_stub",
@@ -294,6 +305,204 @@ def _webm_meta_impl(payload):
                                     out["height"] = v
     if out["doctype"] is None:
         return None
+    return out
+
+
+# EBML ids for the frame-data walk (Matroska/WebM public spec)
+_CLUSTER = 0x1F43B675
+_CLUSTER_TS = 0xE7
+_SIMPLE_BLOCK = 0xA3
+_BLOCK_GROUP = 0xA0
+_BLOCK = 0xA1
+_TRACK_NUMBER = 0xD7
+_TRACK_TYPE = 0x83
+_CODEC_ID = 0x86
+
+
+def encode_webm_vp8(
+    width: int,
+    height: int,
+    vp8_frames,
+    frame_duration_ms: int = 40,
+    timestamp_scale: int = 1_000_000,
+) -> bytes:
+    """REAL WebM muxer: EBML header + Segment{Info, Tracks[V_VP8 video
+    track 1], Cluster{Timestamp, one SimpleBlock per frame}}.  The
+    SimpleBlock keyframe flag is derived from the VP8 frame tag
+    (byte 0 bit 0 == 0 → key frame, RFC 6386 §9.1), so muxed streams
+    carry honest flags for a downstream keyframe sampler."""
+    header = _el(_EBML, _el(_DOCTYPE, b"webm"))
+    info = _el(_INFO, _uint_el(_TIMESTAMP_SCALE, timestamp_scale))
+    track = _el(
+        _TRACK_ENTRY,
+        _uint_el(_TRACK_NUMBER, 1)
+        + _uint_el(_TRACK_TYPE, 1)
+        + _el(_CODEC_ID, b"V_VP8")
+        + _el(_VIDEO, _uint_el(_PIXEL_W, width) + _uint_el(_PIXEL_H, height)),
+    )
+    blocks = b""
+    for i, fr in enumerate(vp8_frames):
+        fr = bytes(fr)
+        kf = 0x80 if fr and not (fr[0] & 0x01) else 0x00
+        body = (
+            _vint(1, 1)  # track number 1
+            + struct.pack(">h", i * frame_duration_ms)
+            + bytes([kf])
+            + fr
+        )
+        blocks += _el(_SIMPLE_BLOCK, body)
+    cluster = _el(_CLUSTER, _uint_el(_CLUSTER_TS, 0) + blocks)
+    segment = _el(_SEGMENT, info + _el(_TRACKS, track) + cluster)
+    return header + segment
+
+
+def _vp8_track_number(payload: bytes) -> Optional[int]:
+    """TrackNumber of the first TrackEntry whose CodecID is V_VP8."""
+    for eid, body, end in _walk_ebml(payload, 0, len(payload)):
+        if eid != _SEGMENT:
+            continue
+        for e2, b2, e2e in _walk_ebml(payload, body, end):
+            if e2 != _TRACKS:
+                continue
+            for e3, b3, e3e in _walk_ebml(payload, b2, e2e):
+                if e3 != _TRACK_ENTRY:
+                    continue
+                num, codec = None, None
+                for e4, b4, e4e in _walk_ebml(payload, b3, e3e):
+                    if e4 == _TRACK_NUMBER:
+                        num = int.from_bytes(payload[b4:e4e], "big")
+                    elif e4 == _CODEC_ID:
+                        codec = payload[b4:e4e].rstrip(b"\x00")
+                if codec == b"V_VP8" and num is not None:
+                    return num
+    return None
+
+
+def _unlace(payload: bytes, pos: int, end: int, flags: int):
+    """Split a (Simple)Block body after the flags byte into per-frame
+    byte ranges per the Matroska lacing modes (§ Block lacing)."""
+    lacing = (flags >> 1) & 0x03
+    if lacing == 0:  # no lacing: one frame
+        return [payload[pos:end]]
+    if pos >= end:
+        raise ValueError("ebml: laced block eof")
+    n = payload[pos] + 1  # frame count − 1 is stored
+    pos += 1
+    sizes = []
+    if lacing == 1:  # Xiph: 255-run sums for the first n−1 frames
+        for _ in range(n - 1):
+            size = 0
+            while True:
+                if pos >= end:
+                    raise ValueError("ebml: xiph lace eof")
+                b = payload[pos]
+                pos += 1
+                size += b
+                if b != 255:
+                    break
+            sizes.append(size)
+    elif lacing == 2:  # fixed: equal split of the remaining bytes
+        total = end - pos
+        if n == 0 or total % n:
+            raise ValueError("ebml: fixed lace misfit")
+        sizes = [total // n] * (n - 1)
+    else:  # EBML: first size as vint, then signed vint deltas
+        first, pos = _read_vint(payload, pos, keep_marker=False)
+        sizes.append(first)
+        prev = first
+        for _ in range(n - 2):
+            raw_start = pos
+            delta, pos = _read_vint(payload, pos, keep_marker=False)
+            ln = pos - raw_start
+            prev += delta - ((1 << (7 * ln - 1)) - 1)  # signed bias
+            if prev < 0:
+                raise ValueError("ebml: negative lace size")
+            sizes.append(prev)
+    frames = []
+    for s in sizes:
+        if pos + s > end:
+            raise ValueError("ebml: lace overruns block")
+        frames.append(payload[pos : pos + s])
+        pos += s
+    frames.append(payload[pos:end])  # last frame: remainder
+    return frames
+
+
+def webm_video_blocks(payload: Optional[bytes], max_blocks: Optional[int] = None):
+    """Demux the V_VP8 video track: walk Segment > Cluster >
+    SimpleBlock / BlockGroup>Block in stream order and return
+    ``[(frame_no, keyframe, frame_bytes), ...]``.  ``keyframe`` comes
+    from the VP8 frame tag itself (byte 0 bit 0), the only source that
+    is authoritative across both block kinds.  All three lacing modes
+    are handled; laced sub-frames get consecutive frame numbers.
+    Returns None for non-EBML payloads, [] when no V_VP8 track."""
+    try:
+        if payload is None or len(payload) < 8 or payload[:4] != b"\x1aE\xdf\xa3":
+            return None
+        track = _vp8_track_number(payload)
+        if track is None:
+            return []
+        out = []
+        frame_no = 0
+        for eid, body, end in _walk_ebml(payload, 0, len(payload)):
+            if eid != _SEGMENT:
+                continue
+            for e2, b2, e2e in _walk_ebml(payload, body, end):
+                if e2 != _CLUSTER:
+                    continue
+                for e3, b3, e3e in _walk_ebml(payload, b2, e2e):
+                    if e3 == _SIMPLE_BLOCK:
+                        blocks = [(b3, e3e)]
+                    elif e3 == _BLOCK_GROUP:
+                        blocks = [
+                            (b4, e4e)
+                            for e4, b4, e4e in _walk_ebml(payload, b3, e3e)
+                            if e4 == _BLOCK
+                        ]
+                    else:
+                        continue
+                    for bs, be in blocks:
+                        try:
+                            tnum, pos = _read_vint(payload, bs, keep_marker=False)
+                            if tnum != track or pos + 3 > be:
+                                continue
+                            flags = payload[pos + 2]
+                            frames = _unlace(payload, pos + 3, be, flags)
+                        except (ValueError, IndexError):
+                            continue
+                        for fr in frames:
+                            kf = bool(fr) and not (fr[0] & 0x01)
+                            out.append((frame_no, kf, fr))
+                            frame_no += 1
+                            if max_blocks is not None and frame_no >= max_blocks:
+                                return out
+        return out
+    except (ValueError, IndexError):
+        return None
+
+
+def decode_webm_frames(payload: Optional[bytes], max_frames: Optional[int] = None):
+    """REAL compressed-video decode: WebM demux + the in-repo RFC 6386
+    VP8 key-frame decoder → ``[(frame_no, HxWx3 RGB uint8), ...]``.
+    Inter frames consume a frame number (source-frame semantics for a
+    sampler) but yield no pixels — a keyframe sampler is exactly what a
+    100 TB curation pipeline runs, and key frames are the only frames a
+    from-scratch decoder can stand alone on.  Corrupt individual frames
+    are skipped, never fatal."""
+    blocks = webm_video_blocks(payload, max_blocks=max_frames)
+    if not blocks:
+        return blocks  # None (not WebM) or [] (no VP8 track)
+    from .vp8 import decode_vp8_rgba  # local import keeps module load light
+
+    out = []
+    for frame_no, kf, fr in blocks:
+        if not kf:
+            continue
+        try:
+            _w, _h, _ch, rgba = decode_vp8_rgba(fr)
+        except (ValueError, IndexError, KeyError):
+            continue
+        out.append((frame_no, rgba[:, :, :3]))
     return out
 
 

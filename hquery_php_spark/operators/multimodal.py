@@ -967,15 +967,19 @@ def video_frame_sample_df(
     max_frames: int = 8,
     frame_bytes: int = 256,
 ) -> DataFrame:
-    """Frame sampling for video-like columns.  Two containers are REAL:
-    animated GIF (``decode_gif_frames`` composites every frame per the
-    GIF89a disposal model) and AVI with uncompressed DIB video
-    (``operators/avi.py`` demuxes the movi list).  Every ``every_n``-th
+    """Frame sampling for video-like columns.  Four container paths are
+    REAL: animated GIF (``decode_gif_frames`` composites every frame per
+    the GIF89a disposal model), animated WebP (ANIM/ANMF composition),
+    AVI video (``operators/avi.py`` demuxes the movi list — both
+    uncompressed DIB and MJPG chunks, the latter decoded by the in-repo
+    JPEG codec), and WebM with a V_VP8 track (``mediameta.py`` walks
+    Cluster/SimpleBlock incl. all three lacing modes and every KEY frame
+    goes through the in-repo RFC 6386 VP8 decoder).  Every ``every_n``-th
     frame (up to ``max_frames``) is re-encoded as a standalone PNG, and
     ``frame_no`` is the SOURCE frame index — exactly what a video
     demuxer's key-frame sampler emits.  For containers without an
-    in-repo demuxer (MP4/WebM/MKV, compressed AVI), "frames" fall back
-    to deterministic fixed-stride byte windows with ordinal frame
+    in-repo decoder (MP4/MKV-VP9, H.264), "frames" fall back to
+    deterministic fixed-stride byte windows with ordinal frame
     numbers — the schema, batching and one-row-per-frame fan-out are
     already the real contract."""
     schema = StructType(
@@ -991,6 +995,7 @@ def video_frame_sample_df(
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from hquery_php_spark.operators.avi import decode_avi_frames
         from hquery_php_spark.operators.gif import decode_gif_frames
+        from hquery_php_spark.operators.mediameta import decode_webm_frames
         from hquery_php_spark.operators.webp import decode_webp_frames
 
         src_cap = (max_frames - 1) * every_n + 1
@@ -1009,6 +1014,8 @@ def video_frame_sample_df(
                     ]
                 elif mime == "video/x-msvideo":
                     real = decode_avi_frames(payload, max_frames=src_cap)
+                elif mime in ("video/webm", "video/x-matroska"):
+                    real = decode_webm_frames(payload, max_frames=src_cap)
                 elif (
                     mime == "image/webp"
                     and len(payload) > 20

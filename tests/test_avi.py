@@ -106,3 +106,90 @@ def test_video_frame_sample_avi_branch(spark):
         w, h, ch, px = decode_png(bytes(r.frame))
         assert (w, h) == (5, 3)
         assert (px[:, :, 0] == want).all()
+
+
+# ------------------------------------------------------------------ #
+# MJPEG-in-AVI ('00dc' + MJPG fourcc, in-repo T.81 JPEG codec)
+
+
+def test_mjpeg_roundtrip_matches_direct_jpeg_decode():
+    from hquery_php_spark.operators.avi import encode_avi_mjpeg
+    from hquery_php_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    frames = [np.full((16, 24), 64 + 16 * f, np.uint8) for f in range(4)]
+    avi = encode_avi_mjpeg(frames, quality=75)
+    assert avi_dims(avi) == (24, 16, 4, 40000)
+    out = decode_avi_frames(avi)
+    assert [n for n, _ in out] == [0, 1, 2, 3]
+    for n, px in out:
+        _w, _h, _ch, want = decode_jpeg(encode_jpeg(frames[n], quality=75))
+        assert np.array_equal(px[:, :, :1], want)
+        assert np.array_equal(px[:, :, 1], px[:, :, 0])  # gray broadcast
+
+
+def test_mjpeg_missing_dht_gets_annex_k_defaults():
+    """Capture-hardware MJPEG omits the Huffman tables; decoders must
+    assume the Annex K defaults (OpenDML).  A table-less stream must
+    decode bit-identically to its table-carrying twin."""
+    from hquery_php_spark.operators.avi import encode_avi_mjpeg
+
+    frames = [np.full((8, 8), 10 + 30 * f, np.uint8) for f in range(3)]
+    with_t = decode_avi_frames(encode_avi_mjpeg(frames, quality=90))
+    without = decode_avi_frames(encode_avi_mjpeg(frames, quality=90,
+                                                 omit_dht=True))
+    assert len(with_t) == len(without) == 3
+    for (na, a), (nb, b) in zip(with_t, without):
+        assert na == nb and np.array_equal(a, b)
+    # and the stripped stream really is table-less
+    avi = encode_avi_mjpeg(frames, quality=90, omit_dht=True)
+    movi = avi.index(b"00dc")
+    assert b"\xff\xc4" not in avi[movi : movi + 200]
+
+
+def test_mjpeg_rgb_frames_and_corrupt_frame_skipped():
+    from hquery_php_spark.operators.avi import encode_avi_mjpeg
+
+    frames = [np.full((16, 16, 3), (200, 100, 50), np.uint8)
+              for _ in range(3)]
+    avi = bytearray(encode_avi_mjpeg(frames, quality=90))
+    # zero out the middle frame's SOI: undecodable, skipped, numbering kept
+    first = avi.index(b"00dc")
+    second = avi.index(b"00dc", first + 4)
+    avi[second + 8 : second + 10] = b"\x00\x00"
+    out = decode_avi_frames(bytes(avi))
+    assert [n for n, _ in out] == [0, 2]
+    for _n, px in out:
+        assert px.shape == (16, 16, 3)
+        assert tuple(px[0, 0]) == (200, 100, 50)
+
+
+def test_mjpeg_max_frames_and_source_numbering():
+    from hquery_php_spark.operators.avi import encode_avi_mjpeg
+
+    frames = [np.full((8, 8), 20 * f, np.uint8) for f in range(5)]
+    avi = encode_avi_mjpeg(frames, quality=90)
+    out = decode_avi_frames(avi, max_frames=2)
+    assert [n for n, _ in out] == [0, 1]
+
+
+def test_video_frame_sample_mjpeg_branch(spark):
+    from hquery_php_spark.operators.avi import encode_avi_mjpeg
+    from hquery_php_spark.operators.jpeg import decode_jpeg, encode_jpeg
+    from hquery_php_spark.operators.multimodal import (
+        decode_png,
+        video_frame_sample_df,
+    )
+
+    frames = [np.full((16, 8), 32 * f, np.uint8) for f in range(5)]
+    rows = [("mj1", bytearray(encode_avi_mjpeg(frames, quality=75)))]
+    df = spark.createDataFrame(rows, "media_id string, payload binary")
+    got = video_frame_sample_df(df, every_n=2, max_frames=8).collect()
+    assert [r.frame_no for r in got] == [0, 2, 4]
+    assert all(r.mime == "video/x-msvideo" for r in got)
+    for r in got:
+        w, h, _ch, px = decode_png(bytes(r.frame))
+        assert (w, h) == (8, 16)
+        _w, _h, _c, want = decode_jpeg(
+            encode_jpeg(frames[r.frame_no], quality=75)
+        )
+        assert np.array_equal(px[:, :, 0], want[:, :, 0])
