@@ -1462,14 +1462,105 @@ def _avi_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.mapInPandas(gen, schema)
 
 
+def _webm_vp8_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMPLETE WebM videos (mediameta.py: real EBML mux — Segment/
+    Tracks/Cluster/SimpleBlock) carrying 2-4 V_VP8 KEY frames from the
+    in-repo RFC 6386 stream writer.  Frame f is the Y2-DC-only constant
+    frame at level L = 1 + (doc_id·5 + f·9) % 24, so each decoded frame
+    is the uniform gray r = (298·(112 + ((L·196+3)//8+4)//8) + 128)//256
+    — the same closed form the lossy-WebP oracle pins, now exercised
+    through the WebM demux + keyframe-sampler path (media_id =
+    'z'<doc_id>)."""
+    import pandas as pd
+    from pyspark.sql.types import BinaryType, StringType, StructField, StructType
+
+    from hquery_php_spark.operators.mediameta import encode_webm_vp8
+    from hquery_php_spark.operators.vp8 import MBSpec, encode_vp8_stream
+
+    d = _spread(_docs(spark, sf_dir), spark).select(
+        F.col("doc_id").cast("long").alias("did")
+    )
+    schema = StructType(
+        [StructField("media_id", StringType()), StructField("payload", BinaryType())]
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            out = {"media_id": [], "payload": []}
+            for did in pdf["did"]:
+                did = int(did)
+                w, h = 5 + did % 28, 4 + did % 21
+                nf = 2 + did % 3
+                mbw, mbh = (w + 15) // 16, (h + 15) // 16
+                streams = []
+                for f in range(nf):
+                    lvl = 1 + (did * 5 + f * 9) % 24
+                    mbs = [MBSpec(y2_block=[lvl] + [0] * 15)] + [
+                        MBSpec() for _ in range(mbw * mbh - 1)
+                    ]
+                    streams.append(encode_vp8_stream(w, h, mbs, qi=100))
+                out["media_id"].append(f"z{did}")
+                out["payload"].append(encode_webm_vp8(w, h, streams))
+            yield pd.DataFrame(out)
+
+    return d.mapInPandas(gen, schema)
+
+
+def _avi_mjpeg_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMPLETE MJPEG AVIs (operators/avi.py: 'vids'/MJPG stream, one
+    '00dc' baseline JPEG per frame from the in-repo T.81 encoder) —
+    frame f is constant gray c = (doc_id·7 + f·3) % 256 at quality
+    _JPEG_Q, dims multiples of 8, so each decoded frame follows the
+    same constant-gray closed form as the baseline-JPEG oracle rows.
+    Odd doc_ids write table-less frames (omit_dht) so the driver also
+    pins the Annex-K default-Huffman injection path (media_id =
+    'mj'<doc_id>)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import BinaryType, StringType, StructField, StructType
+
+    from hquery_php_spark.operators.avi import encode_avi_mjpeg
+
+    d = _spread(_docs(spark, sf_dir), spark).select(
+        F.col("doc_id").cast("long").alias("did")
+    )
+    schema = StructType(
+        [StructField("media_id", StringType()), StructField("payload", BinaryType())]
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            out = {"media_id": [], "payload": []}
+            for did in pdf["did"]:
+                did = int(did)
+                w, h = 8 * (1 + did % 6), 8 * (1 + did % 4)
+                nf = 1 + did % 3
+                frames = [
+                    np.full((h, w, 3), (did * 7 + f * 3) % 256, np.uint8)
+                    for f in range(nf)
+                ]
+                out["media_id"].append(f"mj{did}")
+                out["payload"].append(
+                    encode_avi_mjpeg(
+                        frames, quality=_JPEG_Q, omit_dht=bool(did % 2)
+                    )
+                )
+            yield pd.DataFrame(out)
+
+    return d.mapInPandas(gen, schema)
+
+
 def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL video-column frame sampling over all THREE real containers:
+    """REAL video-column frame sampling over FIVE real container paths:
     animated GIFs (GIF89a disposal compositing), animated WebPs
-    (ANIM/ANMF canvas composition over VP8L frames), and
-    uncompressed-DIB AVIs (RIFF demux).  Every 2nd source frame is
-    re-encoded as a standalone PNG by video_frame_sample_df, and the
-    sampled PNGs are decoded AGAIN for exact pixel sums — the whole
-    demux → sample → per-frame-feature path, end to end."""
+    (ANIM/ANMF canvas composition over VP8L frames), uncompressed-DIB
+    AVIs (RIFF demux), MJPEG AVIs ('00dc' frames through the in-repo
+    T.81 JPEG codec, incl. table-less Annex-K injection), and WebM with
+    V_VP8 key frames (EBML cluster walk + the RFC 6386 VP8 decoder).
+    Every 2nd source frame is re-encoded as a standalone PNG by
+    video_frame_sample_df, and the sampled PNGs are decoded AGAIN for
+    exact pixel sums — the whole demux → decode → sample →
+    per-frame-feature path, end to end."""
     from hquery_php_spark.operators.multimodal import (
         image_pixel_stats_df,
         video_frame_sample_df,
@@ -1479,6 +1570,8 @@ def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         _gif_anim_payloads(spark, sf_dir)
         .unionByName(_webp_anim_payloads(spark, sf_dir))
         .unionByName(_avi_payloads(spark, sf_dir))
+        .unionByName(_webm_vp8_payloads(spark, sf_dir))
+        .unionByName(_avi_mjpeg_payloads(spark, sf_dir))
     )
     frames = video_frame_sample_df(payloads, every_n=2, max_frames=8)
     keyed = frames.select(
@@ -3780,7 +3873,61 @@ def _base_oracle_sql() -> dict[str, str]:
                                2 + doc_id % 5 AS h, 1 + doc_id % 4 AS nf
                         FROM documents))
             WHERE f % 2 = 0
-        """,
+            UNION ALL
+            -- WebM/V_VP8 rows: inversion of _webm_vp8_payloads — each
+            -- key frame is the Y2-DC-only constant frame, so the WebM
+            -- demux + VP8 decode lands on the uniform gray
+            -- r = (298*(112 + ((L*196+3)//8+4)//8) + 128) // 256 with
+            -- L = 1 + (doc_id*5 + f*9) % 24 (same closed form as the
+            -- lossy-WebP oracle; all terms non-negative so DuckDB's
+            -- truncating // equals the decoder's >> shifts)
+            SELECT 'z' || CAST(doc_id AS VARCHAR),
+                   CAST(f AS INTEGER), CAST(w * h AS INTEGER),
+                   CAST(w * h * LEAST(255,
+                        (298 * (112 + ((L * 196 + 3) // 8 + 4) // 8)
+                         + 128) // 256) AS BIGINT),
+                   CAST(255 * w * h AS BIGINT)
+            FROM (SELECT doc_id, w, h, f,
+                         1 + (doc_id * 5 + f * 9) % 24 AS L
+                  FROM (SELECT doc_id, w, h,
+                               unnest(generate_series(0, nf - 1)) AS f
+                        FROM (SELECT doc_id, 5 + doc_id % 28 AS w,
+                                     4 + doc_id % 21 AS h,
+                                     2 + doc_id % 3 AS nf
+                              FROM documents)))
+            WHERE f % 2 = 0
+            UNION ALL
+            -- MJPEG-AVI rows: inversion of _avi_mjpeg_payloads — each
+            -- '00dc' frame is a constant-gray baseline JPEG at quality
+            -- _JPEG_Q, so the decoded level follows the same
+            -- round-to-quantizer closed form as the 'j' image rows
+            SELECT 'mj' || CAST(doc_id AS VARCHAR),
+                   CAST(f AS INTEGER), CAST(w * h AS INTEGER),
+                   CAST(w * h * p AS BIGINT),
+                   CAST(255 * w * h AS BIGINT)
+            FROM (
+              SELECT doc_id, w, h, f,
+                     LEAST(255, GREATEST(0,
+                         (d + 4 + 8192) // 8 - 1024 + 128)) AS p
+              FROM (
+                SELECT doc_id, w, h, f,
+                       (CASE WHEN v >= 0
+                             THEN (2 * v + {q00}) // (2 * {q00})
+                             ELSE -((-2 * v + {q00}) // (2 * {q00}))
+                        END) * {q00} AS d
+                FROM (SELECT doc_id, w, h, f,
+                             8 * (((doc_id * 7 + f * 3) % 256) - 128) AS v
+                      FROM (SELECT doc_id, w, h,
+                                   unnest(generate_series(0, nf - 1)) AS f
+                            FROM (SELECT doc_id,
+                                         8 * (1 + doc_id % 6) AS w,
+                                         8 * (1 + doc_id % 4) AS h,
+                                         1 + doc_id % 3 AS nf
+                                  FROM documents)))
+              )
+            )
+            WHERE f % 2 = 0
+        """.format(q00=_JPEG_Q00),
         # Compressed-audio container rows: template inversion of
         # _ogg_payloads (Ogg page walk + Opus/Vorbis id headers).
         "audio_meta": """

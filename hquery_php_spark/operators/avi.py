@@ -112,7 +112,8 @@ def _default_dht() -> bytes:
     if _DEFAULT_DHT is None:
         from .jpeg import encode_jpeg
 
-        sample = encode_jpeg(np.zeros((8, 8), np.uint8))
+        # color sample: harvests all four Annex K tables (luma + chroma)
+        sample = encode_jpeg(np.zeros((8, 8, 3), np.uint8))
         segs = []
         pos = 2
         while pos + 4 <= len(sample) and sample[pos] == 0xFF:
