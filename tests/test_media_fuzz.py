@@ -95,3 +95,85 @@ def test_gif_frames_truncations_never_raise(data):
     bb = bytearray(gif)
     bb[pos] ^= data.draw(st.integers(1, 255))
     decode_gif_frames(bytes(bb))
+
+
+# ------------------------------------------------------------------ #
+# MJPEG-in-AVI and WebM/V_VP8 (round-4 decode paths)
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.integers(1, 5), st.integers(1, 4), st.integers(1, 3),
+       st.booleans(), st.integers(0, 2**31 - 1))
+def test_avi_mjpeg_roundtrip_any_shape(w8, h8, nf, omit, seed):
+    from hquery_php_spark.operators.avi import encode_avi_mjpeg
+    from hquery_php_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.RandomState(seed)
+    w, h = 8 * w8, 8 * h8
+    frs = [rng.randint(0, 256, size=(h, w, 3)).astype(np.uint8)
+           for _ in range(nf)]
+    out = decode_avi_frames(encode_avi_mjpeg(frs, quality=80, omit_dht=omit))
+    assert len(out) == nf
+    for (n, px), f in zip(out, frs):
+        _w, _h, _c, want = decode_jpeg(encode_jpeg(f, quality=80))
+        assert np.array_equal(px, want)  # lossy, but ≡ the direct decode
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.data())
+def test_avi_mjpeg_truncations_never_raise(data):
+    from hquery_php_spark.operators.avi import encode_avi_mjpeg
+
+    fr = np.arange(192, dtype=np.uint8).reshape(8, 8, 3)
+    avi = encode_avi_mjpeg([fr, fr], quality=80)
+    cut = data.draw(st.integers(0, len(avi)))
+    decode_avi_frames(avi[:cut])
+    pos = data.draw(st.integers(0, len(avi) - 1))
+    bb = bytearray(avi)
+    bb[pos] ^= data.draw(st.integers(1, 255))
+    decode_avi_frames(bytes(bb))
+
+
+def _vp8_const_stream(level, w, h):
+    from hquery_php_spark.operators.vp8 import MBSpec, encode_vp8_stream
+
+    mbw, mbh = (w + 15) // 16, (h + 15) // 16
+    mbs = [MBSpec(y2_block=[level] + [0] * 15)] + [
+        MBSpec() for _ in range(mbw * mbh - 1)
+    ]
+    return encode_vp8_stream(w, h, mbs, qi=100)
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.integers(1, 40), st.integers(1, 33), st.integers(1, 4))
+def test_webm_vp8_roundtrip_any_shape(w, h, nf):
+    from hquery_php_spark.operators.mediameta import (
+        decode_webm_frames,
+        encode_webm_vp8,
+    )
+    from hquery_php_spark.operators.vp8 import decode_vp8_rgba
+
+    streams = [_vp8_const_stream(1 + (f * 7) % 24, w, h) for f in range(nf)]
+    frames = decode_webm_frames(encode_webm_vp8(w, h, streams))
+    assert [n for n, _ in frames] == list(range(nf))
+    for n, px in frames:
+        want = decode_vp8_rgba(streams[n])[3][:, :, :3]
+        assert np.array_equal(px, want)
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.data())
+def test_webm_truncations_and_soup_never_raise(data):
+    from hquery_php_spark.operators.mediameta import (
+        decode_webm_frames,
+        encode_webm_vp8,
+    )
+
+    webm = encode_webm_vp8(12, 8, [_vp8_const_stream(5, 12, 8)] * 2)
+    cut = data.draw(st.integers(0, len(webm)))
+    decode_webm_frames(webm[:cut])
+    pos = data.draw(st.integers(0, len(webm) - 1))
+    bb = bytearray(webm)
+    bb[pos] ^= data.draw(st.integers(1, 255))
+    decode_webm_frames(bytes(bb))
+    decode_webm_frames(b"\x1aE\xdf\xa3" + data.draw(st.binary(max_size=200)))
