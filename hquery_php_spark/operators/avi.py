@@ -88,14 +88,26 @@ def _parse_headers(payload: Optional[bytes]):
     return int(w), int(h), int(nf or 0), int(uspf or 0), int(bits), comp
 
 
-def decode_avi_frames(payload: Optional[bytes], max_frames: Optional[int] = None):
-    """Demux + decode '00db' uncompressed DIB frames.  Returns a list
-    of (frame_no, pixels) with pixels a top-down (h, w, 3|4) uint8 RGB
-    array, or None when the container is not an AVI / has no decodable
-    frames.  Bottom-up BGR(A) rows and 4-byte row alignment are undone
-    here — the parts a naive reader gets wrong."""
+def decode_avi_frames(
+    payload: Optional[bytes],
+    max_frames: Optional[int] = None,
+    every_n: int = 1,
+):
+    """Demux + decode video frames: '00db' uncompressed DIB always,
+    '00dc' MJPEG when the stream's biCompression says so.  Returns a
+    list of (frame_no, pixels) with pixels a top-down (h, w, 3|4) uint8
+    RGB array and frame_no the SOURCE frame index, or None when the
+    container is not an AVI / has no decodable frames.  Bottom-up
+    BGR(A) rows and 4-byte row alignment are undone here — the parts a
+    naive reader gets wrong.
+
+    ``every_n`` pushes the sampling stride INTO the demux: frames whose
+    source index is not a multiple of every_n are never decoded (AVI
+    frames are independent, so a sampler must not pay for frames it
+    drops — the decode-after-sample order that matters at corpus
+    scale).  ``max_frames`` caps DECODED frames."""
     try:
-        return _decode_impl(payload, max_frames)
+        return _decode_impl(payload, max_frames, every_n)
     except (ValueError, IndexError, struct.error):
         return None
 
@@ -149,7 +161,7 @@ def _mjpeg_to_jpeg(data: bytes) -> bytes:
     return data
 
 
-def _decode_impl(payload, max_frames):
+def _decode_impl(payload, max_frames, every_n=1):
     hdr = _parse_headers(payload)
     if hdr is None:
         return None
@@ -168,18 +180,22 @@ def _decode_impl(payload, max_frames):
             continue
         src_no = 0
         for c2, o2, s2 in _chunks(payload, off + 4, off + size):
-            if c2[2:4] not in (b"db", b"dc"):
-                continue  # audio ('wb'), index, ...
-            if mjpeg and c2[2:4] == b"dc":
+            want = c2[2:4] == (b"dc" if mjpeg else b"db")
+            if not want:
+                continue  # audio ('wb'), other-stream, index, ...
+            fno = src_no
+            src_no += 1
+            if fno % every_n:
+                continue  # sampled out: never decoded
+            if mjpeg:
                 res = decode_jpeg(_mjpeg_to_jpeg(bytes(payload[o2 : o2 + s2])))
-                src_no += 1
                 if res is None:
                     continue  # corrupt frame: skip, keep source numbering
                 _jw, _jh, ch, px = res
                 if ch == 1:
                     px = np.repeat(px, 3, axis=2)  # gray → RGB frame
-                frames.append((src_no - 1, px))
-            elif not mjpeg and c2[2:4] == b"db":
+                frames.append((fno, px))
+            else:
                 if s2 < need:
                     continue  # truncated
                 raw = np.frombuffer(payload, np.uint8, count=need, offset=o2)
@@ -188,9 +204,7 @@ def _decode_impl(payload, max_frames):
                 rgb = (
                     rows[:, :, [2, 1, 0]] if bpp == 3 else rows[:, :, [2, 1, 0, 3]]
                 )
-                frames.append((len(frames), np.ascontiguousarray(rgb)))
-            else:
-                continue
+                frames.append((fno, np.ascontiguousarray(rgb)))
             if max_frames is not None and len(frames) >= max_frames:
                 return frames
         break

@@ -481,28 +481,39 @@ def webm_video_blocks(payload: Optional[bytes], max_blocks: Optional[int] = None
         return None
 
 
-def decode_webm_frames(payload: Optional[bytes], max_frames: Optional[int] = None):
+def decode_webm_frames(
+    payload: Optional[bytes],
+    max_frames: Optional[int] = None,
+    every_n: int = 1,
+):
     """REAL compressed-video decode: WebM demux + the in-repo RFC 6386
     VP8 key-frame decoder → ``[(frame_no, HxWx3 RGB uint8), ...]``.
     Inter frames consume a frame number (source-frame semantics for a
     sampler) but yield no pixels — a keyframe sampler is exactly what a
     100 TB curation pipeline runs, and key frames are the only frames a
     from-scratch decoder can stand alone on.  Corrupt individual frames
-    are skipped, never fatal."""
-    blocks = webm_video_blocks(payload, max_blocks=max_frames)
+    are skipped, never fatal.
+
+    ``every_n`` pushes the sampling stride INTO the walk: key frames at
+    non-sampled source positions are never handed to the bit decoder
+    (decode-after-sample — the demux costs bytes, the decode costs
+    CPU).  ``max_frames`` caps DECODED frames."""
+    blocks = webm_video_blocks(payload)
     if not blocks:
         return blocks  # None (not WebM) or [] (no VP8 track)
     from .vp8 import decode_vp8_rgba  # local import keeps module load light
 
     out = []
     for frame_no, kf, fr in blocks:
-        if not kf:
+        if not kf or frame_no % every_n:
             continue
         try:
             _w, _h, _ch, rgba = decode_vp8_rgba(fr)
         except (ValueError, IndexError, KeyError):
             continue
         out.append((frame_no, rgba[:, :, :3]))
+        if max_frames is not None and len(out) >= max_frames:
+            break
     return out
 
 

@@ -1013,9 +1013,15 @@ def video_frame_sample_df(
                         ) or []
                     ]
                 elif mime == "video/x-msvideo":
-                    real = decode_avi_frames(payload, max_frames=src_cap)
+                    # independent frames: push the stride into the demux
+                    # so dropped frames are never decoded
+                    real = decode_avi_frames(
+                        payload, max_frames=max_frames, every_n=every_n
+                    )
                 elif mime in ("video/webm", "video/x-matroska"):
-                    real = decode_webm_frames(payload, max_frames=src_cap)
+                    real = decode_webm_frames(
+                        payload, max_frames=max_frames, every_n=every_n
+                    )
                 elif (
                     mime == "image/webp"
                     and len(payload) > 20

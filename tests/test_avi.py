@@ -193,3 +193,19 @@ def test_video_frame_sample_mjpeg_branch(spark):
             encode_jpeg(frames[r.frame_no], quality=75)
         )
         assert np.array_equal(px[:, :, 0], want[:, :, 0])
+
+
+def test_mjpeg_sampling_stride_pushed_into_the_demux(monkeypatch):
+    import hquery_php_spark.operators.avi as avimod
+    from hquery_php_spark.operators.avi import encode_avi_mjpeg
+    from hquery_php_spark.operators import jpeg as jpegmod
+
+    frames = [np.full((8, 8), 20 * f, np.uint8) for f in range(6)]
+    avi = encode_avi_mjpeg(frames, quality=90)
+    calls = []
+    orig = jpegmod.decode_jpeg
+    monkeypatch.setattr(jpegmod, "decode_jpeg",
+                        lambda d: calls.append(1) or orig(d))
+    out = decode_avi_frames(avi, max_frames=8, every_n=2)
+    assert [n for n, _ in out] == [0, 2, 4]
+    assert len(calls) == 3  # dropped source frames never hit the codec

@@ -269,3 +269,19 @@ def test_video_frame_sample_webm_branch(spark):
         assert (w, h) == (18, 10)
         want = decode_vp8_rgba(streams[r.frame_no])[3][:, :, :3]
         assert np.array_equal(px[:, :, :3], want)
+
+
+def test_sampling_stride_pushed_into_the_walk(monkeypatch):
+    """every_n must prevent the bit decoder from ever seeing dropped
+    frames — decode-after-sample, the order that matters at scale."""
+    import hquery_php_spark.operators.vp8 as vp8mod
+
+    streams = [_vp8_const(1 + f) for f in range(6)]
+    webm = encode_webm_vp8(20, 12, streams)
+    calls = []
+    orig = vp8mod.decode_vp8_rgba
+    monkeypatch.setattr(vp8mod, "decode_vp8_rgba",
+                        lambda d: calls.append(1) or orig(d))
+    out = decode_webm_frames(webm, max_frames=8, every_n=3)
+    assert [n for n, _ in out] == [0, 3]
+    assert len(calls) == 2  # exactly the sampled frames were decoded
