@@ -110,8 +110,9 @@ def main() -> None:
         # codec throughput: synth + decode 5 payloads/doc (PNG, baseline
         # JPEG, progressive JPEG, GIF, VP8L) through the pure-Python codecs
         "multimodal_features",
-        # non-image media legs: WAV+FLAC decode, animated-GIF/AVI frame
-        # sampling (demux → per-frame PNG → pixel stats), and the
+        # non-image media legs: WAV+FLAC decode; frame sampling across
+        # animated GIF/WebP, DIB + MJPEG AVI, and WebM V_VP8 (demux →
+        # stride-pushed decode → per-frame PNG → pixel stats); and the
         # MP4/WebM/AVI container-metadata walk
         "audio_stats",
         "frame_sample",
