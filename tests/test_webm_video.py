@@ -285,3 +285,19 @@ def test_sampling_stride_pushed_into_the_walk(monkeypatch):
     out = decode_webm_frames(webm, max_frames=8, every_n=3)
     assert [n for n, _ in out] == [0, 3]
     assert len(calls) == 2  # exactly the sampled frames were decoded
+
+
+def test_matroska_doctype_same_walk():
+    """MKV is the same EBML structure under a different DocType — the
+    V_VP8 walk must not care, and the sniffer must label it mkv."""
+    from hquery_php_spark.operators import mediameta as M
+    from hquery_php_spark.operators.multimodal import sniff_media_type
+
+    s = _vp8_const(5, w=12, h=8)
+    webm = encode_webm_vp8(12, 8, [s])
+    seg = webm.index(_eid(_SEGMENT))
+    mkv = _el(_EBML, _el(_DOCTYPE, b"matroska")) + webm[seg:]
+    assert sniff_media_type(mkv) == "video/x-matroska"
+    frames = M.decode_webm_frames(mkv)
+    assert len(frames) == 1
+    assert np.array_equal(frames[0][1], decode_vp8_rgba(s)[3][:, :, :3])
