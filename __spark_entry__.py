@@ -1326,15 +1326,105 @@ def _flac_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.mapInPandas(gen, schema)
 
 
+def _g711_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMPLETE G.711 WAVs, BOTH companding laws (operators/wav.py
+    format tags 7=µ-law and 6=A-law) — the telephony-archive audio a
+    crawl corpus actually carries.  Code bytes are the affine-mod
+    stream c(i, ch) = (doc_id·3 + i·7 + ch·11) % 256; the CCITT
+    expansion is pure integer arithmetic, so the decoded statistics are
+    written directly in SQL by the twin (media_id = 'u'<doc_id> µ-law,
+    'l'<doc_id> A-law)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import BinaryType, StringType, StructField, StructType
+
+    from hquery_php_spark.operators.wav import encode_wav_g711
+
+    d = _spread(_docs(spark, sf_dir), spark).select(
+        F.col("doc_id").cast("long").alias("did")
+    )
+    schema = StructType(
+        [StructField("media_id", StringType()), StructField("payload", BinaryType())]
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            out = {"media_id": [], "payload": []}
+            for did in pdf["did"]:
+                did = int(did)
+                ch = 1 + did % 2
+                n = 20 + did % 41
+                i = np.arange(n)[:, None]
+                c = np.arange(ch)[None, :]
+                codes = ((did * 3 + i * 7 + c * 11) % 256).astype(np.uint8)
+                out["media_id"].append(f"u{did}")
+                out["payload"].append(encode_wav_g711(codes, 8000, "u"))
+                out["media_id"].append(f"l{did}")
+                out["payload"].append(encode_wav_g711(codes, 8000, "a"))
+            yield pd.DataFrame(out)
+
+    return d.mapInPandas(gen, schema)
+
+
+# IMA-ADPCM oracle constants: with the fixed 64-nibble pattern below and
+# step index 30, the decode never clamps for pred0 ∈ [3000, 4500), so
+# sample j = pred0 + P_j where P is a fixed prefix-sum walk.  The twin
+# needs only ΣP, ΣP², max(P) (tests/test_wav.py re-derives these from
+# the decoder and pins them against this table).
+_ADPCM_NIBBLES = [4, 12, 1, 9, 0, 8, 2, 10] * 8
+_ADPCM_N = 65          # header sample + 64 nibbles
+_ADPCM_S1 = -1616      # Σ P_j
+_ADPCM_S2 = 154008     # Σ P_j²
+_ADPCM_PMAX = 146      # max P_j   (min P_j = -66 > -3000: all positive)
+
+
+def _adpcm_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMPLETE IMA/DVI-ADPCM WAVs (operators/wav.py format tag 17:
+    block header + 4-bit differential nibbles, step/index tables) —
+    built from a FIXED nibble stream with a per-doc initial predictor
+    pred0 = 3000 + (doc_id·37) % 1500, chosen clamp-free so every
+    decoded sample is pred0 + P_j and the statistics are closed-form
+    (media_id = 'd'<doc_id>; constants pinned in tests/test_wav.py)."""
+    import pandas as pd
+    from pyspark.sql.types import BinaryType, StringType, StructField, StructType
+
+    from hquery_php_spark.operators.wav import build_adpcm_wav
+
+    d = _spread(_docs(spark, sf_dir), spark).select(
+        F.col("doc_id").cast("long").alias("did")
+    )
+    schema = StructType(
+        [StructField("media_id", StringType()), StructField("payload", BinaryType())]
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            out = {"media_id": [], "payload": []}
+            for did in pdf["did"]:
+                did = int(did)
+                pred0 = 3000 + (did * 37) % 1500
+                out["media_id"].append(f"d{did}")
+                out["payload"].append(
+                    build_adpcm_wav(_ADPCM_NIBBLES, pred0, 30, 11025)
+                )
+            yield pd.DataFrame(out)
+
+    return d.mapInPandas(gen, schema)
+
+
 def q_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL audio decode, both codec families: WAV/PCM containers
-    (8/16/24/32-bit, mono+stereo) AND compressed FLAC (rice + fixed
-    predictors) → exact integer sample statistics — the audio leg of
-    the multimodal column contract."""
+    """REAL audio decode, four codec families: WAV/PCM containers
+    (8/16/24/32-bit, mono+stereo), compressed FLAC (rice + fixed
+    predictors), G.711 µ-law/A-law telephony WAVs, and IMA/DVI-ADPCM
+    block-coded WAVs → exact integer sample statistics — the audio leg
+    of the multimodal column contract."""
     from hquery_php_spark.operators.multimodal import audio_pcm_stats_df
 
-    payloads = _wav_payloads(spark, sf_dir).unionByName(
-        _flac_payloads(spark, sf_dir)
+    payloads = (
+        _wav_payloads(spark, sf_dir)
+        .unionByName(_flac_payloads(spark, sf_dir))
+        .unionByName(_g711_payloads(spark, sf_dir))
+        .unionByName(_adpcm_payloads(spark, sf_dir))
     )
     return audio_pcm_stats_df(payloads)
 
@@ -3810,6 +3900,53 @@ def _base_oracle_sql() -> dict[str, str]:
                      CAST(SUM(v * v) AS BIGINT) AS sq,
                      CAST(MAX(ABS(v)) AS INTEGER) AS pk
               FROM v GROUP BY doc_id, rate, ch, n
+            ),
+            -- G.711 rows: code bytes are the affine-mod stream
+            -- c(i, ch) = (doc_id*3 + i*7 + ch*11) % 256 and the CCITT
+            -- expansion is pure integer arithmetic, written out here:
+            -- u-law: u = ~c; ((mant<<3)+132) << seg, un-biased;
+            -- A-law: a = c XOR 0x55; seg 0/1 offsets then shift.
+            g_p AS (
+              SELECT doc_id, 1 + doc_id % 2 AS ch, 20 + doc_id % 41 AS n
+              FROM documents
+            ),
+            g_i AS (SELECT doc_id, ch, n,
+                           unnest(generate_series(0, n - 1)) AS i
+                    FROM g_p),
+            g_c AS (SELECT doc_id, ch, n,
+                           (doc_id * 3 + i * 7
+                            + unnest(generate_series(0, ch - 1)) * 11)
+                           % 256 AS c
+                    FROM g_i),
+            g_v AS (
+              SELECT doc_id, ch, n,
+                     CASE WHEN (255 - c) >= 128
+                          THEN 132 - (((255 - c) % 16) * 8 + 132)
+                               * (1 << (((255 - c) // 16) % 8))
+                          ELSE (((255 - c) % 16) * 8 + 132)
+                               * (1 << (((255 - c) // 16) % 8)) - 132
+                     END AS vu,
+                     CASE WHEN xor(c, 85) >= 128 THEN 1 ELSE -1 END *
+                     CASE WHEN (xor(c, 85) // 16) % 8 = 0
+                          THEN (xor(c, 85) % 16) * 16 + 8
+                          WHEN (xor(c, 85) // 16) % 8 = 1
+                          THEN (xor(c, 85) % 16) * 16 + 264
+                          ELSE ((xor(c, 85) % 16) * 16 + 264)
+                               * (1 << ((xor(c, 85) // 16) % 8 - 1))
+                     END AS va
+              FROM g_c
+            ),
+            g_agg AS (
+              SELECT doc_id, ch, n,
+                     CAST(SUM(vu) AS BIGINT) AS svu,
+                     CAST(SUM(ABS(vu)) AS BIGINT) AS sau,
+                     CAST(SUM(vu * vu) AS BIGINT) AS squ,
+                     CAST(MAX(ABS(vu)) AS INTEGER) AS pku,
+                     CAST(SUM(va) AS BIGINT) AS sva,
+                     CAST(SUM(ABS(va)) AS BIGINT) AS saa,
+                     CAST(SUM(va * va) AS BIGINT) AS sqa,
+                     CAST(MAX(ABS(va)) AS INTEGER) AS pka
+              FROM g_v GROUP BY doc_id, ch, n
             )
             -- WAV and FLAC rows share the formula: both are lossless
             SELECT 'a' || CAST(doc_id AS VARCHAR) AS media_id,
@@ -3825,6 +3962,32 @@ def _base_oracle_sql() -> dict[str, str]:
                    CAST(rate AS INTEGER), CAST(ch AS INTEGER),
                    CAST(n AS INTEGER), sv, sa, sq, pk
             FROM agg
+            UNION ALL
+            SELECT 'u' || CAST(doc_id AS VARCHAR), 'audio/wav',
+                   CAST(8000 AS INTEGER), CAST(ch AS INTEGER),
+                   CAST(n AS INTEGER), svu, sau, squ, pku
+            FROM g_agg
+            UNION ALL
+            SELECT 'l' || CAST(doc_id AS VARCHAR), 'audio/wav',
+                   CAST(8000 AS INTEGER), CAST(ch AS INTEGER),
+                   CAST(n AS INTEGER), sva, saa, sqa, pka
+            FROM g_agg
+            UNION ALL
+            -- IMA-ADPCM rows: fixed nibble stream, clamp-free, so
+            -- sample j = pred0 + P_j with pred0 = 3000 + (doc_id*37)
+            -- % 1500 and pinned walk constants n=65, S1=SUM(P)=-1616,
+            -- S2=SUM(P*P)=154008, PMAX=146 (all samples positive, so
+            -- sum_abs = sum_val and peak = pred0 + PMAX; constants
+            -- re-derived from the decoder in tests/test_wav.py)
+            SELECT 'd' || CAST(doc_id AS VARCHAR), 'audio/wav',
+                   CAST(11025 AS INTEGER), CAST(1 AS INTEGER),
+                   CAST(65 AS INTEGER),
+                   CAST(65 * p0 - 1616 AS BIGINT),
+                   CAST(65 * p0 - 1616 AS BIGINT),
+                   CAST(65 * p0 * p0 - 2 * 1616 * p0 + 154008 AS BIGINT),
+                   CAST(p0 + 146 AS INTEGER)
+            FROM (SELECT doc_id, 3000 + (doc_id * 37) % 1500 AS p0
+                  FROM documents)
         """,
         # Sampled-frame rows: frames are full-screen constant-color with
         # disposal 1 and no transparency, so composited frame f IS color

@@ -765,12 +765,13 @@ def image_resize_df(
 
 
 def audio_pcm_stats_df(df: DataFrame, payload_col: str = "payload") -> DataFrame:
-    """REAL audio decode for WAV/PCM payloads (``operators/wav.py``:
-    RIFF chunk walk, 8/16/24/32-bit integer PCM, any channel count) AND
-    FLAC (``operators/flac.py``: rice residuals, fixed + LPC predictors,
-    stereo decorrelation, CRC-verified) → exact integer sample
-    statistics, so the aggregate admits a closed-form SQL twin (both
-    codecs are lossless).  Remaining compressed audio (MP3/OGG/AAC)
+    """REAL audio decode for WAV payloads (``operators/wav.py``: RIFF
+    chunk walk; integer PCM at 8/16/24/32 bits any channel count, G.711
+    µ-law/A-law telephony expansion, and IMA/DVI-ADPCM block decode)
+    AND FLAC (``operators/flac.py``: rice residuals, fixed + LPC
+    predictors, stereo decorrelation, CRC-verified) → exact integer
+    sample statistics, so the aggregate admits a closed-form SQL twin
+    (every path is exact-integer).  Perceptual audio (MP3/OGG/AAC)
     still sniffs a mime but yields NULL stats — no codec libraries in
     this container, same honest-NULL doctrine as image decode.
 

@@ -4,12 +4,23 @@ multimodal column contract.
 The reference engine treats fetched bodies as opaque bytes with
 charset/mime sniffing (hQuery.php:136-226 detects content types before
 parsing); this module gives the Spark pipeline the same honesty for
-``audio/*`` payloads: a REAL container walk + PCM decode, not a stub.
-Scope: uncompressed integer PCM (format tag 1) at 8/16/24/32 bits,
-any channel count, little-endian — the format synthetic corpora and
-crawl-side WAV attachments actually use.  Compressed codecs (MP3, OGG,
-FLAC, AAC) remain honestly stubbed in ``multimodal.py`` (no codec libs
-in this container).
+``audio/*`` payloads: a REAL container walk + sample decode, not a
+stub.  Scope — the four format tags legacy crawl corpora actually
+carry:
+
+* tag 1  — uncompressed integer PCM at 8/16/24/32 bits, any channels;
+* tag 6  — ITU-T G.711 A-law (one log-companded byte per sample);
+* tag 7  — ITU-T G.711 µ-law;
+* tag 17 — IMA/DVI ADPCM (4-bit block-coded differential PCM, the
+  telephony/voicemail archive format), multi-block, mono or stereo.
+
+G.711 expansion follows the canonical CCITT reference arithmetic
+(the table IS the formula, so the 256-entry tables below are built
+from it, not pasted); IMA ADPCM follows the IMA Digital Audio Focus
+Group algorithm (step/index tables, int16 predictor clamp, 4-byte
+per-channel nibble interleave).  Truly perceptual codecs (MP3, OGG,
+AAC) remain honestly stubbed in ``multimodal.py`` (no codec libs in
+this container).
 
 Everything decode-side is exact integer arithmetic, so downstream
 aggregates (sum, sum of squares, peak) admit closed-form SQL twins.
@@ -22,7 +33,75 @@ from typing import Optional
 
 import numpy as np
 
-__all__ = ["encode_wav", "decode_wav", "wav_meta"]
+__all__ = [
+    "encode_wav",
+    "encode_wav_g711",
+    "encode_wav_adpcm",
+    "build_adpcm_wav",
+    "decode_wav",
+    "wav_meta",
+    "ulaw_to_linear",
+    "alaw_to_linear",
+]
+
+
+def _build_ulaw_table() -> np.ndarray:
+    """µ-law code byte → 16-bit linear, per the CCITT G.711 reference
+    decode: complement, split 1-bit sign / 3-bit segment / 4-bit
+    mantissa, rebuild ((mantissa<<3)+0x84)<<segment, un-bias."""
+    code = np.arange(256)
+    u = (~code) & 0xFF
+    t = (((u & 0x0F) << 3) + 0x84) << ((u >> 4) & 0x07)
+    return np.where(u & 0x80, 0x84 - t, t - 0x84).astype(np.int32)
+
+
+def _build_alaw_table() -> np.ndarray:
+    """A-law code byte → 16-bit linear, per the CCITT G.711 reference
+    decode: XOR 0x55, segment 0 → (m<<4)+8, segment 1 → (m<<4)+0x108,
+    higher segments shift the segment-1 value up; sign bit SET means
+    positive."""
+    code = np.arange(256)
+    a = code ^ 0x55
+    m = a & 0x0F
+    seg = (a >> 4) & 0x07
+    t = np.where(
+        seg == 0,
+        (m << 4) + 8,
+        ((m << 4) + 0x108) << np.maximum(seg - 1, 0),
+    )
+    return np.where(a & 0x80, t, -t).astype(np.int32)
+
+
+_ULAW = _build_ulaw_table()
+_ALAW = _build_alaw_table()
+
+# IMA ADPCM normative tables (IMA Digital Audio Focus Group, 1992).
+_IMA_STEPS = np.array(
+    [
+        7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31,
+        34, 37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130,
+        143, 157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408,
+        449, 494, 544, 598, 658, 724, 796, 876, 963, 1060, 1166, 1282,
+        1411, 1552, 1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327,
+        3660, 4026, 4428, 4871, 5358, 5894, 6484, 7132, 7845, 8630,
+        9493, 10442, 11487, 12635, 13899, 15289, 16818, 18500, 20350,
+        22385, 24623, 27086, 29794, 32767,
+    ],
+    np.int32,
+)
+_IMA_INDEX = np.array(
+    [-1, -1, -1, -1, 2, 4, 6, 8, -1, -1, -1, -1, 2, 4, 6, 8], np.int32
+)
+
+
+def ulaw_to_linear(codes) -> np.ndarray:
+    """Vectorized G.711 µ-law expansion (uint8 codes → int32 linear)."""
+    return _ULAW[np.asarray(codes, np.uint8)]
+
+
+def alaw_to_linear(codes) -> np.ndarray:
+    """Vectorized G.711 A-law expansion (uint8 codes → int32 linear)."""
+    return _ALAW[np.asarray(codes, np.uint8)]
 
 
 def encode_wav(samples, sample_rate: int = 16000, bits: int = 16) -> bytes:
@@ -61,6 +140,197 @@ def encode_wav(samples, sample_rate: int = 16000, bits: int = 16) -> bytes:
     return b"RIFF" + struct.pack("<I", len(chunks)) + chunks
 
 
+def _riff_wrap(fmt_body: bytes, data: bytes, fact_samples: Optional[int] = None) -> bytes:
+    chunks = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt_body)) + fmt_body
+    if fact_samples is not None:
+        chunks += b"fact" + struct.pack("<II", 4, fact_samples)
+    chunks += b"data" + struct.pack("<I", len(data)) + data
+    if len(data) % 2:
+        chunks += b"\x00"
+    return b"RIFF" + struct.pack("<I", len(chunks)) + chunks
+
+
+def encode_wav_g711(codes, sample_rate: int = 8000, law: str = "u") -> bytes:
+    """Wrap raw G.711 code bytes as a WAV (format tag 7 = µ-law,
+    6 = A-law, one byte per sample).  ``codes`` is an (n, channels) or
+    (n,) uint8 array of already-companded codes — the companded byte is
+    the storage format, so tests and synthetic corpora control the
+    exact wire bytes."""
+    a = np.asarray(codes, np.uint8)
+    if a.ndim == 1:
+        a = a[:, None]
+    n, ch = a.shape
+    tag = 7 if law == "u" else 6
+    block_align = ch  # one byte per sample per channel
+    fmt = struct.pack(
+        "<HHIIHHH", tag, ch, sample_rate, sample_rate * block_align,
+        block_align, 8, 0,
+    )
+    return _riff_wrap(fmt, a.tobytes(), fact_samples=n)
+
+
+def _adpcm_fmt(ch: int, sample_rate: int, block_align: int, spb: int) -> bytes:
+    return struct.pack(
+        "<HHIIHHHH",
+        0x11, ch, sample_rate,
+        # nominal byte rate: blocks per second × block size
+        (sample_rate * block_align + spb - 1) // max(spb, 1),
+        block_align, 4, 2, spb,
+    )
+
+
+def build_adpcm_wav(
+    nibbles,
+    pred0,
+    index0,
+    sample_rate: int = 11025,
+) -> bytes:
+    """Build a single-block mono IMA-ADPCM WAV from an explicit nibble
+    stream + initial (predictor, step index) — the low-level builder
+    synthetic corpora use so the decoded samples are a closed-form
+    function of ``pred0`` (the step-index walk depends only on the
+    nibbles, and with clamp-free inputs each output is
+    ``pred0 + prefix_sum(diffs)``)."""
+    nib = np.asarray(nibbles, np.uint8)
+    if len(nib) % 2:
+        raise ValueError("nibble count must be even (two per byte)")
+    packed = (nib[0::2] & 0x0F) | ((nib[1::2] & 0x0F) << 4)
+    data = struct.pack("<hBB", int(pred0), int(index0), 0) + packed.tobytes()
+    spb = len(nib) + 1  # header sample + one per nibble
+    fmt = _adpcm_fmt(1, sample_rate, len(data), spb)
+    return _riff_wrap(fmt, data, fact_samples=spb)
+
+
+def encode_wav_adpcm(
+    samples,
+    sample_rate: int = 11025,
+    samples_per_block: int = 505,
+) -> bytes:
+    """REAL IMA-ADPCM encoder: per block, emit the first sample as the
+    int16 header predictor, then quantize each following delta with the
+    standard bit-serial rule (bit2 if delta≥step, bit1 if ≥step/2,
+    bit0 if ≥step/4) and track the decoder's own reconstruction so
+    encode→decode drift is bounded by one step per sample.  Mono or
+    stereo; stereo nibbles interleave in the normative 4-byte groups."""
+    a = np.asarray(samples, np.int64)
+    if a.ndim == 1:
+        a = a[:, None]
+    n, ch = a.shape
+    spb = samples_per_block
+    if (spb - 1) % 8:
+        raise ValueError("samples_per_block - 1 must be a multiple of 8")
+    block_align = 4 * ch + (spb - 1) // 2 * ch
+    steps = _IMA_STEPS
+    blocks = []
+    idx = [0] * ch
+    for b0 in range(0, n, spb):
+        blk = a[b0 : b0 + spb]
+        # header: first sample + current index per channel
+        hdr = b""
+        pred = []
+        for c in range(ch):
+            p = int(np.clip(blk[0, c], -32768, 32767))
+            hdr += struct.pack("<hBB", p, idx[c], 0)
+            pred.append(p)
+        nibs = [[] for _ in range(ch)]
+        for j in range(1, spb):
+            for c in range(ch):
+                want = int(blk[j, c]) if j < len(blk) else pred[c]
+                step = int(steps[idx[c]])
+                delta = want - pred[c]
+                code = 0
+                if delta < 0:
+                    code = 8
+                    delta = -delta
+                if delta >= step:
+                    code |= 4
+                    delta -= step
+                if delta >= step >> 1:
+                    code |= 2
+                    delta -= step >> 1
+                if delta >= step >> 2:
+                    code |= 1
+                # decoder-mirror reconstruction
+                diff = step >> 3
+                if code & 1:
+                    diff += step >> 2
+                if code & 2:
+                    diff += step >> 1
+                if code & 4:
+                    diff += step
+                pred[c] += -diff if code & 8 else diff
+                pred[c] = max(-32768, min(32767, pred[c]))
+                idx[c] = max(0, min(88, idx[c] + int(_IMA_INDEX[code])))
+                nibs[c].append(code)
+        # pack: 4-byte (8-nibble) groups, channels round-robin
+        body = bytearray()
+        per = (spb - 1) // 8
+        for g in range(per):
+            for c in range(ch):
+                chunk = nibs[c][g * 8 : g * 8 + 8]
+                for k in range(0, 8, 2):
+                    body.append((chunk[k] & 0x0F) | ((chunk[k + 1] & 0x0F) << 4))
+        blocks.append(hdr + bytes(body))
+    data = b"".join(blocks)
+    fmt = _adpcm_fmt(ch, sample_rate, block_align, spb)
+    return _riff_wrap(fmt, data, fact_samples=n)
+
+
+def _decode_adpcm(data: bytes, ch: int, block_align: int, total: Optional[int]):
+    """Decode IMA-ADPCM data chunks block by block → (n, ch) int32."""
+    if block_align < 4 * ch + ch or ch < 1:
+        return None
+    spb = (block_align - 4 * ch) * 2 // ch + 1
+    steps = _IMA_STEPS
+    out = []
+    for b0 in range(0, len(data) - 4 * ch + 1, block_align):
+        blk = data[b0 : b0 + block_align]
+        pred = []
+        idx = []
+        ok = True
+        for c in range(ch):
+            if len(blk) < 4 * (c + 1):
+                ok = False
+                break
+            p, i, _r = struct.unpack_from("<hBB", blk, 4 * c)
+            pred.append(int(p))
+            idx.append(min(88, int(i)))
+        if not ok:
+            break
+        chans = [[pred[c]] for c in range(ch)]
+        body = blk[4 * ch :]
+        # truncated final block: keep whole 4-byte groups only
+        groups = len(body) // 4
+        for g in range(groups):
+            c = g % ch
+            p, i = pred[c], idx[c]
+            for k in range(4):
+                byte = body[g * 4 + k]
+                for code in (byte & 0x0F, byte >> 4):
+                    step = int(steps[i])
+                    diff = step >> 3
+                    if code & 1:
+                        diff += step >> 2
+                    if code & 2:
+                        diff += step >> 1
+                    if code & 4:
+                        diff += step
+                    p += -diff if code & 8 else diff
+                    p = max(-32768, min(32767, p))
+                    i = max(0, min(88, i + int(_IMA_INDEX[code])))
+                    chans[c].append(p)
+            pred[c], idx[c] = p, i
+        m = min(len(x) for x in chans)
+        arr = np.stack([np.asarray(x[:m], np.int32) for x in chans], axis=1)
+        out.append(arr[:spb])
+    if not out:
+        return np.zeros((0, ch), np.int32)
+    full = np.concatenate(out, axis=0)
+    if total is not None:
+        full = full[:total]
+    return full
+
+
 def _walk_chunks(payload: bytes):
     """Yield (fourcc, offset, size) for each top-level RIFF sub-chunk,
     tolerating a truncated final chunk (size clamped to the payload)."""
@@ -85,11 +355,13 @@ def wav_meta(payload: Optional[bytes]) -> Optional[tuple]:
 
 
 def decode_wav(payload: Optional[bytes]):
-    """Decode RIFF/WAVE integer PCM to (sample_rate, samples) where
-    ``samples`` is an (n_samples, channels) int32 array (8-bit payloads
-    are de-biased to signed).  Returns None for non-WAV bytes, non-PCM
-    format tags, or malformed headers — fault-tolerant like the rest of
-    the engine (bad rows yield NULL, they never kill the task)."""
+    """Decode RIFF/WAVE audio to (sample_rate, samples) where
+    ``samples`` is an (n_samples, channels) int32 array (8-bit PCM is
+    de-biased to signed; G.711 expands to 16-bit linear; IMA ADPCM
+    reconstructs the 16-bit predictor stream).  Format tags 1 (PCM),
+    6 (A-law), 7 (µ-law) and 17 (IMA/DVI ADPCM) decode for real;
+    anything else returns None — fault-tolerant like the rest of the
+    engine (bad rows yield NULL, they never kill the task)."""
     if (
         payload is None
         or len(payload) < 12
@@ -99,15 +371,34 @@ def decode_wav(payload: Optional[bytes]):
         return None
     fmt = None
     data = None
+    fact = None
     for cc, off, size in _walk_chunks(payload):
         if cc == b"fmt " and size >= 16:
             fmt = struct.unpack_from("<HHIIHH", payload, off)
+        elif cc == b"fact" and size >= 4:
+            (fact,) = struct.unpack_from("<I", payload, off)
         elif cc == b"data" and data is None:
             data = payload[off : off + size]
     if fmt is None or data is None:
         return None
-    tag, ch, rate, _brate, _balign, bits = fmt
-    if tag != 1 or ch < 1 or bits not in (8, 16, 24, 32):
+    tag, ch, rate, _brate, balign, bits = fmt
+    if ch < 1:
+        return None
+    if tag in (6, 7):  # G.711 A-law / µ-law: one code byte per sample
+        if bits != 8:
+            return None
+        usable = len(data) - len(data) % ch
+        raw = np.frombuffer(data, np.uint8, count=usable)
+        table = _ULAW if tag == 7 else _ALAW
+        return rate, table[raw].reshape(-1, ch)
+    if tag == 0x11:  # IMA / DVI ADPCM
+        if bits != 4:
+            return None
+        dec = _decode_adpcm(data, ch, balign, fact)
+        if dec is None:
+            return None
+        return rate, dec
+    if tag != 1 or bits not in (8, 16, 24, 32):
         return None
     width = bits // 8
     frame = width * ch

@@ -125,3 +125,161 @@ def test_audio_pcm_stats_df_exact_and_null(spark):
     assert got["junk"].mime == "audio/ogg"
     assert got["junk"].sum_val is None  # honest NULL, no codec lib
     assert got["none"].mime is None
+
+
+# ---------------------------------------------------------------- G.711
+
+def test_g711_canonical_values():
+    """Pin the CCITT reference expansion at its published anchor
+    points: both zero codes, full-scale ±32124 (µ) / ±32256 (A), and
+    the A-law ±8 minimum magnitude."""
+    from hquery_php_spark.operators.wav import alaw_to_linear, ulaw_to_linear
+
+    assert ulaw_to_linear([0xFF, 0x7F]).tolist() == [0, 0]
+    assert ulaw_to_linear([0x00, 0x80]).tolist() == [-32124, 32124]
+    assert alaw_to_linear([0x55, 0xD5]).tolist() == [-8, 8]
+    assert alaw_to_linear([0x2A, 0xAA]).tolist() == [-32256, -32256 * -1]
+
+
+def test_g711_symmetry_and_monotone():
+    """Each law is odd-symmetric (sign bit flips the value) and
+    magnitude-monotone within the positive half."""
+    from hquery_php_spark.operators.wav import alaw_to_linear, ulaw_to_linear
+
+    codes = np.arange(128, dtype=np.uint8)
+    u_neg, u_pos = ulaw_to_linear(codes), ulaw_to_linear(codes + 128)
+    assert (u_neg == -u_pos).all()
+    # µ-law positive half decodes descending as the code grows
+    assert (np.diff(u_pos) <= 0).all()
+    a = alaw_to_linear(np.arange(256, dtype=np.uint8))
+    flip = alaw_to_linear((np.arange(256) ^ 0x80).astype(np.uint8))
+    assert (a == -flip).all()
+
+
+@pytest.mark.parametrize("law,tag", [("u", 7), ("a", 6)])
+def test_g711_wav_roundtrip(law, tag):
+    from hquery_php_spark.operators.wav import (
+        alaw_to_linear,
+        encode_wav_g711,
+        ulaw_to_linear,
+    )
+
+    codes = (np.arange(300, dtype=np.int64) * 37 % 256).astype(np.uint8)
+    codes = codes.reshape(-1, 2)
+    w = encode_wav_g711(codes, 8000, law)
+    assert struct.unpack_from("<H", w, 20)[0] == tag
+    assert sniff_media_type(w) == "audio/wav"
+    rate, s = decode_wav(w)
+    table = ulaw_to_linear if law == "u" else alaw_to_linear
+    assert rate == 8000 and (s == table(codes)).all()
+
+
+def test_g711_truncated_tail_and_bad_bits():
+    from hquery_php_spark.operators.wav import encode_wav_g711
+
+    codes = np.zeros((10, 2), np.uint8)
+    w = encode_wav_g711(codes, 8000, "u")
+    # chop one byte: the dangling half-frame is dropped
+    w2 = w[:-1]
+    patched = w2[:4] + struct.pack("<I", len(w2) - 8) + w2[8:]
+    body = patched.replace(
+        b"data" + struct.pack("<I", 20), b"data" + struct.pack("<I", 19)
+    )
+    rate, s = decode_wav(body)
+    assert s.shape == (9, 2)
+    # a G.711 fmt claiming 16 bits is malformed → None
+    bad = w.replace(struct.pack("<HH", 1, 8), struct.pack("<HH", 1, 16), 1)
+    # (the bits field lives at offset 34; rewrite it directly)
+    bad = bytearray(w)
+    struct.pack_into("<H", bad, 34, 16)
+    assert decode_wav(bytes(bad)) is None
+
+
+# ------------------------------------------------------------ IMA ADPCM
+
+def test_adpcm_oracle_constants_rederive():
+    """The audio_stats twin embeds the ADPCM walk constants as SQL
+    literals; re-derive them from the decoder so codec and oracle can
+    never drift apart silently."""
+    import __spark_entry__ as entry
+    from hquery_php_spark.operators.wav import build_adpcm_wav
+
+    w = build_adpcm_wav(entry._ADPCM_NIBBLES, 0 + 3000, 30, 11025)
+    rate, s = decode_wav(w)
+    p = s[:, 0].astype(np.int64) - 3000
+    assert rate == 11025 and s.shape == (entry._ADPCM_N, 1)
+    assert int(p.sum()) == entry._ADPCM_S1
+    assert int((p * p).sum()) == entry._ADPCM_S2
+    assert int(p.max()) == entry._ADPCM_PMAX
+    # clamp-free affinity across the generator's whole pred0 range,
+    # and strictly positive samples (so sum_abs == sum_val)
+    for pred0 in (3000, 4499):
+        _, s2 = decode_wav(build_adpcm_wav(entry._ADPCM_NIBBLES, pred0, 30))
+        assert (s2[:, 0] == p + pred0).all()
+        assert (s2 > 0).all()
+
+
+def test_adpcm_known_walk():
+    """Hand-computed first steps of the IMA algorithm: index 30
+    (step 130), nibble 4 adds step>>3 + step = 146… verified against
+    the published step/index tables."""
+    from hquery_php_spark.operators.wav import build_adpcm_wav
+
+    w = build_adpcm_wav([4, 12] * 4, 1000, 30)
+    _, s = decode_wav(w)
+    # nibble 4 @idx30 (step 130): diff = 130>>3 + 130 = 146, +, idx 32
+    # nibble 12 @idx32 (step 157): diff = 157>>3 + 157 = 176, -, idx 34
+    # nibble 4 @idx34 (step 190): diff = 190>>3 + 190 = 213, +, idx 36
+    assert s[:4, 0].tolist() == [1000, 1146, 970, 1183]
+
+
+def test_adpcm_encoder_roundtrip_tracks_signal():
+    from hquery_php_spark.operators.wav import encode_wav_adpcm
+
+    t = np.arange(3000)
+    x = (7000 * np.sin(t / 25.0)).astype(np.int64)
+    x2 = np.stack([x, x // 3 + 100], axis=1)
+    w = encode_wav_adpcm(x2, 16000, samples_per_block=249)
+    rate, y = decode_wav(w)
+    assert rate == 16000 and y.shape == x2.shape
+    # IMA tracks a smooth signal within ~2 steps after adaptation
+    assert np.abs(y[50:] - x2[50:]).max() < 1200
+    assert np.abs(y - x2).mean() < 60
+
+
+def test_adpcm_clamp_and_index_bounds():
+    """Saturating input drives the predictor into the int16 clamp and
+    the index to 88 without wrapping."""
+    from hquery_php_spark.operators.wav import encode_wav_adpcm
+
+    x = np.tile([32767, -32768], 600)[:, None].astype(np.int64)
+    w = encode_wav_adpcm(x, 8000, samples_per_block=505)
+    _, y = decode_wav(w)
+    assert y.min() >= -32768 and y.max() <= 32767
+
+
+def test_adpcm_multiblock_and_fact_truncation():
+    from hquery_php_spark.operators.wav import encode_wav_adpcm
+
+    x = (np.arange(700, dtype=np.int64) * 11 % 3000)[:, None]
+    w = encode_wav_adpcm(x, 8000, samples_per_block=249)
+    _, y = decode_wav(w)
+    # fact chunk says 700 samples even though 3 blocks hold 747 slots
+    assert y.shape == (700, 1)
+
+
+def test_adpcm_truncated_final_block_survives():
+    from hquery_php_spark.operators.wav import build_adpcm_wav
+
+    w = build_adpcm_wav([4, 12] * 16, 500, 20)
+    # drop the RIFF pad + last 3 data bytes and fix up chunk sizes
+    cut = 5
+    body = bytearray(w[: len(w) - cut])
+    struct.pack_into("<I", body, 4, len(body) - 8)
+    # find the data chunk and shrink its declared size
+    off = body.find(b"data")
+    (dsz,) = struct.unpack_from("<I", body, off + 4)
+    struct.pack_into("<I", body, off + 4, dsz - cut)
+    rate, s = decode_wav(bytes(body))
+    # whole 4-byte nibble groups only: samples come in 1 + 8k
+    assert s.shape[0] >= 1 and (s.shape[0] - 1) % 8 == 0
