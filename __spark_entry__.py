@@ -1412,12 +1412,56 @@ def _adpcm_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.mapInPandas(gen, schema)
 
 
+def _avi_audio_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMPLETE AVIs carrying a PCM16 AUDIO stream next to the DIB
+    video (operators/avi.py: two strl entries, '01wb' chunks split on
+    block boundaries and interleaved with the frames) — the demuxed
+    samples reuse the WAV rows' affine-mod formula, so the twin shares
+    the same closed-form aggregate (media_id = 'b'<doc_id>)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import BinaryType, StringType, StructField, StructType
+
+    from hquery_php_spark.operators.avi import encode_avi
+
+    d = _spread(_docs(spark, sf_dir), spark).select(
+        F.col("doc_id").cast("long").alias("did")
+    )
+    schema = StructType(
+        [StructField("media_id", StringType()), StructField("payload", BinaryType())]
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            out = {"media_id": [], "payload": []}
+            for did in pdf["did"]:
+                did = int(did)
+                ch = 1 + did % 2
+                rate = 8000 + (did % 4) * 4000
+                n = 16 + did % 49
+                i = np.arange(n)[:, None]
+                c = np.arange(ch)[None, :]
+                v = (did * 7 + i * 13 + c * 5) % 251 - 125
+                frames = [
+                    np.full((3, 4, 3), (did + f * 31) % 256, np.uint8)
+                    for f in range(2)
+                ]
+                out["media_id"].append(f"b{did}")
+                out["payload"].append(
+                    encode_avi(frames, audio=v, audio_rate=rate)
+                )
+            yield pd.DataFrame(out)
+
+    return d.mapInPandas(gen, schema)
+
+
 def q_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL audio decode, four codec families: WAV/PCM containers
-    (8/16/24/32-bit, mono+stereo), compressed FLAC (rice + fixed
-    predictors), G.711 µ-law/A-law telephony WAVs, and IMA/DVI-ADPCM
-    block-coded WAVs → exact integer sample statistics — the audio leg
-    of the multimodal column contract."""
+    """REAL audio decode, four codec families and two containers:
+    WAV/PCM (8/16/24/32-bit, mono+stereo), compressed FLAC (rice +
+    fixed predictors), G.711 µ-law/A-law telephony WAVs, IMA/DVI-ADPCM
+    block-coded WAVs, and the PCM audio TRACK of AVI containers (auds
+    stream demux) → exact integer sample statistics — the audio leg of
+    the multimodal column contract."""
     from hquery_php_spark.operators.multimodal import audio_pcm_stats_df
 
     payloads = (
@@ -1425,6 +1469,7 @@ def q_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(_flac_payloads(spark, sf_dir))
         .unionByName(_g711_payloads(spark, sf_dir))
         .unionByName(_adpcm_payloads(spark, sf_dir))
+        .unionByName(_avi_audio_payloads(spark, sf_dir))
     )
     return audio_pcm_stats_df(payloads)
 
@@ -3959,6 +4004,13 @@ def _base_oracle_sql() -> dict[str, str]:
             FROM agg
             UNION ALL
             SELECT 'f' || CAST(doc_id AS VARCHAR), 'audio/flac',
+                   CAST(rate AS INTEGER), CAST(ch AS INTEGER),
+                   CAST(n AS INTEGER), sv, sa, sq, pk
+            FROM agg
+            UNION ALL
+            -- AVI-audio rows: the auds-stream demux is lossless PCM,
+            -- same affine formula as the WAV rows, container mime
+            SELECT 'b' || CAST(doc_id AS VARCHAR), 'video/x-msvideo',
                    CAST(rate AS INTEGER), CAST(ch AS INTEGER),
                    CAST(n AS INTEGER), sv, sa, sq, pk
             FROM agg

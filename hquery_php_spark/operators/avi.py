@@ -31,7 +31,13 @@ from typing import Optional
 
 import numpy as np
 
-__all__ = ["encode_avi", "encode_avi_mjpeg", "decode_avi_frames", "avi_dims"]
+__all__ = [
+    "encode_avi",
+    "encode_avi_mjpeg",
+    "decode_avi_frames",
+    "decode_avi_audio",
+    "avi_dims",
+]
 
 
 def _chunks(payload: bytes, start: int, end: int):
@@ -56,6 +62,22 @@ def avi_dims(payload: Optional[bytes]) -> Optional[tuple]:
 
 
 def _parse_headers(payload: Optional[bytes]):
+    st = _parse_streams(payload)
+    if st is None:
+        return None
+    w, h, nf, uspf = st["dims"]
+    if not w or not h:
+        return None
+    return w, h, nf, uspf, st["vbits"], st["vcomp"]
+
+
+def _parse_streams(payload: Optional[bytes]):
+    """Stream-type-aware hdrl walk: strh's fccType decides whether a
+    strl's strf is a BITMAPINFOHEADER (vids) or a WAVEFORMATEX (auds) —
+    an AVI with an audio track must not let the audio strf clobber the
+    video depth/fourcc.  Returns {dims, vbits, vcomp, audio} where
+    audio = (stream_index, tag, channels, rate, block_align, bits) of
+    the FIRST auds stream, or None."""
     if (
         payload is None
         or len(payload) < 12
@@ -66,26 +88,80 @@ def _parse_headers(payload: Optional[bytes]):
     w = h = nf = uspf = None
     bits = 24
     comp = b"\x00\x00\x00\x00"
+    audio = None
     for cc, off, size in _chunks(payload, 12, len(payload)):
         if cc != b"LIST" or payload[off : off + 4] != b"hdrl":
             continue
+        stream_no = -1
         for c2, o2, s2 in _chunks(payload, off + 4, off + size):
             if c2 == b"avih" and s2 >= 40:
                 uspf, = struct.unpack_from("<I", payload, o2)
                 nf, = struct.unpack_from("<I", payload, o2 + 16)
                 w, h = struct.unpack_from("<II", payload, o2 + 32)
             elif c2 == b"LIST" and payload[o2 : o2 + 4] == b"strl":
+                stream_no += 1
+                fcc_type = None
                 for c3, o3, s3 in _chunks(payload, o2 + 4, o2 + s2):
-                    if c3 == b"strf" and s3 >= 16:
-                        # BITMAPINFOHEADER: biBitCount at offset 14,
-                        # biCompression fourcc at offset 16
-                        bits, = struct.unpack_from("<H", payload, o3 + 14)
-                        if s3 >= 20:
-                            comp = bytes(payload[o3 + 16 : o3 + 20])
+                    if c3 == b"strh" and s3 >= 4:
+                        fcc_type = bytes(payload[o3 : o3 + 4])
+                    elif c3 == b"strf" and s3 >= 16:
+                        if fcc_type == b"auds":
+                            if audio is None:
+                                tag, ach, arate, _abr, abal, abits = (
+                                    struct.unpack_from("<HHIIHH", payload, o3)
+                                )
+                                audio = (
+                                    stream_no, int(tag), int(ach),
+                                    int(arate), int(abal), int(abits),
+                                )
+                        else:
+                            # BITMAPINFOHEADER: biBitCount at offset 14,
+                            # biCompression fourcc at offset 16
+                            bits, = struct.unpack_from("<H", payload, o3 + 14)
+                            if s3 >= 20:
+                                comp = bytes(payload[o3 + 16 : o3 + 20])
         break
-    if w is None or not w or not h:
+    if w is None:
         return None
-    return int(w), int(h), int(nf or 0), int(uspf or 0), int(bits), comp
+    return {
+        "dims": (int(w or 0), int(h or 0), int(nf or 0), int(uspf or 0)),
+        "vbits": int(bits),
+        "vcomp": comp,
+        "audio": audio,
+    }
+
+
+def decode_avi_audio(payload: Optional[bytes]):
+    """Demux + decode the FIRST audio stream ('NNwb' chunks matched by
+    the auds strl's stream index) → (sample_rate, (n, ch) int32), or
+    None when the container is not an AVI / has no decodable audio.
+    The sample decode is the SAME format-tag dispatch as the WAV path
+    (PCM 8/16/24/32, G.711 µ-law/A-law, IMA ADPCM) — identical wire
+    format, different container."""
+    from .wav import decode_format_data
+
+    try:
+        st = _parse_streams(payload)
+        if st is None or st["audio"] is None:
+            return None
+        idx, tag, ch, rate, balign, bits = st["audio"]
+        want = b"%02dwb" % idx
+        parts = []
+        for cc, off, size in _chunks(payload, 12, len(payload)):
+            if cc != b"LIST" or payload[off : off + 4] != b"movi":
+                continue
+            for c2, o2, s2 in _chunks(payload, off + 4, off + size):
+                if c2 == want:
+                    parts.append(payload[o2 : o2 + s2])
+            break
+        if not parts:
+            return None
+        dec = decode_format_data(tag, ch, bits, balign, b"".join(parts))
+        if dec is None:
+            return None
+        return rate, dec
+    except (ValueError, IndexError, struct.error):
+        return None
 
 
 def decode_avi_frames(
@@ -211,11 +287,58 @@ def _decode_impl(payload, max_frames, every_n=1):
     return frames or None
 
 
-def encode_avi(frames, fps: int = 25) -> bytes:
+def _audio_stream(audio, audio_rate: int, audio_fmt: str):
+    """Build the auds (strh, strf WAVEFORMATEX, data, block_align) for
+    the writer's optional audio track."""
+    from .wav import adpcm_encode_data
+
+    a = np.asarray(audio)
+    if a.ndim == 1:
+        a = a[:, None]
+    n, ach = a.shape
+    if audio_fmt == "pcm16":
+        tag, bits, balign = 1, 16, 2 * ach
+        data = a.astype("<i2").tobytes()
+        extra = b""
+    elif audio_fmt in ("ulaw", "alaw"):
+        tag = 7 if audio_fmt == "ulaw" else 6
+        bits, balign = 8, ach
+        data = a.astype(np.uint8).tobytes()
+        extra = struct.pack("<H", 0)
+    elif audio_fmt == "adpcm":
+        data, balign, spb = adpcm_encode_data(a, samples_per_block=505)
+        tag, bits = 0x11, 4
+        extra = struct.pack("<HH", 2, spb)
+    else:
+        raise ValueError(f"unsupported audio_fmt {audio_fmt!r}")
+    strf = struct.pack(
+        "<HHIIHH", tag, ach, audio_rate, audio_rate * max(balign, 1),
+        balign, bits,
+    ) + extra
+    strh = (
+        b"auds" + b"\x00" * 4 + struct.pack("<I", 0)
+        + struct.pack("<HHIIIII", 0, 0, 0, 1, audio_rate, 0, n)
+        + struct.pack("<IiI", len(data), -1, balign or 1)
+        + struct.pack("<4H", 0, 0, 0, 0)
+    )
+    return strh, strf, data, max(balign, 1)
+
+
+def encode_avi(
+    frames,
+    fps: int = 25,
+    audio=None,
+    audio_rate: int = 8000,
+    audio_fmt: str = "pcm16",
+) -> bytes:
     """Minimal-but-valid AVI writer: (h, w, 3|4) uint8 RGB(A) frames →
-    RIFF/AVI with one 'vids'/DIB stream and '00db' chunks.  Exists so
-    tests and synthetic corpora exercise every demux path (alignment,
-    bottom-up order, BGR swap, 32-bit alpha)."""
+    RIFF/AVI with one 'vids'/DIB stream and '00db' chunks, plus an
+    optional auds stream ('01wb' chunks interleaved per frame, split on
+    block_align boundaries).  ``audio_fmt`` is 'pcm16' (int16 samples),
+    'ulaw'/'alaw' (pre-companded G.711 code bytes), or 'adpcm'
+    (int16 samples, IMA-encoded here).  Exists so tests and synthetic
+    corpora exercise every demux path (alignment, bottom-up order, BGR
+    swap, 32-bit alpha, audio-stream interleave)."""
     frames = [np.asarray(f, np.uint8) for f in frames]
     h, w, ch = frames[0].shape
     if ch not in (3, 4):
@@ -230,8 +353,9 @@ def encode_avi(frames, fps: int = 25) -> bytes:
     def lst(kind: bytes, body: bytes) -> bytes:
         return chunk(b"LIST", kind + body)
 
+    n_streams = 1 if audio is None else 2
     avih = struct.pack(
-        "<14I", uspf, stride * h * fps, 0, 0x10, len(frames), 0, 1,
+        "<14I", uspf, stride * h * fps, 0, 0x10, len(frames), 0, n_streams,
         stride * h, w, h, 0, 0, 0, 0,
     )
     strh = (
@@ -241,16 +365,30 @@ def encode_avi(frames, fps: int = 25) -> bytes:
     )
     strf = struct.pack("<IiiHHIIiiII", 40, w, h, 1, bpp * 8, 0, stride * h,
                        0, 0, 0, 0)
-    hdrl = lst(b"hdrl", chunk(b"avih", avih)
-               + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    strls = lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf))
+    apieces = []
+    if audio is not None:
+        astrh, astrf, adata, abal = _audio_stream(audio, audio_rate, audio_fmt)
+        strls += lst(b"strl", chunk(b"strh", astrh) + chunk(b"strf", astrf))
+        # split audio across frames on block boundaries (last gets the tail)
+        n_blocks = max(len(adata) // abal, 1)
+        per = max(n_blocks // max(len(frames), 1), 1) * abal
+        pos = 0
+        for i in range(len(frames)):
+            end = len(adata) if i == len(frames) - 1 else min(pos + per, len(adata))
+            apieces.append(adata[pos:end])
+            pos = end
+    hdrl = lst(b"hdrl", chunk(b"avih", avih) + strls)
     movi_body = b""
-    for fr in frames:
+    for i, fr in enumerate(frames):
         if fr.shape != (h, w, ch):
             raise ValueError("all frames must share one shape")
         bgr = fr[:, :, [2, 1, 0]] if ch == 3 else fr[:, :, [2, 1, 0, 3]]
         padded = np.zeros((h, stride), np.uint8)
         padded[:, : w * bpp] = bgr[::-1].reshape(h, w * bpp)
         movi_body += chunk(b"00db", padded.tobytes())
+        if i < len(apieces) and apieces[i]:
+            movi_body += chunk(b"01wb", apieces[i])
     body = b"AVI " + hdrl + lst(b"movi", movi_body)
     return b"RIFF" + struct.pack("<I", len(body)) + body
 

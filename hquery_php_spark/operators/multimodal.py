@@ -769,7 +769,9 @@ def audio_pcm_stats_df(df: DataFrame, payload_col: str = "payload") -> DataFrame
     chunk walk; integer PCM at 8/16/24/32 bits any channel count, G.711
     µ-law/A-law telephony expansion, and IMA/DVI-ADPCM block decode)
     AND FLAC (``operators/flac.py``: rice residuals, fixed + LPC
-    predictors, stereo decorrelation, CRC-verified) → exact integer
+    predictors, stereo decorrelation, CRC-verified) AND the audio track
+    of AVI containers (``operators/avi.py`` demuxes the auds stream's
+    '##wb' chunks through the same format-tag dispatch) → exact integer
     sample statistics, so the aggregate admits a closed-form SQL twin
     (every path is exact-integer).  Perceptual audio (MP3/OGG/AAC)
     still sniffs a mime but yields NULL stats — no codec libraries in
@@ -784,6 +786,7 @@ def audio_pcm_stats_df(df: DataFrame, payload_col: str = "payload") -> DataFrame
     import numpy as np
     from pyspark.sql.types import LongType
 
+    from hquery_php_spark.operators.avi import decode_avi_audio
     from hquery_php_spark.operators.flac import decode_flac
     from hquery_php_spark.operators.wav import decode_wav
 
@@ -811,6 +814,8 @@ def audio_pcm_stats_df(df: DataFrame, payload_col: str = "payload") -> DataFrame
                 dec = decode_wav(payload)
                 if dec is None:
                     dec = decode_flac(payload)
+                if dec is None:
+                    dec = decode_avi_audio(payload)
                 out["media_id"].append(mid)
                 out["mime"].append(mime)
                 if dec is None:

@@ -37,8 +37,10 @@ __all__ = [
     "encode_wav",
     "encode_wav_g711",
     "encode_wav_adpcm",
+    "adpcm_encode_data",
     "build_adpcm_wav",
     "decode_wav",
+    "decode_format_data",
     "wav_meta",
     "ulaw_to_linear",
     "alaw_to_linear",
@@ -216,6 +218,19 @@ def encode_wav_adpcm(
     if a.ndim == 1:
         a = a[:, None]
     n, ch = a.shape
+    data, block_align, spb = adpcm_encode_data(a, samples_per_block)
+    fmt = _adpcm_fmt(ch, sample_rate, block_align, spb)
+    return _riff_wrap(fmt, data, fact_samples=n)
+
+
+def adpcm_encode_data(samples, samples_per_block: int = 505):
+    """The block layer of the IMA-ADPCM encoder → (data, block_align,
+    samples_per_block); shared by the WAV writer and the AVI muxer's
+    audio stream (same wire format, different container)."""
+    a = np.asarray(samples, np.int64)
+    if a.ndim == 1:
+        a = a[:, None]
+    n, ch = a.shape
     spb = samples_per_block
     if (spb - 1) % 8:
         raise ValueError("samples_per_block - 1 must be a multiple of 8")
@@ -271,9 +286,7 @@ def encode_wav_adpcm(
                 for k in range(0, 8, 2):
                     body.append((chunk[k] & 0x0F) | ((chunk[k + 1] & 0x0F) << 4))
         blocks.append(hdr + bytes(body))
-    data = b"".join(blocks)
-    fmt = _adpcm_fmt(ch, sample_rate, block_align, spb)
-    return _riff_wrap(fmt, data, fact_samples=n)
+    return b"".join(blocks), block_align, spb
 
 
 def _decode_adpcm(data: bytes, ch: int, block_align: int, total: Optional[int]):
@@ -382,6 +395,24 @@ def decode_wav(payload: Optional[bytes]):
     if fmt is None or data is None:
         return None
     tag, ch, rate, _brate, balign, bits = fmt
+    dec = decode_format_data(tag, ch, bits, balign, data, fact)
+    if dec is None:
+        return None
+    return rate, dec
+
+
+def decode_format_data(
+    tag: int,
+    ch: int,
+    bits: int,
+    block_align: int,
+    data: bytes,
+    fact: Optional[int] = None,
+):
+    """Decode a WAVEFORMAT(EX) sample stream → (n, ch) int32, or None
+    for unsupported tags/malformed parameters.  Shared by the WAV
+    container walk and the AVI demuxer's '##wb' audio stream (identical
+    wire format, different container)."""
     if ch < 1:
         return None
     if tag in (6, 7):  # G.711 A-law / µ-law: one code byte per sample
@@ -390,21 +421,18 @@ def decode_wav(payload: Optional[bytes]):
         usable = len(data) - len(data) % ch
         raw = np.frombuffer(data, np.uint8, count=usable)
         table = _ULAW if tag == 7 else _ALAW
-        return rate, table[raw].reshape(-1, ch)
+        return table[raw].reshape(-1, ch)
     if tag == 0x11:  # IMA / DVI ADPCM
         if bits != 4:
             return None
-        dec = _decode_adpcm(data, ch, balign, fact)
-        if dec is None:
-            return None
-        return rate, dec
+        return _decode_adpcm(data, ch, block_align, fact)
     if tag != 1 or bits not in (8, 16, 24, 32):
         return None
     width = bits // 8
     frame = width * ch
     usable = len(data) - len(data) % frame  # drop a truncated tail frame
     if usable <= 0:
-        return rate, np.zeros((0, ch), np.int32)
+        return np.zeros((0, ch), np.int32)
     raw = np.frombuffer(data, np.uint8, count=usable)
     if bits == 8:
         vals = raw.astype(np.int32) - 128
@@ -416,4 +444,4 @@ def decode_wav(payload: Optional[bytes]):
         vals = np.where(vals >= 1 << 23, vals - (1 << 24), vals)
     else:
         vals = raw.view("<i4").astype(np.int32)
-    return rate, vals.reshape(-1, ch)
+    return vals.reshape(-1, ch)

@@ -209,3 +209,96 @@ def test_mjpeg_sampling_stride_pushed_into_the_demux(monkeypatch):
     out = decode_avi_frames(avi, max_frames=8, every_n=2)
     assert [n for n, _ in out] == [0, 2, 4]
     assert len(calls) == 3  # dropped source frames never hit the codec
+
+
+# ------------------------------------------------------------ audio track
+
+def _frames(n=3):
+    return [np.full((4, 5, 3), 10 * (i + 1), np.uint8) for i in range(n)]
+
+
+def test_avi_audio_pcm16_roundtrip_and_video_unclobbered():
+    """The auds strf (WAVEFORMATEX) must not clobber the vids strf
+    (BITMAPINFOHEADER) — stream-type-aware hdrl walk."""
+    from hquery_php_spark.operators.avi import decode_avi_audio
+
+    x = (np.arange(500, dtype=np.int64)[:, None] * np.array([13, -7])) % 20001 - 10000
+    w = encode_avi(_frames(), audio=x, audio_rate=16000, audio_fmt="pcm16")
+    rate, s = decode_avi_audio(w)
+    assert rate == 16000 and (s == x).all()
+    assert avi_dims(w)[:2] == (5, 4)
+    fs = decode_avi_frames(w)
+    assert [f for f, _ in fs] == [0, 1, 2] and (fs[1][1] == 20).all()
+
+
+@pytest.mark.parametrize("law", ["ulaw", "alaw"])
+def test_avi_audio_g711(law):
+    from hquery_php_spark.operators.avi import decode_avi_audio
+    from hquery_php_spark.operators.wav import alaw_to_linear, ulaw_to_linear
+
+    codes = (np.arange(300) * 29 % 256).astype(np.uint8)
+    w = encode_avi(_frames(), audio=codes, audio_rate=8000, audio_fmt=law)
+    rate, s = decode_avi_audio(w)
+    tab = ulaw_to_linear if law == "ulaw" else alaw_to_linear
+    assert rate == 8000 and (s[:, 0] == tab(codes)).all()
+
+
+def test_avi_audio_adpcm_matches_wav_path():
+    """Same IMA blocks, different container: the AVI demux must land on
+    byte-identical reconstruction as the WAV walk (the AVI side has no
+    fact chunk, so it keeps the final block's padding samples)."""
+    from hquery_php_spark.operators.avi import decode_avi_audio
+    from hquery_php_spark.operators.wav import decode_wav, encode_wav_adpcm
+
+    sig = (3000 * np.sin(np.arange(2000) / 40.0)).astype(np.int64)
+    _, sa = decode_avi_audio(
+        encode_avi(_frames(), audio=sig, audio_rate=11025, audio_fmt="adpcm")
+    )
+    _, sw = decode_wav(encode_wav_adpcm(sig, 11025, 505))
+    assert (sa[: len(sw)] == sw).all()
+
+
+def test_avi_audio_none_paths():
+    from hquery_php_spark.operators.avi import decode_avi_audio
+
+    assert decode_avi_audio(encode_avi(_frames())) is None  # no audio
+    assert decode_avi_audio(None) is None
+    assert decode_avi_audio(b"RIFF\x00\x00\x00\x00AVI ") is None
+    # unsupported tag (MP3 = 0x55) → honest None
+    w = bytearray(encode_avi(_frames(), audio=np.zeros(50, np.int64)))
+    off = w.find(b"auds")
+    # strf body follows 'strf'+size after the 64-byte strh; find tag 1
+    sf = w.find(b"strf", off)
+    assert struct.unpack_from("<H", w, sf + 8)[0] == 1
+    struct.pack_into("<H", w, sf + 8, 0x55)
+    assert decode_avi_audio(bytes(w)) is None
+
+
+def test_avi_audio_chunks_are_interleaved():
+    """The writer splits audio into per-frame '01wb' chunks on block
+    boundaries (the interleave real muxers produce), and the demux
+    reassembles them in order."""
+    from hquery_php_spark.operators.avi import decode_avi_audio
+
+    x = np.arange(999, dtype=np.int64)[:, None] % 500 - 250
+    w = encode_avi(_frames(5), audio=x, audio_rate=8000)
+    assert w.count(b"01wb") >= 2
+    _, s = decode_avi_audio(w)
+    assert (s == x).all()
+
+
+def test_audio_pcm_stats_df_avi_branch(spark):
+    from hquery_php_spark.operators.multimodal import audio_pcm_stats_df
+
+    x = np.array([5, -3, 7, 0], np.int64)[:, None]
+    rows = [
+        ("avi", bytearray(encode_avi(_frames(), audio=x, audio_rate=12000))),
+        ("not", bytearray(b"OggS garbage")),
+    ]
+    df = spark.createDataFrame(rows, "media_id string, payload binary")
+    got = {r["media_id"]: r for r in audio_pcm_stats_df(df).collect()}
+    a = got["avi"]
+    assert a["mime"] == "video/x-msvideo"
+    assert (a["sample_rate"], a["n_channels"], a["n_samples"]) == (12000, 1, 4)
+    assert (a["sum_val"], a["sum_abs"], a["sum_sq"], a["peak"]) == (9, 15, 83, 7)
+    assert got["not"]["sum_val"] is None
