@@ -1774,10 +1774,11 @@ def _container_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL video-container metadata walk (MP4 boxes, WebM EBML, AVI
-    avih) — the filter-before-decode operator.  Fields a container does
-    not carry are coalesced to 0 for the integer twin (the operator
-    itself emits honest NULLs)."""
+    """REAL video-container metadata walk (MP4 boxes incl. per-track
+    stsd codec fourccs, WebM EBML incl. per-TrackEntry CodecID, AVI
+    avih + stream-aware strl) — the filter-before-decode operator.
+    Fields a container does not carry are coalesced to 0/'' for the
+    integer twin (the operator itself emits honest NULLs)."""
     from hquery_php_spark.operators.multimodal import video_meta_df
 
     payloads = _container_payloads(spark, sf_dir).unionByName(
@@ -1793,6 +1794,7 @@ def q_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n_tracks", z).alias("n_tracks"),
         F.coalesce("duration_ms", z).alias("duration_ms"),
         F.coalesce("timescale", z).alias("timescale"),
+        F.coalesce("codecs", F.lit("")).alias("codecs"),
     )
 
 
@@ -1918,7 +1920,7 @@ def q_media_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     m = q_media_meta(spark, sf_dir).select(
         F.lit("vmeta").alias("fam"),
-        F.col("media_id").alias("k1"),
+        F.concat_ws(":", "media_id", "codecs").alias("k1"),
         F.col("width").cast("int").alias("k2"),
         F.col("height").cast("long").alias("a"),
         F.col("n_tracks").cast("long").alias("b"),
@@ -4190,7 +4192,9 @@ def _base_oracle_sql() -> dict[str, str]:
                    CAST(16 * (1 + doc_id % 30) AS INTEGER) AS height,
                    CAST(1 + doc_id % 2 AS INTEGER) AS n_tracks,
                    CAST(1000 + doc_id % 9000 AS INTEGER) AS duration_ms,
-                   CAST(1000 AS INTEGER) AS timescale
+                   CAST(1000 AS INTEGER) AS timescale,
+                   CASE WHEN doc_id % 2 = 0 THEN 'avc1'
+                        ELSE 'avc1,mp4a' END AS codecs
             FROM documents
             UNION ALL
             SELECT 'k' || CAST(doc_id AS VARCHAR), 'video/webm',
@@ -4198,7 +4202,8 @@ def _base_oracle_sql() -> dict[str, str]:
                    CAST(2 + doc_id % 1079 AS INTEGER),
                    CAST(1 + doc_id % 3 AS INTEGER),
                    CAST(0 AS INTEGER),
-                   CAST(100000 * (1 + doc_id % 10) AS INTEGER)
+                   CAST(100000 * (1 + doc_id % 10) AS INTEGER),
+                   'V_VP8' || repeat(',A_OPUS', doc_id % 3)
             FROM documents
             UNION ALL
             SELECT 'x' || CAST(doc_id AS VARCHAR), 'video/x-msvideo',
@@ -4206,7 +4211,8 @@ def _base_oracle_sql() -> dict[str, str]:
                    CAST(2 + doc_id % 5 AS INTEGER),
                    CAST(1 AS INTEGER),
                    CAST(40 * (1 + doc_id % 4) AS INTEGER),
-                   CAST(0 AS INTEGER)
+                   CAST(0 AS INTEGER),
+                   'DIB'
             FROM documents
         """,
         "embed_near_dup_exact": """
@@ -4532,7 +4538,8 @@ def oracle_sql() -> dict[str, str]:
                CAST(0 AS BIGINT)
         FROM ({base['frame_sample']})
         UNION ALL
-        SELECT 'vmeta', media_id, width, CAST(height AS BIGINT),
+        SELECT 'vmeta', media_id || ':' || codecs, width,
+               CAST(height AS BIGINT),
                CAST(n_tracks AS BIGINT), CAST(duration_ms AS BIGINT),
                CAST(timescale AS BIGINT), CAST(0 AS BIGINT),
                CAST(0 AS BIGINT)

@@ -37,6 +37,7 @@ __all__ = [
     "decode_avi_frames",
     "decode_avi_audio",
     "avi_dims",
+    "avi_codecs",
 ]
 
 
@@ -129,6 +130,27 @@ def _parse_streams(payload: Optional[bytes]):
         "vcomp": comp,
         "audio": audio,
     }
+
+
+_WAVE_TAG_NAMES = {1: "pcm", 6: "alaw", 7: "ulaw", 0x11: "ima-adpcm",
+                   0x55: "mp3", 0x2000: "ac3", 0xFF: "aac"}
+
+
+def avi_codecs(payload: Optional[bytes]) -> Optional[str]:
+    """Comma-joined codec inventory of an AVI ('DIB' or the compression
+    fourcc for the video stream, then the audio format-tag name), or
+    None for non-AVI bytes — symmetric with the MP4 stsd / Matroska
+    CodecID walks: the pre-decode filter column."""
+    st = _parse_streams(payload)
+    if st is None:
+        return None
+    comp = st["vcomp"]
+    names = ["DIB" if comp in (b"\x00\x00\x00\x00", b"DIB ") else
+             comp.decode("latin-1").strip()]
+    if st["audio"] is not None:
+        tag = st["audio"][1]
+        names.append(_WAVE_TAG_NAMES.get(tag, f"wf_0x{tag:x}"))
+    return ",".join(names)
 
 
 def decode_avi_audio(payload: Optional[bytes]):

@@ -73,9 +73,11 @@ def encode_mp4_stub(
     version1: bool = False,
 ) -> bytes:
     """Minimal valid ftyp+moov (+empty mdat): mvhd at timescale 1000,
-    one tkhd per track (the first carries the video dimensions).
-    ``version1`` emits 64-bit mvhd/tkhd variants so the parser's wide
-    path is exercised."""
+    one tkhd per track (the first carries the video dimensions), and a
+    per-track mdia>minf>stbl>stsd sample description naming the codec
+    (track 0 ``avc1``, later tracks ``mp4a`` — the dominant real-corpus
+    layout).  ``version1`` emits 64-bit mvhd/tkhd variants so the
+    parser's wide path is exercised."""
     ftyp = _box(b"ftyp", brand + struct.pack(">I", 0x200) + brand + b"mp42")
     if version1:
         mvhd = _box(
@@ -107,7 +109,13 @@ def encode_mp4_stub(
                 + struct.pack(">I", duration_ms) + b"\x00" * 52
                 + struct.pack(">II", w << 16, h << 16)
             )
-        traks += _box(b"trak", _box(b"tkhd", tk))
+        fourcc = b"avc1" if t == 0 else b"mp4a"
+        # sample entry: size + fourcc + 8 reserved bytes is enough for
+        # the codec-inventory walk (real entries carry more)
+        entry = struct.pack(">I", 16) + fourcc + b"\x00" * 8
+        stsd = _box(b"stsd", b"\x00" * 4 + struct.pack(">I", 1) + entry)
+        mdia = _box(b"mdia", _box(b"minf", _box(b"stbl", stsd)))
+        traks += _box(b"trak", _box(b"tkhd", tk) + mdia)
     moov = _box(b"moov", mvhd + traks)
     return ftyp + moov + _box(b"mdat", b"")
 
@@ -134,9 +142,12 @@ def _walk_boxes(payload: bytes, start: int, end: int):
 
 def mp4_meta(payload: Optional[bytes]) -> Optional[dict]:
     """{'brand', 'timescale', 'duration', 'duration_ms', 'n_tracks',
-    'width', 'height'} from ftyp/moov, or None for non-BMFF bytes.
-    Width/height come from the first track whose tkhd carries nonzero
-    dimensions (the video track convention)."""
+    'width', 'height', 'codecs'} from ftyp/moov, or None for non-BMFF
+    bytes.  Width/height come from the first track whose tkhd carries
+    nonzero dimensions (the video track convention); 'codecs' is the
+    comma-joined stsd sample-entry fourcc per track in track order
+    (avc1/hvc1/vp09/mp4a/Opus/...) — the codec inventory a curation
+    pipeline filters on BEFORE paying for any decode."""
     try:
         return _mp4_meta_impl(payload)
     except (struct.error, IndexError, ValueError):
@@ -148,7 +159,8 @@ def _mp4_meta_impl(payload):
         return None
     out = {"brand": payload[8:12].decode("latin-1"), "timescale": None,
            "duration": None, "duration_ms": None, "n_tracks": 0,
-           "width": None, "height": None}
+           "width": None, "height": None, "codecs": None}
+    codecs = []
     for typ, body, end in _walk_boxes(payload, 0, len(payload)):
         if typ != b"moov":
             continue
@@ -165,17 +177,43 @@ def _mp4_meta_impl(payload):
             elif t2 == b"trak":
                 out["n_tracks"] += 1
                 for t3, b3, e3 in _walk_boxes(payload, b2, e2):
-                    if t3 != b"tkhd":
-                        continue
-                    ver = payload[b3]
-                    # width/height are the LAST 8 bytes of tkhd payload
-                    w, h = struct.unpack_from(">II", payload, e3 - 8)
-                    if (w or h) and out["width"] is None:
-                        out["width"], out["height"] = w >> 16, h >> 16
+                    if t3 == b"tkhd":
+                        ver = payload[b3]
+                        # width/height are the LAST 8 bytes of tkhd payload
+                        w, h = struct.unpack_from(">II", payload, e3 - 8)
+                        if (w or h) and out["width"] is None:
+                            out["width"], out["height"] = w >> 16, h >> 16
+                    elif t3 == b"mdia":
+                        cc = _stsd_fourcc(payload, b3, e3)
+                        if cc:
+                            codecs.append(cc)
         break
     if out["timescale"] is None:
         return None
+    if codecs:
+        out["codecs"] = ",".join(codecs)
     return out
+
+
+def _stsd_fourcc(payload, b3, e3):
+    """First sample-entry fourcc of a trak's mdia>minf>stbl>stsd, or
+    None — the per-track codec name."""
+    for t4, b4, e4 in _walk_boxes(payload, b3, e3):
+        if t4 != b"minf":
+            continue
+        for t5, b5, e5 in _walk_boxes(payload, b4, e4):
+            if t5 != b"stbl":
+                continue
+            for t6, b6, e6 in _walk_boxes(payload, b5, e5):
+                if t6 != b"stsd" or e6 - b6 < 16:
+                    continue
+                (n_entries,) = struct.unpack_from(">I", payload, b6 + 4)
+                if n_entries < 1:
+                    continue
+                return payload[b6 + 12 : b6 + 16].decode(
+                    "latin-1"
+                ).strip() or None
+    return None
 
 
 # ------------------------------------------------------------------ #
@@ -188,6 +226,7 @@ _INFO = 0x1549A966
 _TIMESTAMP_SCALE = 0x2AD7B1
 _TRACKS = 0x1654AE6B
 _TRACK_ENTRY = 0xAE
+_CODEC_ID = 0x86
 _VIDEO = 0xE0
 _PIXEL_W = 0xB0
 _PIXEL_H = 0xBA
@@ -219,8 +258,10 @@ def encode_webm_stub(
     doctype: bytes = b"webm",
 ) -> bytes:
     """Minimal valid EBML stream: header (DocType) + Segment with Info
-    (TimestampScale) and Tracks (TrackEntry > Video > PixelWidth/
-    PixelHeight on the first track)."""
+    (TimestampScale) and Tracks (one TrackEntry per track carrying
+    TrackNumber + CodecID — V_VP8 for the first, A_OPUS for the rest,
+    the dominant WebM layout — plus Video > PixelWidth/PixelHeight on
+    the first track)."""
     header = _el(_EBML, _el(_DOCTYPE, doctype))
     info = _el(_INFO, _uint_el(_TIMESTAMP_SCALE, timestamp_scale))
     entries = b""
@@ -230,7 +271,10 @@ def encode_webm_stub(
             if t == 0
             else b""
         )
-        entries += _el(_TRACK_ENTRY, _uint_el(0xD7, t + 1) + video)  # TrackNumber
+        codec = _el(_CODEC_ID, b"V_VP8" if t == 0 else b"A_OPUS")
+        entries += _el(
+            _TRACK_ENTRY, _uint_el(0xD7, t + 1) + codec + video
+        )  # TrackNumber
     segment = _el(_SEGMENT, info + _el(_TRACKS, entries))
     return header + segment
 
@@ -261,8 +305,11 @@ def _walk_ebml(payload: bytes, start: int, end: int):
 
 
 def webm_meta(payload: Optional[bytes]) -> Optional[dict]:
-    """{'doctype', 'timestamp_scale', 'n_tracks', 'width', 'height'}
-    from the EBML header + Segment Info/Tracks, or None."""
+    """{'doctype', 'timestamp_scale', 'n_tracks', 'width', 'height',
+    'codecs'} from the EBML header + Segment Info/Tracks, or None.
+    'codecs' is the comma-joined CodecID per TrackEntry in track order
+    (V_VP8/V_VP9/A_OPUS/A_VORBIS/...) — the pre-decode codec
+    inventory."""
     try:
         return _webm_meta_impl(payload)
     except (ValueError, IndexError):
@@ -273,7 +320,8 @@ def _webm_meta_impl(payload):
     if payload is None or len(payload) < 8 or payload[:4] != b"\x1aE\xdf\xa3":
         return None
     out = {"doctype": None, "timestamp_scale": None, "n_tracks": 0,
-           "width": None, "height": None}
+           "width": None, "height": None, "codecs": None}
+    codecs = []
     for eid, body, end in _walk_ebml(payload, 0, len(payload)):
         if eid == _EBML:
             for e2, b2, e2e in _walk_ebml(payload, body, end):
@@ -295,16 +343,23 @@ def _webm_meta_impl(payload):
                             continue
                         out["n_tracks"] += 1
                         for e4, b4, e4e in _walk_ebml(payload, b3, e3e):
-                            if e4 != _VIDEO:
-                                continue
-                            for e5, b5, e5e in _walk_ebml(payload, b4, e4e):
-                                v = int.from_bytes(payload[b5:e5e], "big")
-                                if e5 == _PIXEL_W and out["width"] is None:
-                                    out["width"] = v
-                                elif e5 == _PIXEL_H and out["height"] is None:
-                                    out["height"] = v
+                            if e4 == _CODEC_ID:
+                                codecs.append(
+                                    payload[b4:e4e].rstrip(b"\x00").decode(
+                                        "latin-1"
+                                    )
+                                )
+                            elif e4 == _VIDEO:
+                                for e5, b5, e5e in _walk_ebml(payload, b4, e4e):
+                                    v = int.from_bytes(payload[b5:e5e], "big")
+                                    if e5 == _PIXEL_W and out["width"] is None:
+                                        out["width"] = v
+                                    elif e5 == _PIXEL_H and out["height"] is None:
+                                        out["height"] = v
     if out["doctype"] is None:
         return None
+    if codecs:
+        out["codecs"] = ",".join(codecs)
     return out
 
 
@@ -316,7 +371,6 @@ _BLOCK_GROUP = 0xA0
 _BLOCK = 0xA1
 _TRACK_NUMBER = 0xD7
 _TRACK_TYPE = 0x83
-_CODEC_ID = 0x86
 
 
 def encode_webm_vp8(

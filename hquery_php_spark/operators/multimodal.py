@@ -907,13 +907,15 @@ def audio_container_meta_df(df: DataFrame, payload_col: str = "payload") -> Data
 
 def video_meta_df(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     """REAL video-container metadata for the three walkable containers:
-    MP4/ISO-BMFF (box walk: mvhd timescale/duration, tkhd 16.16 dims),
-    WebM/Matroska (EBML walk: TimestampScale, PixelWidth/Height, track
-    count), and AVI (avih).  This is the operator a curation pipeline
-    runs BEFORE any decode — filter by duration/resolution/track layout
-    at container-walk cost.  Unknown containers keep the sniffed mime
+    MP4/ISO-BMFF (box walk: mvhd timescale/duration, tkhd 16.16 dims,
+    per-track stsd codec fourcc), WebM/Matroska (EBML walk:
+    TimestampScale, PixelWidth/Height, per-TrackEntry CodecID), and AVI
+    (avih + stream-aware strl walk).  This is the operator a curation
+    pipeline runs BEFORE any decode — filter by duration/resolution/
+    track layout AND codec at container-walk cost (decode only what
+    you have a decoder for).  Unknown containers keep the sniffed mime
     with NULL fields (honest, never an error)."""
-    from hquery_php_spark.operators.avi import avi_dims
+    from hquery_php_spark.operators.avi import avi_codecs, avi_dims
     from hquery_php_spark.operators.mediameta import mp4_meta, webm_meta
 
     schema = StructType(
@@ -925,6 +927,7 @@ def video_meta_df(df: DataFrame, payload_col: str = "payload") -> DataFrame:
             StructField("n_tracks", IntegerType()),
             StructField("duration_ms", IntegerType()),
             StructField("timescale", IntegerType()),
+            StructField("codecs", StringType()),
         ]
     )
     narrow = df.select(F.col("media_id").cast("string"), F.col(payload_col).alias("p"))
@@ -935,7 +938,7 @@ def video_meta_df(df: DataFrame, payload_col: str = "payload") -> DataFrame:
             for mid, p in zip(pdf["media_id"], pdf["p"]):
                 payload = bytes(p) if p is not None else None
                 mime = sniff_media_type(payload)
-                w = h = tracks = dur = ts = None
+                w = h = tracks = dur = ts = codecs = None
                 if mime in ("video/mp4", "video/quicktime", "audio/mp4"):
                     m = mp4_meta(payload)
                     if m:
@@ -943,17 +946,20 @@ def video_meta_df(df: DataFrame, payload_col: str = "payload") -> DataFrame:
                         tracks, dur, ts = (
                             m["n_tracks"], m["duration_ms"], m["timescale"],
                         )
+                        codecs = m["codecs"]
                 elif mime in ("video/webm", "video/x-matroska"):
                     m = webm_meta(payload)
                     if m:
                         w, h, tracks = m["width"], m["height"], m["n_tracks"]
                         ts = m["timestamp_scale"]
+                        codecs = m["codecs"]
                 elif mime == "video/x-msvideo":
                     d = avi_dims(payload)
                     if d:
                         w, h, nf, uspf = d
-                        tracks = 1
                         dur = nf * uspf // 1000
+                        codecs = avi_codecs(payload)
+                        tracks = 1 + (codecs or "").count(",")
                 out["media_id"].append(mid)
                 out["mime"].append(mime)
                 out["width"].append(w)
@@ -961,6 +967,7 @@ def video_meta_df(df: DataFrame, payload_col: str = "payload") -> DataFrame:
                 out["n_tracks"].append(tracks)
                 out["duration_ms"].append(dur)
                 out["timescale"].append(ts)
+                out["codecs"].append(codecs)
             yield pd.DataFrame(out)
 
     return narrow.mapInPandas(run, schema)

@@ -26,6 +26,7 @@ def test_mp4_walk(version1):
     assert m == {
         "brand": "isom", "timescale": 1000, "duration": 5321,
         "duration_ms": 5321, "n_tracks": 2, "width": 640, "height": 360,
+        "codecs": "avc1,mp4a",
     }
 
 
@@ -57,7 +58,7 @@ def test_webm_walk_and_matroska():
     assert sniff_media_type(p) == "video/webm"
     assert webm_meta(p) == {
         "doctype": "webm", "timestamp_scale": 1000000, "n_tracks": 2,
-        "width": 1920, "height": 1080,
+        "width": 1920, "height": 1080, "codecs": "V_VP8,A_OPUS",
     }
     mk = encode_webm_stub(500, 10, 20, doctype=b"matroska")
     assert sniff_media_type(mk) == "video/x-matroska"
@@ -256,3 +257,81 @@ def test_audio_container_meta_df(spark):
     )
     assert got["f1"].mime == "audio/flac" and got["f1"].codec is None
     assert got["n1"].mime is None
+
+
+def test_mp4_codec_inventory():
+    """stsd sample-entry fourccs, per track, in track order — incl. a
+    hand-built vp09+Opus layout (the codecs our decoder does NOT have,
+    exactly what the pre-decode filter must surface)."""
+    from hquery_php_spark.operators.mediameta import _box
+
+    def trak(fourcc):
+        tk = (b"\x00\x00\x00\x07" + struct.pack(">III", 0, 0, 1)
+              + b"\x00" * 4 + struct.pack(">I", 5) + b"\x00" * 52
+              + struct.pack(">II", 0, 0))
+        entry = struct.pack(">I", 16) + fourcc + b"\x00" * 8
+        stsd = _box(b"stsd", b"\x00" * 4 + struct.pack(">I", 1) + entry)
+        mdia = _box(b"mdia", _box(b"minf", _box(b"stbl", stsd)))
+        return _box(b"trak", _box(b"tkhd", tk) + mdia)
+
+    ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 0x200) + b"isommp42")
+    mvhd = _box(b"mvhd", b"\x00" * 4 + struct.pack(">IIII", 0, 0, 1000, 5)
+                + b"\x00" * 80)
+    p = ftyp + _box(b"moov", mvhd + trak(b"vp09") + trak(b"Opus"))
+    assert mp4_meta(p)["codecs"] == "vp09,Opus"
+    # a trak with no stsd contributes nothing (no placeholder)
+    p2 = ftyp + _box(b"moov", mvhd + _box(b"trak", b"") + trak(b"mp4a"))
+    assert mp4_meta(p2)["codecs"] == "mp4a"
+
+
+def test_webm_codec_inventory_from_real_muxer():
+    from hquery_php_spark.operators.mediameta import encode_webm_vp8
+
+    # muxed stream (no frames needed for the Tracks walk)
+    assert webm_meta(encode_webm_vp8(16, 8, []))["codecs"] == "V_VP8"
+
+
+def test_avi_codec_inventory():
+    import numpy as np
+    from hquery_php_spark.operators.avi import (
+        avi_codecs,
+        encode_avi,
+        encode_avi_mjpeg,
+    )
+
+    fr = [np.zeros((3, 4, 3), np.uint8)]
+    assert avi_codecs(encode_avi(fr)) == "DIB"
+    assert avi_codecs(
+        encode_avi(fr, audio=np.zeros(40, np.int64))
+    ) == "DIB,pcm"
+    assert avi_codecs(
+        encode_avi(fr, audio=np.zeros(40, np.uint8), audio_fmt="alaw")
+    ) == "DIB,alaw"
+    assert avi_codecs(
+        encode_avi(fr, audio=np.zeros(40, np.int64), audio_fmt="adpcm")
+    ) == "DIB,ima-adpcm"
+    assert avi_codecs(encode_avi_mjpeg([np.zeros((8, 8), np.uint8)])) == "MJPG"
+    assert avi_codecs(b"not avi") is None
+
+
+def test_video_meta_df_codecs_column(spark):
+    import numpy as np
+    from hquery_php_spark.operators.avi import encode_avi
+    from hquery_php_spark.operators.multimodal import video_meta_df
+
+    rows = [
+        ("m", bytearray(encode_mp4_stub(1000, 64, 32, n_tracks=2))),
+        ("k", bytearray(encode_webm_stub(1000000, 32, 16, n_tracks=2))),
+        ("x", bytearray(encode_avi(
+            [np.zeros((3, 4, 3), np.uint8)],
+            audio=np.zeros(16, np.int64),
+        ))),
+        ("j", bytearray(b"\xff\xd8\xffjunk")),
+    ]
+    df = spark.createDataFrame(rows, "media_id string, payload binary")
+    got = {r["media_id"]: r for r in video_meta_df(df).collect()}
+    assert got["m"]["codecs"] == "avc1,mp4a"
+    assert got["k"]["codecs"] == "V_VP8,A_OPUS"
+    assert got["x"]["codecs"] == "DIB,pcm"
+    assert got["x"]["n_tracks"] == 2
+    assert got["j"]["codecs"] is None
