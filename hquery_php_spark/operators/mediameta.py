@@ -741,6 +741,7 @@ def encode_mp3_stub(
     id3v2_tag_size: Optional[int] = None,
     xing: bool = False,
     id3_frames: Optional[dict] = None,
+    id3_version: int = 3,
 ) -> bytes:
     """Minimal valid MPEG Layer III stream: ``n_frames`` correctly sized
     frames (padding bit alternates per frame so the walker's size
@@ -748,8 +749,11 @@ def encode_mp3_stub(
     optional Xing tag in the first frame.  ``sample_rate`` selects the
     MPEG version; ``bitrate_kbps`` must exist in that version's Layer
     III table.  ``id3_frames`` ({'TIT2': 'title', ...}) emits real
-    ID3v2.3 text frames (ISO-8859-1 encoding byte 0) inside the tag;
-    ``id3v2_tag_size`` then sets the minimum tag size (junk-padded)."""
+    ID3v2 text frames inside the tag — ``id3_version=3`` writes v2.3
+    (plain 32-bit frame sizes, ISO-8859-1 encoding byte 0),
+    ``id3_version=4`` writes v2.4 (SYNCHSAFE frame sizes, UTF-8
+    encoding byte 3); ``id3v2_tag_size`` then sets the minimum tag
+    size (junk-padded)."""
     for vbits, rates in _MP3_RATES.items():
         if sample_rate in rates:
             version_bits = vbits
@@ -766,13 +770,20 @@ def encode_mp3_stub(
     if id3v2_tag_size is not None or id3_frames:
         body = bytearray()
         for fid, text in (id3_frames or {}).items():
-            payload_f = b"\x00" + text.encode("latin-1", "replace")
-            body += fid.encode("ascii") + struct.pack(">I", len(payload_f))
+            if id3_version >= 4:
+                payload_f = b"\x03" + text.encode("utf-8")
+                fl = len(payload_f)
+                fsize = bytes([(fl >> 21) & 0x7F, (fl >> 14) & 0x7F,
+                               (fl >> 7) & 0x7F, fl & 0x7F])
+            else:
+                payload_f = b"\x00" + text.encode("latin-1", "replace")
+                fsize = struct.pack(">I", len(payload_f))
+            body += fid.encode("ascii") + fsize
             body += b"\x00\x00" + payload_f
         pad = max(0, (id3v2_tag_size or 0) - len(body))
         body += bytes((i * 37) % 251 for i in range(pad))
         sz = len(body)
-        out += b"ID3\x03\x00\x00" + bytes(
+        out += b"ID3" + bytes([id3_version]) + b"\x00\x00" + bytes(
             [(sz >> 21) & 0x7F, (sz >> 14) & 0x7F, (sz >> 7) & 0x7F, sz & 0x7F]
         )
         out += body
@@ -826,23 +837,34 @@ def _mp3_meta_impl(payload):
              ((payload[8] & 0x7F) << 7) | (payload[9] & 0x7F)
         pos = 10 + sz
         has_id3 = True
-        # ID3v2.3 text frames inside the tag we would otherwise skip
-        # blindly: 4-char id + 32-bit size + 2 flag bytes, body starts
-        # with an encoding byte (0 = ISO-8859-1, the only one emitted
-        # by the stub writer; others are skipped, not mis-decoded)
+        # ID3v2.3/v2.4 text frames inside the tag we would otherwise
+        # skip blindly: 4-char id + 32-bit size (PLAIN big-endian in
+        # v2.3, SYNCHSAFE 7-bit groups in v2.4 — the classic parser
+        # divergence) + 2 flag bytes; body starts with an encoding byte
+        # (0 = ISO-8859-1, 3 = UTF-8; UTF-16 variants are skipped, not
+        # mis-decoded)
+        id3_ver = payload[3]
         fp = 10
         tag_end = min(10 + sz, n)
         while fp + 10 <= tag_end:
             fid = payload[fp : fp + 4]
             if not all(0x30 <= c <= 0x5A for c in fid):  # padding/junk
                 break
-            (flen,) = struct.unpack_from(">I", payload, fp + 4)
+            s4 = payload[fp + 4 : fp + 8]
+            if id3_ver >= 4:
+                if any(b & 0x80 for b in s4):  # not synchsafe: corrupt
+                    break
+                flen = (s4[0] << 21) | (s4[1] << 14) | (s4[2] << 7) | s4[3]
+            else:
+                (flen,) = struct.unpack_from(">I", payload, fp + 4)
             body = fp + 10
             if flen < 1 or body + flen > tag_end:
                 break
-            if payload[body] == 0:  # ISO-8859-1
+            enc = payload[body]
+            if enc in (0, 3):
                 txt = payload[body + 1 : body + flen].split(b"\x00")[0]
-                val = txt.decode("latin-1")
+                val = txt.decode("utf-8" if enc == 3 else "latin-1",
+                                 "replace")
                 if fid == b"TIT2":
                     title = val
                 elif fid == b"TPE1":

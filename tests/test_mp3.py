@@ -172,3 +172,35 @@ def test_audio_container_meta_df_dispatch(spark):
     assert got["b"]["channels"] == 1 and got["b"]["sample_rate"] == 22050
     assert got["b"]["last_granule"] == 2 * 576
     assert got["c"]["codec"] is None
+
+
+def test_id3v24_synchsafe_frames_and_utf8():
+    """v2.4 frame sizes are SYNCHSAFE (7-bit groups) where v2.3 uses
+    plain 32-bit — a >127-byte frame misparses under the wrong rule —
+    and encoding byte 3 is UTF-8."""
+    from hquery_php_spark.operators.mediameta import encode_mp3_stub, mp3_meta
+
+    long_title = "Пример-" + "x" * 200  # frame body > 127 bytes
+    p = encode_mp3_stub(
+        4, 128, 44100,
+        id3_frames={"TIT2": long_title, "TALB": "Альбом"},
+        id3_version=4,
+    )
+    assert p[3] == 4
+    m = mp3_meta(p)
+    assert m["title"] == long_title and m["album"] == "Альбом"
+    assert m["n_frames"] == 4 and m["has_id3v2"]
+    # a v2.4 tag whose size bytes have the high bit set is corrupt:
+    # the text walk stops, the audio walk is unaffected
+    bad = bytearray(p)
+    bad[14] |= 0x80  # first frame's size byte 0
+    m2 = mp3_meta(bytes(bad))
+    assert m2["title"] is None and m2["n_frames"] == 4
+
+
+def test_id3v23_long_frame_still_plain_size():
+    from hquery_php_spark.operators.mediameta import encode_mp3_stub, mp3_meta
+
+    long_artist = "y" * 300
+    m = mp3_meta(encode_mp3_stub(3, 64, 22050, id3_frames={"TPE1": long_artist}))
+    assert m["artist"] == long_artist
