@@ -177,3 +177,64 @@ def test_webm_truncations_and_soup_never_raise(data):
     bb[pos] ^= data.draw(st.integers(1, 255))
     decode_webm_frames(bytes(bb))
     decode_webm_frames(b"\x1aE\xdf\xa3" + data.draw(st.binary(max_size=200)))
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    tag=st.sampled_from([1, 6, 7, 0x11, 0x55, 2, 0xFFFE]),
+    ch=st.integers(0, 9),
+    bits=st.sampled_from([0, 4, 8, 16, 24, 32, 64]),
+    balign=st.integers(0, 64),
+    fact=st.one_of(st.none(), st.integers(0, 1 << 31)),
+    body=st.binary(max_size=300),
+)
+def test_wav_format_dispatch_never_raises(tag, ch, bits, balign, fact, body):
+    """Structure-aware fuzz of the format-tag dispatch: arbitrary
+    WAVEFORMAT fields over arbitrary data chunks either decode or
+    return None — they never raise (G.711 and ADPCM paths included)."""
+    import struct as _s
+
+    fmt = _s.pack("<HHIIHH", tag, ch, 8000, 8000, balign, bits)
+    chunks = b"WAVE" + b"fmt " + _s.pack("<I", len(fmt)) + fmt
+    if fact is not None:
+        chunks += b"fact" + _s.pack("<II", 4, fact)
+    chunks += b"data" + _s.pack("<I", len(body)) + body
+    payload = b"RIFF" + _s.pack("<I", len(chunks)) + chunks
+    res = decode_wav(payload)
+    if res is not None:
+        rate, samples = res
+        assert samples.ndim == 2
+
+
+@settings(max_examples=120, deadline=None)
+@given(data=st.data())
+def test_avi_audio_truncations_never_raise(data):
+    import numpy as np
+
+    from hquery_php_spark.operators.avi import decode_avi_audio, encode_avi
+
+    fmt = data.draw(st.sampled_from(["pcm16", "ulaw", "alaw", "adpcm"]))
+    n = data.draw(st.integers(1, 600))
+    if fmt in ("ulaw", "alaw"):
+        audio = np.asarray(
+            data.draw(st.lists(st.integers(0, 255), min_size=n, max_size=n)),
+            np.uint8,
+        )
+    else:
+        audio = np.asarray(
+            data.draw(
+                st.lists(
+                    st.integers(-30000, 30000), min_size=n, max_size=n
+                )
+            ),
+            np.int64,
+        )
+    p = encode_avi(
+        [np.zeros((2, 3, 3), np.uint8)], audio=audio, audio_fmt=fmt
+    )
+    cut = data.draw(st.integers(0, len(p)))
+    decode_avi_audio(p[:cut])
+    flip = data.draw(st.integers(0, max(len(p) - 1, 0)))
+    mutated = bytearray(p)
+    mutated[flip] ^= data.draw(st.integers(1, 255))
+    decode_avi_audio(bytes(mutated))
