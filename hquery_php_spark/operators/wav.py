@@ -358,13 +358,20 @@ def _walk_chunks(payload: bytes):
 
 
 def wav_meta(payload: Optional[bytes]) -> Optional[tuple]:
-    """(sample_rate, channels, bits, n_samples) from the container
-    headers alone, or None when not a PCM WAV."""
+    """(sample_rate, channels, bits, n_samples) — bits is the fmt
+    chunk's own bits-per-sample field (8/16/24/32 PCM, 8 for G.711,
+    4 for ADPCM), n_samples the decoded frame count.  None when not a
+    decodable WAV."""
     dec = decode_wav(payload)
     if dec is None:
         return None
     rate, samples = dec
-    return (rate, samples.shape[1], None, samples.shape[0])
+    bits = None
+    for cc, off, size in _walk_chunks(payload):
+        if cc == b"fmt " and size >= 16:
+            bits = struct.unpack_from("<HHIIHH", payload, off)[5]
+            break
+    return (rate, samples.shape[1], bits, samples.shape[0])
 
 
 def decode_wav(payload: Optional[bytes]):

@@ -51,7 +51,7 @@ def test_mono_1d_input_and_meta():
     s = np.arange(-16, 17)
     p = encode_wav(s, 8000, 16)
     assert sniff_media_type(p) == "audio/wav"
-    assert wav_meta(p) == (8000, 1, None, 33)
+    assert wav_meta(p) == (8000, 1, 16, 33)
     _, dec = decode_wav(p)
     assert (dec[:, 0] == s).all()
 
