@@ -12,7 +12,9 @@ with cores the way a 1000-executor fleet needs it to.  local[2]→
 local[8] stays ≤16 OS processes, under the box's SMT ceiling (see
 BASELINE.md "Hardware ceiling").
 
-Usage: python tools/bench_media_scaling.py [N] [sf_dir]
+Usage: python tools/bench_media_scaling.py [N] [sf_dir] [query]
+(query defaults to multimodal_features; audio_stats exercises the
+WAV/FLAC/G.711/ADPCM/AVI-audio decode leg the same way)
 Prints one JSON line.
 """
 
@@ -24,7 +26,7 @@ import sys
 import time
 
 
-def run_level(cpus: int, sf_dir: str, reps: int = 2) -> float:
+def run_level(cpus: int, sf_dir: str, query: str, reps: int = 2) -> float:
     from pyspark.sql import SparkSession
 
     spark = (
@@ -52,7 +54,7 @@ def run_level(cpus: int, sf_dir: str, reps: int = 2) -> float:
     n_rows = 0
     for _ in range(reps):
         t0 = time.perf_counter()
-        n_rows = E.all_queries()["multimodal_features"](spark, sf_dir).count()
+        n_rows = E.all_queries()[query](spark, sf_dir).count()
         dt = time.perf_counter() - t0
         best = dt if best is None else min(best, dt)
     spark.stop()
@@ -64,13 +66,15 @@ def main() -> None:
     sf_dir = sys.argv[2] if len(sys.argv) > 2 else os.environ.get(
         "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
     )
-    t_n, rows = run_level(n, sf_dir)
-    t_4n, _ = run_level(4 * n, sf_dir)
+    query = sys.argv[3] if len(sys.argv) > 3 else "multimodal_features"
+    t_n, rows = run_level(n, sf_dir, query)
+    t_4n, _ = run_level(4 * n, sf_dir, query)
     eff = (t_n / t_4n) / 4
     print(
         json.dumps(
             {
                 "metric": "media_codec_scaling",
+                "query": query,
                 "levels": [n, 4 * n],
                 "n_payloads": rows,
                 "payloads_per_sec": [round(rows / t_n, 1), round(rows / t_4n, 1)],
