@@ -1943,10 +1943,50 @@ def q_media_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a.unionByName(v).unionByName(m).unionByName(am)
 
 
+def _heif_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structurally honest AVIF/HEIC containers (operators/heif.py:
+    real ftyp/meta/iinf/iprp/ipco/ispe trees, garbage mdat padded to a
+    deterministic size) — two of three are AVIF/av01, every third is
+    HEIC/hvc1 (media_id = 'h'<doc_id>).  The meta walk is conformance-
+    pinned against real libavif output in tests/test_heif.py."""
+    import pandas as pd
+    from pyspark.sql.types import BinaryType, StringType, StructField, StructType
+
+    from hquery_php_spark.operators.heif import encode_heif_stub
+
+    d = _spread(_docs(spark, sf_dir), spark).select(
+        F.col("doc_id").cast("long").alias("did")
+    )
+    schema = StructType(
+        [StructField("media_id", StringType()), StructField("payload", BinaryType())]
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            out = {"media_id": [], "payload": []}
+            for did in pdf["did"]:
+                did = int(did)
+                heic = did % 3 == 0
+                out["media_id"].append(f"h{did}")
+                out["payload"].append(
+                    encode_heif_stub(
+                        8 + did % 53,
+                        6 + did % 41,
+                        brand=b"heic" if heic else b"avif",
+                        codec=b"hvc1" if heic else b"av01",
+                        total_bytes=220 + did % 37,
+                    )
+                )
+            yield pd.DataFrame(out)
+
+    return d.mapInPandas(gen, schema)
+
+
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Magic-byte sniff + header dimension parse (PNG IHDR / JPEG SOF0 +
-    SOF2 / GIF logical screen descriptor / WebP VP8L header) over binary
-    payload columns — every image family per doc."""
+    SOF2 / GIF logical screen descriptor / WebP VP8L header / AVIF+HEIC
+    ispe via the ISO-BMFF meta walk) over binary payload columns —
+    every image family per doc."""
     from hquery_php_spark.operators.multimodal import image_meta_df
 
     payloads = (
@@ -1956,6 +1996,7 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(_gif_hdr_payloads(spark, sf_dir))
         .unionByName(_webp_hdr_payloads(spark, sf_dir))
         .unionByName(_tiff_full_payloads(spark, sf_dir))
+        .unionByName(_heif_payloads(spark, sf_dir))
     )
     return image_meta_df(payloads)
 
@@ -3260,13 +3301,16 @@ def q_tpch_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_multimodal_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binary-payload plumbing end-to-end: IHDR metadata sniff (mime,
-    n_bytes) joined with the full decode→pixel-stats path on media_id."""
+    """Binary-payload plumbing end-to-end: header metadata sniff (mime,
+    n_bytes, dims) FULL-joined with the decode→pixel-stats path on
+    media_id — full, not inner, so one-sided families stay in the
+    driver hash (the lossy-VP8 features rows have no header-stub twin,
+    the AVIF/HEIC metadata rows have no decodable pixels)."""
     meta = q_multimodal_meta(spark, sf_dir).select(
         "media_id", "mime", "n_bytes", "orientation"
     )
     feats = q_multimodal_features(spark, sf_dir)
-    return feats.join(meta, "media_id")
+    return feats.join(meta, "media_id", "full")
 
 
 # Which original per-operator queries each consolidated registry entry
@@ -3790,6 +3834,18 @@ def _base_oracle_sql() -> dict[str, str]:
                    CAST(NULL AS INTEGER)
             FROM (SELECT doc_id, 6 + doc_id % 21 AS w, 4 + doc_id % 17 AS h
                   FROM documents)
+            UNION ALL
+            -- AVIF/HEIC rows: the ISO-BMFF meta walk reads ispe dims;
+            -- every third doc is HEIC/hvc1, the rest AVIF/av01; the
+            -- stub pads mdat to an exact total size
+            SELECT 'h' || CAST(doc_id AS VARCHAR),
+                   CASE WHEN doc_id % 3 = 0 THEN 'image/heif'
+                        ELSE 'image/avif' END,
+                   CAST(8 + doc_id % 53 AS INTEGER),
+                   CAST(6 + doc_id % 41 AS INTEGER),
+                   CAST(220 + doc_id % 37 AS INTEGER),
+                   CAST(NULL AS INTEGER)
+            FROM documents
         """,
         # PNG rows: template inversion of _png_full_payloads (decoded
         # sums equal the generating formula summed over the grid).
@@ -4517,12 +4573,13 @@ def oracle_sql() -> dict[str, str]:
         FROM ({base['pricing_summary']})
     """
     out["multimodal_suite"] = f"""
-        SELECT f.media_id, f.width, f.height, f.n_px,
+        SELECT COALESCE(f.media_id, m.media_id) AS media_id,
+               f.width, f.height, f.n_px,
                f.sum_r, f.sum_g, f.sum_b, f.sum_a,
                f.mean_r, f.mean_g, f.mean_b, m.mime, m.n_bytes,
                m.orientation
         FROM ({base['multimodal_features']}) f
-        JOIN ({base['multimodal_meta']}) m ON f.media_id = m.media_id
+        FULL JOIN ({base['multimodal_meta']}) m ON f.media_id = m.media_id
     """
     out["media_suite"] = f"""
         SELECT 'audio' AS fam, media_id AS k1,

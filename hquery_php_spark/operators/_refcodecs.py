@@ -535,3 +535,70 @@ def load_libgif() -> Optional[LibGIF]:
         except OSError:
             pass
     return None
+
+
+class LibAvif:
+    """ctypes shim over the system libavif ENCODER — used only to
+    produce real AVIF files that pin the pure-Python HEIF meta walk
+    (operators/heif.py); never loaded on a production path."""
+
+    def __init__(self, lib):
+        self._lib = lib
+        lib.avifImageCreate.restype = ctypes.c_void_p
+        lib.avifImageCreate.argtypes = [ctypes.c_uint32] * 3 + [ctypes.c_int]
+        lib.avifImageAllocatePlanes.restype = ctypes.c_int
+        lib.avifImageAllocatePlanes.argtypes = [ctypes.c_void_p, ctypes.c_int]
+        lib.avifImageDestroy.argtypes = [ctypes.c_void_p]
+        lib.avifEncoderCreate.restype = ctypes.c_void_p
+        lib.avifEncoderDestroy.argtypes = [ctypes.c_void_p]
+        lib.avifEncoderWrite.restype = ctypes.c_int
+        lib.avifEncoderWrite.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.POINTER(self._RWData)
+        ]
+        lib.avifRWDataFree.argtypes = [ctypes.POINTER(self._RWData)]
+
+    class _RWData(ctypes.Structure):
+        _fields_ = [("data", ctypes.POINTER(ctypes.c_uint8)),
+                    ("size", ctypes.c_size_t)]
+
+    def encode(self, width: int, height: int):
+        """Encode a (zero-plane) YUV420 image of the given size →
+        AVIF bytes, or None on any encoder failure."""
+        lib = self._lib
+        img = lib.avifImageCreate(width, height, 8, 1)  # YUV420
+        if not img:
+            return None
+        try:
+            if lib.avifImageAllocatePlanes(img, 1):  # AVIF_PLANES_YUV
+                return None
+            enc = lib.avifEncoderCreate()
+            if not enc:
+                return None
+            try:
+                out = self._RWData()
+                if lib.avifEncoderWrite(enc, img, ctypes.byref(out)):
+                    return None
+                try:
+                    return ctypes.string_at(out.data, out.size)
+                finally:
+                    lib.avifRWDataFree(ctypes.byref(out))
+            finally:
+                lib.avifEncoderDestroy(enc)
+        finally:
+            lib.avifImageDestroy(img)
+
+
+def load_libavif() -> Optional[LibAvif]:
+    for name in ("libavif.so.15", "libavif.so.16", "libavif.so",
+                 "libavif.dylib"):
+        try:
+            return LibAvif(ctypes.CDLL(name))
+        except OSError:
+            continue
+    path = ctypes.util.find_library("avif")
+    if path:
+        try:
+            return LibAvif(ctypes.CDLL(path))
+        except OSError:
+            pass
+    return None

@@ -98,6 +98,10 @@ def sniff_media_type(payload: Optional[bytes]) -> Optional[str]:
             return "audio/mp4"
         if brand == b"qt  ":
             return "video/quicktime"
+        if brand in (b"avif", b"avis"):
+            return "image/avif"
+        if brand in (b"heic", b"heix", b"hevc", b"heim", b"mif1"):
+            return "image/heif"
         return "video/mp4"
     for magic, mime in _MAGIC:
         if payload.startswith(magic):
@@ -449,10 +453,12 @@ def decode_image(payload: Optional[bytes]):
 
 
 def image_meta_df(df: DataFrame, payload_col: str = "payload") -> DataFrame:
-    """Sniff mime + (PNG IHDR / JPEG SOF) dimensions per row — header
-    parsing only, no pixel decode.  ``orientation`` is the EXIF tag-274
-    value (1..8) for JPEGs carrying an APP1 EXIF block, NULL otherwise —
-    the field a resize stage must consult before touching pixels."""
+    """Sniff mime + header dimensions per row (PNG IHDR / JPEG SOF /
+    GIF LSD / WebP / TIFF IFD / AVIF+HEIC ispe via the ISO-BMFF meta
+    walk) — header parsing only, no pixel decode.  ``orientation`` is
+    the EXIF tag-274 value (1..8) for JPEGs carrying an APP1 EXIF
+    block, NULL otherwise — the field a resize stage must consult
+    before touching pixels."""
     schema = StructType(
         [
             StructField("media_id", StringType()),
@@ -494,6 +500,11 @@ def image_meta_df(df: DataFrame, payload_col: str = "payload") -> DataFrame:
                     from hquery_php_spark.operators.tiff import tiff_dims
 
                     dims = tiff_dims(payload)
+                elif payload and mime in ("image/avif", "image/heif"):
+                    from hquery_php_spark.operators.heif import heif_meta
+
+                    hm = heif_meta(payload)
+                    dims = (hm["width"], hm["height"]) if hm else None
                 else:
                     dims = None
                 out["media_id"].append(mid)
