@@ -505,6 +505,11 @@ def image_meta_df(df: DataFrame, payload_col: str = "payload") -> DataFrame:
 
                     hm = heif_meta(payload)
                     dims = (hm["width"], hm["height"]) if hm else None
+                elif payload and mime == "image/bmp" and len(payload) >= 26:
+                    import struct as _s
+
+                    bw, bh = _s.unpack_from("<ii", payload, 18)
+                    dims = (bw, abs(bh)) if bw > 0 and bh else None
                 else:
                     dims = None
                 out["media_id"].append(mid)

@@ -153,3 +153,23 @@ def test_real_file_through_spark_meta(spark):
     r = image_meta_df(df).collect()[0]
     assert (r["mime"], r["width"], r["height"]) == ("image/avif", 20, 30)
     assert r["n_bytes"] == len(data)
+
+
+def test_image_meta_df_bmp_dims(spark):
+    """BMP header dims (incl. top-down negative-height files) ride the
+    same header-only meta path."""
+    import numpy as np
+
+    from hquery_php_spark.operators.multimodal import image_meta_df
+    from test_gif import _make_bmp
+
+    px = np.zeros((7, 9, 3), np.uint8)
+    rows = [
+        ("b", bytearray(_make_bmp(px, 24))),
+        ("td", bytearray(_make_bmp(px, 24, top_down=True))),
+    ]
+    df = spark.createDataFrame(rows, "media_id string, payload binary")
+    got = {r["media_id"]: r for r in image_meta_df(df).collect()}
+    for k in ("b", "td"):
+        assert got[k]["mime"] == "image/bmp"
+        assert (got[k]["width"], got[k]["height"]) == (9, 7)
