@@ -561,11 +561,13 @@ class LibAvif:
         _fields_ = [("data", ctypes.POINTER(ctypes.c_uint8)),
                     ("size", ctypes.c_size_t)]
 
-    def encode(self, width: int, height: int):
-        """Encode a (zero-plane) YUV420 image of the given size →
-        AVIF bytes, or None on any encoder failure."""
+    def encode(self, width: int, height: int, fmt: int = 3):
+        """Encode a (zero-plane) image of the given size → AVIF bytes,
+        or None on any encoder failure.  ``fmt`` is the avifPixelFormat
+        enum: 1 = YUV444 (AV1 seq_profile 1), 3 = YUV420 (profile 0,
+        the web default)."""
         lib = self._lib
-        img = lib.avifImageCreate(width, height, 8, 1)  # YUV420
+        img = lib.avifImageCreate(width, height, 8, fmt)
         if not img:
             return None
         try:

@@ -108,13 +108,15 @@ def _walk(payload: bytes, start: int, end: int):
 
 
 def heif_meta(payload: Optional[bytes]) -> Optional[dict]:
-    """{'brand', 'codec', 'width', 'height', 'n_items', 'rotation'}
-    from the ISO-BMFF meta tree, or None for non-HEIF bytes.  codec is
-    the primary item's infe type ('av01' for AVIF, 'hvc1' for HEIC);
-    width/height come from the first ispe property; rotation is irot's
-    quarter-turn count (0 when absent) — a consumer must apply it
-    before trusting the aspect ratio, same contract as JPEG EXIF
-    orientation."""
+    """{'brand', 'codec', 'width', 'height', 'n_items', 'rotation',
+    'profile', 'bit_depth', 'monochrome'} from the ISO-BMFF meta tree,
+    or None for non-HEIF bytes.  codec is the primary item's infe type
+    ('av01' for AVIF, 'hvc1' for HEIC); width/height come from the
+    first ispe property; rotation is irot's quarter-turn count (0 when
+    absent) — a consumer must apply it before trusting the aspect
+    ratio, same contract as JPEG EXIF orientation; profile/bit_depth/
+    monochrome decode the av1C configuration record (None for HEIC —
+    hvcC is not parsed)."""
     try:
         return _heif_meta_impl(payload)
     except (struct.error, IndexError, ValueError):
@@ -130,7 +132,8 @@ def _heif_meta_impl(payload):
     ):
         return None
     out = {"brand": payload[8:12].decode("latin-1"), "codec": None,
-           "width": None, "height": None, "n_items": 0, "rotation": 0}
+           "width": None, "height": None, "n_items": 0, "rotation": 0,
+           "profile": None, "bit_depth": None, "monochrome": None}
     for typ, body, end in _walk(payload, 0, len(payload)):
         if typ != b"meta" or end - body < 4:
             continue
@@ -162,6 +165,21 @@ def _heif_meta_impl(payload):
                             out["width"], out["height"] = w, h
                         elif t4 == b"irot" and e4 - b4 >= 1:
                             out["rotation"] = payload[b4] & 3
+                        elif (t4 == b"av1C" and e4 - b4 >= 4
+                              and out["profile"] is None
+                              and payload[b4] & 0x80):
+                            # av1C (AV1CodecConfigurationRecord): byte 1
+                            # = seq_profile(3)|seq_level_idx(5); byte 2 =
+                            # tier|high_bitdepth|twelve_bit|monochrome|
+                            # subsampling_x|subsampling_y|csp(2)
+                            b1, b2_ = payload[b4 + 1], payload[b4 + 2]
+                            out["profile"] = b1 >> 5
+                            hbd = (b2_ >> 6) & 1
+                            twelve = (b2_ >> 5) & 1
+                            out["bit_depth"] = (
+                                12 if hbd and twelve else 10 if hbd else 8
+                            )
+                            out["monochrome"] = bool((b2_ >> 4) & 1)
         break
     if out["width"] is None and out["codec"] is None:
         return None

@@ -47,6 +47,8 @@ def test_stub_roundtrip_avif_and_heic():
     assert heif_meta(p) == {
         "brand": "avif", "codec": "av01", "width": 640, "height": 480,
         "n_items": 1, "rotation": 0,
+        # the stub's av1C carries profile 0 / 8-bit / color
+        "profile": 0, "bit_depth": 8, "monochrome": False,
     }
     h = encode_heif_stub(100, 50, brand=b"heic", codec=b"hvc1", rotation=3)
     assert sniff_media_type(h) == "image/heif"
@@ -140,6 +142,12 @@ def test_walk_reads_real_libavif_files(w, h):
     assert (m["width"], m["height"]) == (w, h)
     assert m["codec"] == "av01" and m["brand"] == "avif"
     assert m["n_items"] >= 1 and m["rotation"] == 0
+    # 8-bit YUV420 → seq_profile 0; 8-bit, color
+    assert (m["profile"], m["bit_depth"], m["monochrome"]) == (0, 8, False)
+    # a YUV444 encode flips the av1C record to seq_profile 1
+    m444 = heif_meta(LIBAVIF.encode(w, h, fmt=1))
+    assert (m444["profile"], m444["bit_depth"]) == (1, 8)
+    assert (m444["width"], m444["height"]) == (w, h)
 
 
 @pin
