@@ -8,7 +8,8 @@ AND progressive SOF2), GIF (``operators/gif.py``, real LZW),
 WebP — BOTH lossless VP8L (``operators/webp.py``: transforms,
 meta-huffman, LZ77, color cache) and lossy VP8 (``operators/vp8.py``:
 full RFC 6386 key-frame decode, bit-exact vs libwebp, incl. ALPH
-alpha) — and uncompressed BMP all decode for REAL; so do WAV/PCM
+alpha) — and uncompressed BMP all decode for REAL (AVIF/HEIC walk
+their meta tree for dims/codec/profile, decode honestly NULL); so do WAV/PCM
 audio (``operators/wav.py``) and GIF-animation / uncompressed-AVI
 video frames (``decode_gif_frames``, ``operators/avi.py``).  Each
 decode UDF:
