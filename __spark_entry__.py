@@ -161,6 +161,9 @@ from hquery_php_spark.operators.pq import (  # noqa: E402
 from hquery_php_spark.operators.dsir import (  # noqa: E402
     dsir_oracle_sql as _dsir_sql,
 )
+from hquery_php_spark.operators.bpe import (  # noqa: E402
+    bpe_suite_oracle_sql as _bpe_sql,
+)
 from hquery_php_spark.operators.graph import (  # noqa: E402
     pagerank_oracle_sql as _pagerank_sql,
 )
@@ -537,6 +540,85 @@ def q_vocab_top(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), F.col("tok"))
         .limit(20)
     )
+
+
+_BPE_MERGES = 16
+_BPE_TOP = 20
+
+
+def _bpe_merges(spark: SparkSession, sf_dir: str):
+    """Train the driver-row merge list (16 rounds over the corpus vocab;
+    driver collects one argmax row per round — parameter-sized)."""
+    from hquery_php_spark.operators.bpe import bpe_train, word_freqs
+
+    return bpe_train(word_freqs(_docs(spark, sf_dir)), _BPE_MERGES)
+
+
+def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer training: one corpus→vocab shuffle,
+    then 16 expression-level merge rounds on the vocab table (pair
+    counts via regexp_extract_all + partial agg; merge apply is ONE
+    non-overlapping replace on the wrapped-symbol string)."""
+    merges = _bpe_merges(spark, sf_dir)
+    return spark.createDataFrame(
+        merges, "rk long, k1 string, k2 string, merged string, n long"
+    )
+
+
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encoded-corpus vocabulary after applying the trained merges: the
+    encode leg is a zero-shuffle chain of JVM replace calls (the
+    mapInPandas twin bpe_encode_map is pinned equal in tests)."""
+    from hquery_php_spark.operators.bpe import bpe_encode_tokens
+
+    merges = _bpe_merges(spark, sf_dir)
+    enc = _spread(_docs(spark, sf_dir), spark).select(
+        F.explode(bpe_encode_tokens(F.col("text"), merges)).alias("tok")
+    )
+    return (
+        enc.groupBy("tok")
+        .agg(F.count("*").cast("long").alias("n"))
+        .orderBy(F.desc("n"), "tok")
+        .limit(_BPE_TOP)
+    )
+
+
+def q_vocab_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary family in one driver row: fam='vocab' rows are the
+    raw top-20 corpus vocabulary, fam='merge' rows the 16 trained BPE
+    merges (rk, lhs, rhs, pair_freq), fam='enc' rows the top-20
+    encoded-corpus tokens — train + encode value-checked end-to-end."""
+    from hquery_php_spark.operators.bpe import bpe_encode_tokens
+
+    vocab = q_vocab_top(spark, sf_dir).select(
+        F.lit("vocab").alias("fam"),
+        F.lit(-1).cast("long").alias("rk"),
+        F.col("tok").alias("k1"),
+        F.lit("").alias("k2"),
+        F.col("n").cast("long").alias("n"),
+    )
+    merges = _bpe_merges(spark, sf_dir)
+    m = spark.createDataFrame(
+        [("merge", r, a, b, c) for r, a, b, _, c in merges],
+        "fam string, rk long, k1 string, k2 string, n long",
+    )
+    enc = _spread(_docs(spark, sf_dir), spark).select(
+        F.explode(bpe_encode_tokens(F.col("text"), merges)).alias("tok")
+    )
+    ev = (
+        enc.groupBy("tok")
+        .agg(F.count("*").cast("long").alias("n"))
+        .orderBy(F.desc("n"), "tok")
+        .limit(_BPE_TOP)
+        .select(
+            F.lit("enc").alias("fam"),
+            F.lit(-1).cast("long").alias("rk"),
+            F.col("tok").alias("k1"),
+            F.lit("").alias("k2"),
+            "n",
+        )
+    )
+    return vocab.unionByName(m).unionByName(ev)
 
 
 def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3333,6 +3415,7 @@ SUITE_COVERS = {
     "sketch_suite": ["cms_heavy_hitters", "hll_distinct", "bloom_screen",
                      "length_quantiles"],
     "logprob_suite": ["unigram_logprob", "bigram_logprob"],
+    "vocab_suite": ["vocab_top", "bpe_train", "bpe_encode"],
     "sample_suite": ["corpus_sample", "mixture_sample"],
     "events_suite": ["events_window", "events_hopping", "events_sessions",
                      "events_topk"],
@@ -3364,6 +3447,8 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_topk": q_similarity_topk,
         "occurrence": q_occurrence,
         "vocab_top": q_vocab_top,
+        "bpe_train": q_bpe_train,
+        "bpe_encode": q_bpe_encode,
         "similarity_ivf": q_similarity_ivf,
         "dedup_minhash": q_dedup_minhash,
         "text_dedup_clusters": q_text_dedup_clusters,
@@ -3472,7 +3557,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_weights": q_dsir_weights,
         "pagerank_hosts": q_pagerank,
         "logprob_suite": q_logprob_suite,
-        "vocab_top": q_vocab_top,
+        "vocab_suite": q_vocab_suite,
         "tfidf_top": q_tfidf_top,
         "bm25_search": q_bm25_search,
         "pmi_collocations": q_pmi_collocations,
@@ -3554,6 +3639,14 @@ def _base_oracle_sql() -> dict[str, str]:
             ORDER BY n DESC, tok
             LIMIT 20
         """,
+        "bpe_train": (
+            "SELECT rk, k1, k2, k1 || k2 AS merged, n "
+            f"FROM ({_bpe_sql(_BPE_MERGES)}) WHERE fam = 'merge'"
+        ),
+        "bpe_encode": (
+            "SELECT k1 AS tok, n "
+            f"FROM ({_bpe_sql(_BPE_MERGES, top_n=_BPE_TOP)}) WHERE fam = 'enc'"
+        ),
         "similarity_topk": """
             SELECT vec_id AS id,
                    round(list_cosine_similarity(
@@ -4410,7 +4503,7 @@ def oracle_sql() -> dict[str, str]:
             "quality_classifier", "redact_pii", "gopher_quality",
             "repetition_stats", "paragraph_dedup", "substring_dedup",
             "dedup_ngram_exact", "simhash", "winnow_fp", "url_dedup",
-            "semantic_dedup", "dsir_weights", "pagerank_hosts", "vocab_top",
+            "semantic_dedup", "dsir_weights", "pagerank_hosts",
             "tfidf_top", "bm25_search", "pmi_collocations", "corpus_stats",
             "domain_cap", "corpus_shuffle", "decontaminate", "curate",
             "pack_sequences", "chunk_documents",
@@ -4440,6 +4533,14 @@ def oracle_sql() -> dict[str, str]:
         )
         + " FROM documents"
     )
+    # vocab family: raw top-20 vocab + BPE trainer merges + encoded vocab
+    out["vocab_suite"] = f"""
+        SELECT 'vocab' AS fam, CAST(-1 AS BIGINT) AS rk, tok AS k1,
+               '' AS k2, CAST(n AS BIGINT) AS n
+        FROM ({base['vocab_top']})
+        UNION ALL
+        SELECT fam, rk, k1, k2, n FROM ({_bpe_sql(_BPE_MERGES, top_n=_BPE_TOP)})
+    """
     out["interleaved_suite"] = f"""
         SELECT s.doc_id, s.ord, s.kind, s.text, s.media_ref, s."offset",
                s.mime, s.width, s.height,

@@ -107,6 +107,8 @@ def main() -> None:
         "length_quantiles",
         "chunk_documents",
         "bigram_logprob",
+        "bpe_train",
+        "bpe_encode",
         # codec throughput: synth + decode 5 payloads/doc (PNG, baseline
         # JPEG, progressive JPEG, GIF, VP8L) through the pure-Python codecs
         "multimodal_features",
