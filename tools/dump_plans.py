@@ -42,6 +42,7 @@ QUERIES = [
     ("pagerank_hosts", "per power-iteration round: ranks-edges join + dst-keyed partial agg, linear in edges"),
     ("length_quantiles", "one (group, bin)-keyed partial agg -> per-group window cumsum over the tiny bin list"),
     ("chunk_documents", "expression-only: tokens projected once, sequence/transform/explode, zero shuffle"),
+    ("bpe_encode", "BPE encode: 16 chained non-overlapping replace calls inside ONE WholeStageCodegen projection (zero shuffle) -> explode -> vocab-keyed partial-agg count; training rounds (not shown) run the same pair-count shape on the vocab table, corpus touched once"),
     ("audio_stats", "one mapInPandas synth + one mapInPandas decode — payloads cross the Arrow boundary once, zero shuffle"),
     ("frame_sample", "demux fan-out: mapInPandas frame sampling (1 row -> n_frames PNGs) chained into mapInPandas pixel stats, zero shuffle"),
     ("media_meta", "container walk only: one mapInPandas over header bytes, no decode, zero shuffle — the filter-before-decode operator"),
