@@ -36,6 +36,7 @@ from .dedup import (
 
 __all__ = [
     "ledger_fingerprints",
+    "write_ledger_bucketed",
     "incremental_dedup_exact",
     "ledger_band_keys",
     "incremental_dedup_near",
@@ -50,6 +51,44 @@ def ledger_fingerprints(
     whitespace-normalized, case-folded text (16 bytes per document at
     rest, the only thing future batches ever touch)."""
     return df.select(fingerprint(F.col(text_col)).alias("fp")).distinct()
+
+
+def write_ledger_bucketed(
+    ledger: DataFrame,
+    table: str,
+    n_buckets: int = 64,
+    path: str | None = None,
+    fp_col: str = "fp",
+) -> None:
+    """Persist the ledger as a BUCKETED, bucket-sorted parquet table —
+    the at-rest layout the module docstring promises.
+
+    With the ledger hash-bucketed by ``fp``, each batch's anti-join
+    reads the catalog bucketing and satisfies the join's required
+    distribution from the FILE LAYOUT: only the (small) batch side
+    shuffles — into ``n_buckets`` partitions — while the (corpus-sized)
+    ledger streams straight from its buckets, every batch, forever.
+    That is the difference between per-batch cost ∝ batch and per-batch
+    cost ∝ corpus.  Pinned by tests/test_spark_extras.py's plan fact:
+    exactly one Exchange (the batch side) under a forced SortMergeJoin,
+    and the ledger scan reports its bucket count.
+
+    ``path`` makes the table external (files under ``path``, metadata in
+    the session catalog); on a real cluster the same write against a
+    persistent metastore — or an Iceberg ``bucket(n, fp)`` partition
+    transform — is the durable equivalent.  ``sortBy(fp)`` additionally
+    sorts within buckets so the merge side skips its Sort at read when
+    Spark can prove per-file ordering (single file per bucket).
+    """
+    w = (
+        ledger.write.mode("overwrite")
+        .format("parquet")
+        .bucketBy(n_buckets, fp_col)
+        .sortBy(fp_col)
+    )
+    if path is not None:
+        w = w.option("path", path)
+    w.saveAsTable(table)
 
 
 def incremental_dedup_exact(

@@ -1023,6 +1023,63 @@ def test_incremental_dedup_exact_contract(spark):
     assert out == {11: 2, 13: 1}
 
 
+def test_incremental_dedup_bucketed_ledger_no_ledger_shuffle(spark, tmp_path):
+    """The at-rest ledger layout the module promises, made real: a
+    bucketBy(fp) table lets every batch's anti-join stream the ledger
+    straight from its buckets — under a forced SortMergeJoin the plan
+    carries exactly ONE Exchange (the batch side, into the bucket
+    count), and results equal the plain-DataFrame ledger path."""
+    from hquery_php_spark.operators.incremental import (
+        incremental_dedup_exact,
+        ledger_fingerprints,
+        write_ledger_bucketed,
+    )
+    from hquery_php_spark.plans import explain_str
+
+    corpus = spark.createDataFrame(
+        [(i, f"old doc number {i}") for i in range(50)],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [(100 + i, f"old doc number {i}") for i in range(10)]
+        + [(200 + i, f"fresh doc {i}") for i in range(5)],
+        "doc_id long, text string",
+    )
+    ledger = ledger_fingerprints(corpus)
+    write_ledger_bucketed(
+        ledger, "fp_ledger", n_buckets=8, path=str(tmp_path / "ledger")
+    )
+    try:
+        out = incremental_dedup_exact(batch, spark.table("fp_ledger"))
+        expected = {
+            (r.keep_id, r.n_dups)
+            for r in incremental_dedup_exact(batch, ledger).collect()
+        }
+        old_thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        old_sp = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        # shuffle partitions == bucket count: the batch agg's own shuffle
+        # then already satisfies the join's bucket distribution, so the
+        # WHOLE job carries exactly one Exchange — the ledger-join recipe
+        # at scale (set shuffle partitions to the ledger's bucket count)
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        try:
+            out = incremental_dedup_exact(batch, spark.table("fp_ledger"))
+            plan = explain_str(out, "formatted")
+            got = {(r.keep_id, r.n_dups) for r in out.collect()}
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thr)
+            spark.conf.set("spark.sql.shuffle.partitions", old_sp)
+        assert got == expected and len(got) == 5
+        assert "SortMergeJoin" in plan, plan
+        # formatted mode names each node twice (tree + detail); "(n) Exchange"
+        # detail headers count physical Exchange nodes once each
+        assert plan.count(") Exchange") == 1, plan
+        assert "SelectedBucketsCount: 8 out of 8" in plan, plan
+    finally:
+        spark.sql("DROP TABLE IF EXISTS fp_ledger")
+
+
 def test_incremental_dedup_near_lockstep(spark):
     """Spark near-dup ledger screening and the generated DuckDB twin
     agree on survivors (exact ledger copies always drop)."""
