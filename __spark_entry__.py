@@ -164,6 +164,9 @@ from hquery_php_spark.operators.dsir import (  # noqa: E402
 from hquery_php_spark.operators.bpe import (  # noqa: E402
     bpe_suite_oracle_sql as _bpe_sql,
 )
+from hquery_php_spark.operators.pipeline import (  # noqa: E402
+    pack_interleaved_oracle_sql as _pack_interleaved_sql,
+)
 from hquery_php_spark.operators.graph import (  # noqa: E402
     pagerank_oracle_sql as _pagerank_sql,
 )
@@ -2620,6 +2623,43 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences(d, max_tokens=512, n_shards=8)
 
 
+def q_pack_interleaved(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal sequence packing over the interleaved spans table:
+    cost = text tokens + 64 per media span (fixed vision-token budget);
+    oversize docs flagged pack_no = -1, the rest cut at running-cost
+    boundaries with the pack_sequences recurrence."""
+    from hquery_php_spark.operators.pipeline import pack_interleaved
+
+    spans = extract_spans_df(_synth(spark, sf_dir)).select(
+        F.col("doc_id").cast("string").alias("doc_id"), "spans"
+    )
+    return pack_interleaved(
+        spans, max_tokens=512, media_token_cost=64, n_shards=8
+    )
+
+
+def q_pack_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-batch assembly family in one driver row: fam='seq' rows
+    are text-only sequence packing (cost = token count), fam='mm' rows
+    multimodal interleaved packing (cost charges each media span a fixed
+    vision-token budget; oversize docs → pack_no = -1)."""
+    seq = q_pack_sequences(spark, sf_dir).select(
+        F.lit("seq").alias("fam"),
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.col("n_tokens").cast("long").alias("cost"),
+        F.col("shard").cast("long").alias("shard"),
+        F.col("pack_no").cast("long").alias("pack_no"),
+    )
+    mm = q_pack_interleaved(spark, sf_dir).select(
+        F.lit("mm").alias("fam"),
+        "doc_id",
+        F.col("cost").cast("long").alias("cost"),
+        F.col("shard").cast("long").alias("shard"),
+        F.col("pack_no").cast("long").alias("pack_no"),
+    )
+    return seq.unionByName(mm)
+
+
 def q_interleaved_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """North-rule interleaved assembly: the ordered span sequence with
     every img media ref RESOLVED against the media table (png header
@@ -3416,6 +3456,7 @@ SUITE_COVERS = {
                      "length_quantiles"],
     "logprob_suite": ["unigram_logprob", "bigram_logprob"],
     "vocab_suite": ["vocab_top", "bpe_train", "bpe_encode"],
+    "pack_suite": ["pack_sequences", "pack_interleaved"],
     "sample_suite": ["corpus_sample", "mixture_sample"],
     "events_suite": ["events_window", "events_hopping", "events_sessions",
                      "events_topk"],
@@ -3487,6 +3528,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_logprob": q_unigram_logprob,
         "corpus_sample": q_corpus_sample,
         "pack_sequences": q_pack_sequences,
+        "pack_interleaved": q_pack_interleaved,
         "interleaved_docs": q_interleaved_docs,
         "interleaved_stats": q_interleaved_stats,
         "multimodal_meta": q_multimodal_meta,
@@ -3567,7 +3609,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_shuffle": q_corpus_shuffle,
         "decontaminate": q_decontaminate,
         "curate": q_curate,
-        "pack_sequences": q_pack_sequences,
+        "pack_suite": q_pack_suite,
         "chunk_documents": q_chunk_documents,
         "events_suite": q_events_suite,
         "tpch_suite": q_tpch_suite,
@@ -3846,6 +3888,13 @@ def _base_oracle_sql() -> dict[str, str]:
         "unigram_logprob": _ULP_SQL,
         "corpus_sample": _CORPUS_SAMPLE_SQL,
         "pack_sequences": _PACK_SQL,
+        "pack_interleaved": _pack_interleaved_sql(
+            "SELECT CAST(doc_id AS VARCHAR) AS doc_id, ord, kind, text, "
+            "media_ref FROM (" + expected_spans_sql("documents") + ")",
+            max_tokens=512,
+            media_token_cost=64,
+            n_shards=8,
+        ),
         "interleaved_docs": (
             "SELECT s.doc_id, s.ord, s.kind, s.text, s.media_ref, s.\"offset\", "
             "m.mime, m.width, m.height "
@@ -4506,9 +4555,19 @@ def oracle_sql() -> dict[str, str]:
             "semantic_dedup", "dsir_weights", "pagerank_hosts",
             "tfidf_top", "bm25_search", "pmi_collocations", "corpus_stats",
             "domain_cap", "corpus_shuffle", "decontaminate", "curate",
-            "pack_sequences", "chunk_documents",
+            "chunk_documents",
         )
     }
+    # training-batch assembly family: text packing + multimodal packing
+    out["pack_suite"] = f"""
+        SELECT 'seq' AS fam, CAST(doc_id AS VARCHAR) AS doc_id,
+               CAST(n_tokens AS BIGINT) AS cost, CAST(shard AS BIGINT) AS shard,
+               CAST(pack_no AS BIGINT) AS pack_no
+        FROM ({base['pack_sequences']})
+        UNION ALL
+        SELECT 'mm' AS fam, doc_id, cost, shard, pack_no
+        FROM ({base['pack_interleaved']})
+    """
     out["charset_suite"] = f"""
         SELECT d.doc_id, d.sniffed, x.text, x."offset", x.decoded_from
         FROM (SELECT doc_id, charset AS sniffed FROM ({base['charset_detect']})) d

@@ -109,6 +109,7 @@ def main() -> None:
         "bigram_logprob",
         "bpe_train",
         "bpe_encode",
+        "pack_interleaved",
         # codec throughput: synth + decode 5 payloads/doc (PNG, baseline
         # JPEG, progressive JPEG, GIF, VP8L) through the pure-Python codecs
         "multimodal_features",

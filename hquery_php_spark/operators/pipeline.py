@@ -47,6 +47,8 @@ __all__ = [
     "split_tail_repartition",
     "partition_metrics",
     "resume_filter",
+    "pack_interleaved",
+    "pack_interleaved_oracle_sql",
 ]
 
 SPAN_STRUCT = StructType(
@@ -359,6 +361,101 @@ SELECT doc_id, n_tokens, shard,
                     ROWS UNBOUNDED PRECEDING) - n_tokens)
                    / {max_tokens}) AS BIGINT) AS pack_no
 FROM t
+"""
+
+
+def pack_interleaved(
+    spans_df: DataFrame,
+    max_tokens: int,
+    media_token_cost: int = 64,
+    id_col: str = "doc_id",
+    n_shards: int = 64,
+) -> DataFrame:
+    """Multimodal sequence packing over the north-rule interleaved table
+    shape (doc_id, spans: array<struct<kind,text,media_ref,offset>>).
+
+    A vision-language training batch charges every media span a FIXED
+    token budget (the projector emits ``media_token_cost`` tokens per
+    image regardless of pixels — the Flamingo/LLaVA recipe), so a doc's
+    packing cost is::
+
+        cost = token_count(reassembled text) + media_token_cost · n_media
+
+    computed with the same zero-shuffle array expressions as
+    ``interleaved_doc_stats`` — no explode.  Docs whose single-doc cost
+    exceeds ``max_tokens`` cannot fit any sequence; they get
+    ``pack_no = -1`` (the chunker's input queue) instead of silently
+    overflowing a pack.  Fitting docs run ``pack_sequences``'s exact
+    recurrence — shard by the portable id hash, deterministic order,
+    pack cuts at running-cost boundaries — one shuffle, per-shard
+    windows, engine-portable."""
+    from ..functions.text import portable_row_hash, token_count
+
+    sp = F.col("spans")
+    texts = F.filter(sp, lambda s: s["kind"] == "text")
+    main_text = F.concat_ws(" ", F.transform(texts, lambda s: s["text"]))
+    n_media = F.size(F.filter(sp, lambda s: s["kind"] == "media"))
+    cost = (token_count(main_text) + F.lit(media_token_cost) * n_media).cast(
+        "long"
+    )
+    d = spans_df.select(
+        F.col(id_col).alias("id"), cost.alias("cost")
+    ).withColumn(
+        "shard", F.pmod(portable_row_hash(F.col("id")), F.lit(n_shards))
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = d.where(F.col("cost") <= max_tokens).withColumn(
+        "pack_no",
+        F.floor((F.sum("cost").over(w) - F.col("cost")) / F.lit(max_tokens)),
+    )
+    oversize = d.where(F.col("cost") > max_tokens).withColumn(
+        "pack_no", F.lit(-1).cast("long")
+    )
+    return packed.unionByName(oversize).select(
+        F.col("id").alias(id_col), "cost", "shard", "pack_no"
+    )
+
+
+def pack_interleaved_oracle_sql(
+    spans_sql: str,
+    max_tokens: int,
+    media_token_cost: int = 64,
+    n_shards: int = 64,
+) -> str:
+    """ANSI-SQL twin of ``pack_interleaved``; ``spans_sql`` yields the
+    EXPLODED span rows (doc_id VARCHAR, ord, kind, text, media_ref)."""
+    from ..functions.text import SQL as TSQL
+    from ..functions.text import portable_row_hash_sql
+
+    h = portable_row_hash_sql("doc_id")
+    tc = TSQL.token_count("main_text")
+    return f"""
+WITH s AS ({spans_sql}),
+agg AS (
+  SELECT doc_id,
+         coalesce(string_agg(text, ' ' ORDER BY ord)
+                  FILTER (WHERE kind = 'text'), '') AS main_text,
+         count(*) FILTER (WHERE kind = 'media') AS n_media
+  FROM s GROUP BY doc_id
+),
+c AS (
+  SELECT doc_id,
+         CAST(({tc}) + {media_token_cost} * n_media AS BIGINT) AS cost,
+         CAST(({h}) % {n_shards} AS BIGINT) AS shard
+  FROM agg
+)
+SELECT doc_id, cost, shard,
+       CAST(floor((sum(cost) OVER (PARTITION BY shard ORDER BY doc_id
+                    ROWS UNBOUNDED PRECEDING) - cost)
+                   / {max_tokens}) AS BIGINT) AS pack_no
+FROM c WHERE cost <= {max_tokens}
+UNION ALL
+SELECT doc_id, cost, shard, CAST(-1 AS BIGINT) AS pack_no
+FROM c WHERE cost > {max_tokens}
 """
 
 

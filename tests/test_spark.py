@@ -655,6 +655,47 @@ def test_pack_sequences_bounds(spark):
     assert diff == 0
 
 
+def test_pack_interleaved_media_cost_and_oversize(spark):
+    """Multimodal packing: each media span costs the fixed vision-token
+    budget, docs that cannot fit one sequence get pack_no = -1, fitting
+    docs obey the contiguous-offset pack bound."""
+    from hquery_php_spark.operators.pipeline import pack_interleaved
+
+    def doc(did, n_words, n_media):
+        spans = [("text", " ".join(f"w{i}" for i in range(n_words)), None, 0)]
+        spans += [("media", "", f"m{j}.png", 10 + j) for j in range(n_media)]
+        return (did, spans)
+
+    rows = [doc(f"d{i}", 5 + i % 20, i % 3) for i in range(200)]
+    rows.append(doc("huge_text", 500, 0))      # text alone exceeds MAX
+    rows.append(doc("media_wall", 1, 10))      # 1 + 10*64 > MAX
+    df = spark.createDataFrame(
+        rows,
+        "doc_id string, spans array<struct<kind:string,text:string,"
+        "media_ref:string,offset:int>>",
+    )
+    MAX, MC = 256, 64
+    out = pack_interleaved(df, max_tokens=MAX, media_token_cost=MC, n_shards=4)
+    got = {r.doc_id: r for r in out.collect()}
+    assert len(got) == 202
+    # cost arithmetic: tokens + 64/media
+    assert got["media_wall"].cost == 1 + 10 * MC
+    for i in (3, 47, 101):
+        assert got[f"d{i}"].cost == (5 + i % 20) + (i % 3) * MC
+    # oversize flagged, never packed
+    assert got["huge_text"].pack_no == -1 and got["media_wall"].pack_no == -1
+    # fitting docs obey the pack bound
+    packs = (
+        out.where(F.col("pack_no") >= 0)
+        .groupBy("shard", "pack_no")
+        .agg(F.sum("cost").alias("tot"), F.max("cost").alias("mx"))
+        .collect()
+    )
+    assert packs
+    for p in packs:
+        assert p.tot < MAX + p.mx, (p.shard, p.pack_no, p.tot)
+
+
 def test_paragraph_dedup(spark):
     """Corpus-wide first occurrence survives; later repeats vanish
     (within AND across docs); fully-duplicated docs come back empty."""
