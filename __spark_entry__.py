@@ -164,6 +164,9 @@ from hquery_php_spark.operators.dsir import (  # noqa: E402
 from hquery_php_spark.operators.bpe import (  # noqa: E402
     bpe_suite_oracle_sql as _bpe_sql,
 )
+from hquery_php_spark.operators.perceptron import (  # noqa: E402
+    perceptron_oracle_sql as _perceptron_sql,
+)
 from hquery_php_spark.operators.pipeline import (  # noqa: E402
     pack_interleaved_oracle_sql as _pack_interleaved_sql,
 )
@@ -2209,6 +2212,98 @@ def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CLF_BUCKETS = 32
+_CLF_EPOCHS = 3
+
+
+def _clf_label(col):
+    """Weak supervision for classifier training: the (already exact)
+    Gopher pass flag at the synthetic corpus's relaxed thresholds."""
+    from hquery_php_spark.functions.text import gopher_quality
+
+    return gopher_quality(col, min_words=10, min_stop_hits=1)["passes"]
+
+
+def _clf_label_sql() -> str:
+    return TSQL.gopher_fields("text", min_words=10, min_stop_hits=1)["passes"]
+
+
+def _clf_weights(spark: SparkSession, sf_dir: str):
+    from hquery_php_spark.operators.perceptron import train_perceptron
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", "text", _clf_label(F.col("text")).alias("label")
+    )
+    return train_perceptron(
+        d, n_buckets=_CLF_BUCKETS, epochs=_CLF_EPOCHS
+    )
+
+
+def q_classifier_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed integer-perceptron training of the hashed-linear
+    quality classifier (weak labels = Gopher pass flag): per epoch one
+    vocab-bounded score agg + one delta agg; the ≤ n_buckets + 1 delta
+    rows are all the driver collects."""
+    w = _clf_weights(spark, sf_dir)
+    return spark.createDataFrame(
+        [(i, int(x)) for i, x in enumerate(w)], "b long, w long"
+    )
+
+
+def q_classifier_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inference with the TRAINED weight table — the same zero-shuffle
+    expression tree as quality_classifier, trained weights as an array
+    literal."""
+    from hquery_php_spark.operators.perceptron import score_with_weights
+
+    w = _clf_weights(spark, sf_dir)
+    s = score_with_weights(F.col("text"), w, _CLF_BUCKETS)
+    return (
+        _docs(spark, sf_dir)
+        .withColumn("s", s)
+        .select(
+            F.col("doc_id").cast("string").alias("doc_id"),
+            F.col("s.n_tokens").alias("n_tokens"),
+            F.col("s.score_micro").alias("score_micro"),
+            F.col("s.keep").alias("keep"),
+        )
+    )
+
+
+def q_classifier_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filtering end to end in one driver row:
+    fam='score' rows the stand-in hashed-linear scores, fam='w' the
+    perceptron-trained integer weight table (bias at b = n_buckets),
+    fam='pred' predictions under the trained weights."""
+    from hquery_php_spark.operators.perceptron import score_with_weights
+
+    score = q_quality_classifier(spark, sf_dir).select(
+        F.lit("score").alias("fam"),
+        F.col("doc_id").cast("string").alias("id"),
+        F.col("n_tokens").cast("int").alias("n_tokens"),
+        F.col("score_micro").cast("long").alias("score_micro"),
+        F.col("keep").cast("int").alias("keep"),
+    )
+    w = _clf_weights(spark, sf_dir)
+    wdf = spark.createDataFrame(
+        [("w", str(i), 0, int(x), 0) for i, x in enumerate(w)],
+        "fam string, id string, n_tokens int, score_micro long, keep int",
+    )
+    s = score_with_weights(F.col("text"), w, _CLF_BUCKETS)
+    pred = (
+        _docs(spark, sf_dir)
+        .withColumn("s", s)
+        .select(
+            F.lit("pred").alias("fam"),
+            F.col("doc_id").cast("string").alias("id"),
+            F.col("s.n_tokens").cast("int").alias("n_tokens"),
+            F.col("s.score_micro").cast("long").alias("score_micro"),
+            F.col("s.keep").cast("int").alias("keep"),
+        )
+    )
+    return score.unionByName(wdf).unionByName(pred)
+
+
 def q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrub over texts with deterministic synthetic PII appended
     (template inversion: doc_id%3 selects email / phone+ip / clean), so
@@ -3457,6 +3552,8 @@ SUITE_COVERS = {
     "logprob_suite": ["unigram_logprob", "bigram_logprob"],
     "vocab_suite": ["vocab_top", "bpe_train", "bpe_encode"],
     "pack_suite": ["pack_sequences", "pack_interleaved"],
+    "classifier_suite": ["quality_classifier", "classifier_train",
+                         "classifier_pred"],
     "sample_suite": ["corpus_sample", "mixture_sample"],
     "events_suite": ["events_window", "events_hopping", "events_sessions",
                      "events_topk"],
@@ -3512,6 +3609,8 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "paragraph_dedup": q_paragraph_dedup,
         "substring_dedup": q_substring_dedup,
         "quality_classifier": q_quality_classifier,
+        "classifier_train": q_classifier_train,
+        "classifier_pred": q_classifier_pred,
         "mixture_sample": q_mixture_sample,
         "decontaminate": q_decontaminate,
         "repetition_stats": q_repetition_stats,
@@ -3579,7 +3678,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interleaved_suite": q_interleaved_suite,
         "dedup_exact": q_dedup_exact,
         "text_profile": q_text_profile,
-        "quality_classifier": q_quality_classifier,
+        "classifier_suite": q_classifier_suite,
         "redact_pii": q_redact_pii,
         "gopher_quality": q_gopher_quality,
         "repetition_stats": q_repetition_stats,
@@ -3685,6 +3784,12 @@ def _base_oracle_sql() -> dict[str, str]:
             "SELECT rk, k1, k2, k1 || k2 AS merged, n "
             f"FROM ({_bpe_sql(_BPE_MERGES)}) WHERE fam = 'merge'"
         ),
+        "classifier_train": _perceptron_sql(
+            _clf_label_sql(), n_buckets=_CLF_BUCKETS, epochs=_CLF_EPOCHS
+        )[0],
+        "classifier_pred": _perceptron_sql(
+            _clf_label_sql(), n_buckets=_CLF_BUCKETS, epochs=_CLF_EPOCHS
+        )[1],
         "bpe_encode": (
             "SELECT k1 AS tok, n "
             f"FROM ({_bpe_sql(_BPE_MERGES, top_n=_BPE_TOP)}) WHERE fam = 'enc'"
@@ -4549,7 +4654,7 @@ def oracle_sql() -> dict[str, str]:
             "extract_spans", "selector_counts", "media_refs", "find_counts",
             "pseudo_slices", "boilerplate_strip", "exclude_text", "dl_extract",
             "pdf_extract", "training_pipeline", "dedup_exact",
-            "quality_classifier", "redact_pii", "gopher_quality",
+            "redact_pii", "gopher_quality",
             "repetition_stats", "paragraph_dedup", "substring_dedup",
             "dedup_ngram_exact", "simhash", "winnow_fp", "url_dedup",
             "semantic_dedup", "dsir_weights", "pagerank_hosts",
@@ -4592,6 +4697,21 @@ def oracle_sql() -> dict[str, str]:
         )
         + " FROM documents"
     )
+    # model-based quality filtering: stand-in scores + trained weights
+    # + predictions under the trained table
+    out["classifier_suite"] = f"""
+        SELECT 'score' AS fam, CAST(doc_id AS VARCHAR) AS id,
+               CAST(n_tokens AS INT) AS n_tokens,
+               CAST(score_micro AS BIGINT) AS score_micro,
+               CAST(keep AS INT) AS keep
+        FROM ({base['quality_classifier']})
+        UNION ALL
+        SELECT 'w', CAST(b AS VARCHAR), 0, CAST(w AS BIGINT), 0
+        FROM ({base['classifier_train']})
+        UNION ALL
+        SELECT 'pred', doc_id, n_tokens, score_micro, keep
+        FROM ({base['classifier_pred']})
+    """
     # vocab family: raw top-20 vocab + BPE trainer merges + encoded vocab
     out["vocab_suite"] = f"""
         SELECT 'vocab' AS fam, CAST(-1 AS BIGINT) AS rk, tok AS k1,

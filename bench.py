@@ -110,6 +110,7 @@ def main() -> None:
         "bpe_train",
         "bpe_encode",
         "pack_interleaved",
+        "classifier_train",
         # codec throughput: synth + decode 5 payloads/doc (PNG, baseline
         # JPEG, progressive JPEG, GIF, VP8L) through the pure-Python codecs
         "multimodal_features",
