@@ -1,0 +1,105 @@
+#!/usr/bin/env python
+"""Production entrypoint: interleaved spans table → packed training shards.
+
+The batch-assembly leg as one resumable spark-submit job: read the
+north-rule spans shape (doc_id, spans: array<struct<kind,text,
+media_ref,offset>>), cost every document as text tokens + a fixed
+vision-token budget per media span, cut ≤ max-tokens training sequences
+with the deterministic shard+window recurrence, and append the
+assignment partitioned by shard — the layout a training loader reads
+shard-parallel:
+
+    python -c "import shutil; shutil.make_archive('/tmp/hquery_php_spark', 'zip', '.', 'hquery_php_spark')"
+    spark-submit --py-files /tmp/hquery_php_spark.zip \
+        jobs/pack_job.py \
+        --input  /path/spans.parquet \
+        --output /path/packs \
+        [--max-tokens 8192] [--media-token-cost 64] [--shards 64]
+
+Resume: a consumed-id ledger (--output + "_ledger", written AFTER the
+data commit) makes re-submits skip everything already packed — including
+oversize docs (pack_no = -1), which produce no pack but must not be
+re-examined forever.  Pack numbers are assigned within each run's
+remainder and offset past the committed per-shard maximum, so a resumed
+or incremental run APPENDS new packs instead of colliding with committed
+ones; packs never mix documents from different runs (a sequence is built
+from one run's cohort either way).  The crash window between data and
+ledger commits is closed by the committed-output anti-join, the
+extract/curate job discipline.
+"""
+
+import argparse
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--id-col", default="doc_id")
+    ap.add_argument("--max-tokens", type=int, default=8192)
+    ap.add_argument("--media-token-cost", type=int, default=64)
+    ap.add_argument("--shards", type=int, default=64)
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    spark = SparkSession.builder.appName("hquery-pack").getOrCreate()
+
+    from hquery_php_spark.operators.pipeline import pack_interleaved
+    from hquery_php_spark.sources.reader import read_done_ids
+
+    ledger_path = args.output.rstrip("/") + "_ledger"
+    docs = spark.read.parquet(args.input)
+    consumed = read_done_ids(spark, ledger_path)
+    if consumed is not None:
+        docs = docs.join(
+            consumed.withColumnRenamed("doc_id", "__done").distinct(),
+            docs[args.id_col] == F.col("__done"),
+            "left_anti",
+        )
+
+    out = pack_interleaved(
+        docs,
+        max_tokens=args.max_tokens,
+        media_token_cost=args.media_token_cost,
+        id_col=args.id_col,
+        n_shards=args.shards,
+    ).withColumnRenamed(args.id_col, "doc_id")
+
+    # committed packs: offset this run's pack numbers past the per-shard
+    # maximum (oversize stays -1), and close the data/ledger crash window
+    done = read_done_ids(spark, args.output)
+    if done is not None:
+        prior = spark.read.parquet(args.output).groupBy("shard").agg(
+            (F.max("pack_no") + 1).alias("__off")
+        )
+        out = (
+            out.join(prior, "shard", "left")
+            .withColumn(
+                "pack_no",
+                F.when(F.col("pack_no") < 0, F.col("pack_no")).otherwise(
+                    F.col("pack_no") + F.greatest(
+                        F.coalesce(F.col("__off"), F.lit(0)), F.lit(0)
+                    )
+                ),
+            )
+            .drop("__off")
+        )
+        out = out.join(
+            done.withColumnRenamed("doc_id", "__done").distinct(),
+            out["doc_id"] == F.col("__done"),
+            "left_anti",
+        )
+    out.select("doc_id", "cost", "shard", "pack_no").write.mode(
+        "append"
+    ).partitionBy("shard").parquet(args.output)
+    # ledger AFTER the data commit: ledger row present => doc committed
+    docs.select(F.col(args.id_col).alias("doc_id")).write.mode(
+        "append"
+    ).parquet(ledger_path)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -142,3 +142,81 @@ def test_curate_job_submit_and_resume(tmp_path):
     subprocess.run(cmd, check=True, capture_output=True, env=env, timeout=600)
     n2 = duckdb.sql(f"SELECT count(*) FROM '{out}/*.parquet'").fetchone()[0]
     assert n2 == n1
+
+
+def _spans_table(ids):
+    """North-rule spans rows: text span + (i % 3) media spans, plus two
+    planted oversize docs (huge text / media wall)."""
+    rows = []
+    for i in ids:
+        spans = [
+            {"kind": "text",
+             "text": " ".join(f"w{i}x{j}" for j in range(8 + i % 30)),
+             "media_ref": None, "offset": 0}
+        ] + [
+            {"kind": "media", "text": "", "media_ref": f"m{i}_{j}.png",
+             "offset": 10 + j}
+            for j in range(i % 3)
+        ]
+        rows.append({"doc_id": f"d{i}", "spans": spans})
+    return rows
+
+
+def test_pack_job_submit_resume_and_increment(tmp_path):
+    """Packaged batch-assembly job via spark-submit: one run packs the
+    spans table into ≤max-token shards (oversize flagged -1), a second
+    submit is a no-op, and an INCREMENTAL batch appends packs offset
+    past each shard's committed maximum — never colliding."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rows = _spans_table(range(150))
+    rows.append({"doc_id": "huge", "spans": [
+        {"kind": "text", "text": " ".join(f"t{j}" for j in range(500)),
+         "media_ref": None, "offset": 0}]})
+    rows.append({"doc_id": "wall", "spans": [
+        {"kind": "media", "text": "", "media_ref": f"w{j}.png",
+         "offset": j} for j in range(5)]})
+    inp = str(tmp_path / "spans.parquet")
+    pq.write_table(pa.Table.from_pylist(rows), inp)
+    out = str(tmp_path / "packs")
+    zipf = shutil.make_archive(str(tmp_path / "pkg"), "zip", REPO,
+                               "hquery_php_spark")
+    MAX = 256
+    cmd = [
+        "spark-submit", "--master", "local[4]", "--py-files", zipf,
+        os.path.join(REPO, "jobs", "pack_job.py"),
+        "--input", inp, "--output", out,
+        "--max-tokens", str(MAX), "--media-token-cost", "64",
+        "--shards", "4",
+    ]
+    env = dict(os.environ, PYTHONPATH=REPO)
+    subprocess.run(cmd, check=True, capture_output=True, env=env, timeout=600)
+    got = duckdb.sql(
+        f"SELECT * FROM read_parquet('{out}/*/*.parquet', "
+        f"hive_partitioning=true)").df()
+    assert len(got) == 152 and got["doc_id"].nunique() == 152
+    over = got.set_index("doc_id")["pack_no"]
+    assert over["huge"] == -1 and over["wall"] == -1
+    packs = got[got.pack_no >= 0].groupby(["shard", "pack_no"])["cost"]
+    assert ((packs.sum() - packs.max()) < MAX).all()
+    # re-submit: resume ledger leaves nothing to pack (incl. oversize)
+    subprocess.run(cmd, check=True, capture_output=True, env=env, timeout=600)
+    n2 = duckdb.sql(
+        f"SELECT count(*) FROM read_parquet('{out}/*/*.parquet', "
+        f"hive_partitioning=true)").fetchone()[0]
+    assert n2 == 152
+    # incremental batch: packs append past each shard's committed max
+    pq.write_table(pa.Table.from_pylist(rows + _spans_table(range(200, 240))),
+                   inp)
+    subprocess.run(cmd, check=True, capture_output=True, env=env, timeout=600)
+    g3 = duckdb.sql(
+        f"SELECT * FROM read_parquet('{out}/*/*.parquet', "
+        f"hive_partitioning=true)").df()
+    assert len(g3) == 192 and g3["doc_id"].nunique() == 192
+    old = got[got.pack_no >= 0]
+    new = g3[~g3.doc_id.isin(got.doc_id)]
+    for sh, grp in new[new.pack_no >= 0].groupby("shard"):
+        prior = old[old.shard == sh]
+        if len(prior):
+            assert grp.pack_no.min() > prior.pack_no.max(), (sh, grp)
