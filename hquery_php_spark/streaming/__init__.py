@@ -3,6 +3,7 @@
 from .pipeline import (  # noqa: F401
     streaming_dedup_exact,
     streaming_distinct_hll,
+    streaming_incremental_dedup,
     streaming_extract_spans,
     streaming_sessionize,
     streaming_span_metrics,

@@ -28,6 +28,7 @@ __all__ = [
     "streaming_span_metrics",
     "streaming_sessionize",
     "streaming_dedup_exact",
+    "streaming_incremental_dedup",
     "streaming_distinct_hll",
 ]
 
@@ -173,6 +174,42 @@ def streaming_dedup_exact(
     return keyed.groupBy("fp").applyInPandasWithState(
         fn, out_schema, state_schema, "append", timeout
     )
+
+
+def streaming_incremental_dedup(
+    docs: DataFrame,
+    ledger: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ledger_fp_col: str = "fp",
+) -> DataFrame:
+    """Stream-side of ``incremental.incremental_dedup_exact``: suppress
+    incoming documents whose content fingerprint is already in the
+    AT-REST ledger of the accepted corpus — a stream-STATIC left-anti
+    join, so no ledger state ever enters the state store (the corpus
+    would not fit; the ledger table is the state).
+
+    Emits the surviving (doc_id, fp) rows.  With the ledger persisted
+    by ``incremental.write_ledger_bucketed`` each micro-batch probe
+    satisfies the join distribution from the file layout — only the
+    micro-batch shuffles, every batch, forever.  NOTE the stream-static
+    join re-reads the ledger per micro-batch (Spark's documented
+    semantics), which is exactly what an appended-to ledger wants:
+    survivors committed by the batch appender become visible to later
+    micro-batches without restarting the stream.  Duplicates WITHIN the
+    stream are the stateful ``streaming_dedup_exact``'s job — compose
+    this (vs history) with that (vs the live stream) for full coverage.
+    """
+    from ..functions.text import fingerprint
+
+    if not docs.isStreaming:
+        raise ValueError("expected a streaming DataFrame (readStream source)")
+    b = docs.select(
+        F.col(id_col).alias("doc_id"),
+        fingerprint(F.col(text_col)).alias("fp"),
+    )
+    led = ledger.select(F.col(ledger_fp_col).alias("fp"))
+    return b.join(led, "fp", "left_anti")
 
 
 def streaming_sessionize(

@@ -277,6 +277,72 @@ def test_streaming_dedup_exact(spark, tmp_path):
         streaming_dedup_exact(b1)
 
 
+def test_streaming_incremental_dedup_vs_bucketed_ledger(spark, tmp_path):
+    """Streamed docs anti-join the at-rest fingerprint ledger (bucketed
+    table); ledger rows appended between micro-batches are honored by
+    the NEXT batch without a stream restart (stream-static semantics)."""
+    from hquery_php_spark.operators.incremental import (
+        ledger_fingerprints,
+        write_ledger_bucketed,
+    )
+    from hquery_php_spark.streaming import streaming_incremental_dedup
+
+    src_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    corpus = spark.createDataFrame(
+        [("h1", "historic doc one"), ("h2", "historic doc two")],
+        ["doc_id", "text"],
+    )
+    write_ledger_bucketed(
+        ledger_fingerprints(corpus), "stream_fp_ledger", n_buckets=4,
+        path=str(tmp_path / "ledger"),
+    )
+    try:
+        b1 = spark.createDataFrame(
+            [("n1", "fresh content"), ("d1", "Historic   DOC one")],
+            ["doc_id", "text"],
+        )
+        b1.write.parquet(src_dir)
+
+        def run():
+            stream = spark.readStream.schema(b1.schema).parquet(src_dir)
+            q = (
+                streaming_incremental_dedup(
+                    stream, spark.table("stream_fp_ledger")
+                )
+                .writeStream.format("parquet")
+                .option("checkpointLocation", ckpt)
+                .option("path", out_dir)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+
+        run()
+        got1 = {r.doc_id for r in spark.read.parquet(out_dir).collect()}
+        assert got1 == {"n1"}  # d1 normalizes to the ledgered h1 fp
+
+        # append n1's fp to the ledger (the batch appender's commit),
+        # then stream a copy of n1 plus a new doc: the grown ledger must
+        # suppress the copy in the NEXT micro-batch, no restart needed
+        ledger_fingerprints(
+            spark.createDataFrame([("n1", "fresh content")], ["doc_id", "text"])
+        ).write.mode("append").insertInto("stream_fp_ledger")
+        spark.createDataFrame(
+            [("n2", "FRESH    content"), ("n3", "truly novel")],
+            ["doc_id", "text"],
+        ).write.mode("append").parquet(src_dir)
+        run()
+        got2 = {r.doc_id for r in spark.read.parquet(out_dir).collect()}
+        assert got2 == {"n1", "n3"}
+        with pytest.raises(ValueError):
+            streaming_incremental_dedup(b1, spark.table("stream_fp_ledger"))
+    finally:
+        spark.sql("DROP TABLE IF EXISTS stream_fp_ledger")
+
+
 def test_revenue_join_uses_broadcast(spark):
     """The 25-row nation dim must hash-broadcast, not sort-merge."""
     import __spark_entry__ as E
