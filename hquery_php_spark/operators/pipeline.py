@@ -403,19 +403,22 @@ def pack_interleaved(
     ).withColumn(
         "shard", F.pmod(portable_row_hash(F.col("id")), F.lit(n_shards))
     )
+    # ONE pass for both branches: every row rides the shard window, but
+    # only fitting costs enter the cumsum (oversize rows contribute 0
+    # and take pack_no = -1) — no union, no second scan of the (at
+    # 10^12 docs, expensive) spans subtree
     w = (
         Window.partitionBy("shard")
         .orderBy("id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    packed = d.where(F.col("cost") <= max_tokens).withColumn(
-        "pack_no",
-        F.floor((F.sum("cost").over(w) - F.col("cost")) / F.lit(max_tokens)),
+    fit_cost = F.when(F.col("cost") <= max_tokens, F.col("cost")).otherwise(
+        F.lit(0).cast("long")
     )
-    oversize = d.where(F.col("cost") > max_tokens).withColumn(
-        "pack_no", F.lit(-1).cast("long")
+    pack_no = F.when(F.col("cost") > max_tokens, F.lit(-1).cast("long")).otherwise(
+        F.floor((F.sum(fit_cost).over(w) - F.col("cost")) / F.lit(max_tokens))
     )
-    return packed.unionByName(oversize).select(
+    return d.withColumn("pack_no", pack_no).select(
         F.col("id").alias(id_col), "cost", "shard", "pack_no"
     )
 
@@ -449,13 +452,13 @@ c AS (
   FROM agg
 )
 SELECT doc_id, cost, shard,
-       CAST(floor((sum(cost) OVER (PARTITION BY shard ORDER BY doc_id
-                    ROWS UNBOUNDED PRECEDING) - cost)
-                   / {max_tokens}) AS BIGINT) AS pack_no
-FROM c WHERE cost <= {max_tokens}
-UNION ALL
-SELECT doc_id, cost, shard, CAST(-1 AS BIGINT) AS pack_no
-FROM c WHERE cost > {max_tokens}
+       CASE WHEN cost > {max_tokens} THEN CAST(-1 AS BIGINT)
+            ELSE CAST(floor(
+              (sum(CASE WHEN cost <= {max_tokens} THEN cost ELSE 0 END)
+                 OVER (PARTITION BY shard ORDER BY doc_id
+                       ROWS UNBOUNDED PRECEDING) - cost)
+              / {max_tokens}) AS BIGINT) END AS pack_no
+FROM c
 """
 
 

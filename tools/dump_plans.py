@@ -43,6 +43,8 @@ QUERIES = [
     ("length_quantiles", "one (group, bin)-keyed partial agg -> per-group window cumsum over the tiny bin list"),
     ("chunk_documents", "expression-only: tokens projected once, sequence/transform/explode, zero shuffle"),
     ("bpe_encode", "BPE encode: 16 chained non-overlapping replace calls inside ONE WholeStageCodegen projection (zero shuffle) -> explode -> vocab-keyed partial-agg count; training rounds (not shown) run the same pair-count shape on the vocab table, corpus touched once"),
+    ("pack_interleaved", "multimodal packing: per-doc cost (text tokens + fixed media budget) as pure array expressions over the spans column — no explode — then ONE shard shuffle + per-shard window; oversize rows ride the SAME window with 0 cumsum contribution (single pass, no union, no second scan of the spans subtree)"),
+    ("classifier_pred", "trained-classifier inference: weight table rides as an array literal inside the scan projection — zero shuffle, zero joins; training epochs (not shown) are two vocab-bounded partial aggs each"),
     ("audio_stats", "one mapInPandas synth + one mapInPandas decode — payloads cross the Arrow boundary once, zero shuffle"),
     ("frame_sample", "demux fan-out: mapInPandas frame sampling (1 row -> n_frames PNGs) chained into mapInPandas pixel stats, zero shuffle"),
     ("media_meta", "container walk only: one mapInPandas over header bytes, no decode, zero shuffle — the filter-before-decode operator"),
