@@ -430,7 +430,13 @@ def pack_interleaved_oracle_sql(
     n_shards: int = 64,
 ) -> str:
     """ANSI-SQL twin of ``pack_interleaved``; ``spans_sql`` yields the
-    EXPLODED span rows (doc_id VARCHAR, ord, kind, text, media_ref)."""
+    EXPLODED span rows (doc_id VARCHAR, ord, kind, text, media_ref).
+
+    Contract edge: a document whose ``spans`` ARRAY is empty packs at
+    cost 0 on the Spark side but is invisible to this twin (it has no
+    exploded row to aggregate) — the driver corpus guarantees ≥1 span
+    per doc; callers with genuinely empty docs should drop them
+    upstream (they carry nothing to train on either way)."""
     from ..functions.text import SQL as TSQL
     from ..functions.text import portable_row_hash_sql
 

@@ -137,3 +137,43 @@ def test_empty_doc_scores_bias_only(spark):
         .collect()[0]["s"]
     )
     assert row["n_tokens"] == 0 and row["score_micro"] == w[-1]
+
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.text(alphabet="abc ", min_size=0, max_size=24),
+            st.integers(min_value=0, max_value=1),
+        ),
+        min_size=2,
+        max_size=16,
+    ),
+    st.integers(min_value=1, max_value=3),
+)
+def test_fuzz_train_vs_reference_and_twin(spark, docs, epochs):
+    """Random tiny corpora (degenerate labels, empty texts, ties
+    included): Spark training equals the independent reference AND the
+    DuckDB twin, weights and predictions both."""
+    rows = [(f"d{i}", t, y) for i, (t, y) in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id string, text string, label int")
+    B = 8
+    w = train_perceptron(df, n_buckets=B, epochs=epochs)
+    assert w == _ref_train(rows, B, epochs)
+    con = duckdb.connect()
+    con.register("docs_pd", pd.DataFrame(rows, columns=["doc_id", "text", "label"]))
+    con.execute("CREATE VIEW documents AS SELECT * FROM docs_pd")
+    wsql, psql = perceptron_oracle_sql("label", n_buckets=B, epochs=epochs)
+    ow = con.execute(wsql).df().sort_values("b").reset_index(drop=True)
+    assert list(ow.w) == w
+    sp = (
+        df.select("doc_id", score_with_weights(F.col("text"), w, B).alias("s"))
+        .select("doc_id", "s.n_tokens", "s.score_micro", "s.keep")
+        .toPandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    op = con.execute(psql).df().sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(sp, op)

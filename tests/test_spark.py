@@ -956,3 +956,71 @@ def test_global_order_index(spark):
     assert [by_pos[i] for i in range(200)] == ranked
     out2 = global_order_index(df.repartition(5), n_ranges=8).collect()
     assert {(r.doc_id, r.pos) for r in out2} == {(r.doc_id, r.pos) for r in out}
+
+
+def test_pack_interleaved_duckdb_lockstep_fuzz(spark):
+    """Randomized spans tables (empty docs, media-only docs, ties at the
+    pack boundary): Spark packing equals the generated SQL twin row for
+    row, dtype-exact."""
+    import random
+
+    import duckdb
+    import pandas as pd
+
+    from hquery_php_spark.operators.pipeline import (
+        pack_interleaved,
+        pack_interleaved_oracle_sql,
+    )
+
+    rng = random.Random(421)
+    for trial in range(3):
+        max_tokens = rng.choice([32, 64, 128])
+        rows, flat = [], []
+        for i in range(rng.randint(5, 60)):
+            did = f"d{i}"
+            n_words = rng.choice([0, 1, rng.randint(2, 40), 200])
+            n_media = rng.choice([0, 0, 1, 2, 5])
+            spans = []
+            if n_words:
+                txt = " ".join(f"t{i}x{j}" for j in range(n_words))
+                spans.append(
+                    {"kind": "text", "text": txt, "media_ref": None, "offset": 0}
+                )
+            spans += [
+                {"kind": "media", "text": "", "media_ref": f"m{i}_{j}",
+                 "offset": 5 + j}
+                for j in range(n_media)
+            ]
+            rows.append((did, spans))
+            for o, s in enumerate(spans):
+                flat.append((did, o, s["kind"], s["text"], s["media_ref"]))
+        df = spark.createDataFrame(
+            rows,
+            "doc_id string, spans array<struct<kind:string,text:string,"
+            "media_ref:string,offset:int>>",
+        )
+        sp = (
+            pack_interleaved(df, max_tokens=max_tokens, media_token_cost=16,
+                             n_shards=4)
+            .toPandas().sort_values("doc_id").reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.register(
+            "spans_pd",
+            pd.DataFrame(flat, columns=["doc_id", "ord", "kind", "text",
+                                        "media_ref"]),
+        )
+        op = (
+            con.execute(pack_interleaved_oracle_sql(
+                "SELECT * FROM spans_pd", max_tokens=max_tokens,
+                media_token_cost=16, n_shards=4))
+            .df().sort_values("doc_id").reset_index(drop=True)
+        )
+        # docs with NO spans at all produce no SQL group row; Spark also
+        # keeps them only if the spans array row exists — both sides see
+        # every doc here (arrays may be empty but rows exist)... except
+        # SQL, which aggregates the EXPLODED rows: align on the docs the
+        # twin can see
+        sp = sp[sp.doc_id.isin(set(op.doc_id))].reset_index(drop=True)
+        assert sp.dtypes.tolist() == op.dtypes.tolist(), (trial,)
+        pd.testing.assert_frame_equal(sp, op)
