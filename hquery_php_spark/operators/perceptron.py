@@ -130,17 +130,28 @@ def train_perceptron(
             )
             mis = scores.where(
                 (F.col("score") >= 0).cast("int") != F.col("label")
-            ).select("id", (F.col("label") * 2 - 1).alias("dir"))
+            ).select("id", (F.col("label") * 2 - 1).cast("long").alias("dir"))
+            # ONE job per epoch: bucket deltas and the bias delta (a
+            # synthetic b = n_buckets row per misclassified doc) share
+            # the same partial agg and the same ≤ n_buckets + 1 collect
             deltas = (
                 feats.join(mis, "id")
+                .select(
+                    F.col("b").cast("long").alias("b"),
+                    (F.col("dir") * F.col("cnt")).alias("d"),
+                )
+                .unionByName(
+                    mis.select(
+                        F.lit(n_buckets).cast("long").alias("b"),
+                        F.col("dir").alias("d"),
+                    )
+                )
                 .groupBy("b")
-                .agg(F.sum(F.col("dir") * F.col("cnt")).alias("d"))
+                .agg(F.sum("d").alias("d"))
                 .collect()
             )
-            bias_d = mis.agg(F.sum("dir").alias("d")).collect()[0]["d"] or 0
             for r in deltas:
                 w[int(r["b"])] += lr * int(r["d"])
-            w[-1] += lr * int(bias_d)
         return w
     finally:
         feats.unpersist()
