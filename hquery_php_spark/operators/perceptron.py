@@ -57,6 +57,7 @@ __all__ = [
     "token_bucket_counts",
     "train_perceptron",
     "score_with_weights",
+    "calibrate_keep_threshold",
     "perceptron_oracle_sql",
 ]
 
@@ -178,6 +179,38 @@ def score_with_weights(
         score.alias("score_micro"),
         (score >= 0).cast("int").alias("keep"),
     )
+
+
+def calibrate_keep_threshold(
+    scored: DataFrame,
+    keep_pct: int,
+    score_col: str = "score_micro",
+    bin_width: int = 100,
+) -> int:
+    """Integer score threshold keeping ≈ ``keep_pct`` percent of the
+    corpus — production quality gates are tuned to a keep RATE ("drop
+    the worst 30%"), not a raw score.  Composes the trained scores with
+    the engine-exact binned-quantile sketch (sketches.binned_quantiles:
+    one (group, bin) partial-agg shuffle, state independent of corpus
+    size), so the calibrated threshold is deterministic on any engine
+    or cluster and off by at most ``bin_width`` micro-units (the
+    histogram trade).  Keep decision: score ≥ threshold.  Returns the
+    threshold; at least ``keep_pct``% of rows score ≥ it (guaranteed by
+    the sketch's lower-edge convention), pinned in tests."""
+    from .sketches import binned_quantiles
+
+    p = 100 - max(0, min(100, keep_pct))
+    if p == 0:
+        row = scored.agg(F.min(F.col(score_col).cast("long"))).collect()
+        return int(row[0][0])
+    out = binned_quantiles(
+        scored.select(F.lit("all").alias("g"), F.col(score_col)),
+        value_col=score_col,
+        group_col="g",
+        bin_width=bin_width,
+        qs=(p,),
+    ).collect()
+    return int(out[0][f"p{p}"])
 
 
 def _sql_bucket(n_buckets: int) -> str:

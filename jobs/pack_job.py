@@ -39,6 +39,8 @@ def main() -> None:
     ap.add_argument("--max-tokens", type=int, default=8192)
     ap.add_argument("--media-token-cost", type=int, default=64)
     ap.add_argument("--shards", type=int, default=64)
+    ap.add_argument("--metrics", default=None,
+                    help="metrics sidecar path (default <output>_metrics)")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -91,9 +93,25 @@ def main() -> None:
             out["doc_id"] == F.col("__done"),
             "left_anti",
         )
-    out.select("doc_id", "cost", "shard", "pack_no").write.mode(
-        "append"
-    ).partitionBy("shard").parquet(args.output)
+    out = out.select("doc_id", "cost", "shard", "pack_no").persist()
+    out.write.mode("append").partitionBy("shard").parquet(args.output)
+    # per-shard lineage metrics (the extract-job sidecar discipline):
+    # each run appends its own accounting row per shard, so the sidecar
+    # sums to every committed doc across resumes
+    (
+        out.groupBy("shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.count_distinct(
+                F.when(F.col("pack_no") >= 0, F.col("pack_no"))
+            ).alias("n_packs"),
+            F.sum("cost").alias("total_cost"),
+            F.sum((F.col("pack_no") < 0).cast("long")).alias("n_oversize"),
+        )
+        .write.mode("append")
+        .parquet(args.metrics or args.output.rstrip("/") + "_metrics")
+    )
+    out.unpersist()
     # ledger AFTER the data commit: ledger row present => doc committed
     docs.select(F.col(args.id_col).alias("doc_id")).write.mode(
         "append"

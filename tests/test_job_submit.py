@@ -214,6 +214,12 @@ def test_pack_job_submit_resume_and_increment(tmp_path):
         f"SELECT * FROM read_parquet('{out}/*/*.parquet', "
         f"hive_partitioning=true)").df()
     assert len(g3) == 192 and g3["doc_id"].nunique() == 192
+    # lineage sidecar: per-shard metric rows across all runs account for
+    # every committed doc exactly once
+    m = duckdb.sql(f"SELECT * FROM '{out}_metrics/*.parquet'").df()
+    assert m["n_docs"].sum() == 192
+    assert m["n_oversize"].sum() == 2
+    assert m["total_cost"].sum() == g3["cost"].sum()
     old = got[got.pack_no >= 0]
     new = g3[~g3.doc_id.isin(got.doc_id)]
     for sh, grp in new[new.pack_no >= 0].groupby("shard"):

@@ -177,3 +177,19 @@ def test_fuzz_train_vs_reference_and_twin(spark, docs, epochs):
     )
     op = con.execute(psql).df().sort_values("doc_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(sp, op)
+
+
+def test_calibrate_keep_threshold(spark):
+    """Threshold keeps at least the requested fraction, overshooting by
+    at most the threshold bin's own population (histogram granularity)."""
+    from hquery_php_spark.operators.perceptron import calibrate_keep_threshold
+
+    scores = [(f"d{i}", (i * 37) % 1000 - 300) for i in range(500)]
+    df = spark.createDataFrame(scores, "doc_id string, score_micro long")
+    for keep in (100, 70, 30, 5):
+        thr = calibrate_keep_threshold(df, keep, bin_width=50)
+        vals = [s for _, s in scores]
+        kept = sum(1 for v in vals if v >= thr) / len(vals)
+        in_bin = sum(1 for v in vals if thr <= v < thr + 50) / len(vals)
+        assert kept >= keep / 100 - 1e-9, (keep, thr, kept)
+        assert kept <= keep / 100 + in_bin + 1e-9, (keep, thr, kept, in_bin)
