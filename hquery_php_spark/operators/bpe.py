@@ -219,7 +219,7 @@ def bpe_train_batched(
         "i -> struct(syms[i - 1] AS a, syms[i] AS b))"
     )
     merges: List[Tuple[int, str, str, str, int]] = []
-    rounds = 0
+    since_ckpt = 0
     while len(merges) < n_merges:
         cap = min(batch, n_merges - len(merges))
         pairs = (
@@ -242,7 +242,11 @@ def bpe_train_batched(
             a, b = r["a"], r["b"]
             if len(picked) >= cap:
                 break
-            if a in used or b in used:
+            # a pair is skipped if it touches a symbol another picked
+            # pair consumes OR creates — including via its own merged
+            # token (a+b colliding with a picked source/created symbol
+            # would make the round's replaces order-dependent)
+            if a in used or b in used or (a + b) in used:
                 continue
             picked.append((a, b, int(r["cnt"])))
             used.update((a, b, a + b))
@@ -254,9 +258,14 @@ def bpe_train_batched(
             pat, rep = _merge_pat(a, b)
             col = F.replace(col, F.lit(pat), F.lit(rep))
         w = w.withColumn("enc", col)
-        rounds += 1
-        if rounds % checkpoint_every == 0:
+        # cadence counts MERGES, not rounds (a round nests up to
+        # ``batch`` replaces; a round-based count would accumulate
+        # batch × checkpoint_every chained calls and blow the codegen
+        # method-size limit at exactly the scale this variant targets)
+        since_ckpt += len(picked)
+        if since_ckpt >= checkpoint_every:
             w = w.localCheckpoint()
+            since_ckpt = 0
     return merges
 
 

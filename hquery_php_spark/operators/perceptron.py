@@ -202,6 +202,8 @@ def calibrate_keep_threshold(
     p = 100 - max(0, min(100, keep_pct))
     if p == 0:
         row = scored.agg(F.min(F.col(score_col).cast("long"))).collect()
+        if row[0][0] is None:
+            raise ValueError("calibrate_keep_threshold: no scored rows")
         return int(row[0][0])
     out = binned_quantiles(
         scored.select(F.lit("all").alias("g"), F.col(score_col)),
@@ -210,6 +212,8 @@ def calibrate_keep_threshold(
         bin_width=bin_width,
         qs=(p,),
     ).collect()
+    if not out:
+        raise ValueError("calibrate_keep_threshold: no scored rows")
     return int(out[0][f"p{p}"])
 
 

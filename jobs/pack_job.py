@@ -72,8 +72,12 @@ def main() -> None:
     # committed packs: offset this run's pack numbers past the per-shard
     # maximum (oversize stays -1), and close the data/ledger crash window
     done = read_done_ids(spark, args.output)
+    committed_before = None
     if done is not None:
-        prior = spark.read.parquet(args.output).groupBy("shard").agg(
+        # snapshot of the PRE-append output: the file index is captured
+        # at read time, so this frame never sees this run's own append
+        committed_before = spark.read.parquet(args.output)
+        prior = committed_before.groupBy("shard").agg(
             (F.max("pack_no") + 1).alias("__off")
         )
         out = (
@@ -93,13 +97,37 @@ def main() -> None:
             out["doc_id"] == F.col("__done"),
             "left_anti",
         )
-    out = out.select("doc_id", "cost", "shard", "pack_no").persist()
+    # localCheckpoint (not persist): both frames' lineage reads the
+    # output dir, and a lazy or evicted-and-recomputed frame would
+    # re-list the directory AFTER this run's own append and see our new
+    # files (observed: the incremental batch double-metered itself) —
+    # checkpointing truncates the lineage so the pre-append content is
+    # pinned
+    out = out.select("doc_id", "cost", "shard", "pack_no").localCheckpoint()
+    recovered = None
+    if committed_before is not None:
+        # crash-window recovery rows: docs committed by a run that died
+        # before its metrics/ledger writes = committed rows whose ids
+        # survived the consumed-ledger filter
+        recovered = (
+            committed_before.join(
+                docs.select(F.col(args.id_col).alias("doc_id")), "doc_id"
+            )
+            .select("doc_id", "cost", "shard", "pack_no")
+            .localCheckpoint()
+        )
     out.write.mode("append").partitionBy("shard").parquet(args.output)
     # per-shard lineage metrics (the extract-job sidecar discipline):
-    # each run appends its own accounting row per shard, so the sidecar
-    # sums to every committed doc across resumes
+    # each run appends its own accounting rows, so the sidecar sums to
+    # every committed doc across resumes.  A crash in the data→metrics
+    # window would orphan docs (committed, unmetered, unledgered); those
+    # are exactly the committed rows whose ids this run still sees past
+    # the consumed-ledger filter — re-meter them here, so the sidecar
+    # heals on resume (their data stays deduped by the anti-join above,
+    # their ledger rows land below with the rest of `docs`).
+    metered = out if recovered is None else out.unionByName(recovered)
     (
-        out.groupBy("shard")
+        metered.groupBy("shard")
         .agg(
             F.count("*").alias("n_docs"),
             F.count_distinct(
@@ -111,7 +139,6 @@ def main() -> None:
         .write.mode("append")
         .parquet(args.metrics or args.output.rstrip("/") + "_metrics")
     )
-    out.unpersist()
     # ledger AFTER the data commit: ledger row present => doc committed
     docs.select(F.col(args.id_col).alias("doc_id")).write.mode(
         "append"

@@ -226,3 +226,16 @@ def test_pack_job_submit_resume_and_increment(tmp_path):
         prior = old[old.shard == sh]
         if len(prior):
             assert grp.pack_no.min() > prior.pack_no.max(), (sh, grp)
+    # crash-window healing: simulate a run that died AFTER the data
+    # commit but BEFORE metrics+ledger (delete both sidecars) — the next
+    # submit must re-meter the orphaned docs without duplicating data
+    shutil.rmtree(f"{out}_metrics")
+    shutil.rmtree(f"{out}_ledger")
+    subprocess.run(cmd, check=True, capture_output=True, env=env, timeout=600)
+    g4 = duckdb.sql(
+        f"SELECT * FROM read_parquet('{out}/*/*.parquet', "
+        f"hive_partitioning=true)").df()
+    assert len(g4) == 192 and g4["doc_id"].nunique() == 192
+    m4 = duckdb.sql(f"SELECT * FROM '{out}_metrics/*.parquet'").df()
+    assert m4["n_docs"].sum() == 192
+    assert m4["total_cost"].sum() == g4["cost"].sum()

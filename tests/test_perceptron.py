@@ -193,3 +193,12 @@ def test_calibrate_keep_threshold(spark):
         in_bin = sum(1 for v in vals if thr <= v < thr + 50) / len(vals)
         assert kept >= keep / 100 - 1e-9, (keep, thr, kept)
         assert kept <= keep / 100 + in_bin + 1e-9, (keep, thr, kept, in_bin)
+
+
+def test_calibrate_empty_input_raises(spark):
+    from hquery_php_spark.operators.perceptron import calibrate_keep_threshold
+
+    empty = spark.createDataFrame([], "doc_id string, score_micro long")
+    for keep in (100, 50):
+        with pytest.raises(ValueError, match="no scored rows"):
+            calibrate_keep_threshold(empty, keep)
