@@ -552,6 +552,19 @@ _BPE_MERGES = 16
 _BPE_TOP = 20
 
 
+def _docs_cache_key(sf_dir: str) -> tuple:
+    """Fit-memo key: corpus dir PLUS the documents file's size+mtime —
+    the IVF index-cache staleness rule (a fit from a regenerated
+    testdata set must never be reused)."""
+    import os
+
+    try:
+        st = os.stat(f"{sf_dir}/{_DOCS}")
+        return (sf_dir, st.st_size, int(st.st_mtime))
+    except OSError:
+        return (sf_dir, 0, 0)
+
+
 _BPE_MERGE_CACHE: dict = {}
 
 
@@ -563,10 +576,11 @@ def _bpe_merges(spark: SparkSession, sf_dir: str):
     index-cache precedent)."""
     from hquery_php_spark.operators.bpe import bpe_train, word_freqs
 
-    got = _BPE_MERGE_CACHE.get(sf_dir)
+    key = _docs_cache_key(sf_dir)
+    got = _BPE_MERGE_CACHE.get(key)
     if got is None:
         got = bpe_train(word_freqs(_docs(spark, sf_dir)), _BPE_MERGES)
-        _BPE_MERGE_CACHE[sf_dir] = got
+        _BPE_MERGE_CACHE[key] = got
     return got
 
 
@@ -724,9 +738,13 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # long-lived session leaks its shingle/candidate caches.  A scale
     # deployment writes `out` to a table and unpersists the registry; the
     # harness equivalent of that sink is this driver materialization.
-    rows = out.collect()
-    for cached in reg:
-        cached.unpersist()
+    try:
+        rows = out.collect()
+    finally:
+        # a failed collect must still release the caches — leaking them
+        # defeats the release discipline in a long-lived session
+        for cached in reg:
+            cached.unpersist()
     return spark.createDataFrame(rows, out.schema)
 
 
@@ -983,10 +1001,18 @@ def q_charset_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("html"),
     )
     spans = extract_spans_df(d, base_url_col=None)
-    return explode_spans(spans.select("doc_id", "spans")).where(
-        F.col("kind") == "text"
-    ).select("doc_id", "text", "offset").join(
-        spans.select("doc_id", "charset"), "doc_id"
+    # one posexplode keeping the charset column — a self-join of two
+    # branches of the same mapInPandas output would run the per-doc
+    # extraction twice (no common-subplan reuse in the DataFrame API)
+    return (
+        spans.select("doc_id", "charset", F.posexplode("spans").alias("ord", "span"))
+        .where(F.col("span.kind") == "text")
+        .select(
+            "doc_id",
+            F.col("span.text").alias("text"),
+            F.col("span.offset").alias("offset"),
+            "charset",
+        )
     )
 
 
@@ -2242,7 +2268,8 @@ _CLF_WEIGHT_CACHE: dict = {}
 
 
 def _clf_weights(spark: SparkSession, sf_dir: str):
-    got = _CLF_WEIGHT_CACHE.get(sf_dir)
+    key = _docs_cache_key(sf_dir)
+    got = _CLF_WEIGHT_CACHE.get(key)
     if got is not None:
         return got
     from hquery_php_spark.operators.perceptron import train_perceptron
@@ -2251,7 +2278,7 @@ def _clf_weights(spark: SparkSession, sf_dir: str):
         "doc_id", "text", _clf_label(F.col("text")).alias("label")
     )
     got = train_perceptron(d, n_buckets=_CLF_BUCKETS, epochs=_CLF_EPOCHS)
-    _CLF_WEIGHT_CACHE[sf_dir] = got
+    _CLF_WEIGHT_CACHE[key] = got
     return got
 
 
@@ -2502,9 +2529,13 @@ def _materialize_release(spark: SparkSession, out: DataFrame, reg: list) -> Data
     output, unpersist every registered cache, hand back the rows — no
     cached frame outlives its query in a long-lived session.  A scale
     deployment writes `out` to a table and then unpersists instead."""
-    rows = out.collect()
-    for cached in reg:
-        cached.unpersist()
+    try:
+        rows = out.collect()
+    finally:
+        # a failed collect must still release the caches — leaking them
+        # defeats the release discipline in a long-lived session
+        for cached in reg:
+            cached.unpersist()
     return spark.createDataFrame(rows, out.schema)
 
 
@@ -3364,10 +3395,7 @@ def q_embed_near_dup_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "part string, a long, b long, cos_r double",
     )
     out = ex.unionByName(ls).unionByName(cl).unionByName(recall)
-    rows = out.collect()
-    lsh_pairs.unpersist()
-    ex_pairs.unpersist()
-    return spark.createDataFrame(rows, out.schema)
+    return _materialize_release(spark, out, [lsh_pairs, ex_pairs])
 
 
 def q_similarity_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3420,17 +3448,30 @@ def q_sketch_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).cast("long").alias("b"),
         F.lit(None).cast("double").alias("est_f"),
     )
+    # one quantile computation unpivoted to three rows per group — a
+    # union of three selects over `quant` would re-run the histogram
+    # aggregation per branch (no common-subplan reuse)
     quant = q_length_quantiles(spark, sf_dir)
-    qrows = None
-    for p in (50, 90, 99):
-        r = quant.select(
-            F.lit(f"q{p}").alias("sketch"),
-            F.col("source").alias("k"),
-            F.col(f"p{p}").cast("long").alias("a"),
-            F.lit(0).cast("long").alias("b"),
-            F.lit(None).cast("double").alias("est_f"),
-        )
-        qrows = r if qrows is None else qrows.unionByName(r)
+    qrows = quant.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(f"q{p}").alias("sketch"),
+                        F.col("source").alias("k"),
+                        F.col(f"p{p}").cast("long").alias("a"),
+                    )
+                    for p in (50, 90, 99)
+                ]
+            )
+        ).alias("s")
+    ).select(
+        F.col("s.sketch").alias("sketch"),
+        F.col("s.k").alias("k"),
+        F.col("s.a").alias("a"),
+        F.lit(0).cast("long").alias("b"),
+        F.lit(None).cast("double").alias("est_f"),
+    )
     return cms.unionByName(hll).unionByName(bloom).unionByName(qrows)
 
 

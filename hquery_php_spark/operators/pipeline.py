@@ -544,20 +544,28 @@ def global_order_index(
     for b in sorted(sizes):
         offsets[b] = running
         running += sizes[b]
-    off = None
-    for b in sorted(offsets):
-        off = (
-            F.when(F.col("__bkt") == b, F.lit(offsets[b]))
-            if off is None
-            else off.when(F.col("__bkt") == b, F.lit(offsets[b]))
-        )
-    off = F.lit(0) if off is None else off.otherwise(F.lit(0))
+    # offsets ride as a broadcast (bucket, offset) dim — ≤ n_ranges rows,
+    # parameter-sized, a legitimate forced broadcast.  A chained CASE
+    # WHEN per bucket (the previous mechanism) dies in Catalyst
+    # analysis at the ~476k buckets the docstring prescribes for 10^12
+    # rows; an expression-tree lookup cannot reach that scale.
+    spark = d.sparkSession
+    off_df = spark.createDataFrame(
+        [(int(b), int(o)) for b, o in offsets.items()] or [(0, 0)],
+        "__bkt int, __off long",
+    )
     w = Window.partitionBy("__bkt").orderBy("__h", key_col)
     return (
-        d.withColumn(
-            "pos", (off + F.row_number().over(w) - F.lit(1)).cast("long")
+        d.join(F.broadcast(off_df), "__bkt", "left")
+        .withColumn(
+            "pos",
+            (
+                F.coalesce(F.col("__off"), F.lit(0))
+                + F.row_number().over(w)
+                - F.lit(1)
+            ).cast("long"),
         )
-        .drop("__h", "__bkt")
+        .drop("__h", "__bkt", "__off")
     )
 
 

@@ -98,10 +98,11 @@ def streaming_dedup_exact(
     later copy is suppressed, across micro-batches and restarts (state
     lives in the checkpointed state store).
 
-    Emits (fp, doc_id, n_seen_before) — n_seen_before is 0 for the
-    emitted first arrival; suppressed copies only bump the counter.
+    Emits (fp, doc_id, n_seen_before) — append mode emits only first
+    arrivals, so n_seen_before is always 0 (kept for schema stability;
+    per-fp duplicate COUNTS are the batch ``dedup_exact``'s n_dups job).
 
-    State per fingerprint = (first doc id, occurrence count): bounded by
+    State per fingerprint = the first doc id: bounded by
     the DISTINCT corpus, the same asymptotics as any exact-dedup ledger.
     ``ttl_minutes`` bounds it harder with a processing-time expiry —
     right for ingestion streams where a re-crawl horizon exists (a copy
@@ -126,13 +127,13 @@ def streaming_dedup_exact(
             StructField("n_seen_before", IntegerType()),
         ]
     )
-    state_schema = StructType(
-        [
-            StructField("first_id", StringType()),
-            StructField("n", IntegerType()),
-        ]
-    )
+    state_schema = StructType([StructField("first_id", StringType())])
     ttl_ms = (ttl_minutes or 0) * 60 * 1000
+
+    def _id_key(s):
+        # numeric ids order numerically (the batch operators keep the
+        # MIN numeric id; lexicographic min would pick "10" over "9")
+        return (0, len(s), s) if s.isdigit() else (1, 0, s)
 
     def fn(key, pdfs, state):
         import pandas as pd
@@ -147,24 +148,25 @@ def streaming_dedup_exact(
         if not ids:
             return
         if state.exists:
-            first_id, n = state.get
-            state.update((first_id, n + len(ids)))
             if ttl_ms:
                 state.setTimeoutDuration(ttl_ms)
             return  # all copies — suppress
         # across batches "first" is arrival order; within one micro-batch
-        # row order is partition-dependent, so the tie is broken
-        # deterministically by the smallest id
-        state.update((min(ids), len(ids)))
+        # row order is partition-dependent, so the tie is broken by the
+        # smallest id under the batch operators' numeric-min ordering
+        first = min(ids, key=_id_key)
+        state.update((first,))
         if ttl_ms:
             state.setTimeoutDuration(ttl_ms)
         yield pd.DataFrame(
-            {"fp": [fp], "doc_id": [min(ids)], "n_seen_before": [0]}
+            {"fp": [fp], "doc_id": [first], "n_seen_before": [0]}
         )
 
-    fp = F.md5(F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " "))))
+    from ..functions.text import fingerprint  # the ledger's fp family
+
     keyed = docs.select(
-        fp.alias("fp"), F.col(id_col).cast("string").alias("doc_id")
+        fingerprint(F.col(text_col)).alias("fp"),
+        F.col(id_col).cast("string").alias("doc_id"),
     )
     timeout = (
         GroupStateTimeout.ProcessingTimeTimeout
@@ -223,14 +225,27 @@ def streaming_sessionize(
     via ``applyInPandasWithState`` (the streaming twin of the batch
     ``operators.events.sessionize``).
 
-    State per user = the open session (start, last_ts, n_events).  New
-    events extend it or close it (gap exceeded → emit); an event-time
-    timeout (last_ts + gap past the watermark) flushes idle sessions, so
-    state is bounded by the active-user set.
+    State per user = the OPEN session's event timestamps (not just its
+    bounds): each batch merges new in-watermark events into the buffer,
+    re-splits on gaps exactly like the batch operator, emits every
+    closed session, and keeps only the open one — so a late event that
+    precedes the open session's start by more than the gap becomes its
+    own (immediately closed) session instead of being wrongly merged,
+    matching the batch semantics.  Events with NULL/unparseable
+    timestamps are dropped (they would poison the buffer as NaT).  An
+    event-time timeout (last_ts + gap past the watermark) flushes idle
+    sessions, so state is bounded by the active-user set × one
+    session's events.  Remaining eager-emission caveat: a session
+    closed by an observed gap is emitted immediately, so an
+    in-watermark straggler arriving in a LATER batch that targets an
+    already-emitted session starts a new one (Spark's built-in
+    session_window avoids this by withholding emission until the
+    watermark passes end + gap, at the cost of latency).
     """
     import pandas as pd  # noqa: F401  (worker-side)
     from pyspark.sql.streaming.state import GroupStateTimeout
     from pyspark.sql.types import (
+        ArrayType,
         IntegerType,
         LongType,
         StructField,
@@ -250,37 +265,60 @@ def streaming_sessionize(
         ]
     )
     state_schema = StructType(
-        [
-            StructField("start_us", LongType()),
-            StructField("last_us", LongType()),
-            StructField("n", IntegerType()),
-        ]
+        [StructField("ts_us", ArrayType(LongType()))]
     )
     gap_us = gap_minutes * 60 * 1_000_000
+
+    def _split(buf):
+        """Sorted event buffer → [(start, end, n)] split on gaps — the
+        batch sessionize recurrence verbatim."""
+        sessions = []
+        start = last = buf[0]
+        n = 1
+        for t in buf[1:]:
+            if t - last > gap_us:
+                sessions.append((start, last, n))
+                start, n = t, 1
+            else:
+                n += 1
+            last = t
+        sessions.append((start, last, n))
+        return sessions
+
+    def _rows(user, sessions):
+        import pandas as pd
+
+        return pd.DataFrame(
+            {
+                "user_id": [user] * len(sessions),
+                "session_start": [
+                    pd.Timestamp(s, unit="us") for s, _, _ in sessions
+                ],
+                "session_end": [
+                    pd.Timestamp(e, unit="us") for _, e, _ in sessions
+                ],
+                "n_events": [n for _, _, n in sessions],
+            }
+        )
 
     def fn(key, pdfs, state):
         import pandas as pd
 
         user = key[0]
         if state.hasTimedOut:
-            start_us, last_us, n = state.get
+            buf = sorted(state.get[0])
             state.remove()
-            yield pd.DataFrame(
-                {
-                    "user_id": [user],
-                    "session_start": [pd.Timestamp(start_us, unit="us")],
-                    "session_end": [pd.Timestamp(last_us, unit="us")],
-                    "n_events": [n],
-                }
-            )
+            yield _rows(user, _split(buf))
             return
 
         ts_list = []
         for pdf in pdfs:
+            # NaT guard: a NULL/unparseable ts would inject int64-min
             ts_list.extend(
-                int(t.value // 1000) for t in pd.to_datetime(pdf["ts"])
+                int(t.value // 1000)
+                for t in pd.to_datetime(pdf["ts"])
+                if not pd.isna(t)
             )
-        ts_list.sort()
         # watermark floor (ms): timeout timestamps at or below the current
         # watermark are rejected by Spark — clamp below.
         wm_ms = state.getCurrentWatermarkMs()
@@ -288,35 +326,21 @@ def streaming_sessionize(
             # empty batch iterator for this key (no new data, no timeout):
             # keep state, refresh the timeout, emit nothing.
             if state.exists:
-                _, last_us, _ = state.get
+                last_us = max(state.get[0])
                 state.setTimeoutTimestamp(
                     max(last_us // 1000 + gap_minutes * 60 * 1000, wm_ms + 1)
                 )
             return
-        if state.exists:
-            start_us, last_us, n = state.get
-        else:
-            start_us = last_us = ts_list[0]
-            n = 0
-        closed = {"user_id": [], "session_start": [], "session_end": [], "n_events": []}
-        for t in ts_list:
-            if t - last_us > gap_us:
-                closed["user_id"].append(user)
-                closed["session_start"].append(pd.Timestamp(start_us, unit="us"))
-                closed["session_end"].append(pd.Timestamp(last_us, unit="us"))
-                closed["n_events"].append(n)
-                start_us, n = t, 0
-            # a late-but-in-watermark event (t < last_us across batches)
-            # joins the open session without moving its end backwards
-            start_us = min(start_us, t)
-            last_us = max(last_us, t)
-            n += 1
-        state.update((start_us, last_us, n))
+        buf = list(state.get[0]) if state.exists else []
+        buf = sorted(buf + ts_list)
+        sessions = _split(buf)
+        open_start, open_last, _ = sessions[-1]
+        state.update(([t for t in buf if t >= open_start],))
         state.setTimeoutTimestamp(
-            max(last_us // 1000 + gap_minutes * 60 * 1000, wm_ms + 1)
+            max(open_last // 1000 + gap_minutes * 60 * 1000, wm_ms + 1)
         )
-        if closed["user_id"]:
-            yield pd.DataFrame(closed)
+        if len(sessions) > 1:
+            yield _rows(user, sessions[:-1])
 
     src = events.select(
         F.col(user_col).cast("long").alias("user_id"),

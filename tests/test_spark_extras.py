@@ -1789,3 +1789,64 @@ def test_minhash_lsh_hot_bucket_cap(spark):
     }
     hot_pairs = {(a, b) for a in range(50) for b in range(50) if a < b}
     assert uncapped - hot_pairs == capped_pairs
+
+
+def test_streaming_sessionize_gap_before_start_splits(spark, tmp_path):
+    """A late in-watermark event that precedes the open session's START
+    by more than the gap becomes its own session — the batch split
+    semantics — instead of being merged (regression: the old state
+    only gap-tested against last_ts, so 11:00 merged into a 12:00
+    session under a 30-minute gap)."""
+    import os
+
+    import pandas as pd
+
+    from hquery_php_spark.streaming import streaming_sessionize
+
+    src_dir = str(tmp_path / "gap_in")
+    ckpt = str(tmp_path / "gap_ckpt")
+    os.makedirs(src_dir, exist_ok=True)
+    base = pd.Timestamp("2026-01-01 12:00:00")
+
+    def push(ts_list):
+        pdf = pd.DataFrame({"user_id": [1] * len(ts_list), "ts": ts_list})
+        spark.createDataFrame(pdf).coalesce(1).write.mode("append").parquet(src_dir)
+
+    push([base])                                  # open session at 12:00
+    stream = spark.readStream.schema("user_id long, ts timestamp").parquet(src_dir)
+    out = streaming_sessionize(stream, gap_minutes=30, watermark="3 hours")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("gap_sessions")
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # late event a full hour BEFORE the open session's start: the
+        # 11:00→12:00 gap exceeds 30m, so it must close as its OWN
+        # session immediately (batch semantics), 12:00 stays open
+        push([base - pd.Timedelta(hours=1)])
+        q.processAllAvailable()
+        got = spark.sql(
+            "SELECT session_start, session_end, n_events FROM gap_sessions"
+        ).collect()
+        assert len(got) == 1, got
+        assert got[0].session_start == (base - pd.Timedelta(hours=1)).to_pydatetime()
+        assert got[0].session_end == (base - pd.Timedelta(hours=1)).to_pydatetime()
+        assert got[0].n_events == 1
+        # and the 12:00 session is still open: a nearby event extends it,
+        # a later gap closes it with both events
+        push([base + pd.Timedelta(minutes=10), base + pd.Timedelta(hours=2)])
+        q.processAllAvailable()
+        got2 = spark.sql(
+            "SELECT session_start, session_end, n_events FROM gap_sessions "
+            "ORDER BY session_start"
+        ).collect()
+        assert len(got2) == 2, got2
+        assert got2[1].session_start == base.to_pydatetime()
+        assert got2[1].session_end == (base + pd.Timedelta(minutes=10)).to_pydatetime()
+        assert got2[1].n_events == 2
+    finally:
+        q.stop()
