@@ -6,6 +6,8 @@ from .reader import (  # noqa: F401
     read_html_files,
     write_spans,
 )
+from .snaptable import SnapTable  # noqa: F401
+from .ingest import batched_extract, plan_file_batches  # noqa: F401
 from .fixtures import (  # noqa: F401
     ATTR_QUOTES_HTML,
     BAD_HTML_1,

@@ -1,0 +1,242 @@
+"""Snapshot-manifest table: Iceberg-semantics commits over parquet.
+
+The north rule reads "per-partition lineage/metrics checkpointed to
+Iceberg so the job resumes idempotently".  The engine's original resume
+path (``read_done_ids`` + row-level anti-join, reader.py:86) is correct
+but O(corpus): at 10^12 committed documents the anti-join re-shuffles
+every committed doc_id on every resume.  This module supplies the
+mechanism Iceberg actually uses — an atomic **snapshot manifest** — so
+resume cost is O(#batches), independent of row count:
+
+* data files are staged under unique, commit-scoped directories; a
+  reader never lists the data directory, it reads exactly the files
+  named by the current snapshot manifest.  Files staged by a job that
+  died before its snapshot commit are invisible (no torn reads, no
+  cleanup needed for correctness — orphans are garbage, not danger);
+* a snapshot is ONE small JSON document (`snaps/snap-%08d.json`)
+  created atomically via hardlink-from-temp (``os.link`` fails with
+  EEXIST when the sequence number is taken → optimistic retry, the
+  same compare-and-swap Iceberg does with a conditional catalog swap /
+  object-store conditional PUT);
+* every append carries a caller-chosen ``batch_id`` plus a lineage
+  dict (row counts, input split, timings).  Committing a batch_id that
+  is already in the table is a **no-op**, so a killed-and-resubmitted
+  job replays its batch plan and skips committed work by set
+  difference over batch ids — never by scanning data.
+
+Scale notes (10^12 docs, 1000 executors): the manifest lists file
+paths, not rows — a 4096-batch ingest is 4096 snapshot JSONs of a few
+KB each; ``committed_batches()`` reads only the latest manifest
+(cumulative batch set is carried forward on every commit, so resume is
+one small file read, not a log replay).  Readers pass the file list
+straight to the parquet scan, so predicate pushdown / column pruning
+behave exactly as a plain parquet read.
+
+This is deliberately the smallest useful subset of the Iceberg spec
+(single table, append-only, no schema evolution, no deletes); when a
+real Iceberg catalog is configured, ``reader.read_documents`` already
+scans catalog tables and jobs should prefer it.  The point here is the
+commit/resume *protocol* and its tests.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+from typing import Dict, List, Optional, Set
+
+from pyspark.sql import DataFrame, SparkSession
+
+__all__ = ["SnapTable"]
+
+_SNAP_FMT = "snap-%08d.json"
+
+
+class SnapTable:
+    """Append-only snapshot table at ``path`` (local/DFS-posix dir)."""
+
+    def __init__(self, path: str):
+        self.path = path
+        self.data_dir = os.path.join(path, "data")
+        self.snap_dir = os.path.join(path, "snaps")
+
+    # ------------------------------------------------------------------
+    # snapshot log
+
+    def snapshots(self) -> List[dict]:
+        """All committed snapshots, oldest first."""
+        if not os.path.isdir(self.snap_dir):
+            return []
+        out = []
+        for name in sorted(os.listdir(self.snap_dir)):
+            if name.startswith("snap-") and name.endswith(".json"):
+                with open(os.path.join(self.snap_dir, name)) as f:
+                    out.append(json.load(f))
+        return out
+
+    def current_snapshot(self) -> Optional[dict]:
+        if not os.path.isdir(self.snap_dir):
+            return None
+        best = None
+        for name in os.listdir(self.snap_dir):
+            if name.startswith("snap-") and name.endswith(".json"):
+                n = int(name[5:-5])
+                if best is None or n > best:
+                    best = n
+        if best is None:
+            return None
+        with open(os.path.join(self.snap_dir, _SNAP_FMT % best)) as f:
+            return json.load(f)
+
+    def committed_batches(self) -> Set[str]:
+        """Batch ids already in the table — ONE manifest read, no data scan."""
+        snap = self.current_snapshot()
+        return set(snap["batch_ids"]) if snap else set()
+
+    def lineage(self) -> Dict[str, dict]:
+        """batch_id → lineage dict recorded at its commit."""
+        snap = self.current_snapshot()
+        return dict(snap.get("lineage", {})) if snap else {}
+
+    # ------------------------------------------------------------------
+    # write path
+
+    def append(
+        self,
+        df: DataFrame,
+        batch_id: str,
+        lineage: Optional[dict] = None,
+    ) -> dict:
+        """Stage ``df`` as parquet, then atomically commit a snapshot.
+
+        Idempotent on ``batch_id``: if the current snapshot already
+        contains it, nothing is written and the current snapshot is
+        returned unchanged (the caller's retry/resume loop needs no
+        special-casing).  Raises ``ValueError`` on a schema mismatch
+        with the table's recorded schema (names+types, order-blind).
+        """
+        snap = self.current_snapshot()
+        if snap and batch_id in snap["batch_ids"]:
+            return snap
+        if snap:
+            want = _schema_key(json.loads(snap["schema"]))
+            have = _schema_key(json.loads(df.schema.json()))
+            if want != have:
+                raise ValueError(
+                    "schema mismatch vs table %s: table=%s df=%s"
+                    % (self.path, sorted(want), sorted(have))
+                )
+
+        # 1. stage data under a unique dir — invisible until the snapshot
+        #    commit below; a crash here leaves only orphan files.
+        t0 = time.time()
+        stage_rel = os.path.join("data", "b-%s-%s" % (batch_id, uuid.uuid4().hex))
+        stage_abs = os.path.join(self.path, stage_rel)
+        df.write.mode("error").parquet(stage_abs)
+        files = sorted(
+            os.path.join(stage_rel, f)
+            for f in os.listdir(stage_abs)
+            if f.endswith(".parquet")
+        )
+        n_rows = _staged_row_count(stage_abs)
+
+        # 2. commit: optimistic create-exclusive of the next sequence
+        #    number; EEXIST ⇒ somebody else committed — re-read, re-check
+        #    idempotence, retry at N+1.
+        while True:
+            snap = self.current_snapshot()
+            if snap and batch_id in snap["batch_ids"]:
+                return snap  # concurrent duplicate won the race — no-op
+            seq = (snap["snapshot_id"] + 1) if snap else 1
+            new = {
+                "snapshot_id": seq,
+                "parent": snap["snapshot_id"] if snap else None,
+                "schema": snap["schema"] if snap else df.schema.json(),
+                # cumulative: resume reads ONLY the latest manifest
+                "files": (snap["files"] if snap else []) + files,
+                "batch_ids": sorted(set(snap["batch_ids"]) | {batch_id})
+                if snap
+                else [batch_id],
+                "lineage": {
+                    **(snap.get("lineage", {}) if snap else {}),
+                    batch_id: {
+                        **(lineage or {}),
+                        "n_rows": n_rows,
+                        "n_files": len(files),
+                        "wall_s": round(time.time() - t0, 3),
+                    },
+                },
+                "committed_at": time.time(),
+            }
+            if self._try_commit(seq, new):
+                return new
+
+    def _try_commit(self, seq: int, snap: dict) -> bool:
+        os.makedirs(self.snap_dir, exist_ok=True)
+        tmp = os.path.join(self.snap_dir, ".tmp-%s" % uuid.uuid4().hex)
+        final = os.path.join(self.snap_dir, _SNAP_FMT % seq)
+        with open(tmp, "w") as f:
+            json.dump(snap, f)
+            f.flush()
+            os.fsync(f.fileno())
+        try:
+            os.link(tmp, final)  # atomic create-if-absent (CAS)
+            return True
+        except FileExistsError:
+            return False  # lost the race — caller re-reads and retries
+        finally:
+            os.unlink(tmp)
+
+    # ------------------------------------------------------------------
+    # read path
+
+    def read(
+        self, spark: SparkSession, snapshot_id: Optional[int] = None
+    ) -> Optional[DataFrame]:
+        """Scan the table as of the current (or a past) snapshot.
+
+        Returns None for an empty table.  The scan is handed the exact
+        manifest file list — pushdown/pruning work as with any parquet
+        read, and files from uncommitted (crashed) writers can never
+        appear.
+        """
+        if snapshot_id is None:
+            snap = self.current_snapshot()
+        else:
+            p = os.path.join(self.snap_dir, _SNAP_FMT % snapshot_id)
+            if not os.path.exists(p):
+                raise ValueError("no snapshot %d in %s" % (snapshot_id, self.path))
+            with open(p) as f:
+                snap = json.load(f)
+        if snap is None:
+            return None
+        paths = [os.path.join(self.path, f) for f in snap["files"]]
+        if not paths:
+            return spark.createDataFrame(
+                [], schema=_schema_from_json(snap["schema"])
+            )
+        return spark.read.parquet(*paths)
+
+
+def _schema_key(schema_json: dict) -> Set[tuple]:
+    return {(f["name"], json.dumps(f["type"], sort_keys=True))
+            for f in schema_json["fields"]}
+
+
+def _schema_from_json(s: str):
+    from pyspark.sql.types import StructType
+
+    return StructType.fromJson(json.loads(s))
+
+
+def _staged_row_count(stage_abs: str) -> int:
+    """Row count from parquet footers — no Spark job, no data read."""
+    import pyarrow.parquet as pq
+
+    n = 0
+    for f in os.listdir(stage_abs):
+        if f.endswith(".parquet"):
+            n += pq.ParquetFile(os.path.join(stage_abs, f)).metadata.num_rows
+    return n

@@ -44,6 +44,28 @@ def main() -> None:
         "of ~this many compressed bytes (0 = whole-file tasks); a giant "
         "single .warc.gz then fans out instead of serializing to one task",
     )
+    ap.add_argument(
+        "--table-format",
+        choices=("parquet", "snaptable"),
+        default="parquet",
+        help="snaptable: output is a snapshot-manifest table — atomic "
+        "batch commits, resume by O(#batches) manifest set-difference "
+        "instead of the row-level anti-join (the 10^12-doc resume path)",
+    )
+    ap.add_argument(
+        "--batches",
+        type=int,
+        default=8,
+        help="with --table-format snaptable: number of input file-group "
+        "batches, each committed as one snapshot",
+    )
+    ap.add_argument(
+        "--max-batches",
+        type=int,
+        default=0,
+        help="stop after N uncommitted batches this run (kill/resume "
+        "testing; 0 = run all)",
+    )
     ap.add_argument("--partitions", type=int, default=0)
     ap.add_argument("--tail-bytes", type=int, default=4 << 20)
     ap.add_argument("--doc-id-col", default="doc_id")
@@ -61,6 +83,31 @@ def main() -> None:
         split_tail_repartition,
     )
     from hquery_php_spark.sources.reader import read_done_ids, write_spans
+
+    if args.table_format == "snaptable":
+        if args.input_format != "parquet":
+            raise SystemExit("--table-format snaptable requires parquet input")
+        from hquery_php_spark.sources.ingest import batched_extract
+
+        stats = batched_extract(
+            spark,
+            args.input,
+            args.output,
+            batches=args.batches,
+            max_batches=args.max_batches,
+            partitions=args.partitions,
+            tail_bytes=args.tail_bytes,
+            metrics_path=args.metrics,
+            doc_id_col=args.doc_id_col,
+            html_col=args.html_col,
+            base_url_col=args.base_url_col,
+        )
+        print(
+            "snaptable ingest: ran %(ran)d, skipped %(skipped)d committed, "
+            "of %(total)d batches" % stats
+        )
+        spark.stop()
+        return
 
     headers_col = None
     if args.input_format == "warc":

@@ -239,3 +239,62 @@ def test_pack_job_submit_resume_and_increment(tmp_path):
     m4 = duckdb.sql(f"SELECT * FROM '{out}_metrics/*.parquet'").df()
     assert m4["n_docs"].sum() == 192
     assert m4["total_cost"].sum() == g4["cost"].sum()
+
+
+def test_extract_job_snaptable_submit_resume(tmp_path):
+    """Packaged extract job, --table-format snaptable: a partial run
+    (--max-batches 1 of 3) commits one snapshot; the re-submit completes
+    the remaining batches by manifest set-difference (O(#batches), no
+    row anti-join); a third submit commits nothing."""
+    import json
+
+    n = 600
+    docs = pd.DataFrame(
+        {
+            "doc_id": [f"d{i:04d}" for i in range(n)],
+            "html": [
+                f'<html><body><p id="p{i}">'
+                + " ".join(f"<b>w{j}</b>" for j in range(20))
+                + "</p></body></html>"
+                for i in range(n)
+            ],
+        }
+    )
+    inp = str(tmp_path / "docs")
+    os.makedirs(inp)
+    for k in range(6):  # 6 input files → 3 file-group batches of 2
+        docs.iloc[k::6].to_parquet(os.path.join(inp, f"part-{k}.parquet"))
+    out = str(tmp_path / "spans_tbl")
+    zipf = shutil.make_archive(str(tmp_path / "pkg"), "zip", REPO, "hquery_php_spark")
+
+    def cmd(extra):
+        return [
+            "spark-submit", "--master", "local[4]", "--py-files", zipf,
+            os.path.join(REPO, "jobs", "extract_job.py"),
+            "--input", inp, "--output", out, "--partitions", "4",
+            "--table-format", "snaptable", "--batches", "3",
+        ] + extra
+
+    r1 = subprocess.run(
+        cmd(["--max-batches", "1"]), cwd=REPO, capture_output=True, timeout=600
+    )
+    assert r1.returncode == 0, r1.stderr[-3000:]
+    snaps = sorted(os.listdir(os.path.join(out, "snaps")))
+    assert snaps == ["snap-00000001.json"]
+
+    r2 = subprocess.run(cmd([]), cwd=REPO, capture_output=True, timeout=600)
+    assert r2.returncode == 0, r2.stderr[-3000:]
+    assert b"ran 2, skipped 1" in r2.stdout, r2.stdout[-2000:]
+    latest = json.load(open(os.path.join(out, "snaps", "snap-00000003.json")))
+    assert latest["batch_ids"] == [f"b0000{i}-of-00003" for i in range(3)]
+    files = [os.path.join(out, f) for f in latest["files"]]
+    got = duckdb.sql(
+        "SELECT count(*) AS c, count(DISTINCT doc_id) AS d FROM read_parquet($f)",
+        params={"f": files},
+    ).df()
+    assert (got["c"][0], got["d"][0]) == (n, n)
+
+    r3 = subprocess.run(cmd([]), cwd=REPO, capture_output=True, timeout=600)
+    assert r3.returncode == 0, r3.stderr[-3000:]
+    assert b"ran 0, skipped 3" in r3.stdout
+    assert sorted(os.listdir(os.path.join(out, "snaps")))[-1] == "snap-00000003.json"

@@ -1,0 +1,202 @@
+"""Snapshot-manifest table (snaptable) + batched manifest-resume ingest.
+
+North-rule leg: "per-partition lineage/metrics checkpointed to Iceberg
+so the job resumes idempotently" — these tests pin the commit protocol
+(atomic snapshot visibility, idempotent batch append, optimistic CAS)
+and the O(#batches) resume of ``batched_extract`` (kill after k of B
+batches, re-run completes the remainder, third run is a no-op).
+"""
+
+import json
+import os
+
+import pytest
+
+pyspark = pytest.importorskip("pyspark")
+
+import pandas as pd
+from pyspark.sql import SparkSession
+
+from hquery_php_spark.sources.ingest import batched_extract, plan_file_batches
+from hquery_php_spark.sources.snaptable import SnapTable
+
+
+@pytest.fixture(scope="module")
+def spark():
+    s = (
+        SparkSession.builder.master("local[4]")
+        .appName("snaptable-tests")
+        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    s.sparkContext.setLogLevel("ERROR")
+    yield s
+    s.stop()
+
+
+def _df(spark, ids):
+    return spark.createDataFrame([(i, "v%d" % i) for i in ids], "id int, v string")
+
+
+def test_append_read_roundtrip_and_lineage(spark, tmp_path):
+    tbl = SnapTable(str(tmp_path / "t"))
+    assert tbl.read(spark) is None
+    assert tbl.committed_batches() == set()
+    snap = tbl.append(_df(spark, range(5)), "b0", lineage={"src": "unit"})
+    assert snap["snapshot_id"] == 1 and snap["parent"] is None
+    assert tbl.committed_batches() == {"b0"}
+    lin = tbl.lineage()["b0"]
+    assert lin["n_rows"] == 5 and lin["src"] == "unit" and lin["n_files"] >= 1
+    got = tbl.read(spark).orderBy("id").collect()
+    assert [r.id for r in got] == list(range(5))
+
+
+def test_uncommitted_staging_is_invisible(spark, tmp_path):
+    tbl = SnapTable(str(tmp_path / "t"))
+    tbl.append(_df(spark, range(3)), "b0")
+    # simulate a job that died after staging, before its snapshot commit
+    orphan = os.path.join(tbl.data_dir, "b-dead-beef")
+    _df(spark, range(100, 110)).write.parquet(orphan)
+    assert tbl.read(spark).count() == 3  # orphan never read
+    assert tbl.committed_batches() == {"b0"}
+
+
+def test_idempotent_append_same_batch_id(spark, tmp_path):
+    tbl = SnapTable(str(tmp_path / "t"))
+    s1 = tbl.append(_df(spark, range(4)), "b0")
+    s2 = tbl.append(_df(spark, range(4)), "b0")  # replay — must be a no-op
+    assert s2["snapshot_id"] == s1["snapshot_id"] == 1
+    assert tbl.read(spark).count() == 4
+    assert len(tbl.snapshots()) == 1
+
+
+def test_commit_cas_loses_race_then_retries(spark, tmp_path):
+    tbl = SnapTable(str(tmp_path / "t"))
+    snap = tbl.append(_df(spark, range(2)), "b0")
+    # the EEXIST arm: sequence 1 is taken, _try_commit must refuse
+    assert tbl._try_commit(1, snap) is False
+    # a full append against the occupied log lands at sequence 2
+    s2 = tbl.append(_df(spark, range(2, 4)), "b1")
+    assert s2["snapshot_id"] == 2 and s2["parent"] == 1
+    assert tbl.read(spark).count() == 4
+
+
+def test_schema_mismatch_raises(spark, tmp_path):
+    tbl = SnapTable(str(tmp_path / "t"))
+    tbl.append(_df(spark, range(2)), "b0")
+    bad = spark.createDataFrame([(1.5, "x")], "id double, v string")
+    with pytest.raises(ValueError, match="schema mismatch"):
+        tbl.append(bad, "b1")
+
+
+def test_time_travel_and_cumulative_manifest(spark, tmp_path):
+    tbl = SnapTable(str(tmp_path / "t"))
+    tbl.append(_df(spark, range(3)), "b0")
+    tbl.append(_df(spark, range(3, 8)), "b1")
+    assert tbl.read(spark).count() == 8
+    assert tbl.read(spark, snapshot_id=1).count() == 3
+    with pytest.raises(ValueError, match="no snapshot"):
+        tbl.read(spark, snapshot_id=9)
+    # resume reads ONE manifest, never the data: latest snapshot carries
+    # the cumulative batch set
+    latest = json.load(
+        open(os.path.join(tbl.snap_dir, "snap-%08d.json" % 2))
+    )
+    assert latest["batch_ids"] == ["b0", "b1"]
+
+
+def test_committed_batches_without_touching_data(spark, tmp_path):
+    import shutil
+
+    tbl = SnapTable(str(tmp_path / "t"))
+    tbl.append(_df(spark, range(3)), "b0")
+    shutil.rmtree(tbl.data_dir)  # manifest alone answers the resume question
+    assert tbl.committed_batches() == {"b0"}
+
+
+def test_plan_file_batches_deterministic_and_even():
+    files = ["f%02d" % i for i in range(10)]
+    g = plan_file_batches(list(reversed(files)), 4)
+    assert g == plan_file_batches(files, 4)  # order-blind
+    assert sorted(sum(g, [])) == files
+    sizes = sorted(len(x) for x in g)
+    assert sizes[-1] - sizes[0] <= 1
+    assert len(plan_file_batches(files[:2], 8)) == 2  # capped at #files
+
+
+N_DOCS = 240
+
+
+def _write_docs(spark, path):
+    pdf = pd.DataFrame(
+        {
+            "doc_id": ["d%04d" % i for i in range(N_DOCS)],
+            "html": [
+                '<html><body><div id="x%d">'
+                % i
+                + "".join('<span class="w">t%d</span>' % j for j in range(8))
+                + '<a href="/p/%d">go</a></div></body></html>' % i
+                for i in range(N_DOCS)
+            ],
+        }
+    )
+    spark.createDataFrame(pdf).repartition(6).write.parquet(path)
+
+
+def test_batched_extract_kill_resume_noop(spark, tmp_path):
+    inp = str(tmp_path / "docs")
+    _write_docs(spark, inp)
+    out = str(tmp_path / "spans_tbl")
+    metrics = str(tmp_path / "metrics")
+
+    # "killed" first run: only 1 of 3 batches commits
+    s1 = batched_extract(
+        spark, inp, out, batches=3, max_batches=1, partitions=4,
+        metrics_path=metrics,
+    )
+    assert s1 == {"ran": 1, "skipped": 0, "total": 3}
+    tbl = SnapTable(out)
+    part = tbl.read(spark).count()
+    assert 0 < part < N_DOCS
+
+    # resume completes the remainder without re-running batch 0
+    s2 = batched_extract(
+        spark, inp, out, batches=3, partitions=4, metrics_path=metrics
+    )
+    assert s2 == {"ran": 2, "skipped": 1, "total": 3}
+    got = tbl.read(spark)
+    ids = [r.doc_id for r in got.select("doc_id").collect()]
+    assert sorted(ids) == ["d%04d" % i for i in range(N_DOCS)]  # no dupes
+
+    # third submit: pure no-op, no new snapshots
+    n_snaps = len(tbl.snapshots())
+    s3 = batched_extract(spark, inp, out, batches=3, partitions=4)
+    assert s3 == {"ran": 0, "skipped": 3, "total": 3}
+    assert len(tbl.snapshots()) == n_snaps
+
+    # per-batch lineage covers the corpus; metrics sidecar tagged by batch
+    assert sum(l["n_rows"] for l in tbl.lineage().values()) == N_DOCS
+    m = spark.read.parquet(metrics)
+    assert set(r.batch_id for r in m.select("batch_id").distinct().collect()) == {
+        "b00000-of-00003", "b00001-of-00003", "b00002-of-00003",
+    }
+    assert m.groupBy().sum("n_docs").collect()[0][0] == N_DOCS
+
+    # a resume planned with a different batch count must refuse
+    with pytest.raises(ValueError, match="--batches"):
+        batched_extract(spark, inp, out, batches=2, partitions=4)
+
+
+def test_batched_extract_matches_direct_extraction(spark, tmp_path):
+    from hquery_php_spark.operators.pipeline import extract_spans_df
+
+    inp = str(tmp_path / "docs")
+    _write_docs(spark, inp)
+    out = str(tmp_path / "tbl")
+    batched_extract(spark, inp, out, batches=4, partitions=4)
+    via_tbl = SnapTable(out).read(spark)
+    direct = extract_spans_df(spark.read.parquet(inp), base_url_col=None)
+    a = {(r.doc_id, str(r.spans)) for r in via_tbl.select("doc_id", "spans").collect()}
+    b = {(r.doc_id, str(r.spans)) for r in direct.select("doc_id", "spans").collect()}
+    assert a == b
