@@ -190,6 +190,115 @@ class SnapTable:
             os.unlink(tmp)
 
     # ------------------------------------------------------------------
+    # maintenance: compaction + expiry (the small-file problem)
+
+    def compact(
+        self,
+        spark: SparkSession,
+        target_file_bytes: int = 128 << 20,
+        min_files: int = 2,
+    ) -> Optional[dict]:
+        """Rewrite the current file set into ~target-sized files.
+
+        Many batch commits → many small parquet files → scan-planning
+        and open() overhead dominate at scale; Iceberg solves this with
+        a rewrite-data-files action and so does this.  The compacted
+        snapshot REPLACES the file list but carries the cumulative
+        batch_ids and lineage forward, so manifest resume is unaffected.
+        Older snapshots still reference the original files (time travel
+        keeps working) until ``expire_snapshots`` reclaims them.
+        Returns the new snapshot, or None when there was nothing to do.
+        """
+        snap = self.current_snapshot()
+        if snap is None or len(snap["files"]) < min_files:
+            return None
+        total = sum(
+            os.path.getsize(os.path.join(self.path, f)) for f in snap["files"]
+        )
+        n_out = max(1, -(-total // target_file_bytes))  # ceil
+        if n_out >= len(snap["files"]):
+            return None  # already at-or-below target granularity
+        df = self.read(spark).coalesce(int(n_out))  # no shuffle
+        stage_rel = os.path.join("data", "compact-%s" % uuid.uuid4().hex)
+        stage_abs = os.path.join(self.path, stage_rel)
+        df.write.mode("error").parquet(stage_abs)
+        files = sorted(
+            os.path.join(stage_rel, f)
+            for f in os.listdir(stage_abs)
+            if f.endswith(".parquet")
+        )
+        while True:
+            cur = self.current_snapshot()
+            if cur["snapshot_id"] != snap["snapshot_id"]:
+                return None  # concurrent commit — drop this rewrite, retry later
+            seq = cur["snapshot_id"] + 1
+            new = {
+                **cur,
+                "snapshot_id": seq,
+                "parent": cur["snapshot_id"],
+                "files": files,
+                "compaction_of": cur["snapshot_id"],
+                "committed_at": time.time(),
+            }
+            if self._try_commit(seq, new):
+                return new
+
+    def expire_snapshots(self, keep_last: int = 1) -> dict:
+        """Drop all but the newest ``keep_last`` snapshots and delete
+        data files referenced ONLY by the dropped ones (post-compaction
+        space reclaim).  Never touches unreferenced staging dirs — a
+        crashed-writer orphan might be an in-flight commit; that cleanup
+        is a separate age-based sweep (``remove_orphans``)."""
+        snaps = self.snapshots()
+        if len(snaps) <= keep_last:
+            return {"snapshots_dropped": 0, "files_deleted": 0}
+        kept, dropped = snaps[-keep_last:], snaps[:-keep_last]
+        live = {f for s in kept for f in s["files"]}
+        dead = {f for s in dropped for f in s["files"]} - live
+        emptied = set()
+        for f in sorted(dead):
+            p = os.path.join(self.path, f)
+            if os.path.exists(p):
+                os.unlink(p)
+            emptied.add(os.path.dirname(p))
+        for d in emptied:  # drop dirs holding only write markers now
+            if os.path.isdir(d) and not any(
+                e.endswith(".parquet") for e in os.listdir(d)
+            ):
+                import shutil
+
+                shutil.rmtree(d)
+        for s in dropped:
+            os.unlink(os.path.join(self.snap_dir, _SNAP_FMT % s["snapshot_id"]))
+        return {"snapshots_dropped": len(dropped), "files_deleted": len(dead)}
+
+    def remove_orphans(self, older_than_s: float = 86400.0) -> int:
+        """Delete staging dirs never referenced by ANY snapshot and older
+        than the grace window (Iceberg's remove-orphan-files): leftovers
+        of jobs that died between staging and their snapshot commit."""
+        snaps = self.snapshots()
+        referenced = {
+            os.path.join(self.path, f).rsplit(os.sep, 1)[0]
+            for s in snaps
+            for f in s["files"]
+        }
+        n = 0
+        now = time.time()
+        if not os.path.isdir(self.data_dir):
+            return 0
+        for d in sorted(os.listdir(self.data_dir)):
+            p = os.path.join(self.data_dir, d)
+            if p in referenced or not os.path.isdir(p):
+                continue
+            if now - os.path.getmtime(p) < older_than_s:
+                continue
+            import shutil
+
+            shutil.rmtree(p)
+            n += 1
+        return n
+
+    # ------------------------------------------------------------------
     # read path
 
     def read(

@@ -200,3 +200,51 @@ def test_batched_extract_matches_direct_extraction(spark, tmp_path):
     a = {(r.doc_id, str(r.spans)) for r in via_tbl.select("doc_id", "spans").collect()}
     b = {(r.doc_id, str(r.spans)) for r in direct.select("doc_id", "spans").collect()}
     assert a == b
+
+
+def test_compact_then_expire_reclaims_small_files(spark, tmp_path):
+    import time as _t
+
+    tbl = SnapTable(str(tmp_path / "t"))
+    for b in range(4):  # 4 batches × multiple part files → small-file debris
+        tbl.append(_df(spark, range(b * 10, b * 10 + 10)).repartition(3), "b%d" % b)
+    pre = tbl.current_snapshot()
+    assert len(pre["files"]) >= 8
+
+    snap = tbl.compact(spark, target_file_bytes=1 << 30)  # everything → 1 file
+    assert snap is not None and len(snap["files"]) == 1
+    assert snap["compaction_of"] == pre["snapshot_id"]
+    # resume state survives compaction
+    assert tbl.committed_batches() == {"b0", "b1", "b2", "b3"}
+    assert tbl.append(_df(spark, range(99)), "b2")["snapshot_id"] == snap["snapshot_id"]
+    got = tbl.read(spark)
+    assert got.count() == 40
+    assert [r.id for r in got.orderBy("id").collect()] == list(range(40))
+    # time travel to a pre-compaction snapshot still works pre-expiry
+    assert tbl.read(spark, snapshot_id=2).count() == 20
+
+    # expire: old manifests go, files referenced only by them are deleted
+    stats = tbl.expire_snapshots(keep_last=1)
+    assert stats["snapshots_dropped"] == 4 and stats["files_deleted"] >= 8
+    assert len(tbl.snapshots()) == 1
+    assert tbl.read(spark).count() == 40  # current view intact
+    with pytest.raises(ValueError, match="no snapshot"):
+        tbl.read(spark, snapshot_id=2)
+
+    # orphan GC: unreferenced staging (crashed writer) is removed only
+    # past the grace window
+    orphan = os.path.join(tbl.data_dir, "b-dead-1234")
+    _df(spark, range(3)).write.parquet(orphan)
+    assert tbl.remove_orphans(older_than_s=3600) == 0  # too young — kept
+    assert os.path.isdir(orphan)
+    _t.sleep(0.01)
+    assert tbl.remove_orphans(older_than_s=0.0) == 1
+    assert not os.path.isdir(orphan)
+    assert tbl.read(spark).count() == 40
+
+
+def test_compact_noop_cases(spark, tmp_path):
+    tbl = SnapTable(str(tmp_path / "t"))
+    assert tbl.compact(spark) is None  # empty table
+    tbl.append(_df(spark, range(5)).coalesce(1), "b0")
+    assert tbl.compact(spark) is None  # single file — below min_files
