@@ -11,7 +11,11 @@ index → extract spans → count, sized by SPARK_GRAFT_SCALE_DOCS (the
 per-doc work is large enough that Python-side startup noise is <2%).
 
 Usage: python bench_scaling.py [N] [sf_dir]    (default N=8 → compares 8 vs 32)
-Prints one JSON line.
+Prints one JSON line.  SPARK_GRAFT_SCALE_JOB=ingest switches the measured
+job from extract-only to the FULL snaptable batched ingest (extract +
+parquet sink + per-batch manifest commits over a materialized multi-file
+input) — the gate for the manifest-resume path, whose per-batch barriers
+and driver-side commits are invisible to the extract-only number.
 
 Measurement notes (this sandbox):
 * every Python worker pays ~1s fork+import on first use — the worker pool
@@ -103,20 +107,118 @@ def run_once(cores: int, sf_dir: str, repeat: int, n_parts: int) -> tuple[float,
     return wall, n_docs
 
 
+def _synth_input_parquet(sf_dir: str, repeat: int, path: str, n_files: int) -> int:
+    """Materialize the synth corpus ONCE as a multi-file parquet input so
+    the ingest job at both levels reads identical bytes; returns n_docs."""
+    import shutil
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    from hquery_php_spark.sources.html_synth import BASE_URL, synth_html_col
+
+    shutil.rmtree(path, ignore_errors=True)
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .appName("scaling-ingest-input")
+        .config("spark.sql.shuffle.partitions", "8")
+        # this session launches the process's ONLY JVM — driver memory
+        # set later would be silently ignored, and the default 1g heap
+        # OOMs the vectorized reader on multi-MB html strings
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    copies = int(os.environ.get("SPARK_GRAFT_SCALE_COPIES", "32"))
+    d = d.withColumn("text", F.repeat(F.col("text"), repeat))
+    if copies > 1:
+        d = d.crossJoin(spark.range(copies).withColumnRenamed("id", "rep"))
+        d = d.withColumn("doc_id", F.concat_ws("_", "doc_id", "rep")).drop("rep")
+    docs = d.select(
+        "doc_id",
+        synth_html_col(F.col("doc_id"), F.col("text"), F.col("source")).alias("html"),
+        F.lit(BASE_URL).alias("base_url"),
+    )
+    docs.repartition(n_files).write.parquet(path)
+    n = spark.read.parquet(path).count()
+    spark.stop()
+    return n
+
+
+def run_once_ingest(cores: int, inp: str, n_parts: int, batches: int) -> tuple[float, int]:
+    """Time the FULL snaptable batched ingest (extract + parquet sink +
+    per-batch manifest commits) — the job-level gate for the manifest
+    resume path, where per-batch barriers and driver-side commits are
+    the scaling risks the extract-only number cannot see."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import SparkSession
+
+    from hquery_php_spark.operators.pipeline import extract_spans_df
+    from hquery_php_spark.sources.ingest import batched_extract
+    from hquery_php_spark.sources.snaptable import SnapTable
+
+    spark = (
+        SparkSession.builder.master(f"local[{cores}]")
+        .appName(f"scaling-ingest-{cores}")
+        .config("spark.sql.shuffle.partitions", str(max(cores * 2, 8)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "128")
+        # multi-MB html strings × 4096-row default columnar batches × N
+        # concurrent scan tasks won't fit any sane heap — cap the batch
+        .config("spark.sql.parquet.columnarReaderBatchSize", "256")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    warm = spark.createDataFrame(
+        [(str(i), "<p>w</p>", "https://x/", 8) for i in range(cores * 8)],
+        ["doc_id", "html", "base_url", "size_bytes"],
+    ).repartition(n_parts)
+    extract_spans_df(warm).count()
+
+    reps = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "3"))
+    wall, n_docs = float("inf"), 0
+    for _ in range(reps):
+        out = tempfile.mkdtemp(prefix="scaling-tbl-")
+        shutil.rmtree(out)
+        t0 = time.perf_counter()
+        stats = batched_extract(spark, inp, out, batches=batches, partitions=n_parts)
+        wall = min(wall, time.perf_counter() - t0)
+        assert stats["ran"] == batches, stats
+        n_docs = sum(l["n_rows"] for l in SnapTable(out).lineage().values())
+        shutil.rmtree(out)
+    spark.stop()
+    return wall, n_docs
+
+
 def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 8
     sf_dir = sys.argv[2] if len(sys.argv) > 2 else os.environ.get(
         "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
     )
     repeat = int(os.environ.get("SPARK_GRAFT_SCALE_REPEAT", "24"))
+    job = os.environ.get("SPARK_GRAFT_SCALE_JOB", "extract")
 
     n_parts = 4 * n * 3  # same physical partitioning at both levels
-    t_n, docs_n = run_once(n, sf_dir, repeat, n_parts)
-    t_4n, docs_4n = run_once(4 * n, sf_dir, repeat, n_parts)
+    if job == "ingest":
+        batches = int(os.environ.get("SPARK_GRAFT_SCALE_BATCHES", "4"))
+        inp = os.environ.get(
+            "SPARK_GRAFT_SCALE_INPUT_DIR", "/tmp/scaling-ingest-input"
+        )
+        _synth_input_parquet(sf_dir, repeat, inp, n_files=batches * 4)
+        t_n, docs_n = run_once_ingest(n, inp, n_parts, batches)
+        t_4n, docs_4n = run_once_ingest(4 * n, inp, n_parts, batches)
+    else:
+        t_n, docs_n = run_once(n, sf_dir, repeat, n_parts)
+        t_4n, docs_4n = run_once(4 * n, sf_dir, repeat, n_parts)
     assert docs_n == docs_4n
     eff = (t_n / t_4n) / 4
     out = {
-        "metric": "scaling_efficiency_Nx4",
+        "metric": "scaling_efficiency_Nx4"
+        + ("_ingest" if job == "ingest" else ""),
         "value": round(eff, 4),
         "unit": "ratio",
         "n_cores": n,

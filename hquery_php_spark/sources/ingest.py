@@ -22,6 +22,13 @@ Per-batch lineage lands in the snapshot manifest (rows, files, wall
 seconds); per-partition extraction metrics go to the optional metrics
 sidecar with the batch id attached, AFTER the batch's data commit —
 same data-first/metrics-last ordering as reader.write_spans.
+
+Executor-memory note: raw-HTML corpora have multi-MB string cells, and
+the vectorized parquet reader buffers columnarReaderBatchSize rows per
+concurrent scan task — at the 4096-row default that is GBs of column
+vectors. Deployments reading wide raw-document columns should set
+``spark.sql.parquet.columnarReaderBatchSize`` down (256-512), as
+bench_scaling.py's ingest mode does.
 """
 
 from __future__ import annotations

@@ -33,7 +33,9 @@ straight to the parquet scan, so predicate pushdown / column pruning
 behave exactly as a plain parquet read.
 
 This is deliberately the smallest useful subset of the Iceberg spec
-(single table, append-only, no schema evolution, no deletes); when a
+(single table, no schema evolution, no row-level deletes; appends plus
+the maintenance actions — compaction, snapshot expiry, orphan GC — and
+manifest-stats file skipping on reads); when a
 real Iceberg catalog is configured, ``reader.read_documents`` already
 scans catalog tables and jobs should prefer it.  The point here is the
 commit/resume *protocol* and its tests.
@@ -141,6 +143,7 @@ class SnapTable:
             if f.endswith(".parquet")
         )
         n_rows = _staged_row_count(stage_abs)
+        stats = _file_stats(self.path, files)
 
         # 2. commit: optimistic create-exclusive of the next sequence
         #    number; EEXIST ⇒ somebody else committed — re-read, re-check
@@ -156,6 +159,13 @@ class SnapTable:
                 "schema": snap["schema"] if snap else df.schema.json(),
                 # cumulative: resume reads ONLY the latest manifest
                 "files": (snap["files"] if snap else []) + files,
+                # per-file min/max from parquet footers (free — no data
+                # read): lets read() skip whole files driver-side, the
+                # Iceberg manifest-stats file-pruning mechanism
+                "file_stats": {
+                    **(snap.get("file_stats", {}) if snap else {}),
+                    **stats,
+                },
                 "batch_ids": sorted(set(snap["batch_ids"]) | {batch_id})
                 if snap
                 else [batch_id],
@@ -237,6 +247,7 @@ class SnapTable:
                 "snapshot_id": seq,
                 "parent": cur["snapshot_id"],
                 "files": files,
+                "file_stats": _file_stats(self.path, files),
                 "compaction_of": cur["snapshot_id"],
                 "committed_at": time.time(),
             }
@@ -302,7 +313,10 @@ class SnapTable:
     # read path
 
     def read(
-        self, spark: SparkSession, snapshot_id: Optional[int] = None
+        self,
+        spark: SparkSession,
+        snapshot_id: Optional[int] = None,
+        between: Optional[tuple] = None,
     ) -> Optional[DataFrame]:
         """Scan the table as of the current (or a past) snapshot.
 
@@ -310,6 +324,14 @@ class SnapTable:
         manifest file list — pushdown/pruning work as with any parquet
         read, and files from uncommitted (crashed) writers can never
         appear.
+
+        ``between=(col, lo, hi)`` additionally prunes files whose
+        footer-derived [min, max] for ``col`` cannot intersect [lo, hi]
+        BEFORE the scan is planned (manifest-stats file skipping): a
+        point/range lookup on a 10^12-row table touches only the files
+        that can contain it.  Files without recorded stats are kept
+        (pruning is only ever an optimization), and the row-level
+        predicate is still applied for exactness.
         """
         if snapshot_id is None:
             snap = self.current_snapshot()
@@ -321,12 +343,43 @@ class SnapTable:
                 snap = json.load(f)
         if snap is None:
             return None
-        paths = [os.path.join(self.path, f) for f in snap["files"]]
+        files = snap["files"]
+        if between is not None:
+            col, lo, hi = between
+            stats = snap.get("file_stats", {})
+            files = [
+                f
+                for f in files
+                if not _prunable(stats.get(f, {}).get(col), lo, hi)
+            ]
+        paths = [os.path.join(self.path, f) for f in files]
         if not paths:
-            return spark.createDataFrame(
+            df = spark.createDataFrame(
                 [], schema=_schema_from_json(snap["schema"])
             )
-        return spark.read.parquet(*paths)
+        else:
+            df = spark.read.parquet(*paths)
+        if between is not None:
+            from pyspark.sql import functions as F
+
+            col, lo, hi = between
+            df = df.where(F.col(col).between(F.lit(lo), F.lit(hi)))
+        return df
+
+    def pruned_file_count(self, between: tuple) -> tuple:
+        """(files kept, files total) for a between predicate — lets tests
+        and operators assert manifest pruning without running a scan."""
+        snap = self.current_snapshot()
+        if snap is None:
+            return (0, 0)
+        col, lo, hi = between
+        stats = snap.get("file_stats", {})
+        kept = [
+            f
+            for f in snap["files"]
+            if not _prunable(stats.get(f, {}).get(col), lo, hi)
+        ]
+        return (len(kept), len(snap["files"]))
 
 
 def _schema_key(schema_json: dict) -> Set[tuple]:
@@ -338,6 +391,63 @@ def _schema_from_json(s: str):
     from pyspark.sql.types import StructType
 
     return StructType.fromJson(json.loads(s))
+
+
+def _prunable(mm, lo, hi) -> bool:
+    """True when a file's [min, max] provably misses [lo, hi].  Any
+    doubt (no stats, type mismatch with the predicate) keeps the file —
+    pruning must only ever drop files that provably cannot match."""
+    if not mm or mm[0] is None or mm[1] is None:
+        return False
+    try:
+        return bool(mm[1] < lo or mm[0] > hi)
+    except TypeError:
+        return False
+
+
+def _file_stats(root: str, rel_files: List[str]) -> Dict[str, dict]:
+    """Per-file {col: [min, max]} from parquet footer row-group stats —
+    metadata only, no data pages read.  Only JSON-safe scalar types are
+    recorded (str/int/float/bool); columns without footer stats are
+    skipped, which read() treats as un-prunable."""
+    import pyarrow.parquet as pq
+
+    out: Dict[str, dict] = {}
+    for rel in rel_files:
+        md = pq.ParquetFile(os.path.join(root, rel)).metadata
+        cols: Dict[str, list] = {}
+        dead: set = set()  # any row group without stats ⇒ column unusable
+        for rg in range(md.num_row_groups):
+            g = md.row_group(rg)
+            for ci in range(g.num_columns):
+                c = g.column(ci)
+                name = c.path_in_schema
+                if "." in name or name in dead:  # nested / already invalid
+                    continue
+                st = c.statistics
+                mn = mx = None
+                if st is not None and st.has_min_max:
+                    mn, mx = st.min, st.max
+                    if isinstance(mn, bytes):
+                        try:
+                            mn, mx = mn.decode("utf-8"), mx.decode("utf-8")
+                        except UnicodeDecodeError:
+                            mn = None
+                    if not isinstance(mn, (str, int, float, bool)):
+                        mn = None
+                    elif isinstance(mn, float) and (mn != mn or mx != mx):
+                        mn = None  # NaN stats are meaningless for ranges
+                if mn is None:
+                    dead.add(name)
+                    cols.pop(name, None)
+                    continue
+                if name in cols:
+                    cols[name] = [min(cols[name][0], mn), max(cols[name][1], mx)]
+                else:
+                    cols[name] = [mn, mx]
+        if cols:
+            out[rel] = cols
+    return out
 
 
 def _staged_row_count(stage_abs: str) -> int:

@@ -248,3 +248,42 @@ def test_compact_noop_cases(spark, tmp_path):
     assert tbl.compact(spark) is None  # empty table
     tbl.append(_df(spark, range(5)).coalesce(1), "b0")
     assert tbl.compact(spark) is None  # single file — below min_files
+
+
+def test_manifest_stats_file_skipping(spark, tmp_path):
+    tbl = SnapTable(str(tmp_path / "t"))
+    # three single-file batches with disjoint id ranges
+    for b, lo in enumerate((0, 100, 200)):
+        tbl.append(_df(spark, range(lo, lo + 50)).coalesce(1), "b%d" % b)
+    snap = tbl.current_snapshot()
+    assert len(snap["files"]) == 3
+    assert all(f in snap["file_stats"] for f in snap["files"])
+
+    # a point/range lookup plans only the file that can contain it
+    assert tbl.pruned_file_count(("id", 120, 130)) == (1, 3)
+    assert tbl.pruned_file_count(("id", 60, 99)) == (0, 3)  # gap → zero files
+    assert tbl.pruned_file_count(("id", 0, 300)) == (3, 3)
+
+    got = tbl.read(spark, between=("id", 120, 130)).orderBy("id").collect()
+    assert [r.id for r in got] == list(range(120, 131))
+    assert tbl.read(spark, between=("id", 60, 99)).count() == 0
+    # row-level predicate still applied inside a kept file
+    got = tbl.read(spark, between=("id", 205, 207)).collect()
+    assert sorted(r.id for r in got) == [205, 206, 207]
+    # stats on the string column work too (footer byte-stats decode);
+    # lexicographic ranges overlap more than numeric ones ("v100" sorts
+    # inside b0's [v0, v9]), so only b2 [v200, v249] is prunable here
+    assert tbl.pruned_file_count(("v", "v100", "v100")) == (2, 3)
+
+
+def test_compaction_recomputes_file_stats(spark, tmp_path):
+    tbl = SnapTable(str(tmp_path / "t"))
+    for b, lo in enumerate((0, 1000)):
+        tbl.append(_df(spark, range(lo, lo + 20)).coalesce(1), "b%d" % b)
+    snap = tbl.compact(spark, target_file_bytes=1 << 30)
+    assert len(snap["files"]) == 1
+    # stats describe the NEW file, not the replaced ones
+    assert set(snap["file_stats"]) == set(snap["files"])
+    assert tbl.pruned_file_count(("id", 5, 5)) == (1, 1)
+    assert tbl.pruned_file_count(("id", 2000, 3000)) == (0, 1)
+    assert tbl.read(spark, between=("id", 990, 1005)).count() == 6
