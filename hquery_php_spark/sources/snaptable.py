@@ -110,6 +110,7 @@ class SnapTable:
         df: DataFrame,
         batch_id: str,
         lineage: Optional[dict] = None,
+        allow_evolution: bool = False,
     ) -> dict:
         """Stage ``df`` as parquet, then atomically commit a snapshot.
 
@@ -118,17 +119,38 @@ class SnapTable:
         returned unchanged (the caller's retry/resume loop needs no
         special-casing).  Raises ``ValueError`` on a schema mismatch
         with the table's recorded schema (names+types, order-blind).
+
+        ``allow_evolution=True`` permits ADDITIVE evolution (Iceberg
+        add-column): extra top-level fields in ``df`` widen the table
+        schema, and files written before the addition read back as NULL
+        for the new columns (read() scans with the explicit manifest
+        schema).  Dropping or re-typing existing fields is always an
+        error — this table does type widening nowhere.
         """
         snap = self.current_snapshot()
         if snap and batch_id in snap["batch_ids"]:
             return snap
+        evolved_schema = None
         if snap:
+            table_fields = json.loads(snap["schema"])["fields"]
             want = _schema_key(json.loads(snap["schema"]))
-            have = _schema_key(json.loads(df.schema.json()))
+            have_json = json.loads(df.schema.json())
+            have = _schema_key(have_json)
             if want != have:
-                raise ValueError(
-                    "schema mismatch vs table %s: table=%s df=%s"
-                    % (self.path, sorted(want), sorted(have))
+                # additive only: every table (name, type) must appear
+                # unchanged in df (a re-typed field fails the subset test
+                # — a df cannot carry the same name twice)
+                if not (allow_evolution and want <= have):
+                    raise ValueError(
+                        "schema mismatch vs table %s: table=%s df=%s"
+                        % (self.path, sorted(want), sorted(have))
+                    )
+                known = {f["name"] for f in table_fields}
+                new_fields = [
+                    f for f in have_json["fields"] if f["name"] not in known
+                ]
+                evolved_schema = json.dumps(
+                    {**have_json, "fields": table_fields + new_fields}
                 )
 
         # 1. stage data under a unique dir — invisible until the snapshot
@@ -156,7 +178,8 @@ class SnapTable:
             new = {
                 "snapshot_id": seq,
                 "parent": snap["snapshot_id"] if snap else None,
-                "schema": snap["schema"] if snap else df.schema.json(),
+                "schema": evolved_schema
+                or (snap["schema"] if snap else df.schema.json()),
                 # cumulative: resume reads ONLY the latest manifest
                 "files": (snap["files"] if snap else []) + files,
                 # per-file min/max from parquet footers (free — no data
@@ -353,12 +376,14 @@ class SnapTable:
                 if not _prunable(stats.get(f, {}).get(col), lo, hi)
             ]
         paths = [os.path.join(self.path, f) for f in files]
+        schema = _schema_from_json(snap["schema"])
         if not paths:
-            df = spark.createDataFrame(
-                [], schema=_schema_from_json(snap["schema"])
-            )
+            df = spark.createDataFrame([], schema=schema)
         else:
-            df = spark.read.parquet(*paths)
+            # explicit manifest schema (not footer inference): files
+            # written before an additive evolution read as NULL for the
+            # later-added columns, and the column order is stable
+            df = spark.read.schema(schema).parquet(*paths)
         if between is not None:
             from pyspark.sql import functions as F
 
@@ -382,15 +407,34 @@ class SnapTable:
         return (len(kept), len(snap["files"]))
 
 
+def _all_nullable(t):
+    """Nullability-normalized copy of a schema-JSON node: parquet reads
+    are all-nullable anyway, so nullable flags must neither fail the
+    schema-compat check nor leak non-null promises into read schemas."""
+    if isinstance(t, dict):
+        out = {}
+        for k, v in t.items():
+            if k in ("nullable", "containsNull", "valueContainsNull"):
+                out[k] = True
+            else:
+                out[k] = _all_nullable(v)
+        return out
+    if isinstance(t, list):
+        return [_all_nullable(x) for x in t]
+    return t
+
+
 def _schema_key(schema_json: dict) -> Set[tuple]:
-    return {(f["name"], json.dumps(f["type"], sort_keys=True))
-            for f in schema_json["fields"]}
+    return {
+        (f["name"], json.dumps(_all_nullable(f["type"]), sort_keys=True))
+        for f in schema_json["fields"]
+    }
 
 
 def _schema_from_json(s: str):
     from pyspark.sql.types import StructType
 
-    return StructType.fromJson(json.loads(s))
+    return StructType.fromJson(_all_nullable(json.loads(s)))
 
 
 def _prunable(mm, lo, hi) -> bool:

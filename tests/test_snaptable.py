@@ -287,3 +287,35 @@ def test_compaction_recomputes_file_stats(spark, tmp_path):
     assert tbl.pruned_file_count(("id", 5, 5)) == (1, 1)
     assert tbl.pruned_file_count(("id", 2000, 3000)) == (0, 1)
     assert tbl.read(spark, between=("id", 990, 1005)).count() == 6
+
+
+def test_additive_schema_evolution(spark, tmp_path):
+    tbl = SnapTable(str(tmp_path / "t"))
+    tbl.append(_df(spark, range(3)), "b0")
+    wide = spark.createDataFrame(
+        [(i, "v%d" % i, i * 10) for i in range(3, 6)],
+        "id int, v string, score int",
+    )
+    # strict default refuses the extra column
+    with pytest.raises(ValueError, match="schema mismatch"):
+        tbl.append(wide, "b1")
+    tbl.append(wide, "b1", allow_evolution=True)
+
+    got = tbl.read(spark).orderBy("id")
+    assert got.columns == ["id", "v", "score"]  # stable manifest order
+    rows = got.collect()
+    # pre-evolution files read as NULL for the added column
+    assert [r.score for r in rows] == [None, None, None, 30, 40, 50]
+
+    # time travel reads with the schema AS OF that snapshot
+    assert tbl.read(spark, snapshot_id=1).columns == ["id", "v"]
+
+    # writers must carry the full current schema afterwards
+    with pytest.raises(ValueError, match="schema mismatch"):
+        tbl.append(_df(spark, range(9, 12)), "b2")
+    # dropping/re-typing is never evolution
+    bad = spark.createDataFrame(
+        [(1.0, "x", 1, "y")], "id double, v string, score int, z string"
+    )
+    with pytest.raises(ValueError, match="schema mismatch"):
+        tbl.append(bad, "b2", allow_evolution=True)
