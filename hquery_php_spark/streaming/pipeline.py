@@ -24,6 +24,7 @@ from ..core.extract import DEFAULT_OPTIONS, ExtractOptions
 from ..operators.pipeline import extract_spans_df
 
 __all__ = [
+    "streaming_append_snaptable",
     "streaming_extract_spans",
     "streaming_span_metrics",
     "streaming_sessionize",
@@ -466,4 +467,42 @@ def streaming_distinct_hll(
     # append; readers take the row with max n_tokens_seen per group
     return keyed.groupBy("g").applyInPandasWithState(
         fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
+
+
+def streaming_append_snaptable(
+    stream_df: DataFrame,
+    table_path: str,
+    checkpoint_dir: str,
+    batch_prefix: str = "epoch",
+):
+    """Exactly-once streaming sink into a snapshot-manifest table.
+
+    Structured Streaming's foreachBatch gives at-least-once epoch
+    delivery (a crashed micro-batch is REPLAYED with the same epoch_id
+    after restart from the checkpoint); SnapTable.append is idempotent
+    on batch_id, so keying the commit by epoch turns the replay into a
+    no-op — at-least-once delivery x idempotent commit = exactly-once
+    table contents, the standard foreachBatch pattern, with the dedup
+    ledger living in the table's own manifest instead of a separate
+    store.  Readers see each micro-batch atomically (snapshot commit),
+    never a half-written epoch.
+
+    Returns the DataStreamWriter — caller picks the trigger and calls
+    .start():
+
+        q = streaming_append_snaptable(spans, tbl, ckpt)\
+            .trigger(availableNow=True).start()
+    """
+    from ..sources.snaptable import SnapTable
+
+    if not stream_df.isStreaming:
+        raise ValueError("expected a streaming DataFrame (readStream source)")
+    tbl = SnapTable(table_path)
+
+    def _commit(batch_df: DataFrame, epoch_id: int) -> None:
+        tbl.append(batch_df, "%s-%08d" % (batch_prefix, epoch_id))
+
+    return stream_df.writeStream.foreachBatch(_commit).option(
+        "checkpointLocation", checkpoint_dir
     )
