@@ -372,6 +372,48 @@ def main() -> None:
     timings["warc_extract"] = round(warc_best, 4)
     total += warc_best
 
+    # snaptable ingest leg: parquet docs → extract → B atomic batch
+    # snapshots (manifest commits + footer stats), end to end INCLUDING
+    # the sink — the 10^12-doc resume path.  The materialized HTML input
+    # is corpus prep (built once per sf and cached), not the pipeline.
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from hquery_php_spark.sources.ingest import batched_extract
+    from hquery_php_spark.sources.snaptable import SnapTable
+
+    ingest_src = (
+        f"/tmp/spark_graft_ingest/"
+        f"{os.path.basename(os.path.normpath(sf_dir))}_{n_docs}"
+    )
+    if not os.path.exists(os.path.join(ingest_src, "_SUCCESS")):
+        base.select(
+            F.col("doc_id").cast("string").alias("doc_id"),
+            synth_html_col(F.col("doc_id"), F.col("text"), F.col("source")).alias(
+                "html"
+            ),
+            F.lit(BASE_URL).alias("base_url"),
+        ).repartition(16).write.mode("overwrite").parquet(ingest_src)
+
+    ing_best = None
+    ing_rows = 0
+    for _ in range(2):
+        out_tbl = _tempfile.mkdtemp(prefix="bench-snaptbl-")
+        _shutil.rmtree(out_tbl)
+        t0 = time.perf_counter()
+        stats = batched_extract(
+            spark, ingest_src, out_tbl, batches=4, partitions=int(cpus) * 3
+        )
+        dt = time.perf_counter() - t0
+        assert stats["ran"] == 4, stats
+        ing_rows = sum(
+            l["n_rows"] for l in SnapTable(out_tbl).lineage().values()
+        )
+        _shutil.rmtree(out_tbl)
+        ing_best = dt if ing_best is None else min(ing_best, dt)
+    timings["snaptable_ingest"] = round(ing_best, 4)
+    total += ing_best
+
     out = {
         "metric": "total_bench_wall",
         "value": round(total, 4),
@@ -400,6 +442,14 @@ def main() -> None:
             "n_archives": n_archives,
             "note": "crawl archives → range-split slices → HTTP envelope → "
             "charset handoff → tokenize/index/extract spans",
+        },
+        "snaptable_ingest": {
+            "wall": round(ing_best, 4),
+            "n_docs": ing_rows,
+            "docs_per_sec": round(ing_rows / ing_best, 2),
+            "n_batches": 4,
+            "note": "parquet docs → extract → 4 atomic snapshot commits "
+            "(manifest resume path), sink included",
         },
         "host_canary": _host_canary(),
     }
