@@ -332,6 +332,59 @@ class SnapTable:
             n += 1
         return n
 
+    def fsck(self) -> dict:
+        """Integrity check of the current snapshot against the filesystem:
+        every manifest-listed file must exist, and per-batch footer row
+        counts must equal the lineage recorded at commit time.  Footer
+        metadata only — no data pages, no Spark job.  Compaction rewrites
+        the file layout, so per-batch row reconciliation is only possible
+        on uncompacted tables; after a compact only the total is checked.
+        """
+        import pyarrow.parquet as pq
+
+        snap = self.current_snapshot()
+        if snap is None:
+            return {"ok": True, "missing_files": [], "batch_mismatches": []}
+        missing = [
+            f
+            for f in snap["files"]
+            if not os.path.exists(os.path.join(self.path, f))
+        ]
+        rows_by_batch: Dict[str, int] = {}
+        total_rows = 0
+        for f in snap["files"]:
+            p = os.path.join(self.path, f)
+            if not os.path.exists(p):
+                continue
+            n = pq.ParquetFile(p).metadata.num_rows
+            total_rows += n
+            # uncompacted layout: data/b-<batch_id>-<uuid32>/part-*.parquet
+            d = os.path.basename(os.path.dirname(f))
+            if d.startswith("b-"):
+                rows_by_batch[d[2:-33]] = rows_by_batch.get(d[2:-33], 0) + n
+        lineage = snap.get("lineage", {})
+        expected_total = sum(l.get("n_rows", 0) for l in lineage.values())
+        mismatches = []
+        if "compaction_of" in snap:
+            if not missing and total_rows != expected_total:
+                mismatches.append(
+                    {"batch": "__total__", "expected": expected_total,
+                     "found": total_rows}
+                )
+        else:
+            for bid, l in lineage.items():
+                got = rows_by_batch.get(bid, 0)
+                if got != l.get("n_rows", 0):
+                    mismatches.append(
+                        {"batch": bid, "expected": l.get("n_rows", 0),
+                         "found": got}
+                    )
+        return {
+            "ok": not missing and not mismatches,
+            "missing_files": missing,
+            "batch_mismatches": mismatches,
+        }
+
     # ------------------------------------------------------------------
     # read path
 

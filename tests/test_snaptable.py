@@ -365,3 +365,42 @@ def test_streaming_append_exactly_once(spark, tmp_path):
     # batch DataFrame is rejected
     with pytest.raises(ValueError):
         streaming_append_snaptable(base, out, ckpt)
+
+
+def test_fsck_detects_missing_and_mismatched_files(spark, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tbl = SnapTable(str(tmp_path / "t"))
+    tbl.append(_df(spark, range(10)).coalesce(1), "b0")
+    tbl.append(_df(spark, range(10, 30)).coalesce(1), "b1")
+    assert tbl.fsck() == {"ok": True, "missing_files": [], "batch_mismatches": []}
+
+    snap = tbl.current_snapshot()
+    f0, f1 = snap["files"]
+    # silent data corruption: a manifest-listed file loses rows
+    pq.write_table(
+        pa.table({"id": pa.array([1], pa.int32()), "v": ["x"]}),
+        os.path.join(tbl.path, f1),
+    )
+    r = tbl.fsck()
+    assert not r["ok"] and r["batch_mismatches"][0]["expected"] == 20
+
+    # a manifest-listed file disappears
+    os.unlink(os.path.join(tbl.path, f0))
+    r = tbl.fsck()
+    assert r["missing_files"] == [f0]
+
+    # compacted table: per-batch layout is gone, total still checked
+    tbl2 = SnapTable(str(tmp_path / "t2"))
+    tbl2.append(_df(spark, range(5)).coalesce(1), "b0")
+    tbl2.append(_df(spark, range(5, 9)).coalesce(1), "b1")
+    tbl2.compact(spark, target_file_bytes=1 << 30)
+    assert tbl2.fsck()["ok"]
+    cf = tbl2.current_snapshot()["files"][0]
+    pq.write_table(
+        pa.table({"id": pa.array([1], pa.int32()), "v": ["x"]}),
+        os.path.join(tbl2.path, cf),
+    )
+    r2 = tbl2.fsck()
+    assert not r2["ok"] and r2["batch_mismatches"][0]["batch"] == "__total__"
