@@ -402,7 +402,7 @@ def main() -> None:
         _shutil.rmtree(out_tbl)
         t0 = time.perf_counter()
         stats = batched_extract(
-            spark, ingest_src, out_tbl, batches=4, partitions=int(cpus) * 3
+            spark, ingest_src, out_tbl, batches=4  # partitions auto-sized
         )
         dt = time.perf_counter() - t0
         assert stats["ran"] == 4, stats
