@@ -404,3 +404,68 @@ def test_fsck_detects_missing_and_mismatched_files(spark, tmp_path):
     )
     r2 = tbl2.fsck()
     assert not r2["ok"] and r2["batch_mismatches"][0]["batch"] == "__total__"
+
+
+def test_randomized_ops_match_model(spark, tmp_path):
+    """Model-based soak: a random interleaving of append / replay /
+    compact / expire must always leave read() equal to the model (the
+    dict of committed batches), batch set monotone, fsck green."""
+    import random
+
+    rng = random.Random(0xC0FFEE)
+    tbl = SnapTable(str(tmp_path / "t"))
+    model = {}  # batch_id -> list of ids
+    next_lo = 0
+    for step in range(24):
+        op = rng.choice(["append", "append", "append", "replay", "compact", "expire"])
+        if op == "append" or (op == "replay" and not model):
+            bid = "b%03d" % len(model)
+            n = rng.randint(1, 12)
+            ids = list(range(next_lo, next_lo + n))
+            next_lo += n
+            tbl.append(_df(spark, ids).coalesce(rng.randint(1, 2)), bid)
+            model[bid] = ids
+        elif op == "replay":
+            bid = rng.choice(sorted(model))  # duplicate delivery of a
+            tbl.append(_df(spark, model[bid]), bid)  # committed batch
+        elif op == "compact":
+            tbl.compact(spark, target_file_bytes=1 << 30)
+        elif op == "expire":
+            tbl.expire_snapshots(keep_last=1)
+        got = sorted(r.id for r in tbl.read(spark).collect()) if model else None
+        want = sorted(i for ids in model.values() for i in ids) if model else None
+        assert got == want, (step, op)
+        assert tbl.committed_batches() == set(model)
+        f = tbl.fsck()
+        assert f["ok"], (step, op, f)
+
+
+def test_concurrent_appends_both_commit(spark, tmp_path):
+    """Two writers committing different batches at the same time: the
+    loser of each CAS retries and lands on the next sequence — both
+    batches end up in the table exactly once."""
+    import threading
+
+    tbl = SnapTable(str(tmp_path / "t"))
+    errs = []
+
+    def _writer(bid, lo):
+        try:
+            for k in range(3):
+                tbl.append(_df(spark, range(lo + k * 10, lo + k * 10 + 10)),
+                           "%s-%d" % (bid, k))
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    ts = [threading.Thread(target=_writer, args=("w%d" % w, w * 100))
+          for w in range(2)]
+    [t.start() for t in ts]
+    [t.join() for t in ts]
+    assert not errs
+    assert tbl.committed_batches() == {
+        "w0-0", "w0-1", "w0-2", "w1-0", "w1-1", "w1-2"}
+    got = sorted(r.id for r in tbl.read(spark).collect())
+    want = sorted(list(range(0, 30)) + list(range(100, 130)))
+    assert got == want
+    assert len(tbl.snapshots()) == 6  # one commit per batch, no clobbers
+    assert tbl.fsck()["ok"]
