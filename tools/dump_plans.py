@@ -49,6 +49,7 @@ QUERIES = [
     ("frame_sample", "demux fan-out: mapInPandas frame sampling (1 row -> n_frames PNGs) chained into mapInPandas pixel stats, zero shuffle"),
     ("media_meta", "container walk only: one mapInPandas over header bytes, no decode, zero shuffle — the filter-before-decode operator"),
     ("audio_meta", "Ogg page walk + id-header parse: one mapInPandas, zero shuffle"),
+    ("snaptable_ingest_batch", "ONE ingest batch of the manifest-resume path: the scan lists exactly the batch's planned files (planning-time file pruning, not a filter) -> one split-tail Exchange -> mapInPandas extract; the snapshot commit is driver-side metadata, invisible to the executor plan"),
 ]
 
 def main():
@@ -105,6 +106,31 @@ def main():
             embs = E._embs(spark, sf)
             qv = embs.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
             df = pq_topk(embs.where(F.col("vec_id") != 0), qv)
+        elif name == "snaptable_ingest_batch":
+            import tempfile
+
+            from pyspark.sql import functions as F
+
+            from hquery_php_spark.operators.pipeline import (
+                extract_spans_df,
+                split_tail_repartition,
+            )
+            from hquery_php_spark.sources.ingest import plan_file_batches
+
+            inp = tempfile.mkdtemp(prefix="plans-ingest-")
+            E._docs(spark, sf).select(
+                "doc_id", F.col("text").alias("html")
+            ).repartition(4).write.mode("overwrite").parquet(inp)
+            group = plan_file_batches(spark.read.parquet(inp).inputFiles(), 2)[0]
+            docs = spark.read.parquet(*group).withColumn(
+                "__size", F.length("html").cast("long")
+            )
+            df = extract_spans_df(
+                split_tail_repartition(
+                    docs, 4, size_col="__size", tail_bytes=1 << 21
+                ),
+                base_url_col=None,
+            )
         else:
             df = qs[name](spark, sf)
         buf = io.StringIO()
