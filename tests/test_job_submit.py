@@ -298,3 +298,73 @@ def test_extract_job_snaptable_submit_resume(tmp_path):
     assert r3.returncode == 0, r3.stderr[-3000:]
     assert b"ran 0, skipped 3" in r3.stdout
     assert sorted(os.listdir(os.path.join(out, "snaps")))[-1] == "snap-00000003.json"
+
+
+def test_pipeline_job_three_phases_resume(tmp_path):
+    """Composed pipeline via spark-submit: extract (batched) -> curate
+    (corpus-level) -> pack, each phase committed to its own snapshot
+    table.  A --max-batches run stops before curate; the full re-submit
+    finishes extract by manifest set-difference and runs the remaining
+    phases; a third submit is three no-op phases."""
+    import json
+
+    n = 120
+    texts = [  # Gopher gate wants stopwords present — keep them in
+        "the quick notes and more of it to read "
+        + " ".join(f"tok{i}w{j}" for j in range(12))
+        for i in range(n)
+    ]
+    for k in range(1, 6):  # 6 docs share doc 0's text: exact dupes
+        texts[k] = texts[0]
+    docs = pd.DataFrame(
+        {
+            "doc_id": [f"d{i:04d}" for i in range(n)],
+            "html": [f"<html><body><p>{t}</p></body></html>" for t in texts],
+        }
+    )
+    inp = str(tmp_path / "docs")
+    os.makedirs(inp)
+    for k in range(4):
+        docs.iloc[k::4].to_parquet(os.path.join(inp, f"part-{k}.parquet"))
+    out = str(tmp_path / "pipe")
+    zipf = shutil.make_archive(str(tmp_path / "pkg"), "zip", REPO, "hquery_php_spark")
+
+    def cmd(extra):
+        return [
+            "spark-submit", "--master", "local[4]", "--py-files", zipf,
+            os.path.join(REPO, "jobs", "pipeline_job.py"),
+            "--input", inp, "--output", out,
+            "--batches", "2", "--partitions", "4", "--n-shards", "4",
+        ] + extra
+
+    r1 = subprocess.run(
+        cmd(["--max-batches", "1"]), cwd=REPO, capture_output=True, timeout=600
+    )
+    assert r1.returncode == 0, r1.stderr[-3000:]
+    assert b"extract phase incomplete" in r1.stdout
+    assert not os.path.exists(os.path.join(out, "curated", "snaps"))
+
+    r2 = subprocess.run(cmd([]), cwd=REPO, capture_output=True, timeout=600)
+    assert r2.returncode == 0, r2.stderr[-3000:]
+    assert b"phase extract: 1 ran, 1 committed, of 2" in r2.stdout
+    assert b"kept 115 of 120 docs" in r2.stdout, r2.stdout[-2000:]
+
+    curated = json.load(
+        open(os.path.join(out, "curated", "snaps", "snap-00000001.json"))
+    )
+    assert curated["lineage"]["curate-all"]["n_rows"] == 115
+    packs_files = json.load(
+        open(os.path.join(out, "packs", "snaps", "snap-00000001.json"))
+    )["files"]
+    got = duckdb.sql(
+        "SELECT count(*) AS c, count(DISTINCT doc_id) AS d, "
+        "count(*) FILTER (pack_no < 0) AS oversize FROM read_parquet($f)",
+        params={"f": [os.path.join(out, "packs", f) for f in packs_files]},
+    ).df()
+    assert (got["c"][0], got["d"][0], got["oversize"][0]) == (115, 115, 0)
+
+    r3 = subprocess.run(cmd([]), cwd=REPO, capture_output=True, timeout=600)
+    assert r3.returncode == 0, r3.stderr[-3000:]
+    assert b"phase extract: 0 ran, 2 committed" in r3.stdout
+    assert b"phase curate: committed, skipping" in r3.stdout
+    assert b"phase pack: committed, skipping" in r3.stdout
