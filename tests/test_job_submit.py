@@ -368,3 +368,75 @@ def test_pipeline_job_three_phases_resume(tmp_path):
     assert b"phase extract: 0 ran, 2 committed" in r3.stdout
     assert b"phase curate: committed, skipping" in r3.stdout
     assert b"phase pack: committed, skipping" in r3.stdout
+
+
+def test_extract_job_snaptable_sigkill_resume(tmp_path):
+    """SIGKILL the snaptable ingest while a batch is STAGING (its b-* dir
+    exists but no snapshot for it yet): the orphan staging stays
+    invisible to readers, the re-submit re-runs the killed batch under a
+    fresh staging dir, and the final corpus is exact.  The graceful
+    --max-batches variant above can't see this window."""
+    import glob
+    import json
+
+    n = 1200
+    docs = pd.DataFrame(
+        {
+            "doc_id": [f"d{i:04d}" for i in range(n)],
+            "html": [
+                f'<html><body><p id="p{i}">'
+                + " ".join(f"<b>w{j}</b>" for j in range(40))
+                + "</p></body></html>"
+                for i in range(n)
+            ],
+        }
+    )
+    inp = str(tmp_path / "docs")
+    os.makedirs(inp)
+    for k in range(6):
+        docs.iloc[k::6].to_parquet(os.path.join(inp, f"part-{k}.parquet"))
+    out = str(tmp_path / "tbl")
+    zipf = shutil.make_archive(str(tmp_path / "pkg"), "zip", REPO, "hquery_php_spark")
+    cmd = [
+        "spark-submit", "--master", "local[2]", "--py-files", zipf,
+        os.path.join(REPO, "jobs", "extract_job.py"),
+        "--input", inp, "--output", out, "--partitions", "2",
+        "--table-format", "snaptable", "--batches", "3",
+    ]
+    log = open(tmp_path / "kill.log", "wb")
+    p = subprocess.Popen(cmd, cwd=REPO, stdout=log, stderr=log)
+    # kill as soon as ANY staging dir appears (batch 0 mid-write)
+    deadline = time.time() + 240
+    while time.time() < deadline and p.poll() is None:
+        if glob.glob(os.path.join(out, "data", "b-*")):
+            break
+        time.sleep(0.02)
+    killed_midway = p.poll() is None
+    if killed_midway:
+        p.kill()
+        p.wait()
+    orphans_before = set(glob.glob(os.path.join(out, "data", "b-*")))
+
+    r = subprocess.run(cmd, cwd=REPO, capture_output=True, timeout=600)
+    assert r.returncode == 0, r.stderr[-3000:]
+    snaps = sorted(os.listdir(os.path.join(out, "snaps")))
+    latest = json.load(open(os.path.join(out, "snaps", snaps[-1])))
+    assert sorted(latest["batch_ids"]) == [
+        f"b0000{i}-of-00003" for i in range(3)
+    ]
+    files = [os.path.join(out, f) for f in latest["files"]]
+    got = duckdb.sql(
+        "SELECT count(*) AS c, count(DISTINCT doc_id) AS d FROM read_parquet($f)",
+        params={"f": files},
+    ).df()
+    assert (got["c"][0], got["d"][0]) == (n, n), killed_midway
+    # the killed run's staging (if the kill landed mid-write) is NOT in
+    # the manifest: every manifest file lives in a different b-* dir
+    if killed_midway and orphans_before:
+        manifest_dirs = {os.path.dirname(os.path.join(out, f)) for f in latest["files"]}
+        dead = orphans_before - manifest_dirs
+        # at least the interrupted dir is orphaned unless its batch
+        # committed before the kill landed; either way nothing dangles
+        # into the manifest without a snapshot
+        for d in dead:
+            assert not any(d == m for m in manifest_dirs)
