@@ -102,6 +102,11 @@ class SnapTable:
         snap = self.current_snapshot()
         return dict(snap.get("lineage", {})) if snap else {}
 
+    def row_count(self) -> int:
+        """Total committed rows — answered from the manifest's lineage
+        (one small JSON read), no scan: COUNT(*) at 10^12 rows for free."""
+        return sum(l.get("n_rows", 0) for l in self.lineage().values())
+
     # ------------------------------------------------------------------
     # write path
 

@@ -177,6 +177,7 @@ def test_batched_extract_kill_resume_noop(spark, tmp_path):
 
     # per-batch lineage covers the corpus; metrics sidecar tagged by batch
     assert sum(l["n_rows"] for l in tbl.lineage().values()) == N_DOCS
+    assert tbl.row_count() == N_DOCS  # manifest-answered COUNT(*)
     m = spark.read.parquet(metrics)
     assert set(r.batch_id for r in m.select("batch_id").distinct().collect()) == {
         "b00000-of-00003", "b00001-of-00003", "b00002-of-00003",
