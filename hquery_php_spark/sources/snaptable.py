@@ -132,31 +132,39 @@ class SnapTable:
         schema).  Dropping or re-typing existing fields is always an
         error — this table does type widening nowhere.
         """
-        snap = self.current_snapshot()
-        if snap and batch_id in snap["batch_ids"]:
-            return snap
-        evolved_schema = None
-        if snap:
+        def _resolve_schema(snap: Optional[dict]) -> str:
+            """Validate df against the CURRENT table schema and return the
+            schema the new snapshot should carry.  Called fresh on every
+            CAS attempt: a lost race means another writer may have evolved
+            the schema (or created the table) since the last read, and a
+            decision made against the stale snapshot would commit a wrong
+            or unvalidated schema."""
+            if snap is None:
+                return df.schema.json()
             table_fields = json.loads(snap["schema"])["fields"]
             want = _schema_key(json.loads(snap["schema"]))
             have_json = json.loads(df.schema.json())
             have = _schema_key(have_json)
-            if want != have:
-                # additive only: every table (name, type) must appear
-                # unchanged in df (a re-typed field fails the subset test
-                # — a df cannot carry the same name twice)
-                if not (allow_evolution and want <= have):
-                    raise ValueError(
-                        "schema mismatch vs table %s: table=%s df=%s"
-                        % (self.path, sorted(want), sorted(have))
-                    )
-                known = {f["name"] for f in table_fields}
-                new_fields = [
-                    f for f in have_json["fields"] if f["name"] not in known
-                ]
-                evolved_schema = json.dumps(
-                    {**have_json, "fields": table_fields + new_fields}
+            if want == have:
+                return snap["schema"]
+            # additive only: every table (name, type) must appear
+            # unchanged in df (a re-typed field fails the subset test
+            # — a df cannot carry the same name twice)
+            if not (allow_evolution and want <= have):
+                raise ValueError(
+                    "schema mismatch vs table %s: table=%s df=%s"
+                    % (self.path, sorted(want), sorted(have))
                 )
+            known = {f["name"] for f in table_fields}
+            new_fields = [
+                f for f in have_json["fields"] if f["name"] not in known
+            ]
+            return json.dumps({**have_json, "fields": table_fields + new_fields})
+
+        snap = self.current_snapshot()
+        if snap and batch_id in snap["batch_ids"]:
+            return snap
+        _resolve_schema(snap)  # fail fast BEFORE paying for the staging write
 
         # 1. stage data under a unique dir — invisible until the snapshot
         #    commit below; a crash here leaves only orphan files.
@@ -183,8 +191,13 @@ class SnapTable:
             new = {
                 "snapshot_id": seq,
                 "parent": snap["snapshot_id"] if snap else None,
-                "schema": evolved_schema
-                or (snap["schema"] if snap else df.schema.json()),
+                # re-validated per attempt against the FRESH snapshot — a
+                # lost CAS may mean the schema evolved under us
+                "schema": _resolve_schema(snap),
+                # compaction rewrites the per-batch dir layout for good;
+                # later appends must keep saying so (fsck switches its
+                # row-attribution strategy on this)
+                "layout": snap.get("layout", "batch") if snap else "batch",
                 # cumulative: resume reads ONLY the latest manifest
                 "files": (snap["files"] if snap else []) + files,
                 # per-file min/max from parquet footers (free — no data
@@ -277,6 +290,7 @@ class SnapTable:
                 "files": files,
                 "file_stats": _file_stats(self.path, files),
                 "compaction_of": cur["snapshot_id"],
+                "layout": "compacted",  # sticky: appends carry it forward
                 "committed_at": time.time(),
             }
             if self._try_commit(seq, new):
@@ -294,6 +308,12 @@ class SnapTable:
         kept, dropped = snaps[-keep_last:], snaps[:-keep_last]
         live = {f for s in kept for f in s["files"]}
         dead = {f for s in dropped for f in s["files"]} - live
+        # manifests FIRST, files second: a crash in between leaves only
+        # unreferenced files (harmless orphans a later sweep reclaims) —
+        # the reverse order would leave listed snapshots whose scans
+        # explode on deleted paths
+        for s in dropped:
+            os.unlink(os.path.join(self.snap_dir, _SNAP_FMT % s["snapshot_id"]))
         emptied = set()
         for f in sorted(dead):
             p = os.path.join(self.path, f)
@@ -307,8 +327,6 @@ class SnapTable:
                 import shutil
 
                 shutil.rmtree(d)
-        for s in dropped:
-            os.unlink(os.path.join(self.snap_dir, _SNAP_FMT % s["snapshot_id"]))
         return {"snapshots_dropped": len(dropped), "files_deleted": len(dead)}
 
     def remove_orphans(self, older_than_s: float = 86400.0) -> int:
@@ -370,7 +388,7 @@ class SnapTable:
         lineage = snap.get("lineage", {})
         expected_total = sum(l.get("n_rows", 0) for l in lineage.values())
         mismatches = []
-        if "compaction_of" in snap:
+        if snap.get("layout", "batch") == "compacted" or "compaction_of" in snap:
             if not missing and total_rows != expected_total:
                 mismatches.append(
                     {"batch": "__total__", "expected": expected_total,

@@ -79,8 +79,28 @@ def main() -> None:
         spark.stop()
         return
 
+    def _check_phase_params(tbl: SnapTable, batch_id: str, params: dict) -> bool:
+        """True when the phase is committed AND with the same parameters;
+        committed-with-different-parameters fails loudly — silently
+        skipping would leave stale output that looks current (the same
+        guard batched_extract applies to its batch plan)."""
+        if batch_id not in tbl.committed_batches():
+            return False
+        prior = tbl.lineage().get(batch_id, {}).get("params")
+        if prior is not None and prior != params:
+            raise ValueError(
+                "phase %s already committed with params %s; this run wants "
+                "%s — write to a fresh --output to re-run it"
+                % (batch_id, prior, params)
+            )
+        return True
+
     # ---- phase 2: curate (corpus-level, one commit) --------------------
-    if "curate-all" in curated_tbl.committed_batches():
+    curate_params = {
+        "min_words": args.min_words,
+        "near_dup": not args.no_near_dup,
+    }
+    if _check_phase_params(curated_tbl, "curate-all", curate_params):
         print("phase curate: committed, skipping")
     else:
         spans = spans_tbl.read(spark)
@@ -96,8 +116,12 @@ def main() -> None:
         kept = curate_corpus(docs, opts=opts, persist_registry=reg).select(
             "doc_id", "pos", "n_tokens"
         )
-        n_in = spans.count()
-        snap = curated_tbl.append(kept, "curate-all", lineage={"n_input_docs": n_in})
+        n_in = spans_tbl.row_count()  # manifest-answered, no scan
+        snap = curated_tbl.append(
+            kept,
+            "curate-all",
+            lineage={"n_input_docs": n_in, "params": curate_params},
+        )
         for cached in reg:
             cached.unpersist()
         lin = snap["lineage"]["curate-all"]
@@ -106,7 +130,12 @@ def main() -> None:
         )
 
     # ---- phase 3: pack (one commit over kept docs' spans) --------------
-    if "pack-all" in packs_tbl.committed_batches():
+    pack_params = {
+        "max_tokens": args.max_tokens,
+        "media_token_cost": args.media_token_cost,
+        "n_shards": args.n_shards,
+    }
+    if _check_phase_params(packs_tbl, "pack-all", pack_params):
         print("phase pack: committed, skipping")
     else:
         spans = spans_tbl.read(spark)
@@ -120,7 +149,9 @@ def main() -> None:
             media_token_cost=args.media_token_cost,
             n_shards=args.n_shards,
         )
-        snap = packs_tbl.append(packs, "pack-all")
+        snap = packs_tbl.append(
+            packs, "pack-all", lineage={"params": pack_params}
+        )
         print("phase pack: %d rows" % snap["lineage"]["pack-all"]["n_rows"])
 
     spark.stop()

@@ -430,13 +430,12 @@ def test_extract_job_snaptable_sigkill_resume(tmp_path):
         params={"f": files},
     ).df()
     assert (got["c"][0], got["d"][0]) == (n, n), killed_midway
-    # the killed run's staging (if the kill landed mid-write) is NOT in
-    # the manifest: every manifest file lives in a different b-* dir
-    if killed_midway and orphans_before:
-        manifest_dirs = {os.path.dirname(os.path.join(out, f)) for f in latest["files"]}
-        dead = orphans_before - manifest_dirs
-        # at least the interrupted dir is orphaned unless its batch
-        # committed before the kill landed; either way nothing dangles
-        # into the manifest without a snapshot
-        for d in dead:
-            assert not any(d == m for m in manifest_dirs)
+    # nothing dangles into the manifest without a snapshot: every listed
+    # file's staging dir encodes a batch id that IS committed (the killed
+    # run's orphan staging, if any, therefore cannot appear)
+    del killed_midway, orphans_before  # diagnostics for the asserts above
+    for f in latest["files"]:
+        d = os.path.basename(os.path.dirname(f))
+        assert d.startswith("b-"), f
+        bid = d[2:-33]  # strip "b-" prefix and "-<uuid32>" suffix
+        assert bid in latest["batch_ids"], (f, bid)

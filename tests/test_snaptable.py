@@ -470,3 +470,43 @@ def test_concurrent_appends_both_commit(spark, tmp_path):
     assert got == want
     assert len(tbl.snapshots()) == 6  # one commit per batch, no clobbers
     assert tbl.fsck()["ok"]
+
+
+def test_fsck_ok_after_compact_then_append(spark, tmp_path):
+    """Regression: append() must carry the compacted layout forward so
+    fsck keeps using total reconciliation — the per-batch branch would
+    falsely flag every pre-compaction batch (rows now live in compact-*
+    dirs invisible to b-* attribution)."""
+    tbl = SnapTable(str(tmp_path / "t"))
+    tbl.append(_df(spark, range(10)), "b0")
+    tbl.append(_df(spark, range(10, 30)), "b1")
+    tbl.compact(spark, target_file_bytes=1 << 30)
+    tbl.append(_df(spark, range(30, 35)), "b2")
+    assert tbl.current_snapshot()["layout"] == "compacted"
+    r = tbl.fsck()
+    assert r == {"ok": True, "missing_files": [], "batch_mismatches": []}
+    assert tbl.read(spark).count() == 35 == tbl.row_count()
+
+
+def test_append_lost_race_revalidates_schema(spark, tmp_path):
+    """Regression: a writer that loses the CAS must re-validate its
+    schema decision against the WINNER's snapshot — the stale decision
+    would commit a wrong (or never-validated) table schema."""
+    tbl = SnapTable(str(tmp_path / "t"))
+    orig = tbl._try_commit
+    fired = []
+
+    def race(seq, snap):
+        if not fired:
+            fired.append(True)  # a competing writer lands first commit
+            SnapTable(tbl.path).append(_df(spark, range(3)), "winner")
+        return orig(seq, snap)
+
+    tbl._try_commit = race
+    bad = spark.createDataFrame([(1.5, "x")], "id double, v string")
+    # table was EMPTY at entry (no upfront check possible); after losing
+    # the race the retry must validate against the winner's schema
+    with pytest.raises(ValueError, match="schema mismatch"):
+        tbl.append(bad, "loser")
+    assert tbl.committed_batches() == {"winner"}
+    assert [f.name for f in tbl.read(spark).schema.fields] == ["id", "v"]
