@@ -32,13 +32,25 @@ one small file read, not a log replay).  Readers pass the file list
 straight to the parquet scan, so predicate pushdown / column pruning
 behave exactly as a plain parquet read.
 
-This is deliberately the smallest useful subset of the Iceberg spec
-(single table, no schema evolution, no row-level deletes; appends plus
-the maintenance actions — compaction, snapshot expiry, orphan GC — and
-manifest-stats file skipping on reads); when a
-real Iceberg catalog is configured, ``reader.read_documents`` already
-scans catalog tables and jobs should prefer it.  The point here is the
-commit/resume *protocol* and its tests.
+This is deliberately a small, testable subset of the Iceberg spec —
+appends with additive schema evolution, the maintenance actions
+(compaction, snapshot expiry, orphan GC), manifest-stats file skipping,
+**hidden partitioning** (identity / bucket[N] / truncate[W] transforms;
+partition values live in the manifest, never in the read schema),
+batch **overwrite** (``replace_batch``) and **copy-on-write row-level
+delete** (``delete_where`` rewrites only the files that contain
+matches).  When a real Iceberg catalog is configured,
+``reader.read_documents`` already scans catalog tables and jobs should
+prefer it.  The point here is the commit/resume *protocol* and its
+tests.
+
+Partitioning scale note: at 10^12 rows a point lookup on a
+high-cardinality key (doc_id) cannot be answered by footer min/max —
+every file's [min, max] spans the key space.  ``bucket[N]`` fixes
+that the way Iceberg does: the writer clusters rows by a deterministic
+hash bucket, the manifest records each file's bucket, and a point read
+computes the key's bucket driver-side and plans a scan over only that
+bucket's files (1/N of the table, no Spark job to decide).
 """
 
 from __future__ import annotations
@@ -57,12 +69,31 @@ _SNAP_FMT = "snap-%08d.json"
 
 
 class SnapTable:
-    """Append-only snapshot table at ``path`` (local/DFS-posix dir)."""
+    """Append-only snapshot table at ``path`` (local/DFS-posix dir).
 
-    def __init__(self, path: str):
+    ``partition_spec`` (optional, used when the table is CREATED by the
+    first append; existing tables read their spec from the manifest and
+    a conflicting constructor spec is an error) is a list of transforms,
+    Iceberg's hidden partitioning:
+
+    * ``("col", "identity")`` — one partition per distinct value;
+    * ``("col", "bucket", N)`` — deterministic hash bucket in [0, N):
+      ``crc32(cast(col as string)) mod N``, recomputable driver-side so
+      point lookups prune to one bucket without a Spark job;
+    * ``("col", "truncate", W)`` — string prefix of width W, or integer
+      floor-truncation to multiples of W (pmod — negatives round down,
+      matching Iceberg's truncate).
+
+    The transform columns are write-time only: readers get exactly the
+    declared table schema (the partition values live in directory names
+    and the manifest, never in the data pages).
+    """
+
+    def __init__(self, path: str, partition_spec: Optional[list] = None):
         self.path = path
         self.data_dir = os.path.join(path, "data")
         self.snap_dir = os.path.join(path, "snaps")
+        self.partition_spec = _norm_spec(partition_spec)
 
     # ------------------------------------------------------------------
     # snapshot log
@@ -165,20 +196,13 @@ class SnapTable:
         if snap and batch_id in snap["batch_ids"]:
             return snap
         _resolve_schema(snap)  # fail fast BEFORE paying for the staging write
+        spec = self._effective_spec(snap, df)
 
         # 1. stage data under a unique dir — invisible until the snapshot
         #    commit below; a crash here leaves only orphan files.
         t0 = time.time()
         stage_rel = os.path.join("data", "b-%s-%s" % (batch_id, uuid.uuid4().hex))
-        stage_abs = os.path.join(self.path, stage_rel)
-        df.write.mode("error").parquet(stage_abs)
-        files = sorted(
-            os.path.join(stage_rel, f)
-            for f in os.listdir(stage_abs)
-            if f.endswith(".parquet")
-        )
-        n_rows = _staged_row_count(stage_abs)
-        stats = _file_stats(self.path, files)
+        files, n_rows, stats, parts = self._stage(df, stage_rel, spec)
 
         # 2. commit: optimistic create-exclusive of the next sequence
         #    number; EEXIST ⇒ somebody else committed — re-read, re-check
@@ -187,6 +211,15 @@ class SnapTable:
             snap = self.current_snapshot()
             if snap and batch_id in snap["batch_ids"]:
                 return snap  # concurrent duplicate won the race — no-op
+            if self._effective_spec(snap, df) != spec:
+                # lost a CAS to a creator with a different partition spec:
+                # the data is already staged with the WRONG layout — it
+                # cannot be committed, only re-staged by the caller
+                raise ValueError(
+                    "partition spec of %s changed under this append "
+                    "(concurrent table creation); re-run the append"
+                    % self.path
+                )
             seq = (snap["snapshot_id"] + 1) if snap else 1
             new = {
                 "snapshot_id": seq,
@@ -221,8 +254,85 @@ class SnapTable:
                 },
                 "committed_at": time.time(),
             }
+            if spec:
+                new["partition_spec"] = spec
+                # per-file partition values (Iceberg manifest partition
+                # tuples): the read-side pruning source
+                new["file_partitions"] = {
+                    **(snap.get("file_partitions", {}) if snap else {}),
+                    **parts,
+                }
             if self._try_commit(seq, new):
                 return new
+
+    # ------------------------------------------------------------------
+    # partitioned staging
+
+    def _effective_spec(self, snap: Optional[dict], df: DataFrame) -> list:
+        """The partition spec this write must use: the table's recorded
+        spec when the table exists (a conflicting constructor spec is an
+        error — Iceberg spec evolution is out of scope), else the
+        constructor's.  Also rejects transform-column name collisions."""
+        if snap is not None:
+            tspec = snap.get("partition_spec") or []
+            if self.partition_spec and self.partition_spec != tspec:
+                raise ValueError(
+                    "partition spec mismatch vs table %s: table=%s ctor=%s"
+                    % (self.path, tspec, self.partition_spec)
+                )
+            spec = tspec
+        else:
+            spec = self.partition_spec
+        if spec:
+            names = set(df.columns)
+            for p in spec:
+                if p["src"] not in names:
+                    raise ValueError(
+                        "partition source column %r missing from df" % p["src"]
+                    )
+                if p["name"] in names:
+                    raise ValueError(
+                        "df column %r collides with a partition transform"
+                        % p["name"]
+                    )
+        return spec
+
+    def _stage(self, df: DataFrame, stage_rel: str, spec: list):
+        """Write ``df`` under ``stage_rel`` (partitioned by the spec's
+        transform columns when there is one) and return
+        ``(files, n_rows, stats, partitions)`` from the parquet footers
+        and directory names — no data read, no Spark job beyond the
+        write itself."""
+        stage_abs = os.path.join(self.path, stage_rel)
+        if spec:
+            from pyspark.sql import functions as F  # noqa: F401
+
+            w = df
+            for p in spec:
+                w = w.withColumn(p["name"], _transform_col(p, dict(df.dtypes)))
+            # transform columns become directory names only — partitionBy
+            # drops them from the data pages, so the files carry exactly
+            # the declared table schema (hidden partitioning)
+            w.write.mode("error").partitionBy(*[p["name"] for p in spec]).parquet(
+                stage_abs
+            )
+        else:
+            df.write.mode("error").parquet(stage_abs)
+        files = []
+        for root, _dirs, names in os.walk(stage_abs):
+            rel_root = os.path.relpath(root, self.path)
+            for f in names:
+                if f.endswith(".parquet"):
+                    files.append(os.path.join(rel_root, f))
+        files.sort()
+        n_rows = sum(
+            _footer_rows(os.path.join(self.path, f)) for f in files
+        )
+        stats = _file_stats(self.path, files)
+        parts = (
+            {f: _parse_partition_values(f, spec) for f in files} if spec else {}
+        )
+        return files, n_rows, stats, parts
 
     def _try_commit(self, seq: int, snap: dict) -> bool:
         os.makedirs(self.snap_dir, exist_ok=True)
@@ -239,6 +349,212 @@ class SnapTable:
             return False  # lost the race — caller re-reads and retries
         finally:
             os.unlink(tmp)
+
+    # ------------------------------------------------------------------
+    # row-changing commits: batch overwrite + copy-on-write delete
+
+    def replace_batch(
+        self, df: DataFrame, batch_id: str, lineage: Optional[dict] = None
+    ) -> dict:
+        """Overwrite a committed batch with recomputed data (Iceberg's
+        overwrite snapshot): stage ``df`` as the batch's new files, then
+        commit a snapshot where the old batch's files are dropped.  The
+        re-curation story at 10^12 docs — one bad shard is recomputed
+        and swapped without touching the rest of the table; older
+        snapshots still see the old data until ``expire_snapshots``.
+
+        Requires the uncompacted layout (compaction erases per-batch
+        file attribution) and an exactly-matching schema (no evolution
+        through a replace).
+        """
+        snap = self.current_snapshot()
+        if snap is None or batch_id not in snap["batch_ids"]:
+            raise ValueError(
+                "batch %r is not committed in %s" % (batch_id, self.path)
+            )
+        if snap.get("layout", "batch") != "batch":
+            raise ValueError(
+                "table %s was compacted or row-deleted; per-batch files are "
+                "no longer attributable — replace_batch needs the original "
+                "batch layout" % self.path
+            )
+        have = _schema_key(json.loads(df.schema.json()))
+        if _schema_key(json.loads(snap["schema"])) != have:
+            raise ValueError(
+                "schema mismatch vs table %s on replace_batch" % self.path
+            )
+        spec = self._effective_spec(snap, df)
+        t0 = time.time()
+        # same b-<batch_id>-<uuid> naming as append: fsck's per-batch row
+        # attribution keeps working across the swap
+        stage_rel = os.path.join(
+            "data", "b-%s-%s" % (batch_id, uuid.uuid4().hex)
+        )
+        files, n_rows, stats, parts = self._stage(df, stage_rel, spec)
+        while True:
+            snap = self.current_snapshot()
+            if (
+                snap is None
+                or batch_id not in snap["batch_ids"]
+                or snap.get("layout", "batch") != "batch"
+                or _schema_key(json.loads(snap["schema"])) != have
+            ):
+                raise ValueError(
+                    "table %s changed under replace_batch(%r); re-run"
+                    % (self.path, batch_id)
+                )
+            old = {f for f in snap["files"] if _batch_of(f) == batch_id}
+            new_files = [f for f in snap["files"] if f not in old] + files
+            seq = snap["snapshot_id"] + 1
+            new = {
+                **snap,
+                "snapshot_id": seq,
+                "parent": snap["snapshot_id"],
+                "files": new_files,
+                "file_stats": _keep_keys(
+                    {**snap.get("file_stats", {}), **stats}, new_files
+                ),
+                "lineage": {
+                    **snap.get("lineage", {}),
+                    batch_id: {
+                        **(lineage or {}),
+                        "n_rows": n_rows,
+                        "n_files": len(files),
+                        "wall_s": round(time.time() - t0, 3),
+                        "replaced_in": seq,
+                    },
+                },
+                "committed_at": time.time(),
+            }
+            if spec:
+                new["file_partitions"] = _keep_keys(
+                    {**snap.get("file_partitions", {}), **parts}, new_files
+                )
+            if self._try_commit(seq, new):
+                return new
+
+    def delete_where(
+        self,
+        spark: SparkSession,
+        predicate: str,
+        prune: Optional[tuple] = None,
+    ) -> Optional[dict]:
+        """Copy-on-write row-level delete (Iceberg CoW DELETE): rows
+        where the SQL ``predicate`` is TRUE are removed; only files that
+        actually CONTAIN matches are rewritten, every other file is
+        carried into the new snapshot untouched.  NULL/false predicate
+        rows are kept (SQL DELETE semantics).
+
+        ``prune=(col, lo, hi)`` optionally pre-filters candidate files
+        by footer stats so the match scan itself skips files that
+        provably cannot match (the decontaminate-at-rest fast path).
+
+        Returns the delete report dict, or None when a concurrent
+        commit invalidated the plan (re-run to retry).  Flips the table
+        to total-row fsck reconciliation: the survivors of rewritten
+        files live outside their batch dirs afterwards.
+        """
+        from pyspark.sql import functions as F
+
+        snap = self.current_snapshot()
+        report = {"rows_deleted": 0, "files_rewritten": 0, "files_scanned": 0}
+        if snap is None or not snap["files"]:
+            return report
+        cand = snap["files"]
+        stats = snap.get("file_stats", {})
+        if prune is not None:
+            col, lo, hi = prune
+            cand = [
+                f
+                for f in cand
+                if not _prunable(stats.get(f, {}).get(col), lo, hi)
+            ]
+        report["files_scanned"] = len(cand)
+        if not cand:
+            return report
+        schema = _schema_from_json(snap["schema"])
+        paths = [os.path.join(self.path, f) for f in cand]
+        # one distributed scan finds the files containing matches —
+        # collect() is bounded by the FILE count, never the row count
+        hits = (
+            spark.read.schema(schema)
+            .parquet(*paths)
+            .where(F.expr(predicate))
+            .groupBy(F.input_file_name().alias("_f"))
+            .count()
+            .collect()
+        )
+        hit_rows = {_uri_to_rel(r["_f"], self.path): r["count"] for r in hits}
+        if not hit_rows:
+            return report
+        hit_files = sorted(hit_rows)
+        spec = snap.get("partition_spec") or []
+        survivors = (
+            spark.read.schema(schema)
+            .parquet(*[os.path.join(self.path, f) for f in hit_files])
+            # keep rows where the predicate is FALSE OR NULL — plain
+            # ~predicate would silently delete the NULL rows too
+            .where(~F.coalesce(F.expr(predicate), F.lit(False)))
+        )
+        stage_rel = os.path.join("data", "delete-%s" % uuid.uuid4().hex)
+        files, n_rows, new_stats, parts = self._stage(survivors, stage_rel, spec)
+        rows_deleted = sum(hit_rows.values())
+        old_rows = sum(
+            _footer_rows(os.path.join(self.path, f)) for f in hit_files
+        )
+        if n_rows != old_rows - rows_deleted:
+            raise RuntimeError(
+                "delete rewrite row mismatch in %s: %d survivors != %d - %d"
+                % (self.path, n_rows, old_rows, rows_deleted)
+            )
+        while True:
+            cur = self.current_snapshot()
+            if cur["snapshot_id"] != snap["snapshot_id"]:
+                return None  # plan is stale vs a concurrent commit — re-run
+            hit_set = set(hit_files)
+            new_files = [f for f in cur["files"] if f not in hit_set] + files
+            # lineage correction: attribute deleted rows to their batches
+            # while the layout still allows it, else record one negative
+            # correction entry — row_count() stays exact either way
+            lin = {k: dict(v) for k, v in cur.get("lineage", {}).items()}
+            unattributed = 0
+            for f, n in hit_rows.items():
+                b = _batch_of(f)
+                if b is not None and b in lin and cur.get("layout", "batch") == "batch":
+                    lin[b]["n_rows"] = lin[b].get("n_rows", 0) - n
+                else:
+                    unattributed += n
+            seq = cur["snapshot_id"] + 1
+            if unattributed:
+                lin["__delete_snap%08d__" % seq] = {
+                    "n_rows": -unattributed,
+                    "n_files": 0,
+                    "predicate": predicate,
+                }
+            new = {
+                **cur,
+                "snapshot_id": seq,
+                "parent": cur["snapshot_id"],
+                "files": new_files,
+                "file_stats": _keep_keys(
+                    {**cur.get("file_stats", {}), **new_stats}, new_files
+                ),
+                "lineage": lin,
+                # survivors live outside their batch dirs now: per-batch
+                # fsck attribution is over for this table
+                "layout": "compacted",
+                "delete_of": cur["snapshot_id"],
+                "committed_at": time.time(),
+            }
+            if spec:
+                new["file_partitions"] = _keep_keys(
+                    {**cur.get("file_partitions", {}), **parts}, new_files
+                )
+            if self._try_commit(seq, new):
+                report["rows_deleted"] = rows_deleted
+                report["files_rewritten"] = len(hit_files)
+                report["snapshot"] = new
+                return report
 
     # ------------------------------------------------------------------
     # maintenance: compaction + expiry (the small-file problem)
@@ -269,15 +585,31 @@ class SnapTable:
         n_out = max(1, -(-total // target_file_bytes))  # ceil
         if n_out >= len(snap["files"]):
             return None  # already at-or-below target granularity
-        df = self.read(spark).coalesce(int(n_out))  # no shuffle
+        spec = snap.get("partition_spec") or []
+        df = self.read(spark)
+        if spec:
+            # re-cluster on the recomputed transform columns so the
+            # rewrite preserves partition pruning (one shuffle — the
+            # price of keeping files partition-pure)
+            dtypes = dict(df.dtypes)
+            for p in spec:
+                df = df.withColumn(p["name"], _transform_col(p, dtypes))
+            df = df.repartition(int(n_out), *[p["name"] for p in spec])
+            writer = df.write.mode("error").partitionBy(
+                *[p["name"] for p in spec]
+            )
+        else:
+            writer = df.coalesce(int(n_out)).write.mode("error")  # no shuffle
         stage_rel = os.path.join("data", "compact-%s" % uuid.uuid4().hex)
         stage_abs = os.path.join(self.path, stage_rel)
-        df.write.mode("error").parquet(stage_abs)
-        files = sorted(
-            os.path.join(stage_rel, f)
-            for f in os.listdir(stage_abs)
-            if f.endswith(".parquet")
-        )
+        writer.parquet(stage_abs)
+        files = []
+        for root, _dirs, names in os.walk(stage_abs):
+            rel_root = os.path.relpath(root, self.path)
+            files.extend(
+                os.path.join(rel_root, f) for f in names if f.endswith(".parquet")
+            )
+        files.sort()
         while True:
             cur = self.current_snapshot()
             if cur["snapshot_id"] != snap["snapshot_id"]:
@@ -293,6 +625,10 @@ class SnapTable:
                 "layout": "compacted",  # sticky: appends carry it forward
                 "committed_at": time.time(),
             }
+            if spec:
+                new["file_partitions"] = {
+                    f: _parse_partition_values(f, spec) for f in files
+                }
             if self._try_commit(seq, new):
                 return new
 
@@ -319,10 +655,14 @@ class SnapTable:
             p = os.path.join(self.path, f)
             if os.path.exists(p):
                 os.unlink(p)
-            emptied.add(os.path.dirname(p))
-        for d in emptied:  # drop dirs holding only write markers now
+            # the top-level staging dir (partitioned layouts nest hive
+            # dirs below it — the whole unit empties together)
+            emptied.add(os.path.join(self.path, *f.split(os.sep)[:2]))
+        for d in emptied:  # drop staging dirs holding no data anymore
             if os.path.isdir(d) and not any(
-                e.endswith(".parquet") for e in os.listdir(d)
+                n.endswith(".parquet")
+                for _r, _d, names in os.walk(d)
+                for n in names
             ):
                 import shutil
 
@@ -334,8 +674,10 @@ class SnapTable:
         than the grace window (Iceberg's remove-orphan-files): leftovers
         of jobs that died between staging and their snapshot commit."""
         snaps = self.snapshots()
+        # top-level staging dir (data/<dir>) — partitioned layouts nest
+        # hive dirs below it, so the immediate parent is not the unit
         referenced = {
-            os.path.join(self.path, f).rsplit(os.sep, 1)[0]
+            os.path.join(self.path, *f.split(os.sep)[:2])
             for s in snaps
             for f in s["files"]
         }
@@ -381,10 +723,10 @@ class SnapTable:
                 continue
             n = pq.ParquetFile(p).metadata.num_rows
             total_rows += n
-            # uncompacted layout: data/b-<batch_id>-<uuid32>/part-*.parquet
-            d = os.path.basename(os.path.dirname(f))
-            if d.startswith("b-"):
-                rows_by_batch[d[2:-33]] = rows_by_batch.get(d[2:-33], 0) + n
+            # uncompacted layout: data/b-<batch_id>-<uuid32>/[p_x=v/]part-*
+            bid = _batch_of(f)
+            if bid is not None:
+                rows_by_batch[bid] = rows_by_batch.get(bid, 0) + n
         lineage = snap.get("lineage", {})
         expected_total = sum(l.get("n_rows", 0) for l in lineage.values())
         mismatches = []
@@ -416,6 +758,8 @@ class SnapTable:
         spark: SparkSession,
         snapshot_id: Optional[int] = None,
         between: Optional[tuple] = None,
+        partition_where: Optional[dict] = None,
+        eq: Optional[tuple] = None,
     ) -> Optional[DataFrame]:
         """Scan the table as of the current (or a past) snapshot.
 
@@ -431,26 +775,24 @@ class SnapTable:
         that can contain it.  Files without recorded stats are kept
         (pruning is only ever an optimization), and the row-level
         predicate is still applied for exactness.
+
+        ``partition_where={name: value | [values]}`` prunes on the
+        manifest's per-file partition values — EXACT (a file in
+        partition v holds exactly the rows whose transform value is v),
+        so no residual row filter is added; the result is all rows whose
+        transform lands in the given value set.
+
+        ``eq=(col, value)`` is the point-lookup path: partition pruning
+        through every transform whose source is ``col`` (bucket/truncate
+        are recomputed driver-side), footer-stats pruning, AND the exact
+        row predicate ``col == value``.  On a bucket[N]-partitioned
+        10^12-row table this plans a scan over ~1/N of the files with no
+        Spark job spent deciding.
         """
-        if snapshot_id is None:
-            snap = self.current_snapshot()
-        else:
-            p = os.path.join(self.snap_dir, _SNAP_FMT % snapshot_id)
-            if not os.path.exists(p):
-                raise ValueError("no snapshot %d in %s" % (snapshot_id, self.path))
-            with open(p) as f:
-                snap = json.load(f)
+        snap = self._snapshot_at(snapshot_id)
         if snap is None:
             return None
-        files = snap["files"]
-        if between is not None:
-            col, lo, hi = between
-            stats = snap.get("file_stats", {})
-            files = [
-                f
-                for f in files
-                if not _prunable(stats.get(f, {}).get(col), lo, hi)
-            ]
+        files, residual = self._plan_files(snap, between, partition_where, eq)
         paths = [os.path.join(self.path, f) for f in files]
         schema = _schema_from_json(snap["schema"])
         if not paths:
@@ -460,27 +802,239 @@ class SnapTable:
             # written before an additive evolution read as NULL for the
             # later-added columns, and the column order is stable
             df = spark.read.schema(schema).parquet(*paths)
-        if between is not None:
-            from pyspark.sql import functions as F
+        from pyspark.sql import functions as F
 
-            col, lo, hi = between
-            df = df.where(F.col(col).between(F.lit(lo), F.lit(hi)))
+        for kind, args in residual:
+            if kind == "eq":
+                df = df.where(F.col(args[0]) == F.lit(args[1]))
+            else:  # "between"
+                df = df.where(
+                    F.col(args[0]).between(F.lit(args[1]), F.lit(args[2]))
+                )
         return df
 
-    def pruned_file_count(self, between: tuple) -> tuple:
-        """(files kept, files total) for a between predicate — lets tests
+    def _snapshot_at(self, snapshot_id: Optional[int]) -> Optional[dict]:
+        if snapshot_id is None:
+            return self.current_snapshot()
+        p = os.path.join(self.snap_dir, _SNAP_FMT % snapshot_id)
+        if not os.path.exists(p):
+            raise ValueError("no snapshot %d in %s" % (snapshot_id, self.path))
+        with open(p) as f:
+            return json.load(f)
+
+    def _plan_files(
+        self,
+        snap: dict,
+        between: Optional[tuple],
+        partition_where: Optional[dict],
+        eq: Optional[tuple],
+    ) -> tuple:
+        """Driver-side scan planning: apply manifest partition values and
+        footer stats to the file list; return (files, residual row
+        predicate descriptors).  Never reads data and never touches the
+        Spark session; any file lacking the needed metadata is kept
+        (pruning only drops provable non-matches)."""
+        files = snap["files"]
+        stats = snap.get("file_stats", {})
+        parts = snap.get("file_partitions", {})
+        spec = snap.get("partition_spec") or []
+        residual = []
+        pw = dict(partition_where or {})
+        if eq is not None:
+            col, value = eq
+            for p in spec:
+                if p["src"] == col:
+                    pw[p["name"]] = _transform_value(p, value)
+            files = [
+                f
+                for f in files
+                if not _prunable(stats.get(f, {}).get(col), value, value)
+            ]
+            residual.append(("eq", (col, value)))
+        if pw:
+            # canonicalize to the string rendering the manifest stores
+            want = {
+                k: {_part_str(x) for x in v}
+                if isinstance(v, (list, tuple, set))
+                else {_part_str(v)}
+                for k, v in pw.items()
+            }
+            files = [
+                f
+                for f in files
+                if all(
+                    # unknown partition value (pre-spec file) ⇒ keep
+                    f not in parts or k not in parts[f] or parts[f][k] in vs
+                    for k, vs in want.items()
+                )
+            ]
+        if between is not None:
+            col, lo, hi = between
+            files = [
+                f
+                for f in files
+                if not _prunable(stats.get(f, {}).get(col), lo, hi)
+            ]
+            residual.append(("between", (col, lo, hi)))
+        return files, residual
+
+    def pruned_file_count(
+        self,
+        between: Optional[tuple] = None,
+        partition_where: Optional[dict] = None,
+        eq: Optional[tuple] = None,
+    ) -> tuple:
+        """(files kept, files total) for a read predicate — lets tests
         and operators assert manifest pruning without running a scan."""
         snap = self.current_snapshot()
         if snap is None:
             return (0, 0)
-        col, lo, hi = between
-        stats = snap.get("file_stats", {})
-        kept = [
-            f
-            for f in snap["files"]
-            if not _prunable(stats.get(f, {}).get(col), lo, hi)
-        ]
-        return (len(kept), len(snap["files"]))
+        files, _ = self._plan_files(snap, between, partition_where, eq)
+        return (len(files), len(snap["files"]))
+
+
+def _norm_spec(spec: Optional[list]) -> list:
+    """Normalize a user partition spec into the manifest form: a list of
+    ``{"src", "transform", "param", "name"}`` dicts.  Accepts tuples
+    ``("col",)``, ``("col", "identity")``, ``("col", "bucket", 16)``,
+    ``("col", "truncate", 4)`` or equivalent dicts."""
+    if not spec:
+        return []
+    out = []
+    for e in spec:
+        if isinstance(e, dict):
+            d = {
+                "src": e["src"],
+                "transform": e.get("transform", "identity"),
+                "param": e.get("param"),
+            }
+        else:
+            t = tuple(e) if not isinstance(e, str) else (e,)
+            d = {
+                "src": t[0],
+                "transform": t[1] if len(t) > 1 else "identity",
+                "param": t[2] if len(t) > 2 else None,
+            }
+        if d["transform"] not in ("identity", "bucket", "truncate"):
+            raise ValueError("unknown partition transform %r" % d["transform"])
+        if d["transform"] == "identity":
+            d["param"] = None
+        elif not (isinstance(d["param"], int) and d["param"] > 0):
+            raise ValueError(
+                "%s transform needs a positive int param" % d["transform"]
+            )
+        d["name"] = "p_%s" % d["src"] + (
+            ""
+            if d["transform"] == "identity"
+            else "_%s%d" % (d["transform"][0], d["param"])
+        )
+        out.append(d)
+    return out
+
+
+def _transform_col(p: dict, dtypes: Dict[str, str]):
+    """The Spark expression computing transform ``p`` of its source
+    column — the write-side half; ``_transform_value`` is the exact
+    driver-side twin used for read pruning."""
+    from pyspark.sql import functions as F
+
+    c = F.col(p["src"])
+    t = p["transform"]
+    if t == "identity":
+        return c
+    if t == "bucket":
+        # crc32 over the string rendering: cheap, stable across Spark
+        # versions, and recomputable driver-side (zlib.crc32) so a point
+        # lookup needs no Spark job to find its bucket
+        return F.pmod(F.crc32(c.cast("string").cast("binary")), F.lit(p["param"])).cast(
+            "int"
+        )
+    if dtypes.get(p["src"]) == "string":
+        return F.substring(c, 1, p["param"])
+    # integer truncate: floor to multiples of W (pmod ⇒ negatives round
+    # DOWN, matching Iceberg's truncate transform)
+    return (c - F.pmod(c, F.lit(p["param"]))).cast("long")
+
+
+def _transform_value(p: dict, v):
+    """Driver-side twin of ``_transform_col`` — canonicalized to the
+    STRING rendering Spark uses for partition directory names, so
+    pruning compares exactly what the writer wrote.  Bucket sources must
+    be int/string (their str() matches Spark's cast-to-string)."""
+    if v is None:
+        return None
+    t = p["transform"]
+    if t == "bucket":
+        import zlib
+
+        return str(zlib.crc32(str(v).encode("utf-8")) % p["param"])
+    if t == "truncate":
+        v = v[: p["param"]] if isinstance(v, str) else v - (v % p["param"])
+    return _part_str(v)
+
+
+def _part_str(v) -> Optional[str]:
+    """Canonical string rendering of a partition value — must match how
+    Spark renders it into the directory name."""
+    if v is None:
+        return None
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    return str(v)
+
+
+def _parse_partition_values(rel: str, spec: list) -> Dict[str, Optional[str]]:
+    """Per-file partition values from the hive-style directory names the
+    partitioned write produced (``p_x=v``), unescaped, as canonical
+    strings (None for the null partition)."""
+    from urllib.parse import unquote
+
+    raw: Dict[str, str] = {}
+    for comp in rel.split(os.sep):
+        if "=" in comp:
+            k, _, v = comp.partition("=")
+            raw[k] = v
+    out: Dict[str, Optional[str]] = {}
+    for p in spec:
+        v = raw.get(p["name"])
+        out[p["name"]] = (
+            None
+            if v is None or v == "__HIVE_DEFAULT_PARTITION__"
+            else unquote(v)
+        )
+    return out
+
+
+def _batch_of(rel: str) -> Optional[str]:
+    """batch_id a data file belongs to, from its staging-dir path
+    component ``b-<batch_id>-<uuid32>`` (partitioned layouts nest hive
+    dirs below it); None for compaction/delete rewrites."""
+    for comp in rel.split(os.sep):
+        if comp.startswith("b-") and len(comp) > 35:
+            return comp[2:-33]
+    return None
+
+
+def _uri_to_rel(uri: str, root: str) -> str:
+    """Map ``input_file_name()`` output (a file: URI) back to the
+    table-relative path the manifest uses."""
+    from urllib.parse import unquote, urlparse
+
+    p = unquote(urlparse(uri).path) if "://" in uri else uri
+    return os.path.relpath(p, os.path.abspath(root))
+
+
+def _footer_rows(path: str) -> int:
+    import pyarrow.parquet as pq
+
+    return pq.ParquetFile(path).metadata.num_rows
+
+
+def _keep_keys(d: dict, keys) -> dict:
+    """Subset of ``d`` at ``keys`` — prunes manifest per-file maps to the
+    files actually listed, so dropped files don't bloat snapshots."""
+    ks = set(keys)
+    return {k: v for k, v in d.items() if k in ks}
 
 
 def _all_nullable(t):
@@ -570,12 +1124,3 @@ def _file_stats(root: str, rel_files: List[str]) -> Dict[str, dict]:
     return out
 
 
-def _staged_row_count(stage_abs: str) -> int:
-    """Row count from parquet footers — no Spark job, no data read."""
-    import pyarrow.parquet as pq
-
-    n = 0
-    for f in os.listdir(stage_abs):
-        if f.endswith(".parquet"):
-            n += pq.ParquetFile(os.path.join(stage_abs, f)).metadata.num_rows
-    return n

@@ -510,3 +510,209 @@ def test_append_lost_race_revalidates_schema(spark, tmp_path):
         tbl.append(bad, "loser")
     assert tbl.committed_batches() == {"winner"}
     assert [f.name for f in tbl.read(spark).schema.fields] == ["id", "v"]
+
+
+# ----------------------------------------------------------------------
+# hidden partitioning (identity / bucket / truncate transforms)
+
+
+def _docs(spark, n, hosts=("a.com", "b.com", "c.com")):
+    rows = [(i, hosts[i % len(hosts)], "d%04d" % i) for i in range(n)]
+    return spark.createDataFrame(rows, "id int, host string, doc_id string")
+
+
+def test_partition_identity_hidden_and_pruned(spark, tmp_path):
+    tbl = SnapTable(str(tmp_path / "t"), partition_spec=[("host", "identity")])
+    tbl.append(_docs(spark, 30), "b0")
+    tbl.append(_docs(spark, 30), "b1")
+    # hidden: readers see exactly the declared schema, no transform cols
+    df = tbl.read(spark)
+    assert [f.name for f in df.schema.fields] == ["id", "host", "doc_id"]
+    assert df.count() == 60
+    # exact partition pruning: only a.com's files are planned
+    kept, total = tbl.pruned_file_count(partition_where={"p_host": "a.com"})
+    assert 0 < kept < total
+    got = tbl.read(spark, partition_where={"p_host": "a.com"})
+    assert got.count() == 20 and got.select("host").distinct().collect()[0][0] == "a.com"
+    # value-list form
+    kept2, _ = tbl.pruned_file_count(partition_where={"p_host": ["a.com", "b.com"]})
+    assert kept < kept2 < total
+
+
+def test_partition_bucket_point_lookup(spark, tmp_path):
+    n_buckets = 8
+    tbl = SnapTable(
+        str(tmp_path / "t"), partition_spec=[("doc_id", "bucket", n_buckets)]
+    )
+    tbl.append(_docs(spark, 200), "b0")
+    snap = tbl.current_snapshot()
+    total = len(snap["files"])
+    # a point lookup plans only the key's bucket — exactly the files the
+    # manifest attributes to it — with no Spark job spent deciding
+    import zlib
+
+    want = str(zlib.crc32(b"d0042") % n_buckets)
+    in_bucket = sum(
+        1 for pv in snap["file_partitions"].values()
+        if pv["p_doc_id_b%d" % n_buckets] == want
+    )
+    assert 0 < in_bucket < total
+    # bucket pruning alone keeps exactly the manifest-attributed files —
+    # and the driver-side bucket (zlib.crc32) matches the writer's
+    assert tbl.pruned_file_count(partition_where={
+        "p_doc_id_b%d" % n_buckets: int(want)
+    }) == (in_bucket, total)
+    # the eq point path stacks footer-stats pruning on top
+    kept, tot = tbl.pruned_file_count(eq=("doc_id", "d0042"))
+    assert tot == total and 0 < kept <= in_bucket
+    got = tbl.read(spark, eq=("doc_id", "d0042")).collect()
+    assert len(got) == 1 and got[0]["id"] == 42
+    # a missing key reads zero rows but still prunes to one bucket
+    assert tbl.read(spark, eq=("doc_id", "nope")).count() == 0
+
+
+def test_partition_truncate_string_and_int(spark, tmp_path):
+    tbl = SnapTable(str(tmp_path / "t"), partition_spec=[("doc_id", "truncate", 2)])
+    df = spark.createDataFrame(
+        [("aa1", 1), ("aa2", 2), ("zz9", 3)], "doc_id string, x int"
+    )
+    tbl.append(df, "b0")
+    kept, total = tbl.pruned_file_count(partition_where={"p_doc_id_t2": "aa"})
+    assert kept < total
+    assert tbl.read(spark, partition_where={"p_doc_id_t2": "aa"}).count() == 2
+    # integer truncate: floor to multiples (negatives round DOWN)
+    tbl2 = SnapTable(str(tmp_path / "t2"), partition_spec=[("x", "truncate", 10)])
+    tbl2.append(
+        spark.createDataFrame([(-15,), (-5,), (5,), (15,)], "x int"), "b0"
+    )
+    parts = {
+        v
+        for p in tbl2.current_snapshot()["file_partitions"].values()
+        for v in p.values()
+    }
+    assert parts == {"-20", "-10", "0", "10"}
+    assert tbl2.read(spark, partition_where={"p_x_t10": -20}).collect()[0][0] == -15
+
+
+def test_partition_spec_mismatch_and_collision(spark, tmp_path):
+    tbl = SnapTable(str(tmp_path / "t"), partition_spec=[("host", "identity")])
+    tbl.append(_docs(spark, 9), "b0")
+    # conflicting ctor spec on an existing table fails loudly
+    with pytest.raises(ValueError, match="partition spec mismatch"):
+        SnapTable(str(tmp_path / "t"), partition_spec=[("host", "bucket", 4)]).append(
+            _docs(spark, 3), "b1"
+        )
+    # spec-less handle writes with the TABLE's spec (manifest wins)
+    tbl2 = SnapTable(str(tmp_path / "t"))
+    tbl2.append(_docs(spark, 9), "b1")
+    assert tbl2.pruned_file_count(partition_where={"p_host": "a.com"})[0] > 0
+    # a df column colliding with the transform name is rejected
+    bad = _docs(spark, 3).withColumnRenamed("id", "p_host")
+    with pytest.raises(ValueError, match="collides"):
+        SnapTable(str(tmp_path / "t3"), partition_spec=[("host", "identity")]).append(
+            bad, "b0"
+        )
+
+
+def test_partitioned_compact_preserves_pruning_and_fsck(spark, tmp_path):
+    tbl = SnapTable(str(tmp_path / "t"), partition_spec=[("host", "identity")])
+    for b in range(4):
+        tbl.append(_docs(spark, 30), "b%d" % b)
+    before = tbl.pruned_file_count(partition_where={"p_host": "a.com"})
+    assert tbl.compact(spark, target_file_bytes=1 << 30) is not None
+    kept, total = tbl.pruned_file_count(partition_where={"p_host": "a.com"})
+    assert total < before[1] and kept < total  # fewer files, still pruned
+    got = tbl.read(spark, partition_where={"p_host": "a.com"})
+    assert got.count() == 40
+    assert tbl.read(spark).count() == 120 == tbl.row_count()
+    assert tbl.fsck()["ok"]
+    # expiry reclaims the pre-compaction partition dirs completely
+    tbl.expire_snapshots(keep_last=1)
+    left = {
+        d for d in os.listdir(tbl.data_dir) if not d.startswith("compact-")
+    }
+    assert left == set()
+    assert tbl.read(spark).count() == 120 and tbl.fsck()["ok"]
+
+
+# ----------------------------------------------------------------------
+# replace_batch (overwrite) + delete_where (copy-on-write delete)
+
+
+def test_replace_batch_swaps_data_and_lineage(spark, tmp_path):
+    tbl = SnapTable(str(tmp_path / "t"))
+    tbl.append(_df(spark, range(10)), "b0")
+    tbl.append(_df(spark, range(10, 20)), "b1")
+    snap = tbl.replace_batch(_df(spark, range(100, 103)), "b0")
+    assert snap["batch_ids"] == ["b0", "b1"]
+    got = sorted(r.id for r in tbl.read(spark).collect())
+    assert got == [10, 11, 12, 13, 14, 15, 16, 17, 18, 19, 100, 101, 102]
+    assert tbl.lineage()["b0"]["n_rows"] == 3 and tbl.row_count() == 13
+    assert tbl.fsck()["ok"]  # per-batch attribution survives the swap
+    # time travel still sees the old data until expiry
+    old = tbl.read(spark, snapshot_id=2)
+    assert old.count() == 20
+    tbl.expire_snapshots(keep_last=1)
+    assert tbl.read(spark).count() == 13 and tbl.fsck()["ok"]
+
+
+def test_replace_batch_guards(spark, tmp_path):
+    tbl = SnapTable(str(tmp_path / "t"))
+    tbl.append(_df(spark, range(6)), "b0")
+    with pytest.raises(ValueError, match="not committed"):
+        tbl.replace_batch(_df(spark, range(3)), "nope")
+    with pytest.raises(ValueError, match="schema mismatch"):
+        tbl.replace_batch(
+            spark.createDataFrame([(1.5, "x")], "id double, v string"), "b0"
+        )
+    tbl.append(_df(spark, range(6, 9)), "b1")
+    tbl.compact(spark, target_file_bytes=1 << 30)
+    with pytest.raises(ValueError, match="compacted"):
+        tbl.replace_batch(_df(spark, range(3)), "b0")
+
+
+def test_delete_where_rewrites_only_matching_files(spark, tmp_path):
+    tbl = SnapTable(str(tmp_path / "t"))
+    tbl.append(_df(spark, range(100)), "b0")
+    tbl.append(_df(spark, range(100, 200)), "b1")
+    n_files = len(tbl.current_snapshot()["files"])
+    r = tbl.delete_where(spark, "id >= 150", prune=("id", 150, 10**9))
+    assert r["rows_deleted"] == 50
+    # stats pruning kept b0's files out of the match scan entirely
+    assert r["files_scanned"] < n_files
+    assert 0 < r["files_rewritten"] <= r["files_scanned"]
+    got = tbl.read(spark)
+    assert got.count() == 150 and got.agg({"id": "max"}).collect()[0][0] == 149
+    assert tbl.row_count() == 150  # lineage stayed exact through the delete
+    assert tbl.lineage()["b1"]["n_rows"] == 50
+    assert tbl.fsck()["ok"]
+    # delete with no matches is a no-op (no rewrite, no new snapshot)
+    sid = tbl.current_snapshot()["snapshot_id"]
+    r2 = tbl.delete_where(spark, "id > 1000")
+    assert r2["rows_deleted"] == 0 and tbl.current_snapshot()["snapshot_id"] == sid
+
+
+def test_delete_where_null_predicate_rows_survive(spark, tmp_path):
+    tbl = SnapTable(str(tmp_path / "t"))
+    df = spark.createDataFrame(
+        [(1, "x"), (2, None), (3, "drop"), (4, "drop")], "id int, v string"
+    )
+    tbl.append(df, "b0")
+    r = tbl.delete_where(spark, "v = 'drop'")
+    assert r["rows_deleted"] == 2
+    # SQL DELETE semantics: NULL-predicate rows are KEPT, not deleted
+    assert sorted(x.id for x in tbl.read(spark).collect()) == [1, 2]
+    assert tbl.row_count() == 2 and tbl.fsck()["ok"]
+
+
+def test_delete_where_on_partitioned_table(spark, tmp_path):
+    tbl = SnapTable(str(tmp_path / "t"), partition_spec=[("host", "identity")])
+    tbl.append(_docs(spark, 60), "b0")
+    r = tbl.delete_where(spark, "host = 'b.com'")
+    assert r["rows_deleted"] == 20
+    assert tbl.read(spark).count() == 40 == tbl.row_count()
+    # partition pruning still works over the rewritten file set
+    kept, total = tbl.pruned_file_count(partition_where={"p_host": "a.com"})
+    assert kept < total
+    assert tbl.read(spark, partition_where={"p_host": "b.com"}).count() == 0
+    assert tbl.fsck()["ok"]
