@@ -68,16 +68,22 @@ def batched_extract(
     doc_id_col: str = "doc_id",
     html_col: str = "html",
     base_url_col: str = "base_url",
+    partition_spec: Optional[list] = None,
 ) -> dict:
     """Extract spans batch-by-batch into a snapshot table; resume = skip
-    committed batch ids.  Returns {"ran": k, "skipped": s, "total": B}."""
+    committed batch ids.  Returns {"ran": k, "skipped": s, "total": B}.
+
+    ``partition_spec`` (e.g. ``[("doc_id", "bucket", 64)]``) creates the
+    output as a hidden-partitioned snaptable: per-doc point lookups and
+    at-rest deletes (``delete_where``) then plan only the key's bucket
+    files instead of the whole table."""
     from ..operators.pipeline import (
         extract_spans_df,
         partition_metrics,
         split_tail_repartition,
     )
 
-    tbl = SnapTable(output_table)
+    tbl = SnapTable(output_table, partition_spec=partition_spec)
     files = spark.read.parquet(input_path).inputFiles()
     groups = plan_file_batches(files, batches)
     b_total = len(groups)

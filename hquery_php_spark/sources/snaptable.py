@@ -312,7 +312,11 @@ class SnapTable:
                 w = w.withColumn(p["name"], _transform_col(p, dict(df.dtypes)))
             # transform columns become directory names only — partitionBy
             # drops them from the data pages, so the files carry exactly
-            # the declared table schema (hidden partitioning)
+            # the declared table schema (hidden partitioning).  No
+            # pre-shuffle: clustering the write would serialize it to
+            # #partition-values tasks; instead every task fans out one
+            # file per value it holds (≤ tasks × values per batch) and
+            # compact() re-clusters when the small files accumulate.
             w.write.mode("error").partitionBy(*[p["name"] for p in spec]).parquet(
                 stage_abs
             )

@@ -44,6 +44,10 @@ def main() -> None:
     ap.add_argument("--n-shards", type=int, default=64)
     ap.add_argument("--min-words", type=int, default=10)
     ap.add_argument("--no-near-dup", action="store_true")
+    ap.add_argument("--bucket-docs", type=int, default=0,
+                    help="bucket-partition the spans table by doc_id into N "
+                         "buckets: per-doc point lookups and at-rest deletes "
+                         "(decontamination) plan only 1/N of the files")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -72,6 +76,9 @@ def main() -> None:
         batches=args.batches,
         max_batches=args.max_batches,
         partitions=args.partitions,
+        partition_spec=[("doc_id", "bucket", args.bucket_docs)]
+        if args.bucket_docs
+        else None,
     )
     print("phase extract: %(ran)d ran, %(skipped)d committed, of %(total)d" % stats)
     if args.max_batches and stats["ran"] + stats["skipped"] < stats["total"]:

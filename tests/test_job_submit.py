@@ -439,3 +439,70 @@ def test_extract_job_snaptable_sigkill_resume(tmp_path):
         assert d.startswith("b-"), f
         bid = d[2:-33]  # strip "b-" prefix and "-<uuid32>" suffix
         assert bid in latest["batch_ids"], (f, bid)
+
+
+def test_pipeline_job_bucketed_spans_point_lookup(tmp_path):
+    """--bucket-docs N: the spans table lands bucket-partitioned by
+    doc_id; a point lookup (or an at-rest decontamination delete) plans
+    only the key's bucket files via the manifest — no Spark job, no
+    full-table scan."""
+    import zlib
+
+    from hquery_php_spark.sources.snaptable import SnapTable
+
+    n = 64
+    docs = pd.DataFrame(
+        {
+            "doc_id": [f"d{i:04d}" for i in range(n)],
+            "html": [
+                "<html><body><p>the quick notes and more of it to read "
+                + " ".join(f"tok{i}w{j}" for j in range(12))
+                + "</p></body></html>"
+                for i in range(n)
+            ],
+        }
+    )
+    inp = str(tmp_path / "docs")
+    os.makedirs(inp)
+    for k in range(2):
+        docs.iloc[k::2].to_parquet(os.path.join(inp, f"part-{k}.parquet"))
+    out = str(tmp_path / "pipe")
+    zipf = shutil.make_archive(str(tmp_path / "pkg"), "zip", REPO, "hquery_php_spark")
+    r = subprocess.run(
+        [
+            "spark-submit", "--master", "local[4]", "--py-files", zipf,
+            os.path.join(REPO, "jobs", "pipeline_job.py"),
+            "--input", inp, "--output", out,
+            "--batches", "2", "--partitions", "4", "--n-shards", "4",
+            "--bucket-docs", "4",
+        ],
+        cwd=REPO, capture_output=True, timeout=600,
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+    tbl = SnapTable(os.path.join(out, "spans"))
+    snap = tbl.current_snapshot()
+    assert [p["transform"] for p in snap["partition_spec"]] == ["bucket"]
+    # manifest-only planning: the key's bucket is a strict file subset
+    kept, total = tbl.pruned_file_count(eq=("doc_id", "d0042"))
+    assert 0 < kept < total
+    want = str(zlib.crc32(b"d0042") % 4)
+    in_bucket = [
+        f for f, pv in snap["file_partitions"].items()
+        if pv["p_doc_id_b4"] == want
+    ]
+    # bucket pruning alone plans exactly the manifest-attributed files
+    # (eq= stacks footer stats on top, so kept can be even smaller)
+    assert tbl.pruned_file_count(
+        partition_where={"p_doc_id_b4": int(want)}
+    ) == (len(in_bucket), total)
+    assert kept <= len(in_bucket)
+    files = [
+        os.path.join(out, "spans", f)
+        for f in snap["files"]
+        if snap["file_partitions"][f]["p_doc_id_b4"] == want
+    ]
+    got = duckdb.sql(
+        "SELECT count(*) AS c FROM read_parquet($f) WHERE doc_id = 'd0042'",
+        params={"f": files},
+    ).df()
+    assert got["c"][0] > 0  # the bucket's files really hold the doc's spans

@@ -716,3 +716,75 @@ def test_delete_where_on_partitioned_table(spark, tmp_path):
     assert kept < total
     assert tbl.read(spark, partition_where={"p_host": "b.com"}).count() == 0
     assert tbl.fsck()["ok"]
+
+
+def test_randomized_partitioned_soak_with_deletes(spark, tmp_path):
+    """Model-based soak over the FULL op set — append / replay /
+    replace_batch / delete_where / compact / expire — on a partitioned
+    table: read() must equal the model after every step, row_count()
+    must stay manifest-exact through deletes, partition pruning must
+    stay correct over rewritten file sets, fsck always green."""
+    import random
+
+    rng = random.Random(0x5EED7)
+    tbl = SnapTable(str(tmp_path / "t"), partition_spec=[("id", "truncate", 10)])
+    model = {}  # batch_id -> set of ids
+    next_lo = 0
+    n_batches = 0
+    for step in range(26):
+        op = rng.choice(
+            ["append", "append", "replay", "replace", "delete", "compact", "expire"]
+        )
+        if op == "append" or not model:
+            bid = "b%03d" % n_batches
+            n_batches += 1
+            n = rng.randint(1, 12)
+            ids = set(range(next_lo, next_lo + n))
+            next_lo += n
+            tbl.append(_df(spark, sorted(ids)), bid)
+            model[bid] = ids
+        elif op == "replay":
+            bid = rng.choice(sorted(model))
+            tbl.append(_df(spark, sorted(model[bid])), bid)
+        elif op == "replace":
+            bid = rng.choice(sorted(model))
+            ids = set(range(next_lo, next_lo + rng.randint(1, 6)))
+            layout = tbl.current_snapshot().get("layout", "batch")
+            if layout == "batch":
+                tbl.replace_batch(_df(spark, sorted(ids)), bid)
+                next_lo += len(ids)
+                model[bid] = ids
+            else:  # compacted/deleted tables must refuse the overwrite
+                with pytest.raises(ValueError):
+                    tbl.replace_batch(_df(spark, sorted(ids)), bid)
+        elif op == "delete":
+            lo = rng.randint(0, max(next_lo - 1, 0))
+            hi = lo + rng.randint(0, 15)
+            want_del = sum(lo <= i <= hi for ids in model.values() for i in ids)
+            r = tbl.delete_where(
+                spark, "id between %d and %d" % (lo, hi), prune=("id", lo, hi)
+            )
+            assert r is not None and r["rows_deleted"] == want_del, (step, r)
+            model = {b: {i for i in ids if not lo <= i <= hi}
+                     for b, ids in model.items()}
+        elif op == "compact":
+            tbl.compact(spark, target_file_bytes=1 << 30)
+        elif op == "expire":
+            tbl.expire_snapshots(keep_last=1)
+        want = sorted(i for ids in model.values() for i in ids)
+        got = sorted(r.id for r in tbl.read(spark).collect())
+        assert got == want, (step, op)
+        assert tbl.row_count() == len(want), (step, op)
+        assert tbl.committed_batches() == set(model)
+        if want:  # partition pruning stays exact over rewrites
+            v = rng.choice(want) // 10 * 10
+            in_part = sorted(i for i in want if i // 10 * 10 == v)
+            got_p = sorted(
+                r.id
+                for r in tbl.read(
+                    spark, partition_where={"p_id_t10": v}
+                ).collect()
+            )
+            assert got_p == in_part, (step, op, v)
+        f = tbl.fsck()
+        assert f["ok"], (step, op, f)

@@ -1,6 +1,7 @@
 #!/usr/bin/env python
 """Dump formatted physical plans of flagship queries to PLANS.md."""
 import io
+import os
 import sys
 from contextlib import redirect_stdout
 
@@ -50,6 +51,7 @@ QUERIES = [
     ("media_meta", "container walk only: one mapInPandas over header bytes, no decode, zero shuffle — the filter-before-decode operator"),
     ("audio_meta", "Ogg page walk + id-header parse: one mapInPandas, zero shuffle"),
     ("snaptable_ingest_batch", "ONE ingest batch of the manifest-resume path: the scan lists exactly the batch's planned files (planning-time file pruning, not a filter) -> one split-tail Exchange -> mapInPandas extract; the snapshot commit is driver-side metadata, invisible to the executor plan"),
+    ("snaptable_point_lookup", "point lookup on a bucket[8]-partitioned snaptable: the manifest plans ONLY the key's bucket files (the InMemoryFileIndex lists ~1/8 of the table — driver-side, no Spark job) + PushedFilters carries the residual doc_id equality into the rowgroup scan"),
 ]
 
 def main():
@@ -131,6 +133,24 @@ def main():
                 ),
                 base_url_col=None,
             )
+        elif name == "snaptable_point_lookup":
+            import tempfile
+
+            from hquery_php_spark.sources.snaptable import SnapTable
+
+            tdir = tempfile.mkdtemp(prefix="plans-snap-")
+            tbl = SnapTable(
+                os.path.join(tdir, "t"),
+                partition_spec=[("doc_id", "bucket", 8)],
+            )
+            tbl.append(E._docs(spark, sf).select("doc_id", "text"), "all")
+            key = E._docs(spark, sf).select("doc_id").first()[0]
+            kept, total = tbl.pruned_file_count(eq=("doc_id", key))
+            out.append(
+                "_(manifest planning for this lookup: %d of %d files)_\n"
+                % (kept, total)
+            )
+            df = tbl.read(spark, eq=("doc_id", key))
         else:
             df = qs[name](spark, sf)
         buf = io.StringIO()
