@@ -224,6 +224,9 @@ class SnapTable:
             new = {
                 "snapshot_id": seq,
                 "parent": snap["snapshot_id"] if snap else None,
+                # Iceberg snapshot summary operation: incremental reads
+                # walk the chain and accept only "append" links
+                "operation": "append",
                 # re-validated per attempt against the FRESH snapshot — a
                 # lost CAS may mean the schema evolved under us
                 "schema": _resolve_schema(snap),
@@ -414,6 +417,7 @@ class SnapTable:
                 **snap,
                 "snapshot_id": seq,
                 "parent": snap["snapshot_id"],
+                "operation": "overwrite",
                 "files": new_files,
                 "file_stats": _keep_keys(
                     {**snap.get("file_stats", {}), **stats}, new_files
@@ -539,6 +543,7 @@ class SnapTable:
                 **cur,
                 "snapshot_id": seq,
                 "parent": cur["snapshot_id"],
+                "operation": "delete",
                 "files": new_files,
                 "file_stats": _keep_keys(
                     {**cur.get("file_stats", {}), **new_stats}, new_files
@@ -623,6 +628,7 @@ class SnapTable:
                 **cur,
                 "snapshot_id": seq,
                 "parent": cur["snapshot_id"],
+                "operation": "compact",
                 "files": files,
                 "file_stats": _file_stats(self.path, files),
                 "compaction_of": cur["snapshot_id"],
@@ -895,6 +901,122 @@ class SnapTable:
             return (0, 0)
         files, _ = self._plan_files(snap, between, partition_where, eq)
         return (len(files), len(snap["files"]))
+
+    # ------------------------------------------------------------------
+    # incremental (changelog) reads
+
+    def _incremental_files(
+        self, after_snapshot_id: int, to_snapshot_id: Optional[int]
+    ) -> tuple:
+        """(added files, to-snapshot) for the append range
+        ``(after, to]`` — the shared planner behind
+        ``read_incremental``/``incremental_batches``.
+
+        Pure-append is proven the way Iceberg proves it: walk the
+        snapshot chain and require every link's recorded ``operation``
+        to be "append".  An endpoint-only file-set comparison is NOT
+        sound — a batch appended and then partially deleted inside the
+        range leaves the endpoints consistent while rows-added is
+        ill-defined — so every intermediate manifest must still exist
+        (expired intermediates fail loudly rather than guess).  Legacy
+        snapshots without the field are derived from the parent's file
+        set: appends only add names (staging dirs are uuid-fresh, names
+        never reused), every other operation drops at least one."""
+        to = self._snapshot_at(to_snapshot_id)
+        if to is None:
+            raise ValueError("table %s has no snapshots" % self.path)
+        after = (
+            self._snapshot_at(after_snapshot_id) if after_snapshot_id else None
+        )
+        chain = {to["snapshot_id"]: to}
+        for sid in range(after_snapshot_id + 1, to["snapshot_id"]):
+            chain[sid] = self._snapshot_at(sid)  # raises if expired
+        for sid in range(after_snapshot_id + 1, to["snapshot_id"] + 1):
+            snap = chain[sid]
+            op = snap.get("operation")
+            if op is None:  # legacy manifest: derive from the parent
+                parent = after if sid == after_snapshot_id + 1 else chain[sid - 1]
+                parent_files = set(parent["files"]) if parent else set()
+                op = (
+                    "append"
+                    if parent_files <= set(snap["files"])
+                    else "non-append"
+                )
+            if op != "append":
+                raise ValueError(
+                    "snapshot %d of %s is a non-append change (%s) — "
+                    "incremental rows-added is undefined over %d..%d; "
+                    "re-read the table in full"
+                    % (sid, self.path, op, after_snapshot_id, to["snapshot_id"])
+                )
+        prior = set(after["files"]) if after else set()
+        return [f for f in to["files"] if f not in prior], to
+
+    def read_incremental(
+        self,
+        spark: SparkSession,
+        after_snapshot_id: int,
+        to_snapshot_id: Optional[int] = None,
+        between: Optional[tuple] = None,
+        partition_where: Optional[dict] = None,
+        eq: Optional[tuple] = None,
+    ) -> DataFrame:
+        """Rows ADDED after snapshot ``after_snapshot_id`` up to
+        ``to_snapshot_id`` (default: current) — Iceberg's incremental
+        append scan.  ``after_snapshot_id=0`` means "since table
+        creation".
+
+        Defined ONLY over a pure-append range: if any snapshot in the
+        range overwrote, deleted, or compacted rows, "rows added" is not
+        representable as a file set and this raises ``ValueError`` (the
+        caller falls back to a full ``read()``), exactly Iceberg's
+        contract.  The proof walks the chain's per-snapshot
+        ``operation`` records (see ``_incremental_files``), so every
+        snapshot in the range must still exist — an expired snapshot
+        raises "no snapshot" rather than guessing.
+
+        This is the consume-only-what-is-new primitive at 10^12 rows:
+        each downstream run processes the delta — shuffle and scan cost
+        ∝ new data, never ∝ corpus.  Supports the same manifest pruning
+        (``between`` / ``partition_where`` / ``eq``) as ``read()``, and
+        reads with the TO-snapshot schema, so files appended before an
+        additive evolution later in the range surface NULL for the new
+        columns, same as a full read.  Always returns a DataFrame (empty
+        with the table schema when nothing was added)."""
+        added, to = self._incremental_files(after_snapshot_id, to_snapshot_id)
+        view = {**to, "files": added}
+        files, residual = self._plan_files(view, between, partition_where, eq)
+        schema = _schema_from_json(to["schema"])
+        if not files:
+            df = spark.createDataFrame([], schema=schema)
+        else:
+            df = spark.read.schema(schema).parquet(
+                *[os.path.join(self.path, f) for f in files]
+            )
+        from pyspark.sql import functions as F
+
+        for kind, args in residual:
+            if kind == "eq":
+                df = df.where(F.col(args[0]) == F.lit(args[1]))
+            else:
+                df = df.where(
+                    F.col(args[0]).between(F.lit(args[1]), F.lit(args[2]))
+                )
+        return df
+
+    def incremental_batches(
+        self, after_snapshot_id: int, to_snapshot_id: Optional[int] = None
+    ) -> Set[str]:
+        """Batch ids committed in the append range ``(after, to]`` —
+        manifest-only (no scan); same pure-append validation as
+        ``read_incremental``.  Per-batch row counts for the delta come
+        from ``lineage()`` on these ids."""
+        _, to = self._incremental_files(after_snapshot_id, to_snapshot_id)
+        if after_snapshot_id == 0:
+            prior: Set[str] = set()
+        else:
+            prior = set(self._snapshot_at(after_snapshot_id)["batch_ids"])
+        return set(to["batch_ids"]) - prior
 
 
 def _norm_spec(spec: Optional[list]) -> list:

@@ -788,3 +788,101 @@ def test_randomized_partitioned_soak_with_deletes(spark, tmp_path):
             assert got_p == in_part, (step, op, v)
         f = tbl.fsck()
         assert f["ok"], (step, op, f)
+
+
+# ----------------------------------------------------------------------
+# incremental (changelog) reads
+
+
+def test_read_incremental_append_range(spark, tmp_path):
+    """(after, to] over pure appends returns exactly the added rows;
+    after=0 is the whole table; after==to is empty with the table
+    schema; batch ids come from the manifest alone."""
+    tbl = SnapTable(str(tmp_path / "t"))
+    tbl.append(_df(spark, range(5)), "b0")          # snapshot 1
+    tbl.append(_df(spark, range(5, 8)), "b1")       # snapshot 2
+    tbl.append(_df(spark, range(8, 12)), "b2")      # snapshot 3
+    got = tbl.read_incremental(spark, 1).orderBy("id").collect()
+    assert [r.id for r in got] == list(range(5, 12))
+    assert tbl.incremental_batches(1) == {"b1", "b2"}
+    # bounded upper endpoint
+    got = tbl.read_incremental(spark, 1, to_snapshot_id=2).collect()
+    assert sorted(r.id for r in got) == [5, 6, 7]
+    assert tbl.incremental_batches(1, 2) == {"b1"}
+    # whole table / empty delta
+    assert tbl.read_incremental(spark, 0).count() == 12
+    empty = tbl.read_incremental(spark, 3)
+    assert empty.count() == 0
+    assert empty.schema == tbl.read(spark).schema
+    # a replayed (idempotent, no-op) append adds no delta rows
+    tbl.append(_df(spark, range(5, 8)), "b1")
+    assert tbl.read_incremental(spark, 3).count() == 0
+
+
+def test_read_incremental_rejects_nonappend_range(spark, tmp_path):
+    """Any overwrite/delete/compact inside the range makes rows-added
+    undefined -> ValueError — including a batch appended and then
+    partially deleted WITHIN the range (endpoint file sets alone look
+    consistent there; the chain walk catches it).  A later pure-append
+    range is fine again; an expired snapshot in the range fails
+    loudly."""
+    tbl = SnapTable(str(tmp_path / "t"))
+    tbl.append(_df(spark, range(5)), "b0")           # 1
+    tbl.append(_df(spark, range(5, 8)), "b1")        # 2
+    tbl.delete_where(spark, "id = 6")                # 3 (rewrite)
+    with pytest.raises(ValueError, match="non-append"):
+        tbl.read_incremental(spark, 2)
+    tbl.append(_df(spark, range(8, 10)), "b2")       # 4
+    with pytest.raises(ValueError, match="non-append"):
+        tbl.incremental_batches(1, 4)
+    # range strictly after the delete is append-only again
+    got = tbl.read_incremental(spark, 3, 4).collect()
+    assert sorted(r.id for r in got) == [8, 9]
+    tbl.compact(spark)                               # 5
+    with pytest.raises(ValueError, match="non-append"):
+        tbl.read_incremental(spark, 4, 5)
+    tbl.append(_df(spark, range(10, 12)), "b3")      # 6
+    tbl.expire_snapshots(keep_last=2)                # drops 1..4
+    assert sorted(
+        r.id for r in tbl.read_incremental(spark, 5, 6).collect()
+    ) == [10, 11]
+    with pytest.raises(ValueError, match="no snapshot"):
+        tbl.read_incremental(spark, 2)  # expired endpoint fails loudly
+
+
+def test_read_incremental_pruning_and_evolution(spark, tmp_path):
+    """The delta scan honors the same manifest pruning as read(), and
+    reads with the TO-snapshot schema (pre-evolution files in the delta
+    surface NULL for later-added columns)."""
+    tbl = SnapTable(
+        str(tmp_path / "t"), partition_spec=[("id", "bucket", 4)]
+    )
+    tbl.append(_df(spark, range(8)), "b0")           # 1
+    tbl.append(_df(spark, range(8, 16)), "b1")       # 2
+    ev = spark.createDataFrame(
+        [(i, "v%d" % i, i * 10) for i in range(16, 20)],
+        "id int, v string, extra int",
+    )
+    tbl.append(ev, "b2", allow_evolution=True)       # 3
+    # eq= point lookup inside the delta plans a strict file subset
+    import zlib
+
+    added, to = tbl._incremental_files(1, None)
+    view = {**to, "files": added}
+    kept, _ = tbl._plan_files(view, None, None, ("id", 9))
+    in_bucket = [
+        f
+        for f in added
+        if to["file_partitions"][f]["p_id_b4"] == str(zlib.crc32(b"9") % 4)
+    ]
+    assert 0 < len(kept) <= len(in_bucket) < len(added)
+    got = tbl.read_incremental(spark, 1, eq=("id", 9)).collect()
+    assert [r.id for r in got] == [9]
+    # evolution: b1 files (pre-evolution) are in the delta and read NULL
+    rows = tbl.read_incremental(spark, 1).orderBy("id").collect()
+    assert [r.id for r in rows] == list(range(8, 20))
+    assert all(r.extra is None for r in rows if r.id < 16)
+    assert all(r.extra == r.id * 10 for r in rows if r.id >= 16)
+    # between= footer-stats pruning applies to the delta too
+    got = tbl.read_incremental(spark, 1, between=("id", 17, 18)).collect()
+    assert sorted(r.id for r in got) == [17, 18]
