@@ -265,6 +265,10 @@ class SnapTable:
                     **(snap.get("file_partitions", {}) if snap else {}),
                     **parts,
                 }
+            if snap and "sort_order" in snap:
+                # declared table sort order survives appends so the next
+                # maintenance compact() re-clusters with it
+                new["sort_order"] = snap["sort_order"]
             if self._try_commit(seq, new):
                 return new
 
@@ -573,6 +577,7 @@ class SnapTable:
         spark: SparkSession,
         target_file_bytes: int = 128 << 20,
         min_files: int = 2,
+        sort_by: Optional[list] = None,
     ) -> Optional[dict]:
         """Rewrite the current file set into ~target-sized files.
 
@@ -584,18 +589,40 @@ class SnapTable:
         Older snapshots still reference the original files (time travel
         keeps working) until ``expire_snapshots`` reclaims them.
         Returns the new snapshot, or None when there was nothing to do.
+
+        ``sort_by=[cols]`` makes it a SORTED rewrite (Iceberg's
+        rewrite-with-sort-order): rows are range-clustered on the sort
+        key, so each output file's footer min/max become near-disjoint
+        ranges and ``read(between=...)`` / ``eq=`` prune to O(1) files
+        instead of scanning every file whose batch happened to span the
+        key space — the difference between a point lookup touching one
+        file and touching all of a 10^12-row table.  Costs one range
+        shuffle (vs the unsorted path's shuffle-free coalesce).  The
+        sort order is recorded in the snapshot and STICKY: later
+        ``compact()`` calls re-cluster with it unless overridden, so
+        maintenance keeps the layout the table declared.  On a
+        partitioned table the sort applies within partition values
+        (files stay partition-pure).
         """
         snap = self.current_snapshot()
         if snap is None or len(snap["files"]) < min_files:
             return None
+        explicit_sort = sort_by is not None
+        sort_by = list(sort_by) if sort_by else snap.get("sort_order")
         total = sum(
             os.path.getsize(os.path.join(self.path, f)) for f in snap["files"]
         )
         n_out = max(1, -(-total // target_file_bytes))  # ceil
-        if n_out >= len(snap["files"]):
+        if n_out >= len(snap["files"]) and not explicit_sort:
             return None  # already at-or-below target granularity
         spec = snap.get("partition_spec") or []
         df = self.read(spark)
+        if sort_by:
+            missing = [c for c in sort_by if c not in df.columns]
+            if missing:
+                raise ValueError(
+                    "sort_by columns %s not in table %s" % (missing, self.path)
+                )
         if spec:
             # re-cluster on the recomputed transform columns so the
             # rewrite preserves partition pruning (one shuffle — the
@@ -604,8 +631,20 @@ class SnapTable:
             for p in spec:
                 df = df.withColumn(p["name"], _transform_col(p, dtypes))
             df = df.repartition(int(n_out), *[p["name"] for p in spec])
+            if sort_by:
+                df = df.sortWithinPartitions(
+                    *([p["name"] for p in spec] + sort_by)
+                )
             writer = df.write.mode("error").partitionBy(
                 *[p["name"] for p in spec]
+            )
+        elif sort_by:
+            # range shuffle: output file k holds the k-th key range, so
+            # footer [min, max] are disjoint across files
+            writer = (
+                df.repartitionByRange(int(n_out), *sort_by)
+                .sortWithinPartitions(*sort_by)
+                .write.mode("error")
             )
         else:
             writer = df.coalesce(int(n_out)).write.mode("error")  # no shuffle
@@ -635,6 +674,8 @@ class SnapTable:
                 "layout": "compacted",  # sticky: appends carry it forward
                 "committed_at": time.time(),
             }
+            if sort_by:
+                new["sort_order"] = sort_by  # sticky table sort order
             if spec:
                 new["file_partitions"] = {
                     f: _parse_partition_values(f, spec) for f in files

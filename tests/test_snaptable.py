@@ -886,3 +886,81 @@ def test_read_incremental_pruning_and_evolution(spark, tmp_path):
     # between= footer-stats pruning applies to the delta too
     got = tbl.read_incremental(spark, 1, between=("id", 17, 18)).collect()
     assert sorted(r.id for r in got) == [17, 18]
+
+
+def test_sorted_compaction_tightens_stats_pruning(spark, tmp_path):
+    """compact(sort_by=) range-clusters the rewrite: point/range reads
+    prune to O(1) files where the unsorted batch layout kept every file
+    (each batch spanned the whole key space).  The sort order is sticky
+    across later appends and reused by argument-less maintenance
+    compaction."""
+    import random
+
+    rng = random.Random(7)
+    tbl = SnapTable(str(tmp_path / "t"))
+    ids = list(range(4000))
+    rng.shuffle(ids)
+    for b in range(8):  # every batch spans ~the full key range
+        tbl.append(_df(spark, ids[b::8]), "b%d" % b)
+    kept0, total0 = tbl.pruned_file_count(between=("id", 100, 120))
+    assert kept0 == total0  # unsorted: no file is provably disjoint
+    total_bytes = sum(
+        os.path.getsize(os.path.join(tbl.path, f))
+        for f in tbl.current_snapshot()["files"]
+    )
+    snap = tbl.compact(
+        spark, target_file_bytes=total_bytes // 4, sort_by=["id"]
+    )
+    assert snap is not None and snap["sort_order"] == ["id"]
+    kept1, total1 = tbl.pruned_file_count(between=("id", 100, 120))
+    assert total1 >= 4 and kept1 <= 2, (kept1, total1)
+    got = tbl.read(spark, between=("id", 100, 120)).collect()
+    assert sorted(r.id for r in got) == list(range(100, 121))
+    assert tbl.read(spark).count() == 4000
+    assert tbl.fsck()["ok"]
+    # sticky: an append carries the sort order; maintenance compact()
+    # (no sort_by) re-clusters with it
+    more = list(range(4000, 8000))
+    rng.shuffle(more)
+    for b in range(4):
+        tbl.append(_df(spark, more[b::4]), "c%d" % b)
+    assert tbl.current_snapshot()["sort_order"] == ["id"]
+    snap = tbl.compact(spark, target_file_bytes=total_bytes // 2)
+    assert snap is not None and snap["sort_order"] == ["id"]
+    kept2, total2 = tbl.pruned_file_count(between=("id", 6000, 6050))
+    assert kept2 <= 2 < total2, (kept2, total2)
+    assert tbl.read(spark).count() == 8000
+
+
+def test_sorted_compaction_on_partitioned_table(spark, tmp_path):
+    """On a partitioned table the sorted rewrite stays partition-pure
+    (pruning by partition value still exact) and sorts within values."""
+    tbl = SnapTable(str(tmp_path / "t"), partition_spec=[("id", "bucket", 2)])
+    import random
+
+    rng = random.Random(3)
+    ids = list(range(1000))
+    rng.shuffle(ids)
+    for b in range(4):
+        tbl.append(_df(spark, ids[b::4]), "b%d" % b)
+    with pytest.raises(ValueError, match="sort_by"):
+        tbl.compact(spark, sort_by=["nope"])
+    total_bytes = sum(
+        os.path.getsize(os.path.join(tbl.path, f))
+        for f in tbl.current_snapshot()["files"]
+    )
+    snap = tbl.compact(
+        spark, target_file_bytes=total_bytes // 2, sort_by=["id"]
+    )
+    assert snap is not None
+    # partition pruning still exact after the sorted rewrite
+    import zlib
+
+    want = {i for i in range(1000) if zlib.crc32(str(i).encode()) % 2 == 1}
+    got = {
+        r.id
+        for r in tbl.read(spark, partition_where={"p_id_b2": 1}).collect()
+    }
+    assert got == want
+    assert tbl.read(spark).count() == 1000
+    assert tbl.fsck()["ok"]
