@@ -18,6 +18,18 @@ committed batch records a hash of its file group, and a resume whose
 recomputed group diverges (input mutated, or a different --batches)
 fails loudly instead of double- or under-ingesting.
 
+``incremental_extract`` is the GROWING-input variant — the daily-crawl
+case where new parquet files keep landing under the same input path.
+Every committed batch records its exact input file list in the
+manifest lineage, so each run plans batches over only the files never
+ingested (a set difference on the driver, no data scan), and the
+exactly-once invariant holds across arbitrarily many runs: a file is
+in exactly one committed batch's ``inputs``, each batch commit is
+atomic with its lineage, and a crashed run's re-plan regroups only the
+still-missing files.  Batch ids are content-addressed
+(``d-<sha16 of the group>``), so a replayed group is a snaptable
+no-op.
+
 Per-batch lineage lands in the snapshot manifest (rows, files, wall
 seconds); per-partition extraction metrics go to the optional metrics
 sidecar with the batch id attached, AFTER the batch's data commit —
@@ -42,7 +54,7 @@ from pyspark.sql import functions as F
 
 from .snaptable import SnapTable
 
-__all__ = ["batched_extract", "plan_file_batches"]
+__all__ = ["batched_extract", "incremental_extract", "plan_file_batches"]
 
 
 def plan_file_batches(files: List[str], n_batches: int) -> List[List[str]]:
@@ -54,6 +66,86 @@ def plan_file_batches(files: List[str], n_batches: int) -> List[List[str]]:
 
 def _group_sha(group: List[str]) -> str:
     return hashlib.sha256("\n".join(group).encode()).hexdigest()[:16]
+
+
+class _Extractor:
+    """Shared per-batch runner: split-tail repartition → span extraction
+    → snapshot commit → (optional) metrics sidecar."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        tbl: SnapTable,
+        partitions: int,
+        tail_bytes: int,
+        metrics_path: Optional[str],
+        doc_id_col: str,
+        html_col: str,
+        base_url_col: str,
+    ):
+        from ..operators.pipeline import (
+            extract_spans_df,
+            partition_metrics,
+            split_tail_repartition,
+        )
+
+        self.spark = spark
+        self.tbl = tbl
+        self.partitions = partitions
+        self.tail_bytes = tail_bytes
+        self.metrics_path = metrics_path
+        self.doc_id_col = doc_id_col
+        self.html_col = html_col
+        self.base_url_col = base_url_col
+        self._extract = extract_spans_df
+        self._metrics = partition_metrics
+        self._split_tail = split_tail_repartition
+        self.dp = spark.sparkContext.defaultParallelism
+
+    def batch_parts(self, group: List[str]) -> int:
+        """partitions ∝ batch bytes (target ~32 MB input each), floored
+        at the executor-slot count so every core engages: a flat
+        cores×3 both drowns small batches in stage overhead (measured
+        2.7× wall at sf0.1) and undershoots 10^12-scale batches, where
+        partition count must track data volume, not cluster width."""
+        if self.partitions:
+            return self.partitions
+        try:
+            from urllib.parse import urlparse
+
+            sz = sum(os.path.getsize(urlparse(u).path or u) for u in group)
+        except OSError:
+            return self.dp * 3  # non-posix FS — fall back to cluster width
+        return max(self.dp, -(-sz // (32 << 20)))
+
+    def run(self, group: List[str], bid: str, lineage: dict) -> None:
+        docs = self.spark.read.parquet(*group)
+        docs = docs.withColumn(
+            "__size", F.length(F.col(self.html_col)).cast("long")
+        )
+        docs = self._split_tail(
+            docs,
+            self.batch_parts(group),
+            size_col="__size",
+            tail_bytes=self.tail_bytes,
+            key_col=self.doc_id_col,
+        )
+        spans = self._extract(
+            docs,
+            doc_id_col=self.doc_id_col,
+            html_col=self.html_col,
+            base_url_col=self.base_url_col
+            if self.base_url_col in docs.columns
+            else None,
+        )
+        if self.metrics_path:
+            spans = spans.persist()  # one extraction feeds commit + metrics
+        self.tbl.append(spans, bid, lineage=lineage)
+        if self.metrics_path:  # after the data commit — metrics row ⇒ committed
+            self._metrics(spans).withColumn("batch_id", F.lit(bid)).withColumn(
+                "committed_at", F.current_timestamp()
+            ).write.mode("append").parquet(self.metrics_path)
+            spans.unpersist()
 
 
 def batched_extract(
@@ -77,12 +169,6 @@ def batched_extract(
     output as a hidden-partitioned snaptable: per-doc point lookups and
     at-rest deletes (``delete_where``) then plan only the key's bucket
     files instead of the whole table."""
-    from ..operators.pipeline import (
-        extract_spans_df,
-        partition_metrics,
-        split_tail_repartition,
-    )
-
     tbl = SnapTable(output_table, partition_spec=partition_spec)
     files = spark.read.parquet(input_path).inputFiles()
     groups = plan_file_batches(files, batches)
@@ -92,31 +178,23 @@ def batched_extract(
     lineage = tbl.lineage()
     # refuse to resume against a different batch plan or mutated input
     for bid in done:
+        if bid.startswith("d-"):
+            raise ValueError(
+                "table %s was ingested incrementally (delta batches "
+                "present); a fixed-plan batched_extract over the full "
+                "input would double-ingest — use incremental_extract"
+                % output_table
+            )
         suffix = bid.rsplit("-of-", 1)
         if len(suffix) == 2 and int(suffix[1]) != b_total:
             raise ValueError(
                 "table %s was ingested with --batches %s; this run planned %d"
                 % (output_table, suffix[1], b_total)
             )
-    dp = spark.sparkContext.defaultParallelism
-
-    def _batch_parts(group: List[str]) -> int:
-        """partitions ∝ batch bytes (target ~32 MB input each), floored
-        at the executor-slot count so every core engages: a flat
-        cores×3 both drowns small batches in stage overhead (measured
-        2.7× wall at sf0.1) and undershoots 10^12-scale batches, where
-        partition count must track data volume, not cluster width."""
-        if partitions:
-            return partitions
-        try:
-            from urllib.parse import urlparse
-
-            sz = sum(
-                os.path.getsize(urlparse(u).path or u) for u in group
-            )
-        except OSError:
-            return dp * 3  # non-posix FS — fall back to cluster width
-        return max(dp, -(-sz // (32 << 20)))
+    ex = _Extractor(
+        spark, tbl, partitions, tail_bytes, metrics_path,
+        doc_id_col, html_col, base_url_col,
+    )
 
     ran = skipped = 0
     for i, group in enumerate(groups):
@@ -134,33 +212,85 @@ def batched_extract(
             continue
         if max_batches and ran >= max_batches:
             break
-        docs = spark.read.parquet(*group)
-        docs = docs.withColumn(
-            "__size", F.length(F.col(html_col)).cast("long")
+        ex.run(
+            group, bid,
+            lineage={
+                "group_sha": sha,
+                "input_files": len(group),
+                "inputs": group,
+            },
         )
-        docs = split_tail_repartition(
-            docs, _batch_parts(group), size_col="__size", tail_bytes=tail_bytes,
-            key_col=doc_id_col,
-        )
-        spans = extract_spans_df(
-            docs,
-            doc_id_col=doc_id_col,
-            html_col=html_col,
-            base_url_col=base_url_col if base_url_col in docs.columns else None,
-        )
-        if metrics_path:
-            spans = spans.persist()  # one extraction feeds commit + metrics
-        tbl.append(
-            spans,
-            bid,
-            lineage={"group_sha": sha, "input_files": len(group)},
-        )
-        if metrics_path:  # after the data commit — metrics row ⇒ committed
-            partition_metrics(spans).withColumn(
-                "batch_id", F.lit(bid)
-            ).withColumn(
-                "committed_at", F.current_timestamp()
-            ).write.mode("append").parquet(metrics_path)
-            spans.unpersist()
         ran += 1
     return {"ran": ran, "skipped": skipped, "total": b_total}
+
+
+def incremental_extract(
+    spark: SparkSession,
+    input_path: str,
+    output_table: str,
+    batches: int = 8,
+    max_batches: int = 0,
+    partitions: int = 0,
+    tail_bytes: int = 4 << 20,
+    metrics_path: Optional[str] = None,
+    doc_id_col: str = "doc_id",
+    html_col: str = "html",
+    base_url_col: str = "base_url",
+    partition_spec: Optional[list] = None,
+) -> dict:
+    """Extract only the input files never ingested before (growing-input
+    resume).  Returns {"ran": k, "skipped": s, "total": B} where
+    ``skipped`` counts previously committed batches and ``total`` is
+    skipped + this run's planned delta batches.
+
+    Exactly-once across runs: the committed batches' recorded ``inputs``
+    lists partition the ingested file set, the driver-side set
+    difference plans only the complement, and each new batch commits its
+    own list atomically with its data.  Re-running after a crash
+    regroups only the still-missing files; ``batches`` applies to the
+    DELTA, so a daily drop of any size lands in ≤``batches`` commits.
+    """
+    tbl = SnapTable(output_table, partition_spec=partition_spec)
+    files = set(spark.read.parquet(input_path).inputFiles())
+    lineage = tbl.lineage()
+    ingested: set = set()
+    for bid, lin in lineage.items():
+        if "inputs" not in lin:
+            raise ValueError(
+                "batch %r of %s predates per-batch input recording — "
+                "incremental_extract cannot prove which files it covered; "
+                "re-ingest into a fresh table" % (bid, output_table)
+            )
+        ingested.update(lin["inputs"])
+    missing = ingested - files
+    if missing:
+        raise ValueError(
+            "input mutated under a resumable ingest: %d previously "
+            "ingested file(s) vanished from %s (e.g. %s)"
+            % (len(missing), input_path, sorted(missing)[0])
+        )
+    remaining = sorted(files - ingested)
+    skipped = len(lineage)
+    if not remaining:
+        return {"ran": 0, "skipped": skipped, "total": skipped}
+    groups = plan_file_batches(remaining, batches)
+    ex = _Extractor(
+        spark, tbl, partitions, tail_bytes, metrics_path,
+        doc_id_col, html_col, base_url_col,
+    )
+    ran = 0
+    for group in groups:
+        if max_batches and ran >= max_batches:
+            break
+        sha = _group_sha(group)
+        bid = "d-%s" % sha  # content-addressed: replay is a no-op
+        ex.run(
+            group, bid,
+            lineage={
+                "group_sha": sha,
+                "input_files": len(group),
+                "inputs": group,
+            },
+        )
+        ran += 1
+    return {"ran": ran, "skipped": skipped, "total": skipped + len(groups)}

@@ -48,6 +48,12 @@ def main() -> None:
                     help="bucket-partition the spans table by doc_id into N "
                          "buckets: per-doc point lookups and at-rest deletes "
                          "(decontamination) plan only 1/N of the files")
+    ap.add_argument("--incremental", action="store_true",
+                    help="delta mode: curate/pack only the spans appended "
+                         "since the last run (read_incremental + fingerprint "
+                         "ledgers) — per-run cost scales with NEW data, not "
+                         "the corpus; cannot mix with full mode in one "
+                         "--output")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -60,7 +66,10 @@ def main() -> None:
         interleaved_doc_stats,
         pack_interleaved,
     )
-    from hquery_php_spark.sources.ingest import batched_extract
+    from hquery_php_spark.sources.ingest import (
+        batched_extract,
+        incremental_extract,
+    )
     from hquery_php_spark.sources.snaptable import SnapTable
 
     root = args.output.rstrip("/")
@@ -68,8 +77,10 @@ def main() -> None:
     curated_tbl = SnapTable(root + "/curated")
     packs_tbl = SnapTable(root + "/packs")
 
-    # ---- phase 1: extract (batched, per-batch resume) -----------------
-    stats = batched_extract(
+    # ---- phase 1: extract (batched, per-batch resume; delta-planned
+    # over only the never-ingested input files in --incremental mode) ---
+    extract = incremental_extract if args.incremental else batched_extract
+    stats = extract(
         spark,
         args.input,
         spans_tbl.path,
@@ -85,6 +96,55 @@ def main() -> None:
         print("extract phase incomplete (--max-batches); stopping before curate")
         spark.stop()
         return
+
+    # ---- incremental mode: consume only the spans delta -----------------
+    if args.incremental:
+        from hquery_php_spark.operators.incremental_pipeline import (
+            PipelineTables,
+            curate_increment,
+            pack_increment,
+        )
+
+        t = PipelineTables(root)
+        opts = CurateOptions(
+            id_col="doc_id",
+            text_col="main_text",
+            domain_col=None,
+            min_words=args.min_words,
+            near_dup=not args.no_near_dup,
+        )
+        c = curate_increment(
+            spark, t, opts=opts,
+            params={"min_words": args.min_words,
+                    "near_dup": not args.no_near_dup},
+        )
+        print(
+            "phase curate [incremental]: spans %(from)d..%(upto)d, "
+            "kept %(kept)d%(s)s"
+            % {**c, "s": " (nothing new)" if c["skipped"] else ""}
+        )
+        p = pack_increment(
+            spark, t,
+            max_tokens=args.max_tokens,
+            media_token_cost=args.media_token_cost,
+            n_shards=args.n_shards,
+        )
+        print(
+            "phase pack [incremental]: curated %(from)d..%(upto)d, "
+            "%(rows)d rows%(s)s"
+            % {**p, "s": " (nothing new)" if p["skipped"] else ""}
+        )
+        spark.stop()
+        return
+
+    if any(
+        b.startswith("curate-upto-") for b in curated_tbl.committed_batches()
+    ):
+        raise ValueError(
+            "%s was curated incrementally; full and incremental modes "
+            "cannot mix — pass --incremental or use a fresh --output"
+            % curated_tbl.path
+        )
 
     def _check_phase_params(tbl: SnapTable, batch_id: str, params: dict) -> bool:
         """True when the phase is committed AND with the same parameters;

@@ -506,3 +506,85 @@ def test_pipeline_job_bucketed_spans_point_lookup(tmp_path):
         params={"f": files},
     ).df()
     assert got["c"][0] > 0  # the bucket's files really hold the doc's spans
+
+
+def test_pipeline_job_incremental_two_day_drop(tmp_path):
+    """--incremental across a growing input: day-0 submit curates and
+    packs the first drop; day-1 files land and a re-submit ingests ONLY
+    the new files, curates only the new docs (cross-run dedup via the
+    ledgers), and packs only the newly kept docs; a third submit is a
+    no-op at every phase."""
+    from hquery_php_spark.sources.snaptable import SnapTable
+
+    texts = {
+        "alpha": "the sun rises over quiet hills and farmers walk their "
+                 "fields checking young crops before breakfast while "
+                 "birds gather seeds near the wooden fence",
+        "beta": "a modern compiler turns source code into machine words "
+                "and the optimizer removes wasted steps so that programs "
+                "finish their work faster",
+        "gamma": "ocean currents move warm water toward the poles and "
+                 "this steady flow shapes weather patterns that sailors "
+                 "have tracked for many centuries",
+        "delta": "the museum opened a new wing with paintings from "
+                 "several schools and visitors lined the marble halls to "
+                 "study each canvas in detail",
+    }
+
+    def _drop(name, rows):
+        pd.DataFrame(
+            {
+                "doc_id": [i for i, _ in rows],
+                "html": [
+                    "<html><body><p>%s</p></body></html>" % t
+                    for _, t in rows
+                ],
+            }
+        ).to_parquet(os.path.join(inp, name))
+
+    inp = str(tmp_path / "docs")
+    os.makedirs(inp)
+    _drop("day0.parquet", [("a1", texts["alpha"]), ("a2", texts["beta"])])
+    out = str(tmp_path / "pipe")
+    zipf = shutil.make_archive(str(tmp_path / "pkg"), "zip", REPO, "hquery_php_spark")
+    cmd = [
+        "spark-submit", "--master", "local[4]", "--py-files", zipf,
+        os.path.join(REPO, "jobs", "pipeline_job.py"),
+        "--input", inp, "--output", out,
+        "--batches", "2", "--partitions", "2", "--n-shards", "2",
+        "--incremental",
+    ]
+    r1 = subprocess.run(cmd, cwd=REPO, capture_output=True, timeout=600)
+    assert r1.returncode == 0, r1.stderr[-3000:]
+    curated = SnapTable(os.path.join(out, "curated"))
+    got1 = {x.doc_id for x in _read_tbl(curated)}
+    assert got1 == {"a1", "a2"}
+
+    # day-1 drop: one cross-run dup, one new doc
+    _drop("day1.parquet", [("b1", texts["alpha"]), ("b2", texts["gamma"])])
+    r2 = subprocess.run(cmd, cwd=REPO, capture_output=True, timeout=600)
+    assert r2.returncode == 0, r2.stderr[-3000:]
+    out2 = r2.stdout.decode()
+    assert "phase extract: 1 ran" in out2, out2  # only the new file
+    got2 = {x.doc_id for x in _read_tbl(curated)}
+    assert got2 == {"a1", "a2", "b2"}  # b1 deduped against the ledger
+    packs = SnapTable(os.path.join(out, "packs"))
+    packed = [x.doc_id for x in _read_tbl(packs)]
+    assert sorted(packed) == ["a1", "a2", "b2"]  # once each, ever
+
+    # third submit: nothing new anywhere
+    r3 = subprocess.run(cmd, cwd=REPO, capture_output=True, timeout=600)
+    assert r3.returncode == 0, r3.stderr[-3000:]
+    out3 = r3.stdout.decode()
+    assert "phase extract: 0 ran" in out3, out3
+    assert "(nothing new)" in out3, out3
+    n_snaps = len(curated.snapshots()) + len(packs.snapshots())
+    assert n_snaps == 4  # two appends each, untouched by the no-op run
+
+
+def _read_tbl(tbl):
+    """Row list via duckdb (no SparkSession in the test process)."""
+    files = [os.path.join(tbl.path, f) for f in tbl.current_snapshot()["files"]]
+    return duckdb.sql(
+        "SELECT * FROM read_parquet($f)", params={"f": files}
+    ).df().itertuples()

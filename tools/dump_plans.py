@@ -52,6 +52,7 @@ QUERIES = [
     ("audio_meta", "Ogg page walk + id-header parse: one mapInPandas, zero shuffle"),
     ("snaptable_ingest_batch", "ONE ingest batch of the manifest-resume path: the scan lists exactly the batch's planned files (planning-time file pruning, not a filter) -> one split-tail Exchange -> mapInPandas extract; the snapshot commit is driver-side metadata, invisible to the executor plan"),
     ("snaptable_point_lookup", "point lookup on a bucket[8]-partitioned snaptable: the manifest plans ONLY the key's bucket files (the InMemoryFileIndex lists ~1/8 of the table — driver-side, no Spark job) + PushedFilters carries the residual doc_id equality into the rowgroup scan"),
+    ("snaptable_incremental_read", "changelog consumption: read_incremental(after) plans ONLY the files appended after the watermark snapshot — the scan's file list is the delta, so downstream incremental curate/pack cost follows NEW data, never the corpus"),
 ]
 
 def main():
@@ -151,6 +152,25 @@ def main():
                 % (kept, total)
             )
             df = tbl.read(spark, eq=("doc_id", key))
+        elif name == "snaptable_incremental_read":
+            import tempfile
+
+            from hquery_php_spark.sources.snaptable import SnapTable
+
+            from pyspark.sql import functions as F
+
+            tdir = tempfile.mkdtemp(prefix="plans-snapincr-")
+            tbl = SnapTable(os.path.join(tdir, "t"))
+            d = E._docs(spark, sf).select("doc_id", "text")
+            halves = F.crc32(F.col("doc_id")) % 2
+            tbl.append(d.where(halves == 0), "day0")  # snapshot 1: corpus
+            tbl.append(d.where(halves == 1), "day1")  # snapshot 2: the drop
+            added, to = tbl._incremental_files(1, None)
+            out.append(
+                "_(delta planning: %d of %d files scanned for the "
+                "increment)_\n" % (len(added), len(to["files"]))
+            )
+            df = tbl.read_incremental(spark, 1)
         else:
             df = qs[name](spark, sf)
         buf = io.StringIO()
