@@ -124,11 +124,19 @@ def ledger_band_keys(
     num_perm: int = 16,
     shingle_k: int = 8,
     bands: int = 2,
+    portable: bool = True,
 ) -> DataFrame:
     """(band, bucket) near-dup ledger rows: the serialized band slices
-    of each document's portable MinHash signature — the same injective
-    band keys as ``minhash_lsh_candidates(exact_buckets=True)``, so the
-    ledger is reproducible on any engine (and by the SQL twin)."""
+    of each document's MinHash signature — the same injective band keys
+    as ``minhash_lsh_candidates(exact_buckets=True)``.
+
+    ``portable=True`` (default) uses the polynomial hash family whose
+    band keys are reproducible on any engine (and by the SQL twin);
+    ``portable=False`` is the production xxhash64 path (JVM-side, ~10×
+    cheaper per byte).  A ledger and its probes MUST share the family
+    and (num_perm, shingle_k, bands) — otherwise every probe silently
+    misses; curate_increment records the parameters in the ledger batch
+    lineage and refuses a mismatched probe."""
     rows_per_band = max(1, num_perm // bands)
     sigs = minhash_signatures(
         df,
@@ -136,7 +144,7 @@ def ledger_band_keys(
         id_col=id_col,
         num_perm=num_perm,
         shingle_k=shingle_k,
-        portable=True,
+        portable=portable,
     )
     keys = F.array(
         *[
@@ -163,10 +171,13 @@ def incremental_dedup_near(
     num_perm: int = 16,
     shingle_k: int = 8,
     bands: int = 2,
+    portable: bool = True,
 ) -> DataFrame:
     """Batch ids that are NOT near-duplicates of the ledgered corpus at
     LSH screening level: a document drops when ANY of its signature's
     band slices already appears in the (band, bucket) ledger.
+    ``portable`` must match the family the ledger was built with
+    (``ledger_band_keys``) — mismatched families silently never match.
 
     This is the conservative screening contract (what the band collision
     *candidates* mean in ``minhash_lsh_candidates``): collisions at the
@@ -185,7 +196,7 @@ def incremental_dedup_near(
         id_col=id_col,
         num_perm=num_perm,
         shingle_k=shingle_k,
-        portable=True,
+        portable=portable,
     )
     keys = F.array(
         *[

@@ -79,6 +79,30 @@ def _watermark(tbl: SnapTable, prefix: str) -> int:
     return best
 
 
+def _delta_docs(delta: DataFrame, o: CurateOptions) -> DataFrame:
+    """(id, text) projection of a spans delta, behind an exchange.
+
+    The repartition is a correctness-of-cost barrier, not a layout
+    choice: ``interleaved_doc_stats``'s main_text is rebuilt with
+    interpreted higher-order array functions, and without a plan break
+    CollapseProject substitutes that subtree into EVERY reference inside
+    the downstream gate/hash expressions, where no common-subexpression
+    elimination applies to interpreted lambdas — measured 27.7s vs 2.9s
+    for the quality gate alone on the sf0.1 corpus.  The exchange keeps
+    the reassembly evaluated once per row; hashing by id also gives the
+    hash stages their explicit parallelism (see CurateOptions.parallelism
+    for why AQE coalescing is wrong for per-char folds)."""
+    par = o.parallelism or delta.sparkSession.sparkContext.defaultParallelism
+    return (
+        interleaved_doc_stats(delta)
+        .select(
+            F.col("doc_id").alias(o.id_col),
+            F.col("main_text").alias(o.text_col),
+        )
+        .repartition(par, o.id_col)
+    )
+
+
 def _quality_gate(docs: DataFrame, o: CurateOptions) -> DataFrame:
     """The same Gopher + repetition gate curate_corpus applies first —
     run here BEFORE the ledger probes so the delta's MinHash signature
@@ -120,9 +144,7 @@ def _repair_ledgers(spark: SparkSession, t: PipelineTables, o: CurateOptions) ->
         delta = t.spans.read_incremental(
             spark, int(lin["from_snapshot"]), upto
         )
-        docs = interleaved_doc_stats(delta).select(
-            F.col("doc_id").alias(o.id_col), F.col("main_text").alias(o.text_col)
-        )
+        docs = _delta_docs(delta, o)
         # a doc lives in exactly one spans delta, so the semi-join against
         # the WHOLE curated table recovers exactly this batch's kept ids
         kept_raw = docs.join(
@@ -131,6 +153,32 @@ def _repair_ledgers(spark: SparkSession, t: PipelineTables, o: CurateOptions) ->
         _append_ledgers(t, kept_raw, led_bid, o)
         fixed += 1
     return fixed
+
+
+def _band_params(o: CurateOptions) -> dict:
+    """The MinHash operating point a band ledger is built with.  Ledger
+    and probe must agree bit-for-bit or every probe silently misses, so
+    the params are stamped into each ledger batch's lineage and checked
+    before any probe."""
+    return {
+        "num_perm": o.num_perm,
+        "shingle_k": o.shingle_k,
+        "bands": o.lsh_bands,
+        "portable": bool(o.portable_hashes),
+    }
+
+
+def _check_band_params(t: PipelineTables, o: CurateOptions) -> None:
+    want = _band_params(o)
+    for bid, lin in t.ledger_bands.lineage().items():
+        have = lin.get("band_params")
+        if have is not None and have != want:
+            raise ValueError(
+                "band ledger %s batch %s was built with %s; this run probes "
+                "with %s — a silent never-match; keep the MinHash operating "
+                "point fixed for the table's lifetime"
+                % (t.ledger_bands.path, bid, have, want)
+            )
 
 
 def _append_ledgers(
@@ -151,8 +199,10 @@ def _append_ledgers(
             num_perm=o.num_perm,
             shingle_k=o.shingle_k,
             bands=o.lsh_bands,
+            portable=o.portable_hashes,
         ),
         batch_id,
+        lineage={"band_params": _band_params(o)},
     )
 
 
@@ -187,11 +237,7 @@ def curate_increment(
         return {"from": frm, "upto": to, "kept": 0, "skipped": True}
 
     delta = t.spans.read_incremental(spark, frm, to)
-    docs = interleaved_doc_stats(delta).select(
-        F.col("doc_id").alias(opts.id_col),
-        F.col("main_text").alias(opts.text_col),
-    )
-    docs = _quality_gate(docs, opts)
+    docs = _quality_gate(_delta_docs(delta, opts), opts)
     # cross-run dedup: probe the ledgers of everything kept so far.
     # Anti-joins, never broadcast-forced: the ledgers are corpus-
     # proportional (AQE still broadcasts them while they are small).
@@ -208,6 +254,7 @@ def curate_increment(
             "left_semi",
         )
         if opts.near_dup:
+            _check_band_params(t, opts)
             near_ok = incremental_dedup_near(
                 docs,
                 t.ledger_bands.read(spark),
@@ -216,6 +263,7 @@ def curate_increment(
                 num_perm=opts.num_perm,
                 shingle_k=opts.shingle_k,
                 bands=opts.lsh_bands,
+                portable=opts.portable_hashes,
             )
             docs = docs.join(
                 near_ok.withColumnRenamed("id", opts.id_col),

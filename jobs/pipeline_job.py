@@ -171,7 +171,16 @@ def main() -> None:
         print("phase curate: committed, skipping")
     else:
         spans = spans_tbl.read(spark)
-        docs = interleaved_doc_stats(spans).select("doc_id", "main_text")
+        # the repartition is a plan break, not a layout choice: without
+        # it CollapseProject inlines the interpreted HOF main_text
+        # reassembly into every gate/hash expression downstream, where
+        # no subexpression elimination applies (measured ~10x the gate
+        # cost; see incremental_pipeline._delta_docs)
+        docs = (
+            interleaved_doc_stats(spans)
+            .select("doc_id", "main_text")
+            .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        )
         opts = CurateOptions(
             id_col="doc_id",
             text_col="main_text",
