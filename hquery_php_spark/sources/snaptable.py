@@ -94,22 +94,33 @@ class SnapTable:
         self.data_dir = os.path.join(path, "data")
         self.snap_dir = os.path.join(path, "snaps")
         self.partition_spec = _norm_spec(partition_spec)
+        # manifest files are immutable once referenced — cache by name
+        self._manifest_cache: Dict[str, dict] = {}
 
     # ------------------------------------------------------------------
-    # snapshot log
+    # snapshot log.
+    #
+    # Disk layout is SHARDED, Iceberg's snapshot/manifest split: the
+    # snapshot JSON holds only the O(#batches) light state (batch ids,
+    # lineage, schema, partition spec) plus a list of immutable manifest
+    # file names (``mf-*.json``), each carrying the file list + footer
+    # stats + partition values of one commit's worth of files.  An
+    # append therefore writes ONE new manifest for its own files and a
+    # light snapshot re-pointing at the parent's untouched manifests —
+    # commit I/O is O(batch), never O(table).  Inline heavy keys from
+    # older snapshots still load (inflate is a no-op for them).  The
+    # in-memory view after ``current_snapshot()`` is always the full
+    # inflated dict — the driver holds O(files) entries, exactly like
+    # the InMemoryFileIndex a plain ``spark.read.parquet`` builds.
 
-    def snapshots(self) -> List[dict]:
-        """All committed snapshots, oldest first."""
-        if not os.path.isdir(self.snap_dir):
-            return []
-        out = []
-        for name in sorted(os.listdir(self.snap_dir)):
-            if name.startswith("snap-") and name.endswith(".json"):
-                with open(os.path.join(self.snap_dir, name)) as f:
-                    out.append(json.load(f))
-        return out
+    def _raw_snapshot(self, snapshot_id: int) -> Optional[dict]:
+        p = os.path.join(self.snap_dir, _SNAP_FMT % snapshot_id)
+        if not os.path.exists(p):
+            return None
+        with open(p) as f:
+            return json.load(f)
 
-    def current_snapshot(self) -> Optional[dict]:
+    def _raw_current(self) -> Optional[dict]:
         if not os.path.isdir(self.snap_dir):
             return None
         best = None
@@ -118,24 +129,63 @@ class SnapTable:
                 n = int(name[5:-5])
                 if best is None or n > best:
                     best = n
-        if best is None:
-            return None
-        with open(os.path.join(self.snap_dir, _SNAP_FMT % best)) as f:
-            return json.load(f)
+        return None if best is None else self._raw_snapshot(best)
+
+    def _load_manifest(self, ref: str) -> dict:
+        m = self._manifest_cache.get(ref)
+        if m is None:
+            with open(os.path.join(self.snap_dir, ref)) as f:
+                m = json.load(f)
+            self._manifest_cache[ref] = m
+        return m
+
+    def _inflate(self, snap: Optional[dict]) -> Optional[dict]:
+        """Materialize the full file view from the manifest refs (no-op
+        for legacy inline snapshots)."""
+        if snap is None or "manifests" not in snap:
+            return snap
+        files: List[str] = []
+        stats: Dict[str, dict] = {}
+        parts: Dict[str, dict] = {}
+        for ref in snap["manifests"]:
+            m = self._load_manifest(ref)
+            files.extend(m["files"])
+            stats.update(m.get("file_stats", {}))
+            parts.update(m.get("file_partitions", {}))
+        out = {**snap, "files": files, "file_stats": stats}
+        if parts or snap.get("partition_spec"):
+            out["file_partitions"] = parts
+        return out
+
+    def snapshots(self) -> List[dict]:
+        """All committed snapshots, oldest first (inflated)."""
+        if not os.path.isdir(self.snap_dir):
+            return []
+        out = []
+        for name in sorted(os.listdir(self.snap_dir)):
+            if name.startswith("snap-") and name.endswith(".json"):
+                with open(os.path.join(self.snap_dir, name)) as f:
+                    out.append(self._inflate(json.load(f)))
+        return out
+
+    def current_snapshot(self) -> Optional[dict]:
+        return self._inflate(self._raw_current())
 
     def committed_batches(self) -> Set[str]:
-        """Batch ids already in the table — ONE manifest read, no data scan."""
-        snap = self.current_snapshot()
+        """Batch ids already in the table — ONE light snapshot read (the
+        sharded manifests are not touched), no data scan."""
+        snap = self._raw_current()
         return set(snap["batch_ids"]) if snap else set()
 
     def lineage(self) -> Dict[str, dict]:
         """batch_id → lineage dict recorded at its commit."""
-        snap = self.current_snapshot()
+        snap = self._raw_current()
         return dict(snap.get("lineage", {})) if snap else {}
 
     def row_count(self) -> int:
-        """Total committed rows — answered from the manifest's lineage
-        (one small JSON read), no scan: COUNT(*) at 10^12 rows for free."""
+        """Total committed rows — answered from the snapshot's lineage
+        (one small JSON read, no manifest inflation), no scan: COUNT(*)
+        at 10^12 rows for free."""
         return sum(l.get("n_rows", 0) for l in self.lineage().values())
 
     # ------------------------------------------------------------------
@@ -345,16 +395,69 @@ class SnapTable:
         )
         return files, n_rows, stats, parts
 
+    def _deflate(self, seq: int, snap: dict) -> dict:
+        """Shard the snapshot's heavy file state into manifest files.
+
+        Manifest reuse is what bounds commit I/O: every parent manifest
+        whose files all survive into this snapshot is re-pointed as-is
+        (appends reuse ALL of them), and only the files not covered by a
+        reused manifest — the new batch, or the survivors of a partial
+        rewrite — land in one freshly written manifest.  Manifests are
+        never mutated after a snapshot references them, so the reuse
+        check is a set comparison, and a lost CAS leaves at worst an
+        unreferenced manifest file (reclaimed by expire/orphan GC, same
+        as staged data)."""
+        files = snap.get("files", [])
+        stats = snap.get("file_stats", {})
+        parts = snap.get("file_partitions", {})
+        fileset = set(files)
+        parent = (
+            self._raw_snapshot(snap["parent"]) if snap.get("parent") else None
+        )
+        refs: List[str] = []
+        covered: Set[str] = set()
+        for ref in (parent or {}).get("manifests", []):
+            mset = set(self._load_manifest(ref)["files"])
+            if mset and mset <= fileset and not (mset & covered):
+                refs.append(ref)
+                covered |= mset
+        rest = [f for f in files if f not in covered]
+        if rest or not refs:
+            m = {
+                "files": rest,
+                "file_stats": {f: stats[f] for f in rest if f in stats},
+            }
+            mparts = {f: parts[f] for f in rest if f in parts}
+            if mparts:
+                m["file_partitions"] = mparts
+            ref = "mf-%08d-%s.json" % (seq, uuid.uuid4().hex)
+            with open(os.path.join(self.snap_dir, ref), "w") as f:
+                json.dump(m, f)
+                f.flush()
+                os.fsync(f.fileno())
+            refs.append(ref)
+        out = {
+            k: v
+            for k, v in snap.items()
+            if k not in ("files", "file_stats", "file_partitions")
+        }
+        out["manifests"] = refs
+        return out
+
     def _try_commit(self, seq: int, snap: dict) -> bool:
         os.makedirs(self.snap_dir, exist_ok=True)
+        deflated = self._deflate(seq, snap)
         tmp = os.path.join(self.snap_dir, ".tmp-%s" % uuid.uuid4().hex)
         final = os.path.join(self.snap_dir, _SNAP_FMT % seq)
         with open(tmp, "w") as f:
-            json.dump(snap, f)
+            json.dump(deflated, f)
             f.flush()
             os.fsync(f.fileno())
         try:
             os.link(tmp, final)  # atomic create-if-absent (CAS)
+            # the caller keeps (and returns) its inflated dict — point it
+            # at the refs actually committed, not a stale spread-copy
+            snap["manifests"] = deflated["manifests"]
             return True
         except FileExistsError:
             return False  # lost the race — caller re-reads and retries
@@ -695,12 +798,20 @@ class SnapTable:
         kept, dropped = snaps[-keep_last:], snaps[:-keep_last]
         live = {f for s in kept for f in s["files"]}
         dead = {f for s in dropped for f in s["files"]} - live
-        # manifests FIRST, files second: a crash in between leaves only
-        # unreferenced files (harmless orphans a later sweep reclaims) —
-        # the reverse order would leave listed snapshots whose scans
-        # explode on deleted paths
+        # snapshots FIRST, then their manifests, files last: a crash in
+        # between leaves only unreferenced manifests/files (harmless
+        # orphans a later sweep reclaims) — the reverse order would leave
+        # listed snapshots whose loads/scans explode on deleted paths
         for s in dropped:
             os.unlink(os.path.join(self.snap_dir, _SNAP_FMT % s["snapshot_id"]))
+        kept_refs = {r for s in kept for r in s.get("manifests", [])}
+        for r in sorted(
+            {r for s in dropped for r in s.get("manifests", [])} - kept_refs
+        ):
+            p = os.path.join(self.snap_dir, r)
+            if os.path.exists(p):
+                os.unlink(p)
+            self._manifest_cache.pop(r, None)
         emptied = set()
         for f in sorted(dead):
             p = os.path.join(self.path, f)
@@ -723,8 +834,23 @@ class SnapTable:
     def remove_orphans(self, older_than_s: float = 86400.0) -> int:
         """Delete staging dirs never referenced by ANY snapshot and older
         than the grace window (Iceberg's remove-orphan-files): leftovers
-        of jobs that died between staging and their snapshot commit."""
+        of jobs that died between staging and their snapshot commit.
+        Also reclaims manifest files of lost-CAS commit attempts (written
+        before the snapshot CAS, referenced by nothing)."""
         snaps = self.snapshots()
+        live_refs = {r for s in snaps for r in s.get("manifests", [])}
+        n_mf = 0
+        now = time.time()
+        if os.path.isdir(self.snap_dir):
+            for name in sorted(os.listdir(self.snap_dir)):
+                if not (name.startswith("mf-") and name.endswith(".json")):
+                    continue
+                p = os.path.join(self.snap_dir, name)
+                if name in live_refs or now - os.path.getmtime(p) < older_than_s:
+                    continue
+                os.unlink(p)
+                self._manifest_cache.pop(name, None)
+                n_mf += 1
         # top-level staging dir (data/<dir>) — partitioned layouts nest
         # hive dirs below it, so the immediate parent is not the unit
         referenced = {
@@ -732,10 +858,9 @@ class SnapTable:
             for s in snaps
             for f in s["files"]
         }
-        n = 0
-        now = time.time()
+        n = n_mf
         if not os.path.isdir(self.data_dir):
-            return 0
+            return n
         for d in sorted(os.listdir(self.data_dir)):
             p = os.path.join(self.data_dir, d)
             if p in referenced or not os.path.isdir(p):
@@ -867,11 +992,10 @@ class SnapTable:
     def _snapshot_at(self, snapshot_id: Optional[int]) -> Optional[dict]:
         if snapshot_id is None:
             return self.current_snapshot()
-        p = os.path.join(self.snap_dir, _SNAP_FMT % snapshot_id)
-        if not os.path.exists(p):
+        snap = self._raw_snapshot(snapshot_id)
+        if snap is None:
             raise ValueError("no snapshot %d in %s" % (snapshot_id, self.path))
-        with open(p) as f:
-            return json.load(f)
+        return self._inflate(snap)
 
     def _plan_files(
         self,
@@ -969,18 +1093,29 @@ class SnapTable:
         after = (
             self._snapshot_at(after_snapshot_id) if after_snapshot_id else None
         )
+        # intermediates are read RAW — the walk needs only each link's
+        # operation record, not its inflated file view
         chain = {to["snapshot_id"]: to}
         for sid in range(after_snapshot_id + 1, to["snapshot_id"]):
-            chain[sid] = self._snapshot_at(sid)  # raises if expired
+            raw = self._raw_snapshot(sid)
+            if raw is None:
+                raise ValueError(
+                    "no snapshot %d in %s" % (sid, self.path)
+                )
+            chain[sid] = raw
         for sid in range(after_snapshot_id + 1, to["snapshot_id"] + 1):
             snap = chain[sid]
             op = snap.get("operation")
             if op is None:  # legacy manifest: derive from the parent
-                parent = after if sid == after_snapshot_id + 1 else chain[sid - 1]
+                parent = (
+                    after
+                    if sid == after_snapshot_id + 1
+                    else self._inflate(chain[sid - 1])
+                )
                 parent_files = set(parent["files"]) if parent else set()
                 op = (
                     "append"
-                    if parent_files <= set(snap["files"])
+                    if parent_files <= set(self._inflate(snap)["files"])
                     else "non-append"
                 )
             if op != "append":

@@ -279,7 +279,10 @@ def test_extract_job_snaptable_submit_resume(tmp_path):
         cmd(["--max-batches", "1"]), cwd=REPO, capture_output=True, timeout=600
     )
     assert r1.returncode == 0, r1.stderr[-3000:]
-    snaps = sorted(os.listdir(os.path.join(out, "snaps")))
+    snaps = sorted(
+        f for f in os.listdir(os.path.join(out, "snaps"))
+        if f.startswith("snap-")
+    )
     assert snaps == ["snap-00000001.json"]
 
     r2 = subprocess.run(cmd([]), cwd=REPO, capture_output=True, timeout=600)
@@ -287,7 +290,10 @@ def test_extract_job_snaptable_submit_resume(tmp_path):
     assert b"ran 2, skipped 1" in r2.stdout, r2.stdout[-2000:]
     latest = json.load(open(os.path.join(out, "snaps", "snap-00000003.json")))
     assert latest["batch_ids"] == [f"b0000{i}-of-00003" for i in range(3)]
-    files = [os.path.join(out, f) for f in latest["files"]]
+    # file lists live in the sharded manifests; inflate via the API
+    from hquery_php_spark.sources.snaptable import SnapTable as _ST
+
+    files = [os.path.join(out, f) for f in _ST(out).current_snapshot()["files"]]
     got = duckdb.sql(
         "SELECT count(*) AS c, count(DISTINCT doc_id) AS d FROM read_parquet($f)",
         params={"f": files},
@@ -297,7 +303,10 @@ def test_extract_job_snaptable_submit_resume(tmp_path):
     r3 = subprocess.run(cmd([]), cwd=REPO, capture_output=True, timeout=600)
     assert r3.returncode == 0, r3.stderr[-3000:]
     assert b"ran 0, skipped 3" in r3.stdout
-    assert sorted(os.listdir(os.path.join(out, "snaps")))[-1] == "snap-00000003.json"
+    assert sorted(
+        f for f in os.listdir(os.path.join(out, "snaps"))
+        if f.startswith("snap-")
+    )[-1] == "snap-00000003.json"
 
 
 def test_pipeline_job_three_phases_resume(tmp_path):
@@ -353,9 +362,9 @@ def test_pipeline_job_three_phases_resume(tmp_path):
         open(os.path.join(out, "curated", "snaps", "snap-00000001.json"))
     )
     assert curated["lineage"]["curate-all"]["n_rows"] == 115
-    packs_files = json.load(
-        open(os.path.join(out, "packs", "snaps", "snap-00000001.json"))
-    )["files"]
+    from hquery_php_spark.sources.snaptable import SnapTable as _ST
+
+    packs_files = _ST(os.path.join(out, "packs")).current_snapshot()["files"]
     got = duckdb.sql(
         "SELECT count(*) AS c, count(DISTINCT doc_id) AS d, "
         "count(*) FILTER (pack_no < 0) AS oversize FROM read_parquet($f)",
@@ -419,8 +428,9 @@ def test_extract_job_snaptable_sigkill_resume(tmp_path):
 
     r = subprocess.run(cmd, cwd=REPO, capture_output=True, timeout=600)
     assert r.returncode == 0, r.stderr[-3000:]
-    snaps = sorted(os.listdir(os.path.join(out, "snaps")))
-    latest = json.load(open(os.path.join(out, "snaps", snaps[-1])))
+    from hquery_php_spark.sources.snaptable import SnapTable as _ST
+
+    latest = _ST(out).current_snapshot()
     assert sorted(latest["batch_ids"]) == [
         f"b0000{i}-of-00003" for i in range(3)
     ]

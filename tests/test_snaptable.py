@@ -964,3 +964,56 @@ def test_sorted_compaction_on_partitioned_table(spark, tmp_path):
     assert got == want
     assert tbl.read(spark).count() == 1000
     assert tbl.fsck()["ok"]
+
+
+def test_sharded_manifests_commit_cost_is_per_batch(spark, tmp_path):
+    """Iceberg snapshot/manifest split: each append writes exactly ONE
+    new manifest file and re-points the parent's untouched ones, so the
+    snapshot JSON carries no file lists (commit I/O ∝ batch, not table);
+    rewrites re-manifest only what changed; expiry and orphan GC reclaim
+    dead/unreferenced manifests."""
+    tbl = SnapTable(str(tmp_path / "t"))
+    for k in range(4):
+        tbl.append(_df(spark, range(k * 5, k * 5 + 5)), "b%d" % k)
+    raws = [
+        json.load(open(os.path.join(tbl.snap_dir, f)))
+        for f in sorted(os.listdir(tbl.snap_dir))
+        if f.startswith("snap-")
+    ]
+    for i, raw in enumerate(raws):
+        assert "files" not in raw and "file_stats" not in raw
+        assert len(raw["manifests"]) == i + 1  # one new manifest per append
+        if i:  # parent's manifests reused verbatim
+            assert raw["manifests"][: i] == raws[i - 1]["manifests"]
+    # inflation reconstructs the full view
+    snap = tbl.current_snapshot()
+    assert len(snap["files"]) >= 4 and tbl.read(spark).count() == 20
+    assert set(snap["file_stats"]) == set(snap["files"])
+
+    # partial rewrite: only the touched batch re-manifests
+    before = set(json.load(open(os.path.join(tbl.snap_dir, "snap-%08d.json" % 4)))["manifests"])
+    r = tbl.delete_where(spark, "id = 7", prune=("id", 7, 7))
+    assert r["rows_deleted"] == 1
+    after_raw = json.load(open(os.path.join(tbl.snap_dir, "snap-%08d.json" % 5)))
+    kept_refs = [m for m in after_raw["manifests"] if m in before]
+    assert len(kept_refs) >= 1  # untouched appends' manifests survive
+    assert len(set(after_raw["manifests"]) - before) == 1  # one rewrite manifest
+    assert tbl.read(spark).count() == 19
+    assert tbl.fsck()["ok"]
+
+    # expiry drops manifests referenced only by dropped snapshots
+    all_mfs = lambda: {
+        f for f in os.listdir(tbl.snap_dir) if f.startswith("mf-")
+    }
+    tbl.expire_snapshots(keep_last=1)
+    live = set(json.load(open(os.path.join(tbl.snap_dir, "snap-%08d.json" % 5)))["manifests"])
+    assert all_mfs() == live
+    assert tbl.read(spark).count() == 19
+
+    # lost-CAS manifest (written, never referenced) is orphan-GC'd
+    stray = os.path.join(tbl.snap_dir, "mf-99999999-deadbeef.json")
+    json.dump({"files": []}, open(stray, "w"))
+    os.utime(stray, (1, 1))
+    assert tbl.remove_orphans(older_than_s=60) >= 1
+    assert not os.path.exists(stray)
+    assert tbl.fsck()["ok"]
