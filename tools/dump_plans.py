@@ -162,7 +162,7 @@ def main():
             tdir = tempfile.mkdtemp(prefix="plans-snapincr-")
             tbl = SnapTable(os.path.join(tdir, "t"))
             d = E._docs(spark, sf).select("doc_id", "text")
-            halves = F.crc32(F.col("doc_id")) % 2
+            halves = F.pmod(F.col("doc_id"), F.lit(2))
             tbl.append(d.where(halves == 0), "day0")  # snapshot 1: corpus
             tbl.append(d.where(halves == 1), "day1")  # snapshot 2: the drop
             added, to = tbl._incremental_files(1, None)
