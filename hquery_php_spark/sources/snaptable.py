@@ -37,9 +37,12 @@ appends with additive schema evolution, the maintenance actions
 (compaction, snapshot expiry, orphan GC), manifest-stats file skipping,
 **hidden partitioning** (identity / bucket[N] / truncate[W] transforms;
 partition values live in the manifest, never in the read schema),
-batch **overwrite** (``replace_batch``) and **copy-on-write row-level
+batch **overwrite** (``replace_batch``), **copy-on-write row-level
 delete** (``delete_where`` rewrites only the files that contain
-matches).  When a real Iceberg catalog is configured,
+matches) and **merge-on-read equality delete** (``delete_keys`` commits
+the key set as an Iceberg-v2-style equality-delete file in O(|keys|);
+``read()`` anti-joins it against strictly-older data files and
+``compact()`` materializes it back into a clean layout).  When a real Iceberg catalog is configured,
 ``reader.read_documents`` already scans catalog tables and jobs should
 prefer it.  The point here is the commit/resume *protocol* and its
 tests.
@@ -147,14 +150,18 @@ class SnapTable:
         files: List[str] = []
         stats: Dict[str, dict] = {}
         parts: Dict[str, dict] = {}
+        fseq: Dict[str, int] = {}
         for ref in snap["manifests"]:
             m = self._load_manifest(ref)
             files.extend(m["files"])
             stats.update(m.get("file_stats", {}))
             parts.update(m.get("file_partitions", {}))
+            fseq.update(m.get("file_seq", {}))
         out = {**snap, "files": files, "file_stats": stats}
         if parts or snap.get("partition_spec"):
             out["file_partitions"] = parts
+        if fseq:
+            out["file_seq"] = fseq
         return out
 
     def snapshots(self) -> List[dict]:
@@ -185,7 +192,22 @@ class SnapTable:
     def row_count(self) -> int:
         """Total committed rows — answered from the snapshot's lineage
         (one small JSON read, no manifest inflation), no scan: COUNT(*)
-        at 10^12 rows for free."""
+        at 10^12 rows for free.
+
+        Raises while merge-on-read equality deletes are pending: the
+        number of live rows they remove is unknown until a scan applies
+        them (Iceberg has the same property — its row counts are
+        estimates under v2 deletes).  ``compact()`` materializes the
+        deletes and restores exact manifest-answered counts; an exact
+        count before that is ``read(spark).count()``."""
+        snap = self._raw_current()
+        if snap and snap.get("equality_deletes"):
+            raise ValueError(
+                "table %s has %d pending equality-delete file(s); "
+                "row_count() is exact only after compact() applies them "
+                "(or count via read())"
+                % (self.path, len(snap["equality_deletes"]))
+            )
         return sum(l.get("n_rows", 0) for l in self.lineage().values())
 
     # ------------------------------------------------------------------
@@ -319,6 +341,12 @@ class SnapTable:
                 # declared table sort order survives appends so the next
                 # maintenance compact() re-clusters with it
                 new["sort_order"] = snap["sort_order"]
+            if snap and snap.get("equality_deletes"):
+                # pending merge-on-read deletes carry forward; they apply
+                # only to files with a strictly smaller data sequence, so
+                # the batch appended here (seq > every pending delete's
+                # seq) is unaffected by them
+                new["equality_deletes"] = snap["equality_deletes"]
             if self._try_commit(seq, new):
                 return new
 
@@ -423,9 +451,15 @@ class SnapTable:
                 covered |= mset
         rest = [f for f in files if f not in covered]
         if rest or not refs:
+            fseq = snap.get("file_seq", {})
             m = {
                 "files": rest,
                 "file_stats": {f: stats[f] for f in rest if f in stats},
+                # data sequence numbers (Iceberg v2): a file carried from
+                # the parent keeps its original commit seq; a file staged
+                # by THIS commit gets the committing snapshot's seq.
+                # Equality deletes apply only to strictly-older files.
+                "file_seq": {f: fseq.get(f, seq) for f in rest},
             }
             mparts = {f: parts[f] for f in rest if f in parts}
             if mparts:
@@ -439,7 +473,7 @@ class SnapTable:
         out = {
             k: v
             for k, v in snap.items()
-            if k not in ("files", "file_stats", "file_partitions")
+            if k not in ("files", "file_stats", "file_partitions", "file_seq")
         }
         out["manifests"] = refs
         return out
@@ -479,7 +513,10 @@ class SnapTable:
 
         Requires the uncompacted layout (compaction erases per-batch
         file attribution) and an exactly-matching schema (no evolution
-        through a replace).
+        through a replace).  The replacement files get a NEW data
+        sequence, so pending equality deletes do not apply to them —
+        recomputed data is new data, exactly Iceberg's overwrite
+        semantics.
         """
         snap = self.current_snapshot()
         if snap is None or batch_id not in snap["batch_ids"]:
@@ -548,6 +585,120 @@ class SnapTable:
             if self._try_commit(seq, new):
                 return new
 
+    def delete_keys(
+        self,
+        keys_df: DataFrame,
+        key_cols: Optional[list] = None,
+        delete_id: Optional[str] = None,
+    ) -> dict:
+        """Merge-on-read equality delete (Iceberg v2 DELETE): rows whose
+        ``key_cols`` values appear in ``keys_df`` stop being visible to
+        ``read()``, but NO data file is rewritten — the commit stages the
+        (distinct) key set as an **equality-delete parquet file** and
+        re-points the snapshot, so commit cost is O(|keys|), never
+        O(table).  This is the takedown/decontamination story at 10^12
+        rows: removing a million doc_ids from a 100 TB table costs one
+        small parquet write plus one snapshot JSON; the next ``compact()``
+        materializes the deletes back into a clean copy-on-write layout.
+
+        Semantics (exactly Iceberg's): a delete committed at snapshot S
+        applies to data files whose own commit sequence is < S — rows
+        with a deleted key that are appended AFTER the delete are new
+        data and survive.  NULL keys are rejected (equality on NULL is
+        not definable across engines); keys are deduplicated before
+        staging.  ``delete_id`` makes the commit idempotent for resumable
+        jobs (a second call with the same id is a no-op).
+
+        Read cost until compaction: one anti-join per delete commit
+        against its key set — small vs the scan (AQE broadcasts the key
+        side when it fits; a corpus-proportional key set should go
+        through copy-on-write ``delete_where`` or ``compact()`` soon
+        after).  ``row_count()`` is undefined while deletes are pending
+        (it raises); ``read_incremental`` over a range containing this
+        commit raises, as for every non-append operation.
+        """
+        from pyspark.sql import functions as F
+
+        snap = self.current_snapshot()
+        if snap is None:
+            raise ValueError("table %s has no snapshots" % self.path)
+        if delete_id is not None and any(
+            d.get("delete_id") == delete_id
+            for d in snap.get("equality_deletes", [])
+        ):
+            return snap  # resumed job replaying a committed delete
+        key_cols = list(key_cols or keys_df.columns)
+        table_fields = {
+            f["name"]: f for f in json.loads(snap["schema"])["fields"]
+        }
+        df_fields = {
+            f["name"]: f for f in json.loads(keys_df.schema.json())["fields"]
+        }
+        for c in key_cols:
+            if c not in table_fields:
+                raise ValueError(
+                    "delete key column %r is not in table %s" % (c, self.path)
+                )
+            if c not in df_fields:
+                raise ValueError("keys_df is missing key column %r" % c)
+            if df_fields[c]["type"] != table_fields[c]["type"]:
+                # a silent join-time cast could false-negative the match;
+                # the caller must hand keys in the table's exact type
+                raise ValueError(
+                    "delete key %r type mismatch vs table %s: %s != %s"
+                    % (c, self.path, df_fields[c]["type"], table_fields[c]["type"])
+                )
+        keys = keys_df.select(*key_cols).dropDuplicates()
+        null_pred = None
+        for c in key_cols:
+            p = F.col(c).isNull()
+            null_pred = p if null_pred is None else (null_pred | p)
+        if keys.where(null_pred).take(1):
+            raise ValueError(
+                "delete keys contain NULL in %s — equality deletes are "
+                "defined over non-null keys only" % str(key_cols)
+            )
+        stage_rel = os.path.join("data", "eqdel-%s" % uuid.uuid4().hex)
+        files, n_keys, _stats, _parts = self._stage(keys, stage_rel, [])
+        if n_keys == 0:
+            return snap  # nothing to delete — no commit
+        while True:
+            cur = self.current_snapshot()
+            if cur is None:
+                raise ValueError("table %s vanished under delete_keys" % self.path)
+            if delete_id is not None and any(
+                d.get("delete_id") == delete_id
+                for d in cur.get("equality_deletes", [])
+            ):
+                return cur  # lost the race to our own replay
+            seq = cur["snapshot_id"] + 1
+            entry = {
+                "files": files,
+                "key_cols": key_cols,
+                "n_keys": n_keys,
+                # applies to data files with file_seq strictly below this
+                "seq": seq,
+            }
+            if delete_id is not None:
+                entry["delete_id"] = delete_id
+            new = {
+                **cur,
+                "snapshot_id": seq,
+                "parent": cur["snapshot_id"],
+                "operation": "delete-mor",
+                "equality_deletes": cur.get("equality_deletes", []) + [entry],
+                "committed_at": time.time(),
+            }
+            if self._try_commit(seq, new):
+                return new
+
+    def pending_deletes(self) -> List[dict]:
+        """The equality-delete entries ``read()`` is currently merging
+        (empty after ``compact()`` materializes them) — one light
+        snapshot read."""
+        snap = self._raw_current()
+        return list(snap.get("equality_deletes", [])) if snap else []
+
     def delete_where(
         self,
         spark: SparkSession,
@@ -575,6 +726,14 @@ class SnapTable:
         report = {"rows_deleted": 0, "files_rewritten": 0, "files_scanned": 0}
         if snap is None or not snap["files"]:
             return report
+        if snap.get("equality_deletes"):
+            # the rewrite would give survivor files a NEW data sequence,
+            # lifting them above every pending equality delete and
+            # silently resurrecting deleted rows — materialize first
+            raise ValueError(
+                "table %s has pending equality deletes; run compact() to "
+                "materialize them before a copy-on-write delete" % self.path
+            )
         cand = snap["files"]
         stats = snap.get("file_stats", {})
         if prune is not None:
@@ -708,7 +867,13 @@ class SnapTable:
         (files stay partition-pure).
         """
         snap = self.current_snapshot()
-        if snap is None or len(snap["files"]) < min_files:
+        if snap is None or not snap["files"]:
+            return None
+        # pending equality deletes force a rewrite even on a single file:
+        # compaction is the action that MATERIALIZES merge-on-read
+        # deletes back into a clean layout (Iceberg rewrite-data-files)
+        pending = bool(snap.get("equality_deletes"))
+        if len(snap["files"]) < min_files and not pending:
             return None
         explicit_sort = sort_by is not None
         sort_by = list(sort_by) if sort_by else snap.get("sort_order")
@@ -716,7 +881,7 @@ class SnapTable:
             os.path.getsize(os.path.join(self.path, f)) for f in snap["files"]
         )
         n_out = max(1, -(-total // target_file_bytes))  # ceil
-        if n_out >= len(snap["files"]) and not explicit_sort:
+        if n_out >= len(snap["files"]) and not explicit_sort and not pending:
             return None  # already at-or-below target granularity
         spec = snap.get("partition_spec") or []
         df = self.read(spark)
@@ -777,6 +942,25 @@ class SnapTable:
                 "layout": "compacted",  # sticky: appends carry it forward
                 "committed_at": time.time(),
             }
+            if pending:
+                # the rewrite read through read(), which merged the
+                # pending equality deletes — they are materialized now.
+                # Reconcile lineage with ONE negative correction entry so
+                # row_count()/fsck stay exact (the per-key overlap was
+                # unknowable until this scan).
+                new.pop("equality_deletes", None)
+                staged_rows = sum(
+                    _footer_rows(os.path.join(self.path, f)) for f in files
+                )
+                lin = dict(cur.get("lineage", {}))
+                expected = sum(l.get("n_rows", 0) for l in lin.values())
+                if staged_rows != expected:
+                    lin["__eqdelete_snap%08d__" % seq] = {
+                        "n_rows": staged_rows - expected,
+                        "n_files": 0,
+                        "applied_deletes": len(cur.get("equality_deletes", [])),
+                    }
+                new["lineage"] = lin
             if sort_by:
                 new["sort_order"] = sort_by  # sticky table sort order
             if spec:
@@ -796,8 +980,18 @@ class SnapTable:
         if len(snaps) <= keep_last:
             return {"snapshots_dropped": 0, "files_deleted": 0}
         kept, dropped = snaps[-keep_last:], snaps[:-keep_last]
-        live = {f for s in kept for f in s["files"]}
-        dead = {f for s in dropped for f in s["files"]} - live
+
+        def _refs(s: dict) -> Set[str]:
+            # data files plus any equality-delete files the snapshot's
+            # reads merge — both must survive for time travel to it
+            return set(s["files"]) | {
+                f
+                for d in s.get("equality_deletes", [])
+                for f in d["files"]
+            }
+
+        live = {f for s in kept for f in _refs(s)}
+        dead = {f for s in dropped for f in _refs(s)} - live
         # snapshots FIRST, then their manifests, files last: a crash in
         # between leaves only unreferenced manifests/files (harmless
         # orphans a later sweep reclaims) — the reverse order would leave
@@ -856,7 +1050,8 @@ class SnapTable:
         referenced = {
             os.path.join(self.path, *f.split(os.sep)[:2])
             for s in snaps
-            for f in s["files"]
+            for f in list(s["files"])
+            + [x for d in s.get("equality_deletes", []) for x in d["files"]]
         }
         n = n_mf
         if not os.path.isdir(self.data_dir):
@@ -886,9 +1081,12 @@ class SnapTable:
         snap = self.current_snapshot()
         if snap is None:
             return {"ok": True, "missing_files": [], "batch_mismatches": []}
+        delete_files = [
+            f for d in snap.get("equality_deletes", []) for f in d["files"]
+        ]
         missing = [
             f
-            for f in snap["files"]
+            for f in list(snap["files"]) + delete_files
             if not os.path.exists(os.path.join(self.path, f))
         ]
         rows_by_batch: Dict[str, int] = {}
@@ -924,6 +1122,10 @@ class SnapTable:
             "ok": not missing and not mismatches,
             "missing_files": missing,
             "batch_mismatches": mismatches,
+            # informational: data-file row reconciliation above is over
+            # PHYSICAL rows, which pending merge-on-read deletes do not
+            # change — the live-row delta materializes at compact()
+            "pending_deletes": len(snap.get("equality_deletes", [])),
         }
 
     # ------------------------------------------------------------------
@@ -969,15 +1171,15 @@ class SnapTable:
         if snap is None:
             return None
         files, residual = self._plan_files(snap, between, partition_where, eq)
-        paths = [os.path.join(self.path, f) for f in files]
         schema = _schema_from_json(snap["schema"])
-        if not paths:
+        if not files:
             df = spark.createDataFrame([], schema=schema)
         else:
             # explicit manifest schema (not footer inference): files
             # written before an additive evolution read as NULL for the
-            # later-added columns, and the column order is stable
-            df = spark.read.schema(schema).parquet(*paths)
+            # later-added columns, and the column order is stable; the
+            # helper merges any pending equality deletes into the scan
+            df = self._scan_with_deletes(spark, snap, files, schema)
         from pyspark.sql import functions as F
 
         for kind, args in residual:
@@ -988,6 +1190,63 @@ class SnapTable:
                     F.col(args[0]).between(F.lit(args[1]), F.lit(args[2]))
                 )
         return df
+
+    def _scan_with_deletes(
+        self, spark: SparkSession, snap: dict, files: List[str], schema
+    ) -> DataFrame:
+        """Parquet scan over ``files`` with the snapshot's pending
+        equality deletes merged in (Iceberg v2 merge-on-read).
+
+        A delete committed at sequence S applies only to data files whose
+        own commit sequence is strictly below S, so the planned files are
+        split driver-side into equivalence classes by *which* deletes
+        apply (at most #delete-commits + 1 classes — deletes are rare
+        maintenance events, and compaction clears them).  Each class is
+        one parquet scan anti-joined against the union of its applicable
+        key sets, and the classes are unioned back: row predicates from
+        the caller still push through the union into every branch, and
+        the anti-join's key side is the (small) delete set — AQE
+        broadcasts it when it fits, so the merge costs ~one broadcast
+        hash anti-join per pending delete commit, never a table shuffle.
+        """
+        dels = snap.get("equality_deletes") or []
+        if not dels:
+            return spark.read.schema(schema).parquet(
+                *[os.path.join(self.path, f) for f in files]
+            )
+        fseq = snap.get("file_seq", {})
+        classes: Dict[tuple, List[str]] = {}
+        for f in files:
+            key = tuple(
+                i for i, d in enumerate(dels) if d["seq"] > fseq.get(f, 0)
+            )
+            classes.setdefault(key, []).append(f)
+        fields = {fl.name: fl for fl in schema.fields}
+        branches = []
+        for applicable, fs in sorted(classes.items()):
+            b = spark.read.schema(schema).parquet(
+                *[os.path.join(self.path, f) for f in fs]
+            )
+            # one anti-join per distinct key-column set: delete files
+            # sharing key columns union into a single key-side scan
+            bygroup: Dict[tuple, List[str]] = {}
+            for i in applicable:
+                bygroup.setdefault(tuple(dels[i]["key_cols"]), []).extend(
+                    dels[i]["files"]
+                )
+            for kcols, dfiles in sorted(bygroup.items()):
+                from pyspark.sql.types import StructType
+
+                kschema = StructType([fields[c] for c in kcols])
+                keys = spark.read.schema(kschema).parquet(
+                    *[os.path.join(self.path, x) for x in dfiles]
+                )
+                b = b.join(keys, on=list(kcols), how="left_anti")
+            branches.append(b)
+        out = branches[0]
+        for b in branches[1:]:
+            out = out.unionByName(b)
+        return out
 
     def _snapshot_at(self, snapshot_id: Optional[int]) -> Optional[dict]:
         if snapshot_id is None:

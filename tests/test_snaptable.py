@@ -375,7 +375,12 @@ def test_fsck_detects_missing_and_mismatched_files(spark, tmp_path):
     tbl = SnapTable(str(tmp_path / "t"))
     tbl.append(_df(spark, range(10)).coalesce(1), "b0")
     tbl.append(_df(spark, range(10, 30)).coalesce(1), "b1")
-    assert tbl.fsck() == {"ok": True, "missing_files": [], "batch_mismatches": []}
+    assert tbl.fsck() == {
+        "ok": True,
+        "missing_files": [],
+        "batch_mismatches": [],
+        "pending_deletes": 0,
+    }
 
     snap = tbl.current_snapshot()
     f0, f1 = snap["files"]
@@ -484,7 +489,12 @@ def test_fsck_ok_after_compact_then_append(spark, tmp_path):
     tbl.append(_df(spark, range(30, 35)), "b2")
     assert tbl.current_snapshot()["layout"] == "compacted"
     r = tbl.fsck()
-    assert r == {"ok": True, "missing_files": [], "batch_mismatches": []}
+    assert r == {
+        "ok": True,
+        "missing_files": [],
+        "batch_mismatches": [],
+        "pending_deletes": 0,
+    }
     assert tbl.read(spark).count() == 35 == tbl.row_count()
 
 
