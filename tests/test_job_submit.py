@@ -598,3 +598,110 @@ def _read_tbl(tbl):
     return duckdb.sql(
         "SELECT * FROM read_parquet($f)", params={"f": files}
     ).df().itertuples()
+
+
+def test_takedown_job_mor_delete_and_materialize(tmp_path):
+    """spark-submit takedown over a committed pipeline: one merge-on-read
+    equality-delete commit per phase table (no data file rewritten), a
+    re-submit with the same --takedown-id is a no-op, and --materialize
+    compacts the deletes away restoring exact manifest counts."""
+    import json
+
+    n = 60
+    texts = [
+        "the quick notes and more of it to read "
+        + " ".join(f"tok{i}w{j}" for j in range(12))
+        for i in range(n)
+    ]
+    docs = pd.DataFrame(
+        {
+            "doc_id": [f"d{i:04d}" for i in range(n)],
+            "html": [f"<html><body><p>{t}</p></body></html>" for t in texts],
+        }
+    )
+    inp = str(tmp_path / "docs")
+    os.makedirs(inp)
+    for k in range(2):
+        docs.iloc[k::2].to_parquet(os.path.join(inp, f"part-{k}.parquet"))
+    out = str(tmp_path / "pipe")
+    zipf = shutil.make_archive(str(tmp_path / "pkg"), "zip", REPO, "hquery_php_spark")
+
+    r = subprocess.run(
+        [
+            "spark-submit", "--master", "local[4]", "--py-files", zipf,
+            os.path.join(REPO, "jobs", "pipeline_job.py"),
+            "--input", inp, "--output", out,
+            "--batches", "2", "--partitions", "4", "--n-shards", "4",
+        ],
+        cwd=REPO, capture_output=True, timeout=600,
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+
+    gone = ["d0003", "d0017", "d0042"]
+    keys = str(tmp_path / "keys.parquet")
+    pd.DataFrame({"doc_id": gone}).to_parquet(keys)
+
+    from hquery_php_spark.sources.snaptable import SnapTable
+
+    tables = {
+        name: SnapTable(os.path.join(out, name))
+        for name in ("spans", "curated", "packs")
+    }
+    files_before = {
+        name: set(t.current_snapshot()["files"]) for name, t in tables.items()
+    }
+
+    def tdcmd(extra):
+        return [
+            "spark-submit", "--master", "local[4]", "--py-files", zipf,
+            os.path.join(REPO, "jobs", "takedown_job.py"),
+            "--output", out, "--keys", keys, "--takedown-id", "tk-1",
+        ] + extra
+
+    r1 = subprocess.run(tdcmd([]), cwd=REPO, capture_output=True, timeout=600)
+    assert r1.returncode == 0, r1.stderr[-3000:]
+    assert r1.stdout.count(b"delete committed") == 3, r1.stdout[-2000:]
+
+    for name, t in tables.items():
+        snap = t.current_snapshot()
+        # merge-on-read: the data file set is byte-identical
+        assert set(snap["files"]) == files_before[name], name
+        dels = snap["equality_deletes"]
+        assert len(dels) == 1 and dels[0]["delete_id"] == "tk-1"
+        # physical rows still carry the keys (nothing was rewritten);
+        # the merged view — data anti-joined with the delete file, the
+        # read() semantics replicated in duckdb — excludes them
+        data = [os.path.join(t.path, f) for f in snap["files"]]
+        dfiles = [os.path.join(t.path, f) for f in dels[0]["files"]]
+        phys, hit = duckdb.sql(
+            "SELECT count(*), count(*) FILTER (doc_id IN "
+            "(SELECT doc_id FROM read_parquet($k))) FROM read_parquet($d)",
+            params={"d": data, "k": dfiles},
+        ).fetchone()
+        assert hit == 3, (name, hit)  # merge-on-read: data untouched
+        merged = duckdb.sql(
+            "SELECT count(*) FROM read_parquet($d) WHERE doc_id NOT IN "
+            "(SELECT doc_id FROM read_parquet($k))",
+            params={"d": data, "k": dfiles},
+        ).fetchone()[0]
+        assert merged == phys - 3, (name, merged, phys)
+
+    # idempotent re-submit: same takedown id, zero new commits
+    snaps_before = {n_: t.current_snapshot()["snapshot_id"] for n_, t in tables.items()}
+    r2 = subprocess.run(tdcmd([]), cwd=REPO, capture_output=True, timeout=600)
+    assert r2.returncode == 0, r2.stderr[-3000:]
+    assert r2.stdout.count(b"already committed, skipping") == 3, r2.stdout[-2000:]
+    for n_, t in tables.items():
+        assert t.current_snapshot()["snapshot_id"] == snaps_before[n_]
+
+    # materialize: compaction folds the deletes in, exact counts return
+    r3 = subprocess.run(
+        tdcmd(["--materialize"]), cwd=REPO, capture_output=True, timeout=600
+    )
+    assert r3.returncode == 0, r3.stderr[-3000:]
+    assert r3.stdout.count(b"materialized ->") == 3, r3.stdout[-2000:]
+    for name, t in tables.items():
+        assert t.pending_deletes() == [] and t.fsck()["ok"], name
+        got = {x.doc_id for x in _read_tbl(t)}
+        assert not (got & set(gone)), name
+        assert t.row_count() == len(got), name

@@ -53,6 +53,7 @@ QUERIES = [
     ("snaptable_ingest_batch", "ONE ingest batch of the manifest-resume path: the scan lists exactly the batch's planned files (planning-time file pruning, not a filter) -> one split-tail Exchange -> mapInPandas extract; the snapshot commit is driver-side metadata, invisible to the executor plan"),
     ("snaptable_point_lookup", "point lookup on a bucket[8]-partitioned snaptable: the manifest plans ONLY the key's bucket files (the InMemoryFileIndex lists ~1/8 of the table — driver-side, no Spark job) + PushedFilters carries the residual doc_id equality into the rowgroup scan"),
     ("snaptable_incremental_read", "changelog consumption: read_incremental(after) plans ONLY the files appended after the watermark snapshot — the scan's file list is the delta, so downstream incremental curate/pack cost follows NEW data, never the corpus"),
+    ("snaptable_mor_delete_read", "merge-on-read equality delete: delete_keys committed the key set as ONE small equality-delete file (no data file rewritten — commit cost O(|keys|)); the read is the data scan anti-joined against it, key side broadcast — no table shuffle, and compact() later materializes the delete away entirely"),
 ]
 
 def main():
@@ -171,6 +172,28 @@ def main():
                 "increment)_\n" % (len(added), len(to["files"]))
             )
             df = tbl.read_incremental(spark, 1)
+        elif name == "snaptable_mor_delete_read":
+            import tempfile
+
+            from hquery_php_spark.sources.snaptable import SnapTable
+
+            tdir = tempfile.mkdtemp(prefix="plans-snapmor-")
+            tbl = SnapTable(os.path.join(tdir, "t"))
+            d = E._docs(spark, sf).select("doc_id", "text")
+            tbl.append(d, "all")
+            n_files = len(tbl.current_snapshot()["files"])
+            tbl.delete_keys(d.select("doc_id").limit(25), delete_id="plans")
+            snap = tbl.current_snapshot()
+            out.append(
+                "_(after delete_keys: %d data files, all unchanged "
+                "(was %d); pending delete files: %d)_\n"
+                % (
+                    len(snap["files"]),
+                    n_files,
+                    sum(len(x["files"]) for x in snap["equality_deletes"]),
+                )
+            )
+            df = tbl.read(spark)
         else:
             df = qs[name](spark, sf)
         buf = io.StringIO()
