@@ -234,6 +234,14 @@ class SnapTable:
         for the new columns (read() scans with the explicit manifest
         schema).  Dropping or re-typing existing fields is always an
         error — this table does type widening nowhere.
+
+        Returns the committed snapshot in RAW (manifest) form — batch
+        ids, lineage, snapshot/parent ids and schema are all present,
+        but the materialized file list is not spread inline; use
+        ``current_snapshot()``/``read()`` for the file view.  This is
+        what keeps append metadata I/O O(1): the commit reads one
+        snapshot JSON and writes one manifest + one snapshot JSON,
+        never touching the table's other manifest shards.
         """
         def _resolve_schema(snap: Optional[dict]) -> str:
             """Validate df against the CURRENT table schema and return the
@@ -264,7 +272,13 @@ class SnapTable:
             ]
             return json.dumps({**have_json, "fields": table_fields + new_fields})
 
-        snap = self.current_snapshot()
+        # all commit-side decisions read the RAW snapshot only (schema,
+        # batch_ids, partition_spec, manifest refs + summaries live in
+        # the one snapshot JSON): an append never inflates the manifest
+        # list, so its metadata I/O is O(1) + O(batch) no matter how many
+        # shards the table has accumulated — the commit-side twin of
+        # plan_scan's read-side property
+        snap = self._raw_current()
         if snap and batch_id in snap["batch_ids"]:
             return snap
         _resolve_schema(snap)  # fail fast BEFORE paying for the staging write
@@ -280,9 +294,26 @@ class SnapTable:
         #    number; EEXIST ⇒ somebody else committed — re-read, re-check
         #    idempotence, retry at N+1.
         while True:
-            snap = self.current_snapshot()
+            snap = self._raw_current()
             if snap and batch_id in snap["batch_ids"]:
                 return snap  # concurrent duplicate won the race — no-op
+            if snap is None or "manifests" in snap:
+                if self._effective_spec(snap, df) != spec:
+                    raise ValueError(
+                        "partition spec of %s changed under this append "
+                        "(concurrent table creation); re-run the append"
+                        % self.path
+                    )
+                committed = self._append_fast(
+                    snap, df, batch_id, files, n_rows, stats, parts,
+                    spec, t0, _resolve_schema, lineage,
+                )
+                if committed is not None:
+                    return committed
+                continue  # lost the CAS — re-read and retry
+            # legacy inline-snapshot table (pre-sharding): fall through
+            # to the inflate-and-deflate path below
+            snap = self.current_snapshot()
             if self._effective_spec(snap, df) != spec:
                 # lost a CAS to a creator with a different partition spec:
                 # the data is already staged with the WRONG layout — it
@@ -349,6 +380,88 @@ class SnapTable:
                 new["equality_deletes"] = snap["equality_deletes"]
             if self._try_commit(seq, new):
                 return new
+
+    def _append_fast(
+        self,
+        snap: Optional[dict],
+        df: DataFrame,
+        batch_id: str,
+        files: List[str],
+        n_rows: int,
+        stats: dict,
+        parts: dict,
+        spec: list,
+        t0: float,
+        _resolve_schema,
+        lineage: Optional[dict] = None,
+    ) -> Optional[dict]:
+        """One CAS attempt of the O(1)-metadata append: appends only ADD
+        files, so every parent manifest is reused by reference without
+        being read — the commit writes exactly one new manifest (the
+        staged batch) plus one snapshot JSON, and carries the parent's
+        manifest refs and summaries verbatim.  Commit metadata I/O is
+        therefore independent of table size: at 10^12 rows / thousands
+        of shards an append still reads one snapshot JSON and writes two
+        small files.  Returns the committed snapshot (raw manifest form
+        — ``read``/``current_snapshot`` materialize the file view), or
+        None on a lost CAS (caller re-reads and retries; this attempt's
+        manifest becomes an orphan reclaimed by ``remove_orphans``,
+        exactly like ``_deflate``'s lost-CAS manifests)."""
+        seq = (snap["snapshot_id"] + 1) if snap else 1
+        m = {
+            "files": files,
+            "file_stats": stats,
+            # data sequence (Iceberg v2): staged by THIS commit
+            "file_seq": {f: seq for f in files},
+        }
+        if parts:
+            m["file_partitions"] = parts
+        ref = "mf-%08d-%s.json" % (seq, uuid.uuid4().hex)
+        os.makedirs(self.snap_dir, exist_ok=True)
+        with open(os.path.join(self.snap_dir, ref), "w") as f:
+            json.dump(m, f)
+            f.flush()
+            os.fsync(f.fileno())
+        self._manifest_cache[ref] = m
+        parent_refs = list(snap.get("manifests", [])) if snap else []
+        parent_sums = snap.get("manifest_summaries", {}) if snap else {}
+        new = {
+            "snapshot_id": seq,
+            "parent": snap["snapshot_id"] if snap else None,
+            "operation": "append",
+            # re-validated per attempt against the FRESH snapshot — a
+            # lost CAS may mean the schema evolved under us
+            "schema": _resolve_schema(snap),
+            "layout": snap.get("layout", "batch") if snap else "batch",
+            "manifests": parent_refs + [ref],
+            "manifest_summaries": {
+                **{r: parent_sums[r] for r in parent_refs if r in parent_sums},
+                ref: _manifest_summary(m),
+            },
+            "batch_ids": sorted(set(snap["batch_ids"]) | {batch_id})
+            if snap
+            else [batch_id],
+            "lineage": {
+                **(snap.get("lineage", {}) if snap else {}),
+                batch_id: {
+                    **(lineage or {}),
+                    "n_rows": n_rows,
+                    "n_files": len(files),
+                    "wall_s": round(time.time() - t0, 3),
+                },
+            },
+            "committed_at": time.time(),
+        }
+        if spec:
+            new["partition_spec"] = spec
+        if snap and "sort_order" in snap:
+            new["sort_order"] = snap["sort_order"]
+        if snap and snap.get("equality_deletes"):
+            # pending merge-on-read deletes carry forward; they apply
+            # only to files with a strictly smaller data sequence, so
+            # this batch (seq > every pending delete's seq) is unaffected
+            new["equality_deletes"] = snap["equality_deletes"]
+        return new if self._try_commit(seq, new) else None
 
     # ------------------------------------------------------------------
     # partitioned staging
@@ -469,18 +582,40 @@ class SnapTable:
                 json.dump(m, f)
                 f.flush()
                 os.fsync(f.fileno())
+            self._manifest_cache[ref] = m
             refs.append(ref)
         out = {
             k: v
             for k, v in snap.items()
-            if k not in ("files", "file_stats", "file_partitions", "file_seq")
+            if k
+            not in (
+                "files",
+                "file_stats",
+                "file_partitions",
+                "file_seq",
+                "manifest_summaries",
+            )
         }
         out["manifests"] = refs
+        # manifest-list summaries (Iceberg manifest_file partition
+        # summaries): carried verbatim for reused refs, computed from the
+        # in-hand manifest otherwise — scan planning uses them to skip
+        # whole shards without loading them
+        parent_sums = (parent or {}).get("manifest_summaries", {})
+        out["manifest_summaries"] = {
+            ref: parent_sums.get(ref) or _manifest_summary(self._load_manifest(ref))
+            for ref in refs
+        }
         return out
 
     def _try_commit(self, seq: int, snap: dict) -> bool:
         os.makedirs(self.snap_dir, exist_ok=True)
-        deflated = self._deflate(seq, snap)
+        # _append_fast hands in a snapshot already in manifest form (its
+        # one new manifest is written, parent refs carried) — committing
+        # it verbatim is what keeps appends O(1) metadata I/O; every
+        # other path carries the inflated file view and gets sharded here
+        already_sharded = "manifests" in snap and "files" not in snap
+        deflated = snap if already_sharded else self._deflate(seq, snap)
         tmp = os.path.join(self.snap_dir, ".tmp-%s" % uuid.uuid4().hex)
         final = os.path.join(self.snap_dir, _SNAP_FMT % seq)
         with open(tmp, "w") as f:
@@ -1166,11 +1301,22 @@ class SnapTable:
         row predicate ``col == value``.  On a bucket[N]-partitioned
         10^12-row table this plans a scan over ~1/N of the files with no
         Spark job spent deciding.
+
+        Planning goes through ``plan_scan`` (two-level: manifest-list
+        summaries first, per-file metadata second), so a selective read
+        also never LOADS the manifest shards it prunes — planning I/O
+        scales with the matching subset, not the table.
         """
-        snap = self._snapshot_at(snapshot_id)
-        if snap is None:
+        plan = self.plan_scan(
+            snapshot_id=snapshot_id,
+            between=between,
+            partition_where=partition_where,
+            eq=eq,
+        )
+        if plan is None:
             return None
-        files, residual = self._plan_files(snap, between, partition_where, eq)
+        files, residual = plan["files"], plan["residual"]
+        snap = {**plan["snap"], "file_seq": plan["file_seq"]}
         schema = _schema_from_json(snap["schema"])
         if not files:
             df = spark.createDataFrame([], schema=schema)
@@ -1263,54 +1409,147 @@ class SnapTable:
         partition_where: Optional[dict],
         eq: Optional[tuple],
     ) -> tuple:
-        """Driver-side scan planning: apply manifest partition values and
-        footer stats to the file list; return (files, residual row
-        predicate descriptors).  Never reads data and never touches the
-        Spark session; any file lacking the needed metadata is kept
-        (pruning only drops provable non-matches)."""
-        files = snap["files"]
-        stats = snap.get("file_stats", {})
-        parts = snap.get("file_partitions", {})
+        """Driver-side scan planning over an INFLATED snapshot: apply
+        manifest partition values and footer stats to the file list;
+        return (files, residual row predicate descriptors).  Never reads
+        data and never touches the Spark session; any file lacking the
+        needed metadata is kept (pruning only drops provable
+        non-matches).  ``plan_scan`` is the lazy two-level equivalent
+        that avoids inflating the whole manifest list."""
         spec = snap.get("partition_spec") or []
-        residual = []
-        pw = dict(partition_where or {})
-        if eq is not None:
-            col, value = eq
-            for p in spec:
-                if p["src"] == col:
-                    pw[p["name"]] = _transform_value(p, value)
-            files = [
-                f
-                for f in files
-                if not _prunable(stats.get(f, {}).get(col), value, value)
-            ]
-            residual.append(("eq", (col, value)))
-        if pw:
-            # canonicalize to the string rendering the manifest stores
-            want = {
-                k: {_part_str(x) for x in v}
-                if isinstance(v, (list, tuple, set))
-                else {_part_str(v)}
-                for k, v in pw.items()
-            }
-            files = [
-                f
-                for f in files
-                if all(
-                    # unknown partition value (pre-spec file) ⇒ keep
-                    f not in parts or k not in parts[f] or parts[f][k] in vs
-                    for k, vs in want.items()
-                )
-            ]
-        if between is not None:
-            col, lo, hi = between
-            files = [
-                f
-                for f in files
-                if not _prunable(stats.get(f, {}).get(col), lo, hi)
-            ]
-            residual.append(("between", (col, lo, hi)))
+        want, ranges, residual = _scan_predicates(
+            spec, between, partition_where, eq
+        )
+        files = _prune_file_list(
+            snap["files"],
+            snap.get("file_stats", {}),
+            snap.get("file_partitions", {}),
+            want,
+            ranges,
+        )
         return files, residual
+
+    def plan_scan(
+        self,
+        snapshot_id: Optional[int] = None,
+        between: Optional[tuple] = None,
+        partition_where: Optional[dict] = None,
+        eq: Optional[tuple] = None,
+    ) -> Optional[dict]:
+        """Two-level lazy scan planning (Iceberg's manifest-list walk):
+        decide which MANIFEST SHARDS can contain matching files from the
+        snapshot's per-manifest summaries, load only those, then prune
+        per-file inside them.  Planning metadata I/O is therefore
+        O(matching manifests), not O(table): a bucket[N] point lookup on
+        a table with thousands of manifest shards reads the snapshot
+        JSON plus the handful of shards whose summary covers the key's
+        bucket — the property that keeps planning sub-second at 10^12
+        rows.  Returns None for an empty table, else a dict with the
+        planned ``files`` (manifest order, same as ``read``), the
+        ``residual`` row predicates, ``file_seq`` for the planned files
+        (merge-on-read delete sequencing), the raw ``snap``, and the
+        evidence counters ``manifests_total/manifests_loaded/
+        files_total/files_kept``.  Results are identical to inflating
+        everything and running ``_plan_files`` — summaries only ever
+        skip shards that provably contain no match, and shards without
+        a summary (legacy commits) are always loaded."""
+        if snapshot_id is None:
+            raw = self._raw_current()
+        else:
+            raw = self._raw_snapshot(snapshot_id)
+            if raw is None:
+                raise ValueError(
+                    "no snapshot %d in %s" % (snapshot_id, self.path)
+                )
+        if raw is None:
+            return None
+        if "manifests" not in raw:  # legacy inline snapshot — one doc
+            snap = self._inflate(raw)
+            files, residual = self._plan_files(
+                snap, between, partition_where, eq
+            )
+            fseq = snap.get("file_seq", {})
+            return {
+                "snap": snap,
+                "files": files,
+                "residual": residual,
+                "file_seq": {f: fseq.get(f, 0) for f in files},
+                "manifests_total": 0,
+                "manifests_loaded": 0,
+                "files_total": len(snap["files"]),
+                "files_kept": len(files),
+            }
+        spec = raw.get("partition_spec") or []
+        want, ranges, residual = _scan_predicates(
+            spec, between, partition_where, eq
+        )
+        sums = raw.get("manifest_summaries", {})
+        kept: List[str] = []
+        fseq: Dict[str, int] = {}
+        loaded = 0
+        files_total = 0
+        for ref in raw["manifests"]:
+            s = sums.get(ref)
+            if s is not None and not _summary_may_match(s, want, ranges):
+                files_total += s.get("n", 0)
+                continue  # provably disjoint — shard never read
+            m = self._load_manifest(ref)
+            loaded += 1
+            files_total += len(m["files"])
+            sel = _prune_file_list(
+                m["files"],
+                m.get("file_stats", {}),
+                m.get("file_partitions", {}),
+                want,
+                ranges,
+            )
+            kept.extend(sel)
+            mseq = m.get("file_seq", {})
+            for f in sel:
+                fseq[f] = mseq.get(f, 0)
+        return {
+            "snap": raw,
+            "files": kept,
+            "residual": residual,
+            "file_seq": fseq,
+            "manifests_total": len(raw["manifests"]),
+            "manifests_loaded": loaded,
+            "files_total": files_total,
+            "files_kept": len(kept),
+        }
+
+    def plan_stats(
+        self,
+        between: Optional[tuple] = None,
+        partition_where: Optional[dict] = None,
+        eq: Optional[tuple] = None,
+        snapshot_id: Optional[int] = None,
+    ) -> dict:
+        """Evidence hook: the planning counters for a read predicate —
+        how many manifest shards the plan loaded vs skipped and how many
+        files survived pruning — without running any scan."""
+        plan = self.plan_scan(
+            snapshot_id=snapshot_id,
+            between=between,
+            partition_where=partition_where,
+            eq=eq,
+        )
+        if plan is None:
+            return {
+                "manifests_total": 0,
+                "manifests_loaded": 0,
+                "files_total": 0,
+                "files_kept": 0,
+            }
+        return {
+            k: plan[k]
+            for k in (
+                "manifests_total",
+                "manifests_loaded",
+                "files_total",
+                "files_kept",
+            )
+        }
 
     def pruned_file_count(
         self,
@@ -1320,11 +1559,12 @@ class SnapTable:
     ) -> tuple:
         """(files kept, files total) for a read predicate — lets tests
         and operators assert manifest pruning without running a scan."""
-        snap = self.current_snapshot()
-        if snap is None:
+        plan = self.plan_scan(
+            between=between, partition_where=partition_where, eq=eq
+        )
+        if plan is None:
             return (0, 0)
-        files, _ = self._plan_files(snap, between, partition_where, eq)
-        return (len(files), len(snap["files"]))
+        return (plan["files_kept"], plan["files_total"])
 
     # ------------------------------------------------------------------
     # incremental (changelog) reads
@@ -1345,29 +1585,49 @@ class SnapTable:
         (expired intermediates fail loudly rather than guess).  Legacy
         snapshots without the field are derived from the parent's file
         set: appends only add names (staging dirs are uuid-fresh, names
-        never reused), every other operation drops at least one."""
-        to = self._snapshot_at(to_snapshot_id)
-        if to is None:
+        never reused), every other operation drops at least one.
+
+        Metadata I/O is O(delta) on sharded tables: an append never
+        drops a manifest ref, so the added files are exactly the files
+        of the manifest refs present in ``to`` but not in ``after`` —
+        only those delta shards are loaded.  (A consumer of a
+        10^12-row table pays metadata proportional to what it consumes,
+        not to the table.)  Endpoints that predate sharding, or a ref
+        set that is not a clean superset, fall back to inflating both
+        endpoints and diffing file sets."""
+        if to_snapshot_id is None:
+            to_raw = self._raw_current()
+        else:
+            to_raw = self._raw_snapshot(to_snapshot_id)
+            if to_raw is None:
+                raise ValueError(
+                    "no snapshot %d in %s" % (to_snapshot_id, self.path)
+                )
+        if to_raw is None:
             raise ValueError("table %s has no snapshots" % self.path)
-        after = (
-            self._snapshot_at(after_snapshot_id) if after_snapshot_id else None
-        )
+        after_raw = None
+        if after_snapshot_id:
+            after_raw = self._raw_snapshot(after_snapshot_id)
+            if after_raw is None:
+                raise ValueError(
+                    "no snapshot %d in %s" % (after_snapshot_id, self.path)
+                )
         # intermediates are read RAW — the walk needs only each link's
         # operation record, not its inflated file view
-        chain = {to["snapshot_id"]: to}
-        for sid in range(after_snapshot_id + 1, to["snapshot_id"]):
+        chain = {to_raw["snapshot_id"]: to_raw}
+        for sid in range(after_snapshot_id + 1, to_raw["snapshot_id"]):
             raw = self._raw_snapshot(sid)
             if raw is None:
                 raise ValueError(
                     "no snapshot %d in %s" % (sid, self.path)
                 )
             chain[sid] = raw
-        for sid in range(after_snapshot_id + 1, to["snapshot_id"] + 1):
+        for sid in range(after_snapshot_id + 1, to_raw["snapshot_id"] + 1):
             snap = chain[sid]
             op = snap.get("operation")
             if op is None:  # legacy manifest: derive from the parent
                 parent = (
-                    after
+                    self._inflate(after_raw)
                     if sid == after_snapshot_id + 1
                     else self._inflate(chain[sid - 1])
                 )
@@ -1382,8 +1642,35 @@ class SnapTable:
                     "snapshot %d of %s is a non-append change (%s) — "
                     "incremental rows-added is undefined over %d..%d; "
                     "re-read the table in full"
-                    % (sid, self.path, op, after_snapshot_id, to["snapshot_id"])
+                    % (sid, self.path, op, after_snapshot_id,
+                       to_raw["snapshot_id"])
                 )
+        # fast arm: both endpoints sharded and the ref set grew cleanly —
+        # load ONLY the delta shards
+        if "manifests" in to_raw and (
+            after_raw is None or "manifests" in after_raw
+        ):
+            prior_refs = set(after_raw["manifests"]) if after_raw else set()
+            if prior_refs <= set(to_raw["manifests"]):
+                added: List[str] = []
+                stats: Dict[str, dict] = {}
+                parts: Dict[str, dict] = {}
+                for ref in to_raw["manifests"]:
+                    if ref in prior_refs:
+                        continue
+                    m = self._load_manifest(ref)
+                    added.extend(m["files"])
+                    stats.update(m.get("file_stats", {}))
+                    parts.update(m.get("file_partitions", {}))
+                view = {**to_raw, "files": added, "file_stats": stats}
+                if parts:
+                    view["file_partitions"] = parts
+                return added, view
+        # fallback: endpoint diff over full file views (legacy inline
+        # snapshots, or a ref set reshaped by an interleaved maintenance
+        # commit — the append walk above already proved row semantics)
+        to = self._inflate(to_raw)
+        after = self._inflate(after_raw)
         prior = set(after["files"]) if after else set()
         return [f for f in to["files"] if f not in prior], to
 
@@ -1450,7 +1737,8 @@ class SnapTable:
         if after_snapshot_id == 0:
             prior: Set[str] = set()
         else:
-            prior = set(self._snapshot_at(after_snapshot_id)["batch_ids"])
+            # batch ids live in the snapshot JSON itself — no inflation
+            prior = set(self._raw_snapshot(after_snapshot_id)["batch_ids"])
         return set(to["batch_ids"]) - prior
 
 
@@ -1638,6 +1926,130 @@ def _prunable(mm, lo, hi) -> bool:
         return bool(mm[1] < lo or mm[0] > hi)
     except TypeError:
         return False
+
+
+# manifest-list summaries: cap the per-manifest metadata so the snapshot
+# JSON stays O(#manifests) with small constants even on hostile data
+_SUMMARY_MAX_PART_VALUES = 32  # distinct partition values recorded
+_SUMMARY_MAX_STR = 64  # longest string bound recorded
+
+
+def _manifest_summary(m: dict) -> dict:
+    """Per-manifest summary for the snapshot's manifest list — Iceberg's
+    ``manifest_file`` partition summaries + column bounds, the metadata
+    that lets scan planning SKIP a whole manifest shard without reading
+    it.  Conservative by construction: a column appears only when every
+    file in the manifest carries the needed stat/partition value, so a
+    summary miss proves no file inside can match; anything else keeps
+    the manifest loadable.  ``n`` is the file count (lets planning
+    report exact totals without loading skipped shards)."""
+    files = m.get("files", [])
+    out: dict = {"n": len(files)}
+    stats = m.get("file_stats", {})
+    if files and all(f in stats for f in files):
+        cols = set(stats[files[0]])
+        for f in files[1:]:
+            cols &= set(stats[f])
+        bounds = {}
+        for c in sorted(cols):
+            try:
+                lo = min(stats[f][c][0] for f in files)
+                hi = max(stats[f][c][1] for f in files)
+            except TypeError:  # mixed types across files — not provable
+                continue
+            if isinstance(lo, str) and (
+                len(lo) > _SUMMARY_MAX_STR or len(hi) > _SUMMARY_MAX_STR
+            ):
+                continue
+            bounds[c] = [lo, hi]
+        if bounds:
+            out["stats"] = bounds
+    parts = m.get("file_partitions", {})
+    if files and all(f in parts for f in files):
+        names = set(parts[files[0]])
+        for f in files[1:]:
+            names &= set(parts[f])
+        pv = {}
+        for name in sorted(names):
+            vals = {parts[f][name] for f in files}
+            if None in vals or len(vals) > _SUMMARY_MAX_PART_VALUES:
+                continue  # unknown value or too wide to be worth listing
+            pv[name] = sorted(vals)
+        if pv:
+            out["parts"] = pv
+    return out
+
+
+def _summary_may_match(s: Optional[dict], want: dict, ranges: list) -> bool:
+    """False only when the manifest summary PROVES no file inside can
+    satisfy the scan predicates (then the shard is never loaded)."""
+    if not s:
+        return True  # no summary recorded — must load to know
+    bounds = s.get("stats", {})
+    for col, lo, hi in ranges:
+        if _prunable(bounds.get(col), lo, hi):
+            return False
+    pv = s.get("parts", {})
+    for k, vs in want.items():
+        have = pv.get(k)
+        if have is not None and not (set(have) & vs):
+            return False
+    return True
+
+
+def _scan_predicates(
+    spec: list,
+    between: Optional[tuple],
+    partition_where: Optional[dict],
+    eq: Optional[tuple],
+) -> tuple:
+    """Normalize a read predicate into (want partition-value sets,
+    [min,max] ranges per column, residual row predicates) — shared by
+    per-file pruning and manifest-summary pruning so the two levels can
+    never disagree."""
+    residual = []
+    ranges = []
+    pw = dict(partition_where or {})
+    if eq is not None:
+        col, value = eq
+        for p in spec:
+            if p["src"] == col:
+                pw[p["name"]] = _transform_value(p, value)
+        ranges.append((col, value, value))
+        residual.append(("eq", (col, value)))
+    want = {
+        k: {_part_str(x) for x in v}
+        if isinstance(v, (list, tuple, set))
+        else {_part_str(v)}
+        for k, v in pw.items()
+    }
+    if between is not None:
+        col, lo, hi = between
+        ranges.append((col, lo, hi))
+        residual.append(("between", (col, lo, hi)))
+    return want, ranges, residual
+
+
+def _prune_file_list(
+    files: List[str], stats: dict, parts: dict, want: dict, ranges: list
+) -> List[str]:
+    """Per-file manifest pruning: drop files whose footer [min,max] or
+    recorded partition value provably misses the predicates.  A file
+    lacking the needed metadata is kept — pruning only ever drops
+    provable non-matches."""
+    out = []
+    for f in files:
+        fs = stats.get(f, {})
+        if any(_prunable(fs.get(c), lo, hi) for c, lo, hi in ranges):
+            continue
+        if want:
+            pf = parts.get(f)
+            if pf is not None and any(
+                k in pf and pf[k] not in vs for k, vs in want.items()
+            ):
+                continue
+        out.append(f)
+    return out
 
 
 def _file_stats(root: str, rel_files: List[str]) -> Dict[str, dict]:
