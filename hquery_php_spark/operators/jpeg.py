@@ -13,9 +13,11 @@ Scope (the honest boundary, explicit):
   coefficient accumulation with spectral selection + successive
   approximation (DC first/refine, AC first/refine with EOBRUN, T.81
   §G.2), interleaved DC scans and non-interleaved per-component scans
-  on the component's true block grid.  Arithmetic-coded, hierarchical
-  and 12-bit streams return ``None`` (the caller's NULL/raise boundary,
-  like non-8-bit PNG).
+  on the component's true block grid — AND arithmetic entropy coding
+  (SOF9 extended sequential + SOF10 progressive, T.81 Annex D state
+  machine via ``jpeg_arith.py``, DAC conditioning, restart resync).
+  Hierarchical and 12-bit streams return ``None`` (the caller's
+  NULL/raise boundary, like non-8-bit PNG).
 * ``encode_jpeg``: baseline sequential 4:4:4/4:2:0 (or grayscale)
   writer with Annex-K quantization tables scaled by the libjpeg quality
   formula and simple fixed-length canonical huffman tables (written
@@ -45,6 +47,8 @@ import struct as _struct
 from typing import Optional
 
 import numpy as np
+
+from . import jpeg_arith as _ja
 
 __all__ = [
     "encode_jpeg",
@@ -524,12 +528,117 @@ def _encode_progressive(out, seg, qblocks, ncomp, h, w, dc_codes, ac_codes):
             out += bw.out
 
 
+def _encode_seq_arith(qblocks, samp, bwidths, mcux, mcuy, dri) -> bytes:
+    """Sequential arithmetic entropy stage (T.81 §F.1.4) over the same
+    quantized block grids the huffman path uses; DC table = 0 for the
+    luma component, 1 otherwise (mirroring the DHT assignment)."""
+    ncomp = len(qblocks)
+    out = bytearray()
+    enc = _ja.ArithEncoder()
+    dc_stats = {t: _ja.new_dc_stats() for t in {0 if c == 0 else 1 for c in range(ncomp)}}
+    ac_stats = {t: _ja.new_ac_stats() for t in dc_stats}
+    ctx = [0] * ncomp
+    pred = [0] * ncomp
+    mcu_count = 0
+    rst = 0
+    L, U = _ja.DEFAULT_DC_COND
+    kx = _ja.DEFAULT_AC_COND
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if dri and mcu_count and mcu_count % dri == 0:
+                out += enc.flush()
+                out += bytes([0xFF, 0xD0 + rst])
+                rst = (rst + 1) % 8
+                enc = _ja.ArithEncoder()
+                for s in dc_stats.values():
+                    s[:] = bytes(len(s))
+                for s in ac_stats.values():
+                    s[:] = bytes(len(s))
+                ctx = [0] * ncomp
+                pred = [0] * ncomp
+            for ci in range(ncomp):
+                t = 0 if ci == 0 else 1
+                sh, sv = samp[ci]
+                for by in range(sv):
+                    for bx in range(sh):
+                        row = my * sv + by
+                        col = mx * sh + bx
+                        zz = qblocks[ci][row * bwidths[ci] + col][_ZIGZAG]
+                        dc = int(zz[0])
+                        _ja.encode_dc_diff(
+                            enc, dc_stats[t], ctx, ci, dc - pred[ci], L, U
+                        )
+                        pred[ci] = dc
+                        _ja.encode_ac_coefs(enc, ac_stats[t], zz, kx)
+            mcu_count += 1
+    out += enc.flush()
+    return bytes(out)
+
+
+def _encode_progressive_arith(out, seg, qblocks, ncomp):
+    """Arithmetic twin of ``_encode_progressive`` — identical scan
+    script (DC first Al=1 → DC refine → per-band AC first Al=1 → AC
+    refine), so decode must equal the sequential decode bit-exactly."""
+    nblocks = qblocks[0].shape[0]
+    L, U = _ja.DEFAULT_DC_COND
+    kx = _ja.DEFAULT_AC_COND
+
+    def sos(comp_ids, ss, se, ah, al):
+        b = bytearray([len(comp_ids)])
+        for ci in comp_ids:
+            t = 0 if ci == 0 else 1
+            b += bytes([ci + 1, (t << 4) | t])
+        b += bytes([ss, se, (ah << 4) | al])
+        return seg(0xDA, bytes(b))
+
+    # DC first, Al=1, interleaved: diffs coded in the shifted domain
+    out += sos(list(range(ncomp)), 0, 0, 0, 1)
+    enc = _ja.ArithEncoder()
+    dc_stats = {t: _ja.new_dc_stats() for t in {0 if c == 0 else 1 for c in range(ncomp)}}
+    ctx = [0] * ncomp
+    pred = [0] * ncomp
+    for u in range(nblocks):
+        for ci in range(ncomp):
+            t = 0 if ci == 0 else 1
+            dcpt = int(qblocks[ci][u][0]) >> 1
+            _ja.encode_dc_diff(enc, dc_stats[t], ctx, ci, dcpt - pred[ci], L, U)
+            pred[ci] = dcpt
+    out += enc.flush()
+    # DC refine, Al=0: one fixed bit per block
+    out += sos(list(range(ncomp)), 0, 0, 1, 0)
+    enc = _ja.ArithEncoder()
+    for u in range(nblocks):
+        for ci in range(ncomp):
+            _ja.encode_dc_refine(enc, int(qblocks[ci][u][0]), 0)
+    out += enc.flush()
+    # AC: two spectral bands, first pass Al=1 then refine Ah=1 -> Al=0
+    bands = [(1, 5), (6, 63)]
+    for ci in range(ncomp):
+        t = 0 if ci == 0 else 1
+        for ss, se in bands:
+            out += sos([ci], ss, se, 0, 1)
+            enc = _ja.ArithEncoder()
+            ac_stats = _ja.new_ac_stats()
+            for blk in qblocks[ci]:
+                _ja.encode_ac_coefs(enc, ac_stats, blk[_ZIGZAG], kx, ss, se, 1)
+            out += enc.flush()
+    for ci in range(ncomp):
+        for ss, se in bands:
+            out += sos([ci], ss, se, 1, 0)
+            enc = _ja.ArithEncoder()
+            ac_stats = _ja.new_ac_stats()
+            for blk in qblocks[ci]:
+                _ja.encode_ac_refine(enc, ac_stats, blk[_ZIGZAG], ss, se, 1, 0)
+            out += enc.flush()
+
+
 def encode_jpeg(
     pixels,
     quality: int = 75,
     subsampling: str = "444",
     restart_interval: int = 0,
     progressive: bool = False,
+    arithmetic: bool = False,
 ) -> bytes:
     """(h, w[, 3]) uint8 array → baseline JFIF bytes; grayscale for 2-D
     input.  ``subsampling``: '444' (one block per component per MCU) or
@@ -538,7 +647,10 @@ def encode_jpeg(
     > 0 writes DRI and emits RSTn every that-many MCUs (exercises the
     decoder's restart resync).  Edge-replicated to full blocks/MCUs.
     ``progressive=True`` writes SOF2 with the scan script of
-    ``_encode_progressive`` (4:4:4/grayscale, no restarts)."""
+    ``_encode_progressive`` (4:4:4/grayscale, no restarts).
+    ``arithmetic=True`` swaps the entropy stage for T.81 Annex D
+    arithmetic coding (SOF9, or SOF10 with ``progressive``), writing a
+    DAC segment with the default conditioning."""
     arr = np.asarray(pixels, dtype=np.uint8)
     gray = arr.ndim == 2
     if subsampling not in ("444", "420"):
@@ -586,7 +698,7 @@ def encode_jpeg(
         bwidths.append(wb)
 
     bw = _BitWriter()
-    if not progressive:
+    if not progressive and not arithmetic:
         pred = [0] * len(planes)
         mcu_count = 0
         rst = 0
@@ -625,16 +737,32 @@ def encode_jpeg(
     for ci in range(ncomp):
         hv = (samp[ci][0] << 4) | samp[ci][1]
         sof += bytes([ci + 1, hv, 0 if ci == 0 else 1])
-    out += seg(0xC2 if progressive else 0xC0, bytes(sof))
+    if arithmetic:
+        sofm = 0xCA if progressive else 0xC9
+    else:
+        sofm = 0xC2 if progressive else 0xC0
+    out += seg(sofm, bytes(sof))
     if restart_interval:
         out += seg(0xDD, _struct.pack(">H", restart_interval))
-    out += seg(0xC4, bytes([0x00]) + bytes(dc_bits) + bytes(dc_vals))
-    out += seg(0xC4, bytes([0x10]) + bytes(ac_bits) + bytes(ac_vals))
-    if not gray:
-        out += seg(0xC4, bytes([0x01]) + bytes(dc_bits) + bytes(dc_vals))
-        out += seg(0xC4, bytes([0x11]) + bytes(ac_bits) + bytes(ac_vals))
+    if arithmetic:
+        # DAC: default conditioning for every table in use (L=0 U=1;
+        # Kx=5) — stated explicitly so any decoder agrees.
+        L, U = _ja.DEFAULT_DC_COND
+        dac = bytearray([0x00, (U << 4) | L, 0x10, _ja.DEFAULT_AC_COND])
+        if not gray:
+            dac += bytes([0x01, (U << 4) | L, 0x11, _ja.DEFAULT_AC_COND])
+        out += seg(0xCC, bytes(dac))
+    else:
+        out += seg(0xC4, bytes([0x00]) + bytes(dc_bits) + bytes(dc_vals))
+        out += seg(0xC4, bytes([0x10]) + bytes(ac_bits) + bytes(ac_vals))
+        if not gray:
+            out += seg(0xC4, bytes([0x01]) + bytes(dc_bits) + bytes(dc_vals))
+            out += seg(0xC4, bytes([0x11]) + bytes(ac_bits) + bytes(ac_vals))
     if progressive:
-        _encode_progressive(out, seg, qblocks, ncomp, h, w, dc_codes, ac_codes)
+        if arithmetic:
+            _encode_progressive_arith(out, seg, qblocks, ncomp)
+        else:
+            _encode_progressive(out, seg, qblocks, ncomp, h, w, dc_codes, ac_codes)
         out += b"\xff\xd9"
         return bytes(out)
     sos = bytearray([ncomp])
@@ -642,7 +770,12 @@ def encode_jpeg(
         sos += bytes([ci + 1, 0x00 if ci == 0 else 0x11])
     sos += b"\x00\x3f\x00"
     out += seg(0xDA, bytes(sos))
-    out += bw.out
+    if arithmetic:
+        out += _encode_seq_arith(
+            qblocks, samp, bwidths, mcux, mcuy, restart_interval
+        )
+    else:
+        out += bw.out
     out += b"\xff\xd9"  # EOI
     return bytes(out)
 
@@ -679,7 +812,7 @@ def jpeg_dims(payload: bytes) -> Optional[tuple]:
 def decode_jpeg(payload: Optional[bytes]):
     """Baseline sequential decode.  Returns (w, h, ch, pixels) with
     pixels (h, w, ch) uint8 (ch = 1 gray or 3 RGB), or None for
-    anything out of scope (progressive, arithmetic, 12-bit, corrupt)."""
+    anything out of scope (hierarchical, 12-bit, corrupt)."""
     try:
         return _decode_jpeg_impl(payload)
     except (ValueError, IndexError, _struct.error, KeyError):
@@ -715,6 +848,8 @@ def _decode_jpeg_impl(payload: Optional[bytes]):
     qt = {}
     huff_dc = {}
     huff_ac = {}
+    dac_dc = {}  # DAC conditioning: table id -> (L, U)
+    dac_ac = {}  # DAC conditioning: table id -> Kx
     restart_interval = 0
     frame = None
     stores = None  # progressive: persistent per-component coefficients
@@ -754,7 +889,18 @@ def _decode_jpeg_impl(payload: Optional[bytes]):
                 i += 17 + cnt
         elif m == 0xDD:  # DRI
             (restart_interval,) = _struct.unpack(">H", body[:2])
-        elif m in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
+        elif m == 0xCC:  # DAC — arithmetic conditioning (T.81 B.2.4.3)
+            i = 0
+            while i + 1 < len(body):
+                tc, tb = body[i] >> 4, body[i] & 0x0F
+                cs = body[i + 1]
+                if tc == 0:
+                    dac_dc[tb] = (cs & 0x0F, cs >> 4)  # (L, U)
+                else:
+                    dac_ac[tb] = cs  # Kx
+                i += 2
+        elif m in (0xC0, 0xC1, 0xC2, 0xC9, 0xCA):
+            # SOF0/1 baseline, SOF2 progressive, SOF9/10 arithmetic
             prec = body[0]
             if prec != 8:
                 return None
@@ -767,15 +913,21 @@ def _decode_jpeg_impl(payload: Optional[bytes]):
                 comps.append(
                     {"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": body[8 + 3 * ci]}
                 )
-            frame = {"w": int(w), "h": int(h), "comps": comps, "prog": m == 0xC2}
+            frame = {
+                "w": int(w),
+                "h": int(h),
+                "comps": comps,
+                "prog": m in (0xC2, 0xCA),
+                "arith": m in (0xC9, 0xCA),
+            }
             _frame_grid(frame)
             if frame["prog"]:
                 stores = {
                     c["id"]: np.zeros((c["bh"] * c["bw"], 64), dtype=np.int64)
                     for c in comps
                 }
-        elif m in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            return None  # arithmetic / hierarchical / lossless
+        elif m in (0xC3, 0xC5, 0xC6, 0xC7, 0xCB, 0xCD, 0xCE, 0xCF):
+            return None  # hierarchical / lossless
         elif m == 0xDA:  # SOS
             if frame is None:
                 return None
@@ -791,16 +943,28 @@ def _decode_jpeg_impl(payload: Optional[bytes]):
             if not frame["prog"]:
                 if len(scan) != len(frame["comps"]):
                     return None  # multi-scan sequential out of scope
+                if frame.get("arith"):
+                    return _decode_scan_arith(
+                        payload, pos + ln, frame, scan, qt,
+                        dac_dc, dac_ac, restart_interval,
+                    )
                 return _decode_scan(
                     payload, pos + ln, frame, scan, qt, huff_dc, huff_ac,
                     restart_interval,
                 )
             ss, se, ahal = body[1 + 2 * ns], body[2 + 2 * ns], body[3 + 2 * ns]
-            pos = _decode_prog_scan(
-                payload, pos + ln, frame, scan, stores,
-                huff_dc, huff_ac, restart_interval,
-                ss, se, ahal >> 4, ahal & 0x0F,
-            )
+            if frame.get("arith"):
+                pos = _decode_prog_scan_arith(
+                    payload, pos + ln, frame, scan, stores,
+                    dac_dc, dac_ac, restart_interval,
+                    ss, se, ahal >> 4, ahal & 0x0F,
+                )
+            else:
+                pos = _decode_prog_scan(
+                    payload, pos + ln, frame, scan, stores,
+                    huff_dc, huff_ac, restart_interval,
+                    ss, se, ahal >> 4, ahal & 0x0F,
+                )
             continue
         pos += ln
     return None
@@ -1070,6 +1234,131 @@ def _ac_refine_block(br, act, blk, zz, ss, se, al, eobrun):
             k += 1
         eobrun -= 1
     return eobrun
+
+
+# ------------------------------------------------------------------ #
+# Arithmetic-coded scans (SOF9/SOF10): T.81 Annex D coder + §F.2.4 /
+# §G.2 procedures from jpeg_arith.py over the same coefficient stores.
+
+
+def _arith_restart(dec, payload, dc_stats, ac_stats):
+    """Resync at an RSTn marker: reinit the coder, zero all statistics
+    (§F.2.4: restart = full reset of the arithmetic state)."""
+    p = _ja.find_rst_marker(payload, dec.pos)
+    if p is None:
+        raise ValueError("missing restart marker")
+    dec.restart_at(p + 2)
+    for s in dc_stats.values():
+        s[:] = bytes(len(s))
+    for s in ac_stats.values():
+        s[:] = bytes(len(s))
+
+
+def _decode_scan_arith(payload, data_pos, frame, scan, qt, dac_dc, dac_ac, dri):
+    mcux = frame["comps"][0]["bw"] // frame["comps"][0]["h"]
+    mcuy = frame["comps"][0]["bh"] // frame["comps"][0]["v"]
+    store = [
+        np.zeros((comp["bh"] * comp["bw"], 64), dtype=np.int64)
+        for comp, _td, _ta in scan
+    ]
+    dec = _ja.ArithDecoder(payload, data_pos)
+    dc_stats = {td: _ja.new_dc_stats() for _c, td, _a in scan}
+    ac_stats = {ta: _ja.new_ac_stats() for _c, _t, ta in scan}
+    ctx = [0] * len(scan)
+    pred = [0] * len(scan)
+    mcu_count = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if dri and mcu_count and mcu_count % dri == 0:
+                _arith_restart(dec, payload, dc_stats, ac_stats)
+                ctx = [0] * len(scan)
+                pred = [0] * len(scan)
+            for si, (comp, td, ta) in enumerate(scan):
+                L, U = dac_dc.get(td, _ja.DEFAULT_DC_COND)
+                kx = dac_ac.get(ta, _ja.DEFAULT_AC_COND)
+                bw_c = comp["bw"]
+                for by in range(comp["v"]):
+                    for bx in range(comp["h"]):
+                        row = my * comp["v"] + by
+                        col = mx * comp["h"] + bx
+                        blk = store[si][row * bw_c + col]
+                        pred[si] += _ja.decode_dc_diff(
+                            dec, dc_stats[td], ctx, si, L, U
+                        )
+                        blk[0] = pred[si]
+                        _ja.decode_ac_coefs(dec, ac_stats[ta], blk, _ZIGZAG, kx)
+            mcu_count += 1
+    stores = {comp["id"]: store[si] for si, (comp, _t, _a) in enumerate(scan)}
+    return _assemble_image(frame, stores, qt)
+
+
+def _decode_prog_scan_arith(
+    payload, data_pos, frame, scan, stores, dac_dc, dac_ac, dri,
+    ss, se, ah, al,
+):
+    """One progressive arithmetic scan into ``stores``; returns the
+    position of the marker following the scan's entropy data."""
+    dec = _ja.ArithDecoder(payload, data_pos)
+    dc_stats = {td: _ja.new_dc_stats() for _c, td, _a in scan}
+    ac_stats = {ta: _ja.new_ac_stats() for _c, _t, ta in scan}
+    if ss == 0:
+        if se != 0:
+            raise ValueError("DC scan with Se != 0")
+        interleaved = len(scan) > 1
+        if interleaved:
+            mcux = frame["comps"][0]["bw"] // frame["comps"][0]["h"]
+            units = (
+                frame["comps"][0]["bh"] // frame["comps"][0]["v"]
+            ) * mcux
+        else:
+            comp = scan[0][0]
+            units = comp["tbw"] * comp["tbh"]
+        ctx = [0] * len(scan)
+        pred = [0] * len(scan)
+        for u in range(units):
+            if dri and u and u % dri == 0:
+                _arith_restart(dec, payload, dc_stats, ac_stats)
+                ctx = [0] * len(scan)
+                pred = [0] * len(scan)
+            for si, (comp, td, _ta) in enumerate(scan):
+                if interleaved:
+                    my, mx = divmod(u, comp["bw"] // comp["h"])
+                    blocks = [
+                        (my * comp["v"] + by) * comp["bw"] + mx * comp["h"] + bx
+                        for by in range(comp["v"])
+                        for bx in range(comp["h"])
+                    ]
+                else:
+                    by, bx = divmod(u, comp["tbw"])
+                    blocks = [by * comp["bw"] + bx]
+                st = stores[comp["id"]]
+                L, U = dac_dc.get(td, _ja.DEFAULT_DC_COND)
+                for bi in blocks:
+                    if ah == 0:  # DC first (shifted-domain diff coding)
+                        pred[si] += _ja.decode_dc_diff(
+                            dec, dc_stats[td], ctx, si, L, U
+                        )
+                        st[bi, 0] = pred[si] << al
+                    else:  # DC refinement: one fixed bit per block
+                        _ja.decode_dc_refine(dec, st[bi], al)
+    else:
+        if len(scan) != 1:
+            raise ValueError("AC scan must be single-component")
+        comp, _td, ta = scan[0]
+        kx = dac_ac.get(ta, _ja.DEFAULT_AC_COND)
+        st = stores[comp["id"]]
+        for u in range(comp["tbw"] * comp["tbh"]):
+            if dri and u and u % dri == 0:
+                _arith_restart(dec, payload, dc_stats, ac_stats)
+            by, bx = divmod(u, comp["tbw"])
+            blk = st[by * comp["bw"] + bx]
+            if ah == 0:
+                _ja.decode_ac_coefs(
+                    dec, ac_stats[ta], blk, _ZIGZAG, kx, ss, se, al
+                )
+            else:
+                _ja.decode_ac_refine(dec, ac_stats[ta], blk, _ZIGZAG, ss, se, al)
+    return _next_marker_pos(payload, dec.pos)
 
 
 # ------------------------------------------------------------------ #

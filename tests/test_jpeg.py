@@ -185,7 +185,8 @@ def test_decode_rejects_out_of_scope():
     # truncated progressive: SOF2 header with no scan data
     prog = bytes.fromhex("FFD8FFC2000B08") + struct.pack(">HH", 8, 8) + bytes.fromhex("01011100")
     assert decode_jpeg(prog) is None
-    # arithmetic-coded (SOF9)
+    # truncated arithmetic (SOF9) header with no scan data — in scope
+    # since the Annex D coder landed, but still fault-tolerant
     arith = bytes.fromhex("FFD8FFC9000B08") + struct.pack(">HH", 8, 8) + bytes.fromhex("01011100")
     assert decode_jpeg(arith) is None
     # truncated entropy data
