@@ -15,9 +15,11 @@ Scope (the honest boundary, explicit):
   §G.2), interleaved DC scans and non-interleaved per-component scans
   on the component's true block grid — AND arithmetic entropy coding
   (SOF9 extended sequential + SOF10 progressive, T.81 Annex D state
-  machine via ``jpeg_arith.py``, DAC conditioning, restart resync).
-  Hierarchical and 12-bit streams return ``None`` (the caller's
-  NULL/raise boundary, like non-8-bit PNG).
+  machine via ``jpeg_arith.py``, DAC conditioning, restart resync) —
+  AND 12-bit sample precision on the extended/progressive frames
+  (16-bit DQT, level shift 2048, uint16 output).  Hierarchical and
+  lossless streams return ``None`` (the caller's NULL/raise boundary,
+  like non-8-bit PNG).
 * ``encode_jpeg``: baseline sequential 4:4:4/4:2:0 (or grayscale)
   writer with Annex-K quantization tables scaled by the libjpeg quality
   formula and simple fixed-length canonical huffman tables (written
@@ -259,24 +261,36 @@ def _extend(v: int, s: int) -> int:
 # ------------------------------------------------------------------ #
 # Encoder
 
-def _rgb_to_ycbcr(px: np.ndarray) -> np.ndarray:
+def _rgb_to_ycbcr(px: np.ndarray, level: float = 128.0, maxv: int = 255) -> np.ndarray:
     r = px[:, :, 0].astype(np.float64)
     g = px[:, :, 1].astype(np.float64)
     b = px[:, :, 2].astype(np.float64)
     y = 0.299 * r + 0.587 * g + 0.114 * b
-    cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
-    cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+    cb = level - 0.168736 * r - 0.331264 * g + 0.5 * b
+    cr = level + 0.5 * r - 0.418688 * g - 0.081312 * b
     return np.clip(
-        np.stack([_half_up(y), _half_up(cb), _half_up(cr)], axis=-1), 0, 255
+        np.stack([_half_up(y), _half_up(cb), _half_up(cr)], axis=-1), 0, maxv
     )
 
 
-def _enc_huff_tables():
+def _enc_huff_tables(precision: int = 8):
     """Fixed-length canonical tables, self-described in DHT: 12 DC
     categories at 4 bits; all 162 sequential AC symbols PLUS the 14
     progressive EOBn symbols (r<<4 for r=1..14) at 8 bits (176 codes —
     valid: <2^8, all-ones never assigned).  Compression is poor but the
-    bitstream is fully conformant — correctness over ratio."""
+    bitstream is fully conformant — correctness over ratio.  12-bit
+    precision widens the category budget (DC ≤ 15, AC size ≤ 14,
+    F.1.2.1/F.1.2.2), so codes move to 5/9 bits."""
+    if precision == 12:
+        dc_bits = [0, 0, 0, 0, 16] + [0] * 11
+        dc_vals = list(range(16))
+        ac_vals = (
+            [0x00, 0xF0]
+            + [(r << 4) for r in range(1, 15)]
+            + [(r << 4) | s for r in range(16) for s in range(1, 15)]
+        )
+        ac_bits = [0] * 8 + [len(ac_vals)] + [0] * 7
+        return dc_bits, dc_vals, ac_bits, ac_vals
     dc_bits = [0, 0, 0, 12] + [0] * 12
     dc_vals = list(range(12))
     ac_vals = (
@@ -344,20 +358,21 @@ def _encode_block(bw, zz, pred, ci, dc_codes, ac_codes):
         bw.put(code, ln)
 
 
-def _quantize_plane(plane, qt, hb, wb):
+def _quantize_plane(plane, qt, hb, wb, level: float = 128.0, clamp: int = 1023):
     """Pad to (hb, wb) blocks (edge-replicate), DCT, quantize →
     (hb*wb, 64) int64 in raster block order."""
     h, w = plane.shape
-    p = np.pad(plane, ((0, hb * 8 - h), (0, wb * 8 - w)), mode="edge") - 128.0
+    p = np.pad(plane, ((0, hb * 8 - h), (0, wb * 8 - w)), mode="edge") - level
     blocks = p.reshape(hb, 8, wb, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
     coef = _fdct_blocks(blocks)
     q = qt.reshape(8, 8).astype(np.float64)
     # round half away from zero (T.81 recommendation); clamp to the
-    # baseline category budget (DC diff ≤ cat 11, AC ≤ cat 10).
+    # category budget (8-bit: DC diff ≤ cat 11, AC ≤ cat 10; 12-bit:
+    # clamp 16383 keeps AC ≤ cat 14 and DC diffs ≤ cat 15).
     # Same 1e-6 snap as _half_up: exact .5 quantization boundaries
     # (reachable for even table cells) must not tip on DCT drift.
     qc = np.sign(coef) * np.floor(np.round(np.abs(coef) / q, 6) + 0.5)
-    return np.clip(qc, -1023, 1023).astype(np.int64).reshape(-1, 64)
+    return np.clip(qc, -clamp, clamp).astype(np.int64).reshape(-1, 64)
 
 
 # ---- progressive scan emitters (T.81 §G.1; jc*phuff conventions) ----
@@ -639,6 +654,7 @@ def encode_jpeg(
     restart_interval: int = 0,
     progressive: bool = False,
     arithmetic: bool = False,
+    precision: int = 8,
 ) -> bytes:
     """(h, w[, 3]) uint8 array → baseline JFIF bytes; grayscale for 2-D
     input.  ``subsampling``: '444' (one block per component per MCU) or
@@ -650,8 +666,20 @@ def encode_jpeg(
     ``_encode_progressive`` (4:4:4/grayscale, no restarts).
     ``arithmetic=True`` swaps the entropy stage for T.81 Annex D
     arithmetic coding (SOF9, or SOF10 with ``progressive``), writing a
-    DAC segment with the default conditioning."""
-    arr = np.asarray(pixels, dtype=np.uint8)
+    DAC segment with the default conditioning.  ``precision=12`` takes
+    uint16 samples in 0..4095 and writes an extended (SOF1/2/9/10)
+    frame — level shift 2048, widened category budget."""
+    if precision == 12:
+        arr = np.asarray(pixels, dtype=np.uint16)
+        if arr.size and int(arr.max()) > 4095:
+            raise ValueError("12-bit samples must be in 0..4095")
+    elif precision == 8:
+        arr = np.asarray(pixels, dtype=np.uint8)
+    else:
+        raise ValueError(f"unsupported precision {precision}")
+    level = float(1 << (precision - 1))
+    maxv = (1 << precision) - 1
+    clamp = 1023 if precision == 8 else 16383
     gray = arr.ndim == 2
     if subsampling not in ("444", "420"):
         raise ValueError(f"unsupported subsampling {subsampling!r}")
@@ -665,7 +693,7 @@ def encode_jpeg(
     if gray:
         planes = [arr.astype(np.float64)]
     else:
-        ycc = _rgb_to_ycbcr(arr)
+        ycc = _rgb_to_ycbcr(arr, level, maxv)
         planes = [ycc[:, :, i] for i in range(3)]
         if sub:
             for ci in (1, 2):
@@ -679,7 +707,7 @@ def encode_jpeg(
                     p.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
                 )
 
-    dc_bits, dc_vals, ac_bits, ac_vals = _enc_huff_tables()
+    dc_bits, dc_vals, ac_bits, ac_vals = _enc_huff_tables(precision)
     dc_codes = _canonical_codes(dc_bits, dc_vals)
     ac_codes = _canonical_codes(ac_bits, ac_vals)
 
@@ -694,7 +722,7 @@ def encode_jpeg(
     for ci, plane in enumerate(planes):
         hb = mcuy * samp[ci][1]
         wb = mcux * samp[ci][0]
-        qblocks.append(_quantize_plane(plane, qts[ci], hb, wb))
+        qblocks.append(_quantize_plane(plane, qts[ci], hb, wb, level, clamp))
         bwidths.append(wb)
 
     bw = _BitWriter()
@@ -733,14 +761,17 @@ def encode_jpeg(
     if not gray:
         out += seg(0xDB, bytes([1]) + bytes(qt_c[_ZIGZAG].astype(np.uint8)))
     ncomp = 1 if gray else 3
-    sof = bytearray(_struct.pack(">BHHB", 8, h, w, ncomp))
+    sof = bytearray(_struct.pack(">BHHB", precision, h, w, ncomp))
     for ci in range(ncomp):
         hv = (samp[ci][0] << 4) | samp[ci][1]
         sof += bytes([ci + 1, hv, 0 if ci == 0 else 1])
     if arithmetic:
         sofm = 0xCA if progressive else 0xC9
+    elif progressive:
+        sofm = 0xC2
     else:
-        sofm = 0xC2 if progressive else 0xC0
+        # true baseline (SOF0) is 8-bit only; 12-bit goes extended
+        sofm = 0xC0 if precision == 8 else 0xC1
     out += seg(sofm, bytes(sof))
     if restart_interval:
         out += seg(0xDD, _struct.pack(">H", restart_interval))
@@ -872,12 +903,18 @@ def _decode_jpeg_impl(payload: Optional[bytes]):
             while i < len(body):
                 pq, tq = body[i] >> 4, body[i] & 0x0F
                 i += 1
-                if pq != 0:
-                    return None  # 16-bit tables out of scope
+                if pq not in (0, 1):
+                    return None
                 tbl = np.zeros(64, dtype=np.int64)
-                tbl[_ZIGZAG] = np.frombuffer(body[i : i + 64], np.uint8)
+                if pq:  # 16-bit entries (12-bit sample data, B.2.4.1)
+                    tbl[_ZIGZAG] = np.frombuffer(
+                        body[i : i + 128], ">u2"
+                    ).astype(np.int64)
+                    i += 128
+                else:
+                    tbl[_ZIGZAG] = np.frombuffer(body[i : i + 64], np.uint8)
+                    i += 64
                 qt[tq] = tbl
-                i += 64
         elif m == 0xC4:  # DHT
             i = 0
             while i < len(body):
@@ -902,7 +939,9 @@ def _decode_jpeg_impl(payload: Optional[bytes]):
         elif m in (0xC0, 0xC1, 0xC2, 0xC9, 0xCA):
             # SOF0/1 baseline, SOF2 progressive, SOF9/10 arithmetic
             prec = body[0]
-            if prec != 8:
+            # 12-bit sample data is legal for the extended/progressive
+            # frames (SOF1/2/9/10); true-baseline SOF0 is 8-bit only.
+            if prec != 8 and not (prec == 12 and m != 0xC0):
                 return None
             h, w = _struct.unpack(">HH", body[1:5])
             nc = body[5]
@@ -919,6 +958,7 @@ def _decode_jpeg_impl(payload: Optional[bytes]):
                 "comps": comps,
                 "prog": m in (0xC2, 0xCA),
                 "arith": m in (0xC9, 0xCA),
+                "prec": int(prec),
             }
             _frame_grid(frame)
             if frame["prog"]:
@@ -1024,8 +1064,14 @@ def _decode_scan(payload, data_pos, frame, scan, qt, huff_dc, huff_ac, dri):
 
 def _assemble_image(frame, stores, qt):
     """Dequantize + IDCT + upsample + color-convert the per-component
-    coefficient stores (MCU-padded grids) into the final pixel array."""
+    coefficient stores (MCU-padded grids) into the final pixel array.
+    12-bit frames produce uint16 samples in 0..4095 (level shift 2048,
+    T.81 §A.3.1); 8-bit frames keep the uint8 contract."""
     w, h = frame["w"], frame["h"]
+    prec = frame.get("prec", 8)
+    level = 1 << (prec - 1)
+    maxv = (1 << prec) - 1
+    dtype = np.uint8 if prec == 8 else np.uint16
     hmax = max(c["h"] for c in frame["comps"])
     vmax = max(c["v"] for c in frame["comps"])
     planes = []
@@ -1033,7 +1079,7 @@ def _assemble_image(frame, stores, qt):
         q = qt[comp["tq"]].reshape(1, 8, 8).astype(np.float64)
         coef = stores[comp["id"]].reshape(-1, 8, 8).astype(np.float64) * q
         spatial = _idct_blocks(coef)
-        px = np.clip(_half_up(spatial) + 128, 0, 255).astype(np.uint8)
+        px = np.clip(_half_up(spatial) + level, 0, maxv).astype(dtype)
         bw_c, bh_c = comp["bw"], comp["bh"]
         plane = (
             px.reshape(bh_c, bw_c, 8, 8)
@@ -1050,12 +1096,12 @@ def _assemble_image(frame, stores, qt):
     if len(planes) == 1:
         return w, h, 1, planes[0][:, :, None]
     y = planes[0].astype(np.float64)
-    cb = planes[1].astype(np.float64) - 128.0
-    cr = planes[2].astype(np.float64) - 128.0
-    r = np.clip(_half_up(y + 1.402 * cr), 0, 255)
-    g = np.clip(_half_up(y - 0.344136 * cb - 0.714136 * cr), 0, 255)
-    b = np.clip(_half_up(y + 1.772 * cb), 0, 255)
-    return w, h, 3, np.stack([r, g, b], axis=-1).astype(np.uint8)
+    cb = planes[1].astype(np.float64) - float(level)
+    cr = planes[2].astype(np.float64) - float(level)
+    r = np.clip(_half_up(y + 1.402 * cr), 0, maxv)
+    g = np.clip(_half_up(y - 0.344136 * cb - 0.714136 * cr), 0, maxv)
+    b = np.clip(_half_up(y + 1.772 * cb), 0, maxv)
+    return w, h, 3, np.stack([r, g, b], axis=-1).astype(dtype)
 
 
 # ------------------------------------------------------------------ #

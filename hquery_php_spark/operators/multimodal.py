@@ -422,11 +422,14 @@ def decode_bmp(payload: Optional[bytes]):
 
 
 def decode_image(payload: Optional[bytes]):
-    """Best-effort pixel decode: PNG (stdlib codec), baseline JPEG
+    """Best-effort pixel decode: PNG (stdlib codec), JPEG
     (``operators/jpeg.py``), GIF first frame (``operators/gif.py``),
     uncompressed BMP.  Returns (w, h, ch, pixels) or None when no
-    in-repo codec covers the payload (WebP, …) — the caller decides
-    NULL vs raise."""
+    in-repo codec covers the payload — the caller decides NULL vs
+    raise.  The contract is uint8 samples: 12-bit JPEG sources are
+    presented as their 8-bit view (sample >> 4) so every downstream
+    operator (stats, resize, re-encode) sees one sample domain; use
+    ``jpeg.decode_jpeg`` directly for full 12-bit values."""
     dec = decode_png(payload)
     if dec is not None:
         return dec
@@ -434,7 +437,12 @@ def decode_image(payload: Optional[bytes]):
 
     dec = decode_jpeg(payload)
     if dec is not None:
-        return dec
+        import numpy as np
+
+        w, h, ch, px = dec
+        if px.dtype != np.uint8:  # 12-bit frame → uniform 8-bit view
+            px = (px >> 4).astype(np.uint8)
+        return w, h, ch, px
     from hquery_php_spark.operators.gif import decode_gif
 
     dec = decode_gif(payload)

@@ -281,3 +281,94 @@ def test_libjpeg_cross_with_restarts(jpegref):
     rh = _ref_decode(jpegref, jh)
     ra = _ref_decode(jpegref, ja_)
     assert rh is not None and ra is not None and np.array_equal(ra, rh)
+
+
+# ------------------------------------------------------------------ #
+# 12-bit sample precision (extended/progressive frames only)
+
+
+def _img12(rng, h, w, color):
+    px = rng.integers(0, 4096, (h, w, 3) if color else (h, w), dtype=np.uint16)
+    return (px // 2 + 1024).astype(np.uint16)
+
+
+@pytest.mark.parametrize("prog,arith", [(0, 0), (1, 0), (0, 1), (1, 1)])
+def test_12bit_roundtrip_all_entropy_modes(prog, arith):
+    rng = np.random.default_rng(60 + prog * 2 + arith)
+    px = _img12(rng, 24, 16, True)
+    jpg = encode_jpeg(
+        px, 85, progressive=bool(prog), arithmetic=bool(arith), precision=12
+    )
+    dec = decode_jpeg(jpg)
+    assert dec is not None
+    w, h, ch, out = dec
+    assert (w, h, ch) == (16, 24, 3)
+    assert out.dtype == np.uint16 and int(out.max()) <= 4095
+    err = np.abs(out.astype(np.int64) - px.astype(np.int64)).max()
+    assert err < 200  # q85 4:4:4 bound, 16x the 8-bit budget
+
+
+def test_12bit_huffman_equals_arith_bit_exact():
+    """Two independent entropy stages must carry identical coefficients
+    — the cross-validation that substitutes for an external 12-bit
+    reference decoder (this libjpeg build is 8-bit only)."""
+    rng = np.random.default_rng(61)
+    for _ in range(8):
+        h = int(rng.integers(4, 40))
+        w = int(rng.integers(4, 40))
+        color = bool(rng.integers(0, 2))
+        q = int(rng.integers(30, 101))
+        prog = bool(rng.integers(0, 2))
+        px = _img12(rng, h, w, color)
+        dh = decode_jpeg(encode_jpeg(px, q, progressive=prog, precision=12))
+        da = decode_jpeg(
+            encode_jpeg(px, q, progressive=prog, arithmetic=True, precision=12)
+        )
+        assert dh is not None and da is not None
+        assert np.array_equal(dh[3], da[3]), (h, w, q, prog)
+
+
+def test_12bit_constant_and_extremes():
+    for c in (0, 2048, 4095):
+        px = np.full((16, 16), c, dtype=np.uint16)
+        dec = decode_jpeg(encode_jpeg(px, 75, precision=12))
+        assert dec is not None
+        vals = set(np.unique(dec[3]))
+        assert len(vals) == 1
+        assert abs(next(iter(vals)) - c) <= 32  # quantized DC snap
+
+
+def test_12bit_restarts_and_subsampling():
+    rng = np.random.default_rng(62)
+    px = _img12(rng, 33, 17, True)
+    for kw in ({"restart_interval": 2}, {"subsampling": "420"},
+               {"subsampling": "420", "restart_interval": 1, "arithmetic": True}):
+        dec = decode_jpeg(encode_jpeg(px, 70, precision=12, **kw))
+        assert dec is not None and dec[3].dtype == np.uint16, kw
+
+
+def test_12bit_decode_image_presents_8bit_view():
+    from hquery_php_spark.operators.multimodal import decode_image
+
+    px = np.full((8, 8), 4095, dtype=np.uint16)
+    jpg = encode_jpeg(px, 90, precision=12)
+    dec = decode_image(jpg)
+    assert dec is not None
+    assert dec[3].dtype == np.uint8
+    assert int(dec[3].max()) == 255
+
+
+def test_12bit_encoder_input_validation():
+    with pytest.raises(ValueError):
+        encode_jpeg(np.full((8, 8), 5000, dtype=np.uint16), precision=12)
+    with pytest.raises(ValueError):
+        encode_jpeg(np.zeros((8, 8), dtype=np.uint8), precision=10)
+
+
+def test_12bit_libjpeg8_rejects_gracefully(jpegref):
+    """This container's libjpeg is an 8-bit build: it must REJECT our
+    12-bit stream (errors, not garbage) — evidence the stream really
+    declares 12-bit precision."""
+    px = np.full((8, 8), 1000, dtype=np.uint16)
+    jpg = encode_jpeg(px, 90, precision=12)
+    assert _ref_decode(jpegref, jpg) is None
