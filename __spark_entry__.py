@@ -1158,12 +1158,24 @@ def _jpeg_full_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
                 px = np.full((h, w, 3), c, dtype=np.uint8)
                 out["media_id"].append(f"j{did}")
                 out["payload"].append(encode_jpeg(px, quality=_JPEG_Q))
-                # progressive twin: SOF2 multi-scan reordering of the
-                # SAME coefficients → identical decoded pixels, so the
-                # 'p' rows share the 'j' rows' closed-form oracle
+                # entropy-stage twins: progressive huffman ('p'),
+                # sequential arithmetic ('a'), progressive arithmetic
+                # ('q') — each recodes the SAME coefficients →
+                # identical decoded pixels, sharing the 'j' rows'
+                # closed-form oracle
                 out["media_id"].append(f"p{did}")
                 out["payload"].append(
                     encode_jpeg(px, quality=_JPEG_Q, progressive=True)
+                )
+                out["media_id"].append(f"a{did}")
+                out["payload"].append(
+                    encode_jpeg(px, quality=_JPEG_Q, arithmetic=True)
+                )
+                out["media_id"].append(f"q{did}")
+                out["payload"].append(
+                    encode_jpeg(
+                        px, quality=_JPEG_Q, progressive=True, arithmetic=True
+                    )
                 )
             yield pd.DataFrame(out)
 
@@ -4203,8 +4215,11 @@ def _base_oracle_sql() -> dict[str, str]:
                 )
               )
               UNION ALL
-              -- progressive twin rows: same coefficients, same pixels
-              SELECT 'p' || CAST(doc_id AS VARCHAR),
+              -- entropy-stage twin rows: 'p' progressive huffman, 'a'
+              -- sequential arithmetic, 'q' progressive arithmetic —
+              -- all reorder/recode the SAME quantized coefficients, so
+              -- all share the baseline rows' closed-form pixel sums
+              SELECT pre || CAST(doc_id AS VARCHAR),
                      CAST(w AS INTEGER), CAST(h AS INTEGER),
                      CAST(w * h AS INTEGER),
                      CAST(w * h * p AS BIGINT), CAST(w * h * p AS BIGINT),
@@ -4226,7 +4241,7 @@ def _base_oracle_sql() -> dict[str, str]:
                                8 * ((doc_id % 256) - 128) AS v
                         FROM documents)
                 )
-              )
+              ) CROSS JOIN (VALUES ('p'), ('a'), ('q')) AS twins(pre)
               UNION ALL
               -- GIF is lossless: constant gray c decodes to exactly c
               SELECT 'g' || CAST(doc_id AS VARCHAR),
