@@ -1177,6 +1177,17 @@ def _jpeg_full_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
                         px, quality=_JPEG_Q, progressive=True, arithmetic=True
                     )
                 )
+                # 12-bit leg ('t'): grayscale constant in 0..4095,
+                # sequential arithmetic — its own closed form (level
+                # shift 2048); decode_image presents the >>4 view
+                c12 = (did * 16 + 7) % 4096
+                px12 = np.full((h, w), c12, dtype=np.uint16)
+                out["media_id"].append(f"t{did}")
+                out["payload"].append(
+                    encode_jpeg(
+                        px12, quality=_JPEG_Q, arithmetic=True, precision=12
+                    )
+                )
             yield pd.DataFrame(out)
 
     return d.mapInPandas(gen, schema)
@@ -4242,6 +4253,33 @@ def _base_oracle_sql() -> dict[str, str]:
                         FROM documents)
                 )
               ) CROSS JOIN (VALUES ('p'), ('a'), ('q')) AS twins(pre)
+              UNION ALL
+              -- 12-bit arithmetic rows ('t'): constant gray c12 in
+              -- 0..4095 decodes to the 12-bit closed form (DC-only
+              -- IDCT, level shift 2048), presented as the 8-bit view
+              -- (>>4) by decode_image; grayscale promotes to r=g=b
+              SELECT 't' || CAST(doc_id AS VARCHAR),
+                     CAST(w AS INTEGER), CAST(h AS INTEGER),
+                     CAST(w * h AS INTEGER),
+                     CAST(w * h * p8 AS BIGINT), CAST(w * h * p8 AS BIGINT),
+                     CAST(w * h * p8 AS BIGINT),
+                     CAST(255 * w * h AS BIGINT)
+              FROM (
+                SELECT doc_id, w, h,
+                       LEAST(4095, GREATEST(0, (d + 4 + 16384) // 8)) // 16 AS p8
+                FROM (
+                  SELECT doc_id, w, h,
+                         (CASE WHEN v >= 0
+                               THEN (2 * v + {_JPEG_Q00}) // (2 * {_JPEG_Q00})
+                               ELSE -((-2 * v + {_JPEG_Q00}) // (2 * {_JPEG_Q00}))
+                          END) * {_JPEG_Q00} AS d
+                  FROM (SELECT doc_id,
+                               (doc_id % 8 + 1) * 8 AS w,
+                               (doc_id % 6 + 1) * 8 AS h,
+                               8 * ((doc_id * 16 + 7) % 4096 - 2048) AS v
+                        FROM documents)
+                )
+              )
               UNION ALL
               -- GIF is lossless: constant gray c decodes to exactly c
               SELECT 'g' || CAST(doc_id AS VARCHAR),
