@@ -52,6 +52,33 @@ class WarcRecord(NamedTuple):
     payload: bytes  # HTTP body for response records, else the block
 
 
+_ZSTD_MAGIC = b"\x28\xb5\x2f\xfd"  # RFC 8878 frame magic (little-endian)
+
+
+def _is_zstd(data: bytes) -> bool:
+    """Data frame magic, or a skippable frame (0x184D2A50..5F LE) that
+    can legally precede the first data frame (.warc.zst convention
+    stores a dictionary there)."""
+    if len(data) < 4:
+        return False
+    if data[:4] == _ZSTD_MAGIC:
+        return True
+    return data[1:4] == b"\x2a\x4d\x18" and 0x50 <= data[0] <= 0x5F
+
+
+def unzstd_frames(data: bytes) -> bytes:
+    """Decompress concatenated zstd frames (the .warc.zst layout) via
+    the in-container libzstd (pyarrow); skippable frames are skipped by
+    the streaming decoder.  Pass-through when the input is not zstd."""
+    if not _is_zstd(data):
+        return data
+    import io
+
+    import pyarrow as pa
+
+    return bytes(pa.input_stream(io.BytesIO(data), compression="zstd").read())
+
+
 def gunzip_members(data: bytes) -> bytes:
     """Decompress concatenated gzip members (the .warc.gz layout) —
     plain ``gzip.decompress`` stops after the first member in some
@@ -134,8 +161,10 @@ def _dechunk(body: bytes) -> bytes:
 
 
 def parse_warc(data: bytes) -> List[WarcRecord]:
-    """All records of a WARC archive (gzip members handled)."""
+    """All records of a WARC archive (gzip members and zstd frames
+    handled)."""
     data = gunzip_members(data)
+    data = unzstd_frames(data)
     records: List[WarcRecord] = []
     pos = 0
     n = len(data)
@@ -193,11 +222,13 @@ def parse_warc(data: bytes) -> List[WarcRecord]:
 def make_warc(
     responses: List[Tuple[str, int, str, bytes]],
     gzip_members: bool = False,
+    zstd_frames: bool = False,
 ) -> bytes:
     """Deterministic WARC builder for tests: (url, status, content_type,
     body) → response records (plus a warcinfo header record).
     ``gzip_members`` emits the standard one-gzip-member-per-record
-    layout."""
+    layout; ``zstd_frames`` the one-zstd-frame-per-record .warc.zst
+    layout (via the in-container libzstd)."""
     import gzip as _gzip
 
     def rec(warc_headers: List[Tuple[str, str]], block: bytes) -> bytes:
@@ -233,8 +264,15 @@ def make_warc(
                 http,
             )
         )
+    if gzip_members and zstd_frames:
+        raise ValueError("pick one compression layout")
     if gzip_members:
         return b"".join(_gzip.compress(r) for r in out)
+    if zstd_frames:
+        import pyarrow as pa
+
+        codec = pa.Codec("zstd")
+        return b"".join(bytes(codec.compress(r)) for r in out)
     return b"".join(out)
 
 
@@ -281,6 +319,78 @@ def _gzip_member_spans(f, chunk_size: int = 1 << 20) -> Iterator[Tuple[int, int]
         pending = d.unused_data
         yield (abs_off, fed)
         abs_off += fed
+
+
+def _zstd_frame_spans(f) -> Iterator[Tuple[int, int]]:
+    """Frame-boundary spans of a .warc.zst — METADATA-ONLY: zstd block
+    headers carry their compressed size (RFC 8878 §3.1.1.2), so frame
+    ends are found by seeking block-to-block with zero decompression
+    (contrast `_gzip_member_spans`, which must inflate every byte to
+    find member ends — at 100 TB the index pass here is pure seeks).
+
+    Skippable frames (§3.1.2) fold into the FOLLOWING data frame's
+    span — libzstd's streaming decoder skips them during the fetch.  A
+    frame declaring a dictionary ID raises NotImplementedError: the
+    in-container codec has no dictionary API, and silently emitting
+    garbage is worse than the honest boundary.  A truncated final
+    frame is dropped (resumable-crawl semantics, same as gzip)."""
+    size = f.seek(0, 2)
+    f.seek(0)
+    span_start = None
+    while True:
+        start = f.tell()
+        hdr = f.read(4)
+        if len(hdr) < 4:
+            return
+        magic = int.from_bytes(hdr, "little")
+        if 0x184D2A50 <= magic <= 0x184D2A5F:  # skippable frame
+            szb = f.read(4)
+            if len(szb) < 4:
+                return
+            if f.tell() + int.from_bytes(szb, "little") > size:
+                return  # truncated
+            f.seek(int.from_bytes(szb, "little"), 1)
+            if span_start is None:
+                span_start = start
+            continue
+        if magic != 0xFD2FB528:
+            return  # trailing garbage — stop at the last clean boundary
+        if span_start is None:
+            span_start = start
+        fhd_b = f.read(1)
+        if not fhd_b:
+            return
+        fhd = fhd_b[0]
+        dict_flag = fhd & 3
+        if dict_flag:
+            raise NotImplementedError(
+                "dictionary-compressed zstd WARC (frame declares a "
+                "dictionary ID; no dictionary API in the available codec)"
+            )
+        single = (fhd >> 5) & 1
+        has_checksum = (fhd >> 2) & 1
+        fcs_flag = fhd >> 6
+        hdr_rest = (0 if single else 1) + {0: (1 if single else 0), 1: 2,
+                                           2: 4, 3: 8}[fcs_flag]
+        f.seek(hdr_rest, 1)
+        while True:  # block walk: 3-byte headers, seek over payloads
+            bh = f.read(3)
+            if len(bh) < 3 or f.tell() > size:
+                return
+            v = bh[0] | (bh[1] << 8) | (bh[2] << 16)
+            btype = (v >> 1) & 3
+            if btype == 3:
+                return  # reserved block type — corrupt
+            f.seek(1 if btype == 1 else v >> 3, 1)
+            if v & 1:  # last block
+                break
+        if has_checksum:
+            f.seek(4, 1)
+        end = f.tell()
+        if end > size:
+            return  # truncated final frame
+        yield (span_start, end - span_start)
+        span_start = None
 
 
 def _plain_record_spans(f) -> Iterator[Tuple[int, int]]:
@@ -333,9 +443,14 @@ def index_warc_slices(path: str, target_slice_bytes: int = 4 << 20) -> List[Tupl
     single member yields one whole-file slice."""
     slices: List[Tuple[int, int, int]] = []
     with open(_local_path(path), "rb") as f:
-        head = f.read(2)
+        head = f.read(4)
         f.seek(0)
-        spans = _gzip_member_spans(f) if head == b"\x1f\x8b" else _plain_record_spans(f)
+        if head[:2] == b"\x1f\x8b":
+            spans = _gzip_member_spans(f)
+        elif _is_zstd(head):
+            spans = _zstd_frame_spans(f)
+        else:
+            spans = _plain_record_spans(f)
         cur_off = cur_len = cur_n = 0
         for off, ln in spans:
             if cur_n and cur_len + ln > target_slice_bytes:

@@ -350,3 +350,105 @@ def test_write_warc_files_roundtrip(tmp_path):
     assert n_slices > len(manifest)
     split_back = read_warc_files_split(spark, out + "/*", target_slice_bytes=1)
     assert split_back.count() == 20
+
+
+# ------------------------------------------------------------------ #
+# .warc.zst (RFC 8878 frames, Common Crawl's newer distribution layout)
+
+
+def test_zstd_warc_roundtrip_and_parse():
+    from hquery_php_spark.sources.warc import unzstd_frames
+
+    zst = make_warc(RESPONSES, zstd_frames=True)
+    recs = parse_warc(zst)
+    plain = parse_warc(make_warc(RESPONSES))
+    assert [(r.target_uri, r.http_status, r.payload) for r in recs] == [
+        (r.target_uri, r.http_status, r.payload) for r in plain
+    ]
+    # pass-through for non-zstd input
+    assert unzstd_frames(b"WARC/1.0\r\n") == b"WARC/1.0\r\n"
+
+
+def test_zstd_frame_spans_metadata_only():
+    """The index walk never decompresses: spans tile the file exactly,
+    each span parses independently, skippable frames fold into the
+    following span, truncation drops only the final frame."""
+    import io
+    import struct
+
+    from hquery_php_spark.sources.warc import _zstd_frame_spans
+
+    many = [
+        (f"https://z.example/{i}", 200, "text/html", f"<p>{i}</p>".encode() * 20)
+        for i in range(40)
+    ]
+    zst = make_warc(many, zstd_frames=True)
+    spans = list(_zstd_frame_spans(io.BytesIO(zst)))
+    assert len(spans) == len(many) + 1  # + warcinfo
+    assert spans[0][0] == 0
+    assert sum(ln for _, ln in spans) == len(zst)
+    for off, ln in spans:
+        assert parse_warc(zst[off : off + ln])
+    # skippable frame before the first data frame (dictionary slot)
+    skip = struct.pack("<I", 0x184D2A5D) + struct.pack("<I", 6) + b"dict!!"
+    spans2 = list(_zstd_frame_spans(io.BytesIO(skip + zst)))
+    assert len(spans2) == len(spans) and spans2[0] == (0, spans[0][1] + 14)
+    assert parse_warc((skip + zst)[: spans2[0][1]])
+    # truncated final frame dropped; garbage tail stops cleanly
+    assert len(list(_zstd_frame_spans(io.BytesIO(zst[:-2])))) == len(spans) - 1
+    assert len(list(_zstd_frame_spans(io.BytesIO(zst + b"garbage")))) == len(spans)
+
+
+def test_zstd_dictionary_frame_is_honest_boundary():
+    """A data frame declaring a dictionary ID must raise, not emit
+    garbage (no dictionary API in the in-container codec)."""
+    import io
+
+    from hquery_php_spark.sources.warc import _zstd_frame_spans
+
+    zst = bytearray(make_warc(RESPONSES, zstd_frames=True))
+    assert zst[4] & 3 == 0
+    zst[4] |= 1  # forge Dictionary_ID_Flag = 1
+    with pytest.raises(NotImplementedError):
+        list(_zstd_frame_spans(io.BytesIO(bytes(zst))))
+
+
+def test_read_warc_files_split_spark_zstd(tmp_path):
+    """One multi-record .warc.zst fans out across >1 partition with
+    records identical to the whole-file reader — same contract as the
+    gzip path, but the index pass is pure seeks (no decompression)."""
+    pytest.importorskip("pyspark")
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    spark = (
+        SparkSession.builder.master("local[4]")
+        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from hquery_php_spark.sources.warc import (
+        read_warc_files,
+        read_warc_files_split,
+    )
+
+    many = [
+        (f"https://zs.example/{i}", 200, "text/html", f"<p>doc {i}</p>".encode() * 30)
+        for i in range(60)
+    ]
+    d = tmp_path / "crawlz"
+    os.makedirs(d)
+    (d / "big.warc.zst").write_bytes(make_warc(many, zstd_frames=True))
+
+    split = read_warc_files_split(
+        spark, str(d) + "/*.warc.zst", target_slice_bytes=1000
+    ).withColumn("pid", F.spark_partition_id())
+    rows = split.collect()
+    assert len({r.pid for r in rows}) > 1, "single archive must fan out"
+
+    whole = read_warc_files(spark, str(d) + "/*").collect()
+    key = lambda r: (r.url, r.http_status, bytes(r.payload))  # noqa: E731
+    assert sorted(key(r) for r in rows) == sorted(key(r) for r in whole)
+    assert len(rows) == len(many)
