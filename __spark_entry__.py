@@ -2881,13 +2881,20 @@ def q_find_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """North-rule PDF/layout parse: deterministic real PDFs (valid xref,
-    half Flate-compressed) generated per row, then structurally parsed —
-    layout-ordered (x, y, text) spans with a SQL oracle."""
-    from hquery_php_spark.operators.pdf import make_pdf, pdf_extract_df
+    """North-rule PDF/layout parse: deterministic TWO-PAGE PDFs, each
+    doc written through one of the 14 differential container families
+    (classic xref / xref stream / object streams; Flate / LZW / RL /
+    AHx / A85∘Flate filters; literal / octal / hex+ToUnicode strings;
+    Td / Tm / TD-T*-' positioning; q-cm-Q translation; incremental
+    update), then structurally parsed back.  Every family must yield
+    the same spans — the closed-form oracle checks them all at once;
+    only `version` varies (1.5 for the xref-stream families)."""
+    from hquery_php_spark.operators.pdf import build_pdf, pdf_extract_df
+    from hquery_php_spark.operators.pdfwrite import PDF_FAMILIES
     import pandas as pd
     from pyspark.sql.types import BinaryType, StringType, StructField, StructType
 
+    fams = sorted(PDF_FAMILIES)  # 14 families, index = doc_id % 14
     d = _spread(_docs(spark, sf_dir), spark).select(
         F.col("doc_id").cast("string").alias("doc_id"),
         F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")).alias("norm"),
@@ -2900,13 +2907,17 @@ def q_pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             out = {"doc_id": [], "payload": []}
             for doc_id, norm in zip(pdf["doc_id"], pdf["norm"]):
-                blocks = [
-                    (50.0, 750.0, f"Doc {doc_id}"),
-                    (50.0, 700.0, norm),
-                    (50.0, 50.0, "page footer"),
+                pages = [
+                    [
+                        (50.0, 750.0, f"Doc {doc_id}"),
+                        (50.0, 700.0, norm),
+                        (50.0, 50.0, "page footer"),
+                    ],
+                    [(72.0, 720.0, f"p2 {doc_id}")],
                 ]
+                fam = fams[int(doc_id) % len(fams)]
                 out["doc_id"].append(doc_id)
-                out["payload"].append(make_pdf(blocks, compress=int(doc_id) % 2 == 0))
+                out["payload"].append(build_pdf(pages, **PDF_FAMILIES[fam]))
             yield pd.DataFrame(out)
 
     pdfs = d.mapInPandas(gen, gen_schema)
@@ -3927,14 +3938,22 @@ def _base_oracle_sql() -> dict[str, str]:
                                  'span + span','span:lt(3)']) AS selector)
         """,
         "pdf_extract": f"""
-            SELECT CAST(doc_id AS VARCHAR) AS doc_id, '1.4' AS version,
-                   1 AS n_pages, ord,
-                   CAST(50.0 AS FLOAT) AS x,
-                   CAST(CASE ord WHEN 0 THEN 750.0 WHEN 1 THEN 700.0 ELSE 50.0 END AS FLOAT) AS y,
+            -- 14 writer families share one span oracle; sorted family
+            -- order puts the xref-stream families (PDF 1.5) at
+            -- doc_id %% 14 IN (7 objstm, 13 xrefstm)
+            SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                   CASE WHEN doc_id % 14 IN (7, 13) THEN '1.5'
+                        ELSE '1.4' END AS version,
+                   2 AS n_pages,
+                   CASE WHEN ord = 3 THEN 1 ELSE 0 END AS page, ord,
+                   CAST(CASE WHEN ord = 3 THEN 72.0 ELSE 50.0 END AS FLOAT) AS x,
+                   CAST(CASE ord WHEN 0 THEN 750.0 WHEN 1 THEN 700.0
+                                 WHEN 2 THEN 50.0 ELSE 720.0 END AS FLOAT) AS y,
                    CASE ord WHEN 0 THEN 'Doc ' || doc_id
                             WHEN 1 THEN {norm}
-                            ELSE 'page footer' END AS text
-            FROM documents, (SELECT unnest([0,1,2]) AS ord)
+                            WHEN 2 THEN 'page footer'
+                            ELSE 'p2 ' || doc_id END AS text
+            FROM documents, (SELECT unnest([0,1,2,3]) AS ord)
         """,
         "training_pipeline": f"""
             WITH t AS (
