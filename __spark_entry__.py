@@ -2882,19 +2882,20 @@ def q_find_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """North-rule PDF/layout parse: deterministic TWO-PAGE PDFs, each
-    doc written through one of the 14 differential container families
+    doc written through one of the 17 differential container families
+    (incl. RC4 / AES-128 / AES-256 encryption, empty user password)
     (classic xref / xref stream / object streams; Flate / LZW / RL /
     AHx / A85∘Flate filters; literal / octal / hex+ToUnicode strings;
     Td / Tm / TD-T*-' positioning; q-cm-Q translation; incremental
     update), then structurally parsed back.  Every family must yield
     the same spans — the closed-form oracle checks them all at once;
-    only `version` varies (1.5 for the xref-stream families)."""
+    only `version` varies (1.5/1.6/1.7 xref-stream/AES families)."""
     from hquery_php_spark.operators.pdf import build_pdf, pdf_extract_df
     from hquery_php_spark.operators.pdfwrite import PDF_FAMILIES
     import pandas as pd
     from pyspark.sql.types import BinaryType, StringType, StructField, StructType
 
-    fams = sorted(PDF_FAMILIES)  # 14 families, index = doc_id % 14
+    fams = sorted(PDF_FAMILIES)  # 17 families, index = doc_id % 17
     d = _spread(_docs(spark, sf_dir), spark).select(
         F.col("doc_id").cast("string").alias("doc_id"),
         F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")).alias("norm"),
@@ -3938,11 +3939,13 @@ def _base_oracle_sql() -> dict[str, str]:
                                  'span + span','span:lt(3)']) AS selector)
         """,
         "pdf_extract": f"""
-            -- 14 writer families share one span oracle; sorted family
-            -- order puts the xref-stream families (PDF 1.5) at
-            -- doc_id %% 14 IN (7 objstm, 13 xrefstm)
+            -- 17 writer families share one span oracle; sorted family
+            -- order: objstm=9/xrefstm=16 are PDF 1.5, aes128=1 is 1.6,
+            -- aes256=2 is 1.7, everything else 1.4
             SELECT CAST(doc_id AS VARCHAR) AS doc_id,
-                   CASE WHEN doc_id % 14 IN (7, 13) THEN '1.5'
+                   CASE WHEN doc_id % 17 IN (9, 16) THEN '1.5'
+                        WHEN doc_id % 17 = 1 THEN '1.6'
+                        WHEN doc_id % 17 = 2 THEN '1.7'
                         ELSE '1.4' END AS version,
                    2 AS n_pages,
                    CASE WHEN ord = 3 THEN 1 ELSE 0 END AS page, ord,

@@ -558,12 +558,52 @@ class PdfDocument:
         self.trailer: Dict[str, Any] = {}
         self._cache: Dict[int, Any] = {}
         self._objstms: Dict[int, Dict[int, Any]] = {}
+        self._crypt = None
+        self._encrypt_num: Optional[int] = None
         try:
             self._load_xref()
         except PdfError:
             self.xref = {}
         if not self.xref or "Root" not in self.trailer:
             self._rescue_scan()
+        self._init_crypt()
+
+    def _init_crypt(self) -> None:
+        """Standard security handler (§7.6) — empty-user-password files
+        decrypt transparently; anything else leaves the handler None
+        and the document decodes to nothing (fault tolerance)."""
+        enc_ref = self.trailer.get("Encrypt")
+        if enc_ref is None:
+            return
+        if isinstance(enc_ref, Ref):
+            self._encrypt_num = enc_ref.num
+        enc = self.get(enc_ref)
+        if isinstance(enc, dict):
+            ids = self.trailer.get("ID")
+            id0 = (
+                ids[0]
+                if isinstance(ids, list) and ids and isinstance(ids[0], bytes)
+                else b""
+            )
+            from .pdfcrypt import build_security
+
+            self._crypt = build_security(enc, id0)
+
+    def _decrypt_obj(self, obj: Any, num: int, gen: int = 0) -> Any:
+        if isinstance(obj, bytes):
+            return self._crypt.decrypt_string(obj, num, gen)
+        if isinstance(obj, list):
+            return [self._decrypt_obj(x, num, gen) for x in obj]
+        if isinstance(obj, dict):
+            return {k: self._decrypt_obj(v, num, gen) for k, v in obj.items()}
+        if isinstance(obj, PdfStream):
+            if str(obj.sdict.get("Type")) == "XRef":
+                return obj  # xref streams are never encrypted (§7.5.8.2)
+            return PdfStream(
+                self._decrypt_obj(obj.sdict, num, gen),
+                self._crypt.decrypt_stream(obj.raw, num, gen),
+            )
+        return obj
 
     # ---- xref loading ------------------------------------------------ #
 
@@ -698,7 +738,11 @@ class PdfDocument:
             return None
         if ent[0] == "n":
             obj = self._parse_obj_at(ent[1], expect=num)
+            if self._crypt is not None and num != self._encrypt_num:
+                obj = self._decrypt_obj(obj, num)
         else:
+            # objects inside object streams are NOT individually
+            # encrypted — the ObjStm stream itself was (§7.5.7)
             obj = self._objstm_object(ent[1], ent[2], num)
         self._cache[num] = obj
         return obj

@@ -25,6 +25,7 @@ driver oracles can be closed-form.
 from __future__ import annotations
 
 import base64
+import hashlib
 import zlib
 from typing import Any, Dict, List, Optional, Sequence, Tuple
 
@@ -291,9 +292,16 @@ def build_pdf(
     cm_shift: Optional[Tuple[float, float]] = None,
     incremental: bool = False,
     info: Optional[Dict[str, str]] = None,
+    encrypt: Optional[str] = None,
 ) -> bytes:
     """Serialize ``pages`` (lists of ``(x, y, text)`` blocks) to a real,
-    conformant PDF through the selected container mechanisms."""
+    conformant PDF through the selected container mechanisms.
+
+    ``encrypt``: None | 'rc4' (V2/R3 128-bit) | 'aes128' (V4/R4 AESV2)
+    | 'aes256' (V5/R6 AESV3) — empty user password, owner pwd 'owner',
+    deterministic /ID and IVs so differential oracles stay closed-form.
+    Not combinable with xref streams / object streams / incremental
+    (those families pin their own mechanisms unencrypted)."""
     if incremental:
         if len(pages) < 2:
             incremental = False
@@ -305,7 +313,13 @@ def build_pdf(
                 base, pages, filters=filters, strmode=strmode, ops=ops
             )
 
+    if encrypt and (xref == "stream" or objstm):
+        raise ValueError("encrypt not combinable with xref-stream modes")
     version = "1.5" if (xref == "stream" or objstm) else "1.4"
+    if encrypt == "aes128":
+        version = "1.6"
+    elif encrypt == "aes256":
+        version = "1.7"
     b = _Builder(version)
     n_pages = len(pages)
     hexmode = strmode == "hex"
@@ -326,6 +340,30 @@ def build_pdf(
     info_num = None
     if info:
         info_num = next_num
+        next_num += 1
+    enc_num = None
+    handler = None
+    id0 = b""
+    if encrypt:
+        from .pdfcrypt import (
+            make_encrypt_aes128,
+            make_encrypt_aes256,
+            make_encrypt_rc4,
+        )
+
+        id0 = hashlib.md5(
+            "\x1f".join(t for page in pages for _, _, t in page).encode(
+                "utf-8", "replace"
+            )
+            + encrypt.encode()
+        ).digest()
+        maker = {
+            "rc4": make_encrypt_rc4,
+            "aes128": make_encrypt_aes128,
+            "aes256": make_encrypt_aes256,
+        }[encrypt]
+        enc_dict, handler = maker(id0)
+        enc_num = next_num
         next_num += 1
 
     catalog = {"Type": Name("Catalog"), "Pages": Ref(PAGES, 0)}
@@ -377,6 +415,8 @@ def build_pdf(
         plain[pn] = pd
     if info_num is not None:
         plain[info_num] = {k: v.encode("latin-1", "replace") for k, v in info.items()}
+    if enc_num is not None:
+        plain[enc_num] = _nameify(enc_dict)
 
     streams: List[Tuple[int, Dict[str, Any], bytes]] = []
     if hexmode:
@@ -394,6 +434,9 @@ def build_pdf(
     trailer: Dict[str, Any] = {"Root": Ref(CATALOG, 0)}
     if info_num is not None:
         trailer["Info"] = Ref(info_num, 0)
+    if enc_num is not None:
+        trailer["Encrypt"] = Ref(enc_num, 0)
+        trailer["ID"] = [id0, id0]
 
     if objstm:
         # non-stream objects live in one compressed object stream
@@ -430,8 +473,13 @@ def build_pdf(
         return bytes(b.buf)
 
     for onum in sorted(plain):
-        b.add_object(onum, _ser(plain[onum]))
+        body = plain[onum]
+        if handler is not None and onum != enc_num:
+            body = _enc_strings(body, handler, onum)
+        b.add_object(onum, _ser(body))
     for snum, sd, data in streams:
+        if handler is not None:
+            data = handler.encrypt_stream(data, snum, 0)
         b.add_stream(snum, sd, data)
 
     if xref == "stream":
@@ -442,6 +490,28 @@ def build_pdf(
         trailer["Size"] = next_num
         _classic_xref(b, next_num - 1, trailer)
     return bytes(b.buf)
+
+
+def _nameify(obj: Any) -> Any:
+    """str → Name recursively (the crypt makers return plain strings
+    for /Filter /CFM etc.; bytes stay literal strings)."""
+    if isinstance(obj, str) and not isinstance(obj, Name):
+        return Name(obj)
+    if isinstance(obj, dict):
+        return {k: _nameify(v) for k, v in obj.items()}
+    if isinstance(obj, list):
+        return [_nameify(v) for v in obj]
+    return obj
+
+
+def _enc_strings(obj: Any, handler, num: int) -> Any:
+    if isinstance(obj, bytes):
+        return handler.encrypt_string(obj, num, 0)
+    if isinstance(obj, dict):
+        return {k: _enc_strings(v, handler, num) for k, v in obj.items()}
+    if isinstance(obj, list):
+        return [_enc_strings(v, handler, num) for v in obj]
+    return obj
 
 
 def _incremental_update(
@@ -532,4 +602,7 @@ PDF_FAMILIES: Dict[str, Dict[str, Any]] = {
     "star": {"ops": "star"},
     "cm": {"ops": "tm", "cm_shift": (20.0, 30.0)},
     "incr": {"incremental": True},
+    "rc4": {"encrypt": "rc4", "filters": ("FlateDecode",)},
+    "aes128": {"encrypt": "aes128", "filters": ("FlateDecode",)},
+    "aes256": {"encrypt": "aes256", "filters": ("FlateDecode",)},
 }

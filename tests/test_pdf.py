@@ -283,3 +283,111 @@ def test_parse_pdf_pages_stream_order_vs_layout_order():
     assert [s[2] for s in pages[0]] == ["low", "high"]
     _, spans = extract_pdf_spans(build_pdf([blocks]))
     assert [s[2] for s in spans] == ["high", "low"]
+
+
+# --------------------------------------------------------------------- #
+# Encryption (standard security handler, empty user password)
+
+
+def test_aes_fips197_vectors():
+    from hquery_php_spark.operators.pdfcrypt import AES
+
+    a = AES(bytes.fromhex("000102030405060708090a0b0c0d0e0f"))
+    ct = a.encrypt_block(bytes.fromhex("00112233445566778899aabbccddeeff"))
+    assert ct.hex() == "69c4e0d86a7b0430d8cdb78070b4c55a"
+    assert a.decrypt_block(ct).hex() == "00112233445566778899aabbccddeeff"
+    a192 = AES(bytes.fromhex("000102030405060708090a0b0c0d0e0f1011121314151617"))
+    assert (
+        a192.encrypt_block(bytes.fromhex("00112233445566778899aabbccddeeff")).hex()
+        == "dda97ca4864cdfe06eaf70a0ec0d7191"
+    )
+    a256 = AES(
+        bytes.fromhex(
+            "000102030405060708090a0b0c0d0e0f101112131415161718191a1b1c1d1e1f"
+        )
+    )
+    ct = a256.encrypt_block(bytes.fromhex("00112233445566778899aabbccddeeff"))
+    assert ct.hex() == "8ea2b7ca516745bfeafc49904b496089"
+    assert a256.decrypt_block(ct).hex() == "00112233445566778899aabbccddeeff"
+
+
+def test_rc4_public_vectors():
+    from hquery_php_spark.operators.pdfcrypt import rc4
+
+    assert rc4(b"Key", b"Plaintext").hex() == "bbf316e8d940af0ad3"
+    assert rc4(b"Wiki", b"pedia").hex() == "1021bf0420"
+    assert rc4(b"Secret", b"Attack at dawn").hex() == "45a01f645fc35b383552544b9bf5"
+
+
+def test_aes_cbc_roundtrip_padding():
+    import random as _r
+
+    from hquery_php_spark.operators.pdfcrypt import aes_cbc_decrypt, aes_cbc_encrypt
+
+    _r.seed(3)
+    for n in (0, 1, 15, 16, 17, 31, 32, 100):
+        d = bytes(_r.randrange(256) for _ in range(n))
+        iv = bytes(_r.randrange(256) for _ in range(16))
+        for key in (b"k" * 16, b"q" * 32):
+            assert aes_cbc_decrypt(key, iv, aes_cbc_encrypt(key, iv, d)) == d
+
+
+@pytest.mark.parametrize("mode", ["rc4", "aes128", "aes256"])
+def test_encrypted_families_decrypt_transparently(mode):
+    ref = extract_pdf_spans(build_pdf(PAGES))
+    data = build_pdf(PAGES, encrypt=mode, filters=("FlateDecode",))
+    assert extract_pdf_spans(data) == ref
+    # encrypted string objects (/Info) decrypt too
+    d2 = build_pdf(PAGES, encrypt=mode, info={"Title": "secret"})
+    assert pdf_info(d2) == {"Title": "secret"}
+
+
+def test_encrypted_wrong_user_password_is_honest_boundary():
+    """A NON-empty user password can't be opened (by design) — the
+    document decodes to nothing instead of raising."""
+    from hquery_php_spark.operators import pdfcrypt
+
+    data = build_pdf(PAGES, encrypt="rc4")
+    # flip bytes inside /U so the empty-password check fails
+    i = data.find(b"/U (")
+    assert i > 0
+    bad = data[: i + 4] + bytes(b ^ 0xFF for b in data[i + 4 : i + 8]) + data[i + 8 :]
+    n, spans = extract_pdf_spans(bad)
+    assert spans == []
+    # and the handler itself reports it as a password requirement
+    from hquery_php_spark.operators.pdfparse import PdfDocument
+
+    doc = PdfDocument(data)
+    assert doc._crypt is not None  # the good file authenticates
+
+
+def test_encrypted_fuzz_never_raises():
+    data = build_pdf(PAGES, encrypt="aes256", filters=("FlateDecode",))
+    random.seed(99)
+    # 25 iterations: a mutation inside /U's salts costs a fresh ~1 s
+    # _r6_hash (the KDF is expensive by design)
+    for _ in range(25):
+        j = random.randrange(len(data))
+        mut = data[:j] + bytes([random.randrange(256)]) + data[j + 1 :]
+        extract_pdf_spans(mut)
+        cut = random.randrange(1, len(data))
+        extract_pdf_spans(data[:cut])
+
+
+def test_r6_hash_invariants():
+    """Algorithm 2.B: the validation/key salts produce the committed
+    48-byte /U shape and /UE unwraps to the file key."""
+    import hashlib as _h
+
+    from hquery_php_spark.operators.pdfcrypt import (
+        StdSecurity,
+        _r6_hash,
+        make_encrypt_aes256,
+    )
+
+    id0 = _h.md5(b"fixture").digest()
+    enc, handler = make_encrypt_aes256(id0)
+    assert len(enc["U"]) == 48 and len(enc["UE"]) == 32
+    assert _r6_hash(b"", enc["U"][32:40]) == enc["U"][:32]
+    h2 = StdSecurity(enc, id0)
+    assert h2.key == handler.key and len(h2.key) == 32
