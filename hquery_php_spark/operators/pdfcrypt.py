@@ -98,73 +98,141 @@ _SBOX, _INV_SBOX, _GMUL = _aes_tables()
 _RCON = [0x01, 0x02, 0x04, 0x08, 0x10, 0x20, 0x40, 0x80, 0x1B, 0x36, 0x6C, 0xD8]
 
 
+def _round_tables():
+    """T-table round tables (the classic 32-bit-word formulation):
+    one lookup per state byte folds SubBytes+ShiftRows+MixColumns."""
+    te = [[0] * 256 for _ in range(4)]
+    td = [[0] * 256 for _ in range(4)]
+    for x in range(256):
+        s = _SBOX[x]
+        g2, g3 = _GMUL(s, 2), _GMUL(s, 3)
+        cols = (
+            (g2 << 24) | (s << 16) | (s << 8) | g3,
+            (g3 << 24) | (g2 << 16) | (s << 8) | s,
+            (s << 24) | (g3 << 16) | (g2 << 8) | s,
+            (s << 24) | (s << 16) | (g3 << 8) | g2,
+        )
+        for k in range(4):
+            te[k][x] = cols[k]
+        i = _INV_SBOX[x]
+        e, n9, d, b = _GMUL(i, 14), _GMUL(i, 9), _GMUL(i, 13), _GMUL(i, 11)
+        icols = (
+            (e << 24) | (n9 << 16) | (d << 8) | b,
+            (b << 24) | (e << 16) | (n9 << 8) | d,
+            (d << 24) | (b << 16) | (e << 8) | n9,
+            (n9 << 24) | (d << 16) | (b << 8) | e,
+        )
+        for k in range(4):
+            td[k][x] = icols[k]
+    return te, td
+
+
+(_TE0, _TE1, _TE2, _TE3), (_TD0, _TD1, _TD2, _TD3) = _round_tables()
+
+
+def _imc_word(w: int) -> int:
+    a0, a1, a2, a3 = w >> 24, (w >> 16) & 0xFF, (w >> 8) & 0xFF, w & 0xFF
+    return (
+        (_GMUL(a0, 14) ^ _GMUL(a1, 11) ^ _GMUL(a2, 13) ^ _GMUL(a3, 9)) << 24
+        | (_GMUL(a0, 9) ^ _GMUL(a1, 14) ^ _GMUL(a2, 11) ^ _GMUL(a3, 13)) << 16
+        | (_GMUL(a0, 13) ^ _GMUL(a1, 9) ^ _GMUL(a2, 14) ^ _GMUL(a3, 11)) << 8
+        | (_GMUL(a0, 11) ^ _GMUL(a1, 13) ^ _GMUL(a2, 9) ^ _GMUL(a3, 14))
+    )
+
+
 class AES:
-    """Block-level AES-128/192/256 (lists of 16 ints as state)."""
+    """AES-128/192/256 over big-endian 32-bit column words."""
 
     def __init__(self, key: bytes):
         nk = len(key) // 4
-        if nk not in (4, 6, 8):
+        if nk not in (4, 6, 8) or len(key) % 4:
             raise PdfError("bad AES key size")
-        self.nr = nk + 6
-        w = [list(key[4 * i : 4 * i + 4]) for i in range(nk)]
-        for i in range(nk, 4 * (self.nr + 1)):
-            t = list(w[i - 1])
+        self.nr = nr = nk + 6
+        w = [int.from_bytes(key[4 * i : 4 * i + 4], "big") for i in range(nk)]
+        for i in range(nk, 4 * (nr + 1)):
+            t = w[i - 1]
             if i % nk == 0:
-                t = t[1:] + t[:1]
-                t = [_SBOX[b] for b in t]
-                t[0] ^= _RCON[i // nk - 1]
+                t = ((t << 8) | (t >> 24)) & 0xFFFFFFFF  # RotWord
+                t = (
+                    (_SBOX[t >> 24] << 24)
+                    | (_SBOX[(t >> 16) & 0xFF] << 16)
+                    | (_SBOX[(t >> 8) & 0xFF] << 8)
+                    | _SBOX[t & 0xFF]
+                )
+                t ^= _RCON[i // nk - 1] << 24
             elif nk > 6 and i % nk == 4:
-                t = [_SBOX[b] for b in t]
-            w.append([a ^ b for a, b in zip(w[i - nk], t)])
-        self.rk = [sum(w[4 * r : 4 * r + 4], []) for r in range(self.nr + 1)]
-
-    @staticmethod
-    def _add(state, rk):
-        return [a ^ b for a, b in zip(state, rk)]
+                t = (
+                    (_SBOX[t >> 24] << 24)
+                    | (_SBOX[(t >> 16) & 0xFF] << 16)
+                    | (_SBOX[(t >> 8) & 0xFF] << 8)
+                    | _SBOX[t & 0xFF]
+                )
+            w.append(w[i - nk] ^ t)
+        self.ke = [w[4 * r : 4 * r + 4] for r in range(nr + 1)]
+        # equivalent-inverse-cipher round keys
+        kd = [list(self.ke[nr])]
+        for r in range(1, nr):
+            kd.append([_imc_word(x) for x in self.ke[nr - r]])
+        kd.append(list(self.ke[0]))
+        self.kd = kd
 
     def encrypt_block(self, block: bytes) -> bytes:
-        s = self._add(list(block), self.rk[0])
-        for rnd in range(1, self.nr + 1):
-            s = [_SBOX[b] for b in s]
-            # ShiftRows (column-major state: s[r + 4c])
-            s = [s[(i + 4 * (i % 4)) % 16] for i in range(16)]
-            if rnd != self.nr:
-                t = []
-                for c in range(4):
-                    col = s[4 * c : 4 * c + 4]
-                    t += [
-                        _GMUL(col[0], 2) ^ _GMUL(col[1], 3) ^ col[2] ^ col[3],
-                        col[0] ^ _GMUL(col[1], 2) ^ _GMUL(col[2], 3) ^ col[3],
-                        col[0] ^ col[1] ^ _GMUL(col[2], 2) ^ _GMUL(col[3], 3),
-                        _GMUL(col[0], 3) ^ col[1] ^ col[2] ^ _GMUL(col[3], 2),
-                    ]
-                s = t
-            s = self._add(s, self.rk[rnd])
-        return bytes(s)
+        rk = self.ke[0]
+        s0 = int.from_bytes(block[0:4], "big") ^ rk[0]
+        s1 = int.from_bytes(block[4:8], "big") ^ rk[1]
+        s2 = int.from_bytes(block[8:12], "big") ^ rk[2]
+        s3 = int.from_bytes(block[12:16], "big") ^ rk[3]
+        T0, T1, T2, T3 = _TE0, _TE1, _TE2, _TE3
+        for r in range(1, self.nr):
+            rk = self.ke[r]
+            t0 = T0[s0 >> 24] ^ T1[(s1 >> 16) & 255] ^ T2[(s2 >> 8) & 255] ^ T3[s3 & 255] ^ rk[0]
+            t1 = T0[s1 >> 24] ^ T1[(s2 >> 16) & 255] ^ T2[(s3 >> 8) & 255] ^ T3[s0 & 255] ^ rk[1]
+            t2 = T0[s2 >> 24] ^ T1[(s3 >> 16) & 255] ^ T2[(s0 >> 8) & 255] ^ T3[s1 & 255] ^ rk[2]
+            t3 = T0[s3 >> 24] ^ T1[(s0 >> 16) & 255] ^ T2[(s1 >> 8) & 255] ^ T3[s2 & 255] ^ rk[3]
+            s0, s1, s2, s3 = t0, t1, t2, t3
+        rk = self.ke[self.nr]
+        S = _SBOX
+        o = bytearray(16)
+        for c, (a, b, cc, d) in enumerate(
+            ((s0, s1, s2, s3), (s1, s2, s3, s0), (s2, s3, s0, s1), (s3, s0, s1, s2))
+        ):
+            w = (
+                (S[a >> 24] << 24)
+                | (S[(b >> 16) & 255] << 16)
+                | (S[(cc >> 8) & 255] << 8)
+                | S[d & 255]
+            ) ^ rk[c]
+            o[4 * c : 4 * c + 4] = w.to_bytes(4, "big")
+        return bytes(o)
 
     def decrypt_block(self, block: bytes) -> bytes:
-        s = self._add(list(block), self.rk[self.nr])
-        for rnd in range(self.nr - 1, -1, -1):
-            # InvShiftRows then InvSubBytes
-            s = [s[(i - 4 * (i % 4)) % 16] for i in range(16)]
-            s = [_INV_SBOX[b] for b in s]
-            s = self._add(s, self.rk[rnd])
-            if rnd != 0:
-                t = []
-                for c in range(4):
-                    col = s[4 * c : 4 * c + 4]
-                    t += [
-                        _GMUL(col[0], 14) ^ _GMUL(col[1], 11)
-                        ^ _GMUL(col[2], 13) ^ _GMUL(col[3], 9),
-                        _GMUL(col[0], 9) ^ _GMUL(col[1], 14)
-                        ^ _GMUL(col[2], 11) ^ _GMUL(col[3], 13),
-                        _GMUL(col[0], 13) ^ _GMUL(col[1], 9)
-                        ^ _GMUL(col[2], 14) ^ _GMUL(col[3], 11),
-                        _GMUL(col[0], 11) ^ _GMUL(col[1], 13)
-                        ^ _GMUL(col[2], 9) ^ _GMUL(col[3], 14),
-                    ]
-                s = t
-        return bytes(s)
+        rk = self.kd[0]
+        s0 = int.from_bytes(block[0:4], "big") ^ rk[0]
+        s1 = int.from_bytes(block[4:8], "big") ^ rk[1]
+        s2 = int.from_bytes(block[8:12], "big") ^ rk[2]
+        s3 = int.from_bytes(block[12:16], "big") ^ rk[3]
+        T0, T1, T2, T3 = _TD0, _TD1, _TD2, _TD3
+        for r in range(1, self.nr):
+            rk = self.kd[r]
+            t0 = T0[s0 >> 24] ^ T1[(s3 >> 16) & 255] ^ T2[(s2 >> 8) & 255] ^ T3[s1 & 255] ^ rk[0]
+            t1 = T0[s1 >> 24] ^ T1[(s0 >> 16) & 255] ^ T2[(s3 >> 8) & 255] ^ T3[s2 & 255] ^ rk[1]
+            t2 = T0[s2 >> 24] ^ T1[(s1 >> 16) & 255] ^ T2[(s0 >> 8) & 255] ^ T3[s3 & 255] ^ rk[2]
+            t3 = T0[s3 >> 24] ^ T1[(s2 >> 16) & 255] ^ T2[(s1 >> 8) & 255] ^ T3[s0 & 255] ^ rk[3]
+            s0, s1, s2, s3 = t0, t1, t2, t3
+        rk = self.kd[self.nr]
+        S = _INV_SBOX
+        o = bytearray(16)
+        for c, (a, b, cc, d) in enumerate(
+            ((s0, s3, s2, s1), (s1, s0, s3, s2), (s2, s1, s0, s3), (s3, s2, s1, s0))
+        ):
+            w = (
+                (S[a >> 24] << 24)
+                | (S[(b >> 16) & 255] << 16)
+                | (S[(cc >> 8) & 255] << 8)
+                | S[d & 255]
+            ) ^ rk[c]
+            o[4 * c : 4 * c + 4] = w.to_bytes(4, "big")
+        return bytes(o)
 
 
 @lru_cache(maxsize=64)
