@@ -2895,7 +2895,7 @@ def q_pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
     from pyspark.sql.types import BinaryType, StringType, StructField, StructType
 
-    fams = sorted(PDF_FAMILIES)  # 17 families, index = doc_id % 17
+    fams = sorted(PDF_FAMILIES)  # 18 families, index = doc_id % 18
     d = _spread(_docs(spark, sf_dir), spark).select(
         F.col("doc_id").cast("string").alias("doc_id"),
         F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")).alias("norm"),
@@ -3939,13 +3939,13 @@ def _base_oracle_sql() -> dict[str, str]:
                                  'span + span','span:lt(3)']) AS selector)
         """,
         "pdf_extract": f"""
-            -- 17 writer families share one span oracle; sorted family
-            -- order: objstm=9/xrefstm=16 are PDF 1.5, aes128=1 is 1.6,
-            -- aes256=2 is 1.7, everything else 1.4
+            -- 18 writer families share one span oracle; sorted family
+            -- order: objstm=10/xrefstm=17 are PDF 1.5, aes128=1 is
+            -- 1.6, aes256=2 is 1.7, everything else 1.4
             SELECT CAST(doc_id AS VARCHAR) AS doc_id,
-                   CASE WHEN doc_id % 17 IN (9, 16) THEN '1.5'
-                        WHEN doc_id % 17 = 1 THEN '1.6'
-                        WHEN doc_id % 17 = 2 THEN '1.7'
+                   CASE WHEN doc_id % 18 IN (10, 17) THEN '1.5'
+                        WHEN doc_id % 18 = 1 THEN '1.6'
+                        WHEN doc_id % 18 = 2 THEN '1.7'
                         ELSE '1.4' END AS version,
                    2 AS n_pages,
                    CASE WHEN ord = 3 THEN 1 ELSE 0 END AS page, ord,

@@ -975,15 +975,97 @@ def parse_tounicode(data: bytes) -> Tuple[int, Dict[int, str]]:
     return code_bytes, cmap
 
 
-class _Font:
-    """Just enough font state to decode show-strings."""
+# Adobe Glyph List core: ASCII punctuation + the common Latin-1 names.
+# Letters/digits are generated; `uniXXXX` / `uXXXX(XX)` resolve by rule.
+_AGL_CORE: Dict[str, str] = {
+    "space": " ", "exclam": "!", "quotedbl": '"', "numbersign": "#",
+    "dollar": "$", "percent": "%", "ampersand": "&", "quotesingle": "'",
+    "parenleft": "(", "parenright": ")", "asterisk": "*", "plus": "+",
+    "comma": ",", "hyphen": "-", "period": ".", "slash": "/",
+    "colon": ":", "semicolon": ";", "less": "<", "equal": "=",
+    "greater": ">", "question": "?", "at": "@", "bracketleft": "[",
+    "backslash": "\\", "bracketright": "]", "asciicircum": "^",
+    "underscore": "_", "grave": "`", "braceleft": "{", "bar": "|",
+    "braceright": "}", "asciitilde": "~", "quoteleft": "‘",
+    "quoteright": "’", "quotedblleft": "“",
+    "quotedblright": "”", "endash": "–", "emdash": "—",
+    "bullet": "•", "ellipsis": "…", "dagger": "†",
+    "daggerdbl": "‡", "trademark": "™", "Euro": "€",
+    "florin": "ƒ", "fraction": "⁄", "minus": "−",
+    "exclamdown": "\xa1", "cent": "\xa2", "sterling": "\xa3",
+    "currency": "\xa4", "yen": "\xa5", "brokenbar": "\xa6",
+    "section": "\xa7", "dieresis": "\xa8", "copyright": "\xa9",
+    "ordfeminine": "\xaa", "guillemotleft": "\xab", "logicalnot": "\xac",
+    "registered": "\xae", "macron": "\xaf", "degree": "\xb0",
+    "plusminus": "\xb1", "acute": "\xb4", "mu": "\xb5",
+    "paragraph": "\xb6", "periodcentered": "\xb7", "cedilla": "\xb8",
+    "ordmasculine": "\xba", "guillemotright": "\xbb",
+    "onequarter": "\xbc", "onehalf": "\xbd", "threequarters": "\xbe",
+    "questiondown": "\xbf", "multiply": "\xd7", "divide": "\xf7",
+    "germandbls": "\xdf", "eacute": "\xe9", "egrave": "\xe8",
+    "agrave": "\xe0", "ccedilla": "\xe7", "ntilde": "\xf1",
+    "oslash": "\xf8", "aring": "\xe5", "adieresis": "\xe4",
+    "odieresis": "\xf6", "udieresis": "\xfc",
+}
+for _c in "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz":
+    _AGL_CORE[_c] = _c
+for _i, _n in enumerate(
+    ("zero", "one", "two", "three", "four", "five", "six", "seven",
+     "eight", "nine")
+):
+    _AGL_CORE[_n] = str(_i)
 
-    __slots__ = ("code_bytes", "cmap")
+
+def glyph_name_to_unicode(name: str) -> Optional[str]:
+    """AGL resolution: core names, the ``uniXXXX`` / ``uXXXX[XX]``
+    conventions, single-character names."""
+    g = _AGL_CORE.get(name)
+    if g is not None:
+        return g
+    if name.startswith("uni") and len(name) >= 7:
+        try:
+            return chr(int(name[3:7], 16))
+        except ValueError:
+            return None
+    if name.startswith("u") and 5 <= len(name) <= 7:
+        try:
+            cp = int(name[1:], 16)
+            return chr(cp) if cp < 0x110000 else None
+        except ValueError:
+            return None
+    if len(name) == 1:
+        return name
+    return None
+
+
+def _base_encoding_map(name: str) -> Dict[int, str]:
+    codec = {
+        "WinAnsiEncoding": "cp1252",
+        "MacRomanEncoding": "mac_roman",
+    }.get(name)
+    out: Dict[int, str] = {}
+    if codec is None:
+        return out
+    for code in range(256):
+        try:
+            out[code] = bytes([code]).decode(codec)
+        except UnicodeDecodeError:
+            pass
+    return out
+
+
+class _Font:
+    """Just enough font state to decode show-strings: /ToUnicode CMaps
+    (authoritative), else simple-font /Encoding (WinAnsi/MacRoman base
+    + /Differences glyph names), else Latin-1."""
+
+    __slots__ = ("code_bytes", "cmap", "single_map")
 
     def __init__(self, doc: PdfDocument, fdict: Any):
         fdict = doc.get(fdict)
         self.code_bytes = 1
         self.cmap: Optional[Dict[int, str]] = None
+        self.single_map: Optional[Dict[int, str]] = None
         if not isinstance(fdict, dict):
             return
         if str(doc.get(fdict.get("Subtype", ""))) == "Type0":
@@ -993,9 +1075,29 @@ class _Font:
             cb, cmap = parse_tounicode(doc.stream_data(tu))
             self.code_bytes = cb if cb > 1 else self.code_bytes
             self.cmap = cmap
+        enc = doc.get(fdict.get("Encoding"))
+        if isinstance(enc, Name):
+            m = _base_encoding_map(str(enc))
+            if m:
+                self.single_map = m
+        elif isinstance(enc, dict):
+            m = _base_encoding_map(str(doc.get(enc.get("BaseEncoding", ""))))
+            diffs = doc.get(enc.get("Differences"))
+            if isinstance(diffs, list):
+                code = 0
+                for item in diffs:
+                    if isinstance(item, (int, float)):
+                        code = int(item)
+                    elif isinstance(item, Name):
+                        u = glyph_name_to_unicode(str(item))
+                        if u is not None:
+                            m[code] = u
+                        code += 1
+            if m:
+                self.single_map = m
 
     def decode(self, s: bytes) -> str:
-        if self.cmap is None and self.code_bytes == 1:
+        if self.cmap is None and self.code_bytes == 1 and self.single_map is None:
             return s.decode("latin-1")
         out = []
         step = self.code_bytes
@@ -1004,7 +1106,10 @@ class _Font:
             if self.cmap is not None and code in self.cmap:
                 out.append(self.cmap[code])
             elif step == 1:
-                out.append(chr(code))
+                if self.single_map is not None:
+                    out.append(self.single_map.get(code, chr(code)))
+                else:
+                    out.append(chr(code))
             else:
                 out.append(chr(code) if code < 0x110000 else "�")
         return "".join(out)

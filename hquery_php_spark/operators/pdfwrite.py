@@ -131,10 +131,42 @@ def _tounicode_cmap(chars: Sequence[int]) -> bytes:
 # ---- content stream assembly ------------------------------------------ #
 
 
-def _show_str(text: str, strmode: str) -> str:
+def _lit_bytes(raw: bytes) -> str:
+    """Binary-safe literal string (parens/backslash/CR escaped)."""
+    return (
+        "("
+        + raw.replace(b"\\", rb"\\")
+        .replace(b"(", rb"\(")
+        .replace(b")", rb"\)")
+        .replace(b"\r", rb"\r")
+        .decode("latin-1")
+        + ")"
+    )
+
+
+def _show_str(
+    text: str, strmode: str, charmap: Optional[Dict[str, int]] = None
+) -> str:
     if strmode == "hex":
         return _hex_show(text)
+    if strmode == "diffenc" and charmap is not None:
+        return _lit_bytes(bytes(charmap[c] for c in text))
     return "(" + _lit_escape(text, strmode == "octal") + ")"
+
+
+def _diffenc_map(pages: Sequence[Sequence[Block]]) -> Dict[str, int]:
+    """char → remapped single-byte code (33..255) for the /Differences
+    family — deliberately NOT the identity so decode must go through
+    the glyph-name table."""
+    used = sorted({c for page in pages for _, _, t in page for c in t})
+    if len(used) > 223:
+        raise ValueError("diffenc family supports <= 223 distinct chars")
+    return {c: 33 + i for i, c in enumerate(used)}
+
+
+def _glyph_name(c: str) -> Name:
+    cp = ord(c)
+    return Name(f"uni{cp:04X}" if cp <= 0xFFFF else f"u{cp:X}")
 
 
 def _content_ops(
@@ -142,6 +174,7 @@ def _content_ops(
     strmode: str,
     ops: str,
     cm_shift: Optional[Tuple[float, float]],
+    charmap: Optional[Dict[str, int]] = None,
 ) -> bytes:
     parts: List[str] = []
     dx0 = dy0 = 0.0
@@ -155,7 +188,7 @@ def _content_ops(
         tl = None
         for x, y, text in blocks:
             tx, ty = x + dx0, y + dy0
-            s = _show_str(text, strmode)
+            s = _show_str(text, strmode, charmap)
             if px is None:
                 parts.append(f"{_fmt_num(tx)} {_fmt_num(ty)} Td {s} Tj")
             elif tx == px and tl is not None and (py - ty) == tl:
@@ -171,7 +204,7 @@ def _content_ops(
     else:
         for x, y, text in blocks:
             tx, ty = x + dx0, y + dy0
-            s = _show_str(text, strmode)
+            s = _show_str(text, strmode, charmap)
             if ops == "tm":
                 parts.append(
                     f"BT /F1 12 Tf 1 0 0 1 {_fmt_num(tx)} {_fmt_num(ty)} Tm {s} Tj ET"
@@ -323,6 +356,7 @@ def build_pdf(
     b = _Builder(version)
     n_pages = len(pages)
     hexmode = strmode == "hex"
+    charmap = _diffenc_map(pages) if strmode == "diffenc" else None
 
     # object numbering
     CATALOG, PAGES, FONT = 1, 2, 3
@@ -393,6 +427,21 @@ def build_pdf(
                 "Supplement": 0,
             },
         }
+    elif charmap is not None:
+        # /Differences remap: codes 33.. point at uniXXXX glyph names
+        diffs: List[Any] = [33]
+        for c in sorted(charmap, key=charmap.get):
+            diffs.append(_glyph_name(c))
+        font = {
+            "Type": Name("Font"),
+            "Subtype": Name("Type1"),
+            "BaseFont": Name("Helvetica"),
+            "Encoding": {
+                "Type": Name("Encoding"),
+                "BaseEncoding": Name("WinAnsiEncoding"),
+                "Differences": diffs,
+            },
+        }
     else:
         font = {
             "Type": Name("Font"),
@@ -424,7 +473,7 @@ def build_pdf(
                        for page in pages for _, _, t in page for c in t})
         streams.append((tou_num, {}, _tounicode_cmap(used)))
     for cn, page in zip(content_nums, pages):
-        raw = _content_ops(page, strmode, ops, cm_shift)
+        raw = _content_ops(page, strmode, ops, cm_shift, charmap)
         data, filt = _encode_stream(raw, filters)
         sd: Dict[str, Any] = {}
         if filt is not None:
@@ -602,6 +651,7 @@ PDF_FAMILIES: Dict[str, Dict[str, Any]] = {
     "star": {"ops": "star"},
     "cm": {"ops": "tm", "cm_shift": (20.0, 30.0)},
     "incr": {"incremental": True},
+    "diffenc": {"strmode": "diffenc", "filters": ("FlateDecode",)},
     "rc4": {"encrypt": "rc4", "filters": ("FlateDecode",)},
     "aes128": {"encrypt": "aes128", "filters": ("FlateDecode",)},
     "aes256": {"encrypt": "aes256", "filters": ("FlateDecode",)},

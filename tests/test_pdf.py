@@ -391,3 +391,54 @@ def test_r6_hash_invariants():
     assert _r6_hash(b"", enc["U"][32:40]) == enc["U"][:32]
     h2 = StdSecurity(enc, id0)
     assert h2.key == handler.key and len(h2.key) == 32
+
+
+# --------------------------------------------------------------------- #
+# Simple-font /Encoding: WinAnsi base maps + /Differences glyph names
+
+
+def test_diffenc_family_roundtrip_including_unicode():
+    """The /Differences remap (non-identity codes -> uniXXXX names)
+    must decode back; compared against the ToUnicode family because
+    both are unicode-exact (the literal family is Latin-1-bound)."""
+    pages = [[(10.0, 700.0, "héllo (x) — diff ✓")], [(20.0, 650.0, "page 2")]]
+    hexref = extract_pdf_spans(build_pdf(pages, strmode="hex"))
+    got = extract_pdf_spans(
+        build_pdf(pages, strmode="diffenc", filters=("FlateDecode",))
+    )
+    assert got == hexref
+
+
+def test_glyph_names_and_winansi():
+    from hquery_php_spark.operators.pdfparse import (
+        _base_encoding_map,
+        glyph_name_to_unicode,
+    )
+
+    assert glyph_name_to_unicode("space") == " "
+    assert glyph_name_to_unicode("A") == "A"
+    assert glyph_name_to_unicode("seven") == "7"
+    assert glyph_name_to_unicode("emdash") == "—"
+    assert glyph_name_to_unicode("uni20AC") == "€"
+    assert glyph_name_to_unicode("u1F600") == "\U0001f600"
+    assert glyph_name_to_unicode("nosuchglyphname") is None
+    w = _base_encoding_map("WinAnsiEncoding")
+    assert w[0x80] == "€" and w[0xE9] == "é"  # cp1252
+    m = _base_encoding_map("MacRomanEncoding")
+    assert m[0xD0] == "–"  # en dash in mac_roman
+
+
+def test_differences_with_classic_glyph_names():
+    """Hand-built /Differences using AGL names (not uniXXXX)."""
+    from hquery_php_spark.operators.pdfparse import PdfDocument, extract_text_spans
+
+    # remap: 0x41 ('A' byte) -> /space, 0x42 -> /eacute, 0x43 -> /seven
+    data = build_pdf([[(5.0, 10.0, "ABC")]])
+    data = data.replace(
+        b"/BaseFont /Helvetica",
+        b"/BaseFont /Helvetica /Encoding << /Type /Encoding "
+        b"/Differences [65 /space /eacute /seven] >>",
+    )
+    doc = PdfDocument(data)
+    spans = extract_text_spans(doc, doc.pages()[0])
+    assert spans == [(5.0, 10.0, " \xe97")]
