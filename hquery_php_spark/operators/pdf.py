@@ -69,24 +69,28 @@ def sniff_pdf(data: Optional[bytes]) -> Optional[str]:
 
 
 def parse_pdf_pages(
-    data: bytes,
+    data: bytes, password: bytes = b""
 ) -> Tuple[Optional[str], List[List[Tuple[float, float, str]]]]:
     """→ (version, per-page ``(x, y, text)`` span lists in stream
-    order) via the real structural parse; ([], …) on unparseable."""
+    order) via the real structural parse; ([], …) on unparseable.
+    ``password`` opens password-protected files (tried as user then
+    owner; a wrong password degrades to decode-to-nothing)."""
     version = sniff_pdf(data)
     if version is None:
         return None, []
     try:
-        doc = PdfDocument(data)
+        doc = PdfDocument(data, password)
         return version, [extract_text_spans(doc, p) for p in doc.pages()]
     except (PdfError, RecursionError, MemoryError):
         return version, []
 
 
-def extract_pdf_spans(data: bytes) -> Tuple[int, List[Tuple[float, float, str]]]:
+def extract_pdf_spans(
+    data: bytes, password: bytes = b""
+) -> Tuple[int, List[Tuple[float, float, str]]]:
     """(page_count, [(x, y, text)...]) layout-ordered (top-down,
     left-right within each page, pages in document order)."""
-    _, pages = parse_pdf_pages(data)
+    _, pages = parse_pdf_pages(data, password)
     spans: List[Tuple[float, float, str]] = []
     for page in pages:
         spans.extend(sorted(page, key=lambda t: (-t[1], t[0])))
@@ -116,12 +120,16 @@ PDF_SPANS_SCHEMA = StructType(
 )
 
 
-def pdf_extract_df(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+def pdf_extract_df(
+    df: DataFrame, payload_col: str = "payload", password: bytes = b""
+) -> DataFrame:
     """(doc_id, payload: binary) → layout-ordered text spans per doc.
 
     ``ord`` numbers spans across the whole document in layout order
     (page, then top-down / left-right); non-PDF payloads are skipped,
-    not fatal."""
+    not fatal.  ``password`` (one corpus-wide secret, e.g. an archive
+    that shipped with a known password) opens protected files; wrong
+    passwords degrade per-document to decode-to-nothing."""
     narrow = df.select(
         F.col("doc_id").cast("string").alias("doc_id"),
         F.col(payload_col).alias("p"),
@@ -132,7 +140,7 @@ def pdf_extract_df(df: DataFrame, payload_col: str = "payload") -> DataFrame:
             out = {k: [] for k in PDF_SPANS_SCHEMA.fieldNames()}
             for doc_id, p in zip(pdf["doc_id"], pdf["p"]):
                 data = bytes(p) if p is not None else b""
-                ver, pages = parse_pdf_pages(data)
+                ver, pages = parse_pdf_pages(data, password)
                 if ver is None:
                     continue  # fault tolerance: not a PDF, skip
                 i = 0

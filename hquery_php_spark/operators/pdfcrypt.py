@@ -20,9 +20,12 @@ ISO 32000-2) for exactly that case:
   way as every other container mechanism: independent encrypt path →
   identical extracted spans (no PDF validator exists in-container).
 
-Only the empty-user-password path is implemented; password-protected
-user passwords raise ``PdfError`` (honest boundary — cracking is out
-of scope by design).
+Password handling: a caller-supplied password (plumbed through
+``PdfDocument(data, password=...)`` and the Spark operators) is tried
+as the USER password, then as the OWNER password (Algorithm 7 /O
+recovery for R2-R4; /OE unwrap for R6), with the empty user password
+as the final fallback.  Files whose password is not supplied decode
+to nothing — cracking is out of scope by design.
 """
 
 from __future__ import annotations
@@ -309,6 +312,17 @@ def _r23_file_key(
     return key[:length]
 
 
+def _r23_owner_key(pwd: bytes, r: int, length: int) -> bytes:
+    """Algorithm 3 step (a)-(d): the RC4 key derived from the OWNER
+    password (used both to build /O and, in Algorithm 7, to recover
+    the padded user password from it)."""
+    h = hashlib.md5(_pad_pwd(pwd)).digest()
+    if r >= 3:
+        for _ in range(50):
+            h = hashlib.md5(h).digest()
+    return h[:length]
+
+
 def _r23_user_check(key: bytes, id0: bytes, r: int) -> bytes:
     """Algorithm 4 (R2) / 5 (R3+): the /U value for this file key."""
     if r == 2:
@@ -340,9 +354,15 @@ def _r6_hash(pwd: bytes, salt: bytes, udata: bytes = b"") -> bytes:
 
 
 class StdSecurity:
-    """Decryption side of the standard handler (empty user password)."""
+    """Decryption side of the standard handler.
 
-    def __init__(self, enc: Dict[str, Any], id0: bytes):
+    ``password`` (default empty) is tried first as the USER password
+    (Algorithm 4/5 for R2-R4, Algorithm 2.A /U validation for R6),
+    then as the OWNER password (Algorithm 7: recover the padded user
+    password from /O; R6: /O validation salt + /OE unwrap).  Raises
+    ``PdfError`` when neither matches."""
+
+    def __init__(self, enc: Dict[str, Any], id0: bytes, password: bytes = b""):
         if str(enc.get("Filter", "Standard")) != "Standard":
             raise PdfError("unsupported security handler")
         self.v = int(enc.get("V", 0))
@@ -365,25 +385,46 @@ class StdSecurity:
 
             self.stm_cfm = cfm(stmf)
             self.str_cfm = cfm(strf)
+        pwd = password[:127]  # R6 truncates at 127 bytes (Alg 2.A)
         if self.r == 6 or self.v == 5:
-            # AES-256: validate the empty user password, unwrap /UE
+            # AES-256 (Algorithm 2.A): /U = hash(32)+vsalt(8)+ksalt(8),
+            # /O the same layout with /U[:48] mixed in as udata.
             if len(u) < 48:
                 raise PdfError("bad /U for R6")
             vsalt, ksalt = u[32:40], u[40:48]
-            if _r6_hash(b"", vsalt) != u[:32]:
-                raise PdfError("user password required")
-            ikey = _r6_hash(b"", ksalt)
             ue = enc.get("UE") or b""
-            self.key = aes_cbc_decrypt(ikey, b"\x00" * 16, ue, pad=False)[:32]
+            oe = enc.get("OE") or b""
+            if _r6_hash(pwd, vsalt) == u[:32]:
+                ikey = _r6_hash(pwd, ksalt)
+                wrapped = ue
+            elif (
+                len(o) >= 48
+                and _r6_hash(pwd, o[32:40], u[:48]) == o[:32]
+            ):
+                ikey = _r6_hash(pwd, o[40:48], u[:48])
+                wrapped = oe
+            else:
+                raise PdfError("user password required")
+            self.key = aes_cbc_decrypt(ikey, b"\x00" * 16, wrapped, pad=False)[:32]
             self.stm_cfm = self.stm_cfm or "AESV3"
             self.str_cfm = self.str_cfm or "AESV3"
         else:
-            key = _r23_file_key(
-                b"", o, p, id0, self.r, length if self.v >= 2 else 5,
-                bool(enc.get("EncryptMetadata", True)),
-            )
+            klen = length if self.v >= 2 else 5
+            em = bool(enc.get("EncryptMetadata", True))
+            key = _r23_file_key(password, o, p, id0, self.r, klen, em)
             if _r23_user_check(key, id0, self.r)[:16] != u[:16]:
-                raise PdfError("user password required")
+                # Algorithm 7: treat ``password`` as the owner password —
+                # recover the padded user password from /O, re-derive.
+                okey = _r23_owner_key(password, self.r, klen)
+                upad = o[:32]
+                if self.r == 2:
+                    upad = rc4(okey, upad)
+                else:
+                    for i in range(19, -1, -1):
+                        upad = rc4(bytes(b ^ i for b in okey), upad)
+                key = _r23_file_key(upad, o, p, id0, self.r, klen, em)
+                if _r23_user_check(key, id0, self.r)[:16] != u[:16]:
+                    raise PdfError("user password required")
             self.key = key
 
     def _obj_key(self, num: int, gen: int, aes: bool) -> bytes:
@@ -428,33 +469,32 @@ class StdSecurity:
 
 
 def make_encrypt_rc4(
-    id0: bytes, owner_pwd: bytes = b"owner", length_bits: int = 128
+    id0: bytes, owner_pwd: bytes = b"owner", length_bits: int = 128,
+    user_pwd: bytes = b"",
 ) -> Tuple[Dict[str, Any], "StdSecurity"]:
     """V2/R3 RC4 /Encrypt dict + a ready handler (Algorithms 2, 3, 5)."""
     length = length_bits // 8
     p = -44
-    # Algorithm 3: /O from the owner password
-    h = hashlib.md5(_pad_pwd(owner_pwd)).digest()
-    for _ in range(50):
-        h = hashlib.md5(h).digest()
-    okey = h[:length]
-    o = rc4(okey, _pad_pwd(b""))
+    # Algorithm 3: /O = RC4 chain over the PADDED USER password,
+    # keyed from the owner password
+    okey = _r23_owner_key(owner_pwd, 3, length)
+    o = rc4(okey, _pad_pwd(user_pwd))
     for i in range(1, 20):
         o = rc4(bytes(b ^ i for b in okey), o)
-    key = _r23_file_key(b"", o, p, id0, 3, length)
+    key = _r23_file_key(user_pwd, o, p, id0, 3, length)
     u = _r23_user_check(key, id0, 3) + b"\x00" * 16
     enc = {
         "Filter": "Standard", "V": 2, "R": 3,
         "Length": length_bits, "P": p, "O": o, "U": u[:32],
     }
-    return enc, _handler_from(enc, id0)
+    return enc, _handler_from(enc, id0, user_pwd)
 
 
 def make_encrypt_aes128(
-    id0: bytes, owner_pwd: bytes = b"owner"
+    id0: bytes, owner_pwd: bytes = b"owner", user_pwd: bytes = b""
 ) -> Tuple[Dict[str, Any], "StdSecurity"]:
     """V4/R4 with an AESV2 /StdCF crypt filter."""
-    base, _ = make_encrypt_rc4(id0, owner_pwd, 128)
+    base, _ = make_encrypt_rc4(id0, owner_pwd, 128, user_pwd)
     enc = dict(base)
     enc.update(
         {
@@ -464,11 +504,13 @@ def make_encrypt_aes128(
         }
     )
     # R4 reuses the R3 key derivation; /O /U stay valid
-    return enc, _handler_from(enc, id0)
+    return enc, _handler_from(enc, id0, user_pwd)
 
 
-@lru_cache(maxsize=4)
-def _aes256_enc_dict(owner_pwd: bytes) -> Tuple[Tuple[str, Any], ...]:
+@lru_cache(maxsize=8)
+def _aes256_enc_dict(
+    owner_pwd: bytes, user_pwd: bytes = b""
+) -> Tuple[Tuple[str, Any], ...]:
     """The /Encrypt payload for V5/R6 (Algorithms 8/9/10).  R6 key
     derivation never uses /ID, so with fixed salts the dict is
     document-independent — memoized because each _r6_hash costs ~1 s."""
@@ -476,8 +518,10 @@ def _aes256_enc_dict(owner_pwd: bytes) -> Tuple[Tuple[str, Any], ...]:
     file_key = hashlib.sha256(seed + b"key").digest()
     vsalt = hashlib.sha256(seed + b"vs").digest()[:8]
     ksalt = hashlib.sha256(seed + b"ks").digest()[:8]
-    u = _r6_hash(b"", vsalt) + vsalt + ksalt
-    ue = aes_cbc_encrypt(_r6_hash(b"", ksalt), b"\x00" * 16, file_key, pad=False)
+    u = _r6_hash(user_pwd, vsalt) + vsalt + ksalt
+    ue = aes_cbc_encrypt(
+        _r6_hash(user_pwd, ksalt), b"\x00" * 16, file_key, pad=False
+    )
     ovsalt = hashlib.sha256(seed + b"ovs").digest()[:8]
     oksalt = hashlib.sha256(seed + b"oks").digest()[:8]
     o = _r6_hash(owner_pwd, ovsalt, u) + ovsalt + oksalt
@@ -499,22 +543,30 @@ def _aes256_enc_dict(owner_pwd: bytes) -> Tuple[Tuple[str, Any], ...]:
 
 
 def make_encrypt_aes256(
-    id0: bytes, owner_pwd: bytes = b"owner"
+    id0: bytes, owner_pwd: bytes = b"owner", user_pwd: bytes = b""
 ) -> Tuple[Dict[str, Any], "StdSecurity"]:
     """V5/R6 AES-256 (deterministic salts/key — see _aes256_enc_dict)."""
-    enc = dict(_aes256_enc_dict(owner_pwd))
-    return enc, _handler_from(enc, id0)
+    enc = dict(_aes256_enc_dict(owner_pwd, user_pwd))
+    return enc, _handler_from(enc, id0, user_pwd)
 
 
-def _handler_from(enc: Dict[str, Any], id0: bytes) -> StdSecurity:
-    return StdSecurity(enc, id0)
+def _handler_from(
+    enc: Dict[str, Any], id0: bytes, password: bytes = b""
+) -> StdSecurity:
+    return StdSecurity(enc, id0, password)
 
 
-def build_security(enc: Dict[str, Any], id0: bytes) -> Optional[StdSecurity]:
-    """Parser hook: a handler, or None if this file needs a password /
-    uses an unsupported scheme (the document then decodes to nothing —
-    fault-tolerant, never raises past here)."""
-    try:
-        return StdSecurity(enc, id0)
-    except (PdfError, TypeError, ValueError, KeyError):
-        return None
+def build_security(
+    enc: Dict[str, Any], id0: bytes, password: bytes = b""
+) -> Optional[StdSecurity]:
+    """Parser hook: a handler, or None if this file needs a (different)
+    password / uses an unsupported scheme (the document then decodes to
+    nothing — fault-tolerant, never raises past here).  A non-empty
+    ``password`` is tried as user then owner; empty is the final
+    fallback (a wrong password never locks out empty-user files)."""
+    for pwd in (password, b"") if password else (b"",):
+        try:
+            return StdSecurity(enc, id0, pwd)
+        except (PdfError, TypeError, ValueError, KeyError):
+            continue
+    return None

@@ -546,8 +546,9 @@ _XREF_ENT_RE = re.compile(rb"(\d{10})\s(\d{5})\s([nf])")
 
 
 class PdfDocument:
-    def __init__(self, data: bytes):
+    def __init__(self, data: bytes, password: bytes = b""):
         self.data = data
+        self._password = password
         self.version = (
             data[5:8].decode("latin-1", "replace")
             if data.startswith(b"%PDF-")
@@ -570,8 +571,9 @@ class PdfDocument:
 
     def _init_crypt(self) -> None:
         """Standard security handler (§7.6) — empty-user-password files
-        decrypt transparently; anything else leaves the handler None
-        and the document decodes to nothing (fault tolerance)."""
+        decrypt transparently, a supplied ``password`` is tried as user
+        then owner; anything else leaves the handler None and the
+        document decodes to nothing (fault tolerance)."""
         enc_ref = self.trailer.get("Encrypt")
         if enc_ref is None:
             return
@@ -587,7 +589,7 @@ class PdfDocument:
             )
             from .pdfcrypt import build_security
 
-            self._crypt = build_security(enc, id0)
+            self._crypt = build_security(enc, id0, self._password)
 
     def _decrypt_obj(self, obj: Any, num: int, gen: int = 0) -> Any:
         if isinstance(obj, bytes):

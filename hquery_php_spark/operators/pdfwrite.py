@@ -326,15 +326,17 @@ def build_pdf(
     incremental: bool = False,
     info: Optional[Dict[str, str]] = None,
     encrypt: Optional[str] = None,
+    user_pwd: bytes = b"",
 ) -> bytes:
     """Serialize ``pages`` (lists of ``(x, y, text)`` blocks) to a real,
     conformant PDF through the selected container mechanisms.
 
     ``encrypt``: None | 'rc4' (V2/R3 128-bit) | 'aes128' (V4/R4 AESV2)
-    | 'aes256' (V5/R6 AESV3) — empty user password, owner pwd 'owner',
-    deterministic /ID and IVs so differential oracles stay closed-form.
-    Not combinable with xref streams / object streams / incremental
-    (those families pin their own mechanisms unencrypted)."""
+    | 'aes256' (V5/R6 AESV3) — owner pwd 'owner', user password
+    ``user_pwd`` (empty by default), deterministic /ID and IVs so
+    differential oracles stay closed-form.  Not combinable with xref
+    streams / object streams / incremental (those families pin their
+    own mechanisms unencrypted)."""
     if incremental:
         if len(pages) < 2:
             incremental = False
@@ -396,7 +398,7 @@ def build_pdf(
             "aes128": make_encrypt_aes128,
             "aes256": make_encrypt_aes256,
         }[encrypt]
-        enc_dict, handler = maker(id0)
+        enc_dict, handler = maker(id0, user_pwd=user_pwd)
         enc_num = next_num
         next_num += 1
 

@@ -343,8 +343,8 @@ def test_encrypted_families_decrypt_transparently(mode):
 
 
 def test_encrypted_wrong_user_password_is_honest_boundary():
-    """A NON-empty user password can't be opened (by design) — the
-    document decodes to nothing instead of raising."""
+    """A file whose password is not supplied (here: corrupted /U, so
+    no password can validate) decodes to nothing instead of raising."""
     from hquery_php_spark.operators import pdfcrypt
 
     data = build_pdf(PAGES, encrypt="rc4")
@@ -359,6 +359,48 @@ def test_encrypted_wrong_user_password_is_honest_boundary():
 
     doc = PdfDocument(data)
     assert doc._crypt is not None  # the good file authenticates
+
+
+@pytest.mark.parametrize("mode", ["rc4", "aes128", "aes256"])
+def test_user_password_opens_with_user_and_owner(mode):
+    """Non-empty user passwords: the file opens with the user password
+    (Algorithm 4/5; R6 Algorithm 2.A) AND with the owner password
+    (Algorithm 7 /O recovery; R6 /OE unwrap); wrong or missing
+    passwords degrade to decode-to-nothing, never an exception."""
+    ref = extract_pdf_spans(build_pdf(PAGES))
+    data = build_pdf(
+        PAGES, encrypt=mode, filters=("FlateDecode",), user_pwd=b"s3cret"
+    )
+    assert extract_pdf_spans(data, b"s3cret") == ref
+    assert extract_pdf_spans(data, b"owner") == ref
+    for pwd in (b"", b"wrong"):
+        _, spans = extract_pdf_spans(data, pwd)
+        assert spans == []
+    # encrypted string objects (/Info) decrypt under the password too
+    d2 = build_pdf(PAGES, encrypt=mode, info={"Title": "pw"}, user_pwd=b"s3cret")
+    from hquery_php_spark.operators.pdfparse import PdfDocument
+
+    assert PdfDocument(d2, b"s3cret").info() == {"Title": "pw"}
+
+
+def test_wrong_password_never_locks_out_empty_user_files():
+    ref = extract_pdf_spans(build_pdf(PAGES))
+    data = build_pdf(PAGES, encrypt="rc4", filters=("FlateDecode",))
+    assert extract_pdf_spans(data, b"totally-wrong") == ref
+
+
+def test_algorithm7_owner_key_recovery():
+    """The file key derived via the owner password (Algorithm 7) is
+    byte-identical to the user-password derivation."""
+    from hquery_php_spark.operators.pdfcrypt import StdSecurity, make_encrypt_rc4
+    from hquery_php_spark.operators.pdfparse import PdfError
+
+    id0 = b"x" * 16
+    enc, h_user = make_encrypt_rc4(id0, b"own3r", user_pwd=b"usr")
+    assert StdSecurity(enc, id0, b"usr").key == h_user.key
+    assert StdSecurity(enc, id0, b"own3r").key == h_user.key
+    with pytest.raises(PdfError):
+        StdSecurity(enc, id0, b"nope")
 
 
 def test_encrypted_fuzz_never_raises():
