@@ -2882,20 +2882,22 @@ def q_find_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """North-rule PDF/layout parse: deterministic TWO-PAGE PDFs, each
-    doc written through one of the 17 differential container families
-    (incl. RC4 / AES-128 / AES-256 encryption, empty user password)
-    (classic xref / xref stream / object streams; Flate / LZW / RL /
-    AHx / A85∘Flate filters; literal / octal / hex+ToUnicode strings;
-    Td / Tm / TD-T*-' positioning; q-cm-Q translation; incremental
-    update), then structurally parsed back.  Every family must yield
-    the same spans — the closed-form oracle checks them all at once;
-    only `version` varies (1.5/1.6/1.7 xref-stream/AES families)."""
+    doc written through one of the 19 differential container families
+    (incl. RC4 / AES-128 / AES-256 encryption with empty user password
+    AND `pwrc4` — a NON-empty user password opened via the operator's
+    password parameter) (classic xref / xref stream / object streams;
+    Flate / LZW / RL / AHx / A85∘Flate filters; literal / octal /
+    hex+ToUnicode strings; Td / Tm / TD-T*-' positioning; q-cm-Q
+    translation; incremental update), then structurally parsed back.
+    Every family must yield the same spans — the closed-form oracle
+    checks them all at once; only `version` varies (1.5/1.6/1.7
+    xref-stream/AES families)."""
     from hquery_php_spark.operators.pdf import build_pdf, pdf_extract_df
     from hquery_php_spark.operators.pdfwrite import PDF_FAMILIES
     import pandas as pd
     from pyspark.sql.types import BinaryType, StringType, StructField, StructType
 
-    fams = sorted(PDF_FAMILIES)  # 18 families, index = doc_id % 18
+    fams = sorted(PDF_FAMILIES)  # 19 families, index = doc_id % 19
     d = _spread(_docs(spark, sf_dir), spark).select(
         F.col("doc_id").cast("string").alias("doc_id"),
         F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")).alias("norm"),
@@ -2922,7 +2924,9 @@ def q_pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(out)
 
     pdfs = d.mapInPandas(gen, gen_schema)
-    return pdf_extract_df(pdfs)
+    # one corpus-wide password: opens the pwrc4 family; every other
+    # family falls back to the empty user password transparently
+    return pdf_extract_df(pdfs, password=b"s3cret")
 
 
 # --------------------------------------------------------------------- #
@@ -3939,13 +3943,14 @@ def _base_oracle_sql() -> dict[str, str]:
                                  'span + span','span:lt(3)']) AS selector)
         """,
         "pdf_extract": f"""
-            -- 18 writer families share one span oracle; sorted family
-            -- order: objstm=10/xrefstm=17 are PDF 1.5, aes128=1 is
-            -- 1.6, aes256=2 is 1.7, everything else 1.4
+            -- 19 writer families share one span oracle; sorted family
+            -- order: objstm=10/xrefstm=18 are PDF 1.5, aes128=1 is
+            -- 1.6, aes256=2 is 1.7, everything else (incl. pwrc4=12,
+            -- the password-protected RC4 family) 1.4
             SELECT CAST(doc_id AS VARCHAR) AS doc_id,
-                   CASE WHEN doc_id % 18 IN (10, 17) THEN '1.5'
-                        WHEN doc_id % 18 = 1 THEN '1.6'
-                        WHEN doc_id % 18 = 2 THEN '1.7'
+                   CASE WHEN doc_id % 19 IN (10, 18) THEN '1.5'
+                        WHEN doc_id % 19 = 1 THEN '1.6'
+                        WHEN doc_id % 19 = 2 THEN '1.7'
                         ELSE '1.4' END AS version,
                    2 AS n_pages,
                    CASE WHEN ord = 3 THEN 1 ELSE 0 END AS page, ord,

@@ -655,6 +655,7 @@ PDF_FAMILIES: Dict[str, Dict[str, Any]] = {
     "incr": {"incremental": True},
     "diffenc": {"strmode": "diffenc", "filters": ("FlateDecode",)},
     "rc4": {"encrypt": "rc4", "filters": ("FlateDecode",)},
+    "pwrc4": {"encrypt": "rc4", "filters": ("FlateDecode",), "user_pwd": b"s3cret"},
     "aes128": {"encrypt": "aes128", "filters": ("FlateDecode",)},
     "aes256": {"encrypt": "aes256", "filters": ("FlateDecode",)},
 }

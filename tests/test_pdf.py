@@ -57,7 +57,10 @@ PAGES = [
 def test_family_differential(family):
     ref_n, ref_spans = extract_pdf_spans(build_pdf(PAGES))
     assert ref_n == 3 and len(ref_spans) == 8
-    n, spans = extract_pdf_spans(build_pdf(PAGES, **PDF_FAMILIES[family]))
+    fam = PDF_FAMILIES[family]
+    n, spans = extract_pdf_spans(
+        build_pdf(PAGES, **fam), fam.get("user_pwd", b"")
+    )
     assert (n, spans) == (ref_n, ref_spans), family
 
 
