@@ -1040,6 +1040,8 @@ def _decode_scan(payload, data_pos, frame, scan, qt, huff_dc, huff_ac, dri):
                         col = mx * comp["h"] + bx
                         blk = store[si][row * bw_c + col]
                         s = dct.decode(br)
+                        if s > 15:  # corrupt table: DC category ≤ 15
+                            raise ValueError("bad DC category")
                         diff = _extend(br.receive(s), s) if s else 0
                         pred[si] += diff
                         blk[0] = pred[si]
@@ -1177,6 +1179,8 @@ def _prog_dc_scan(br, frame, scan, stores, huff_dc, dri, ah, al):
             for bi in blocks:
                 if ah == 0:  # DC first: point-transformed diff coding
                     s = huff_dc[td].decode(br)
+                    if s > 15:  # corrupt table: DC category ≤ 15
+                        raise ValueError("bad DC category")
                     diff = _extend(br.receive(s), s) if s else 0
                     pred[si] += diff
                     st[bi, 0] = pred[si] << al
