@@ -562,9 +562,13 @@ def build_security(
     """Parser hook: a handler, or None if this file needs a (different)
     password / uses an unsupported scheme (the document then decodes to
     nothing — fault-tolerant, never raises past here).  A non-empty
-    ``password`` is tried as user then owner; empty is the final
-    fallback (a wrong password never locks out empty-user files)."""
-    for pwd in (password, b"") if password else (b"",):
+    ``password`` is tried as user then owner, with the EMPTY password
+    attempted first: empty-user files are the overwhelmingly common
+    case, their R6 salt hashes stay lru-cached across a corpus, and
+    any credential that validates yields the same file key (the /U
+    check pins the key, not the credential), so order cannot change
+    the result — only the per-document KDF cost."""
+    for pwd in (b"", password) if password else (b"",):
         try:
             return StdSecurity(enc, id0, pwd)
         except (PdfError, TypeError, ValueError, KeyError):
