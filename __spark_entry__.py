@@ -1897,6 +1897,33 @@ def _container_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
             for did in pdf["did"]:
                 did = int(did)
                 out["media_id"].append(f"m{did}")
+                # video codec family cycles with did%4; profile/level/
+                # depth parameters derive from did//4 so they vary
+                # independently of the family parity.  Audio exists iff
+                # n_tracks == 2 (odd did): mp4a under hev1, Opus under
+                # vp09.  The codec_tags twin inverts this closed-form.
+                vfam = did % 4
+                sel = did // 4
+                if vfam == 0:
+                    vc, vp = "avc1", {
+                        "profile": (66, 77, 100)[did % 3],
+                        "level": 10 + did % 42,
+                    }
+                elif vfam == 1:
+                    p = 1 + sel % 2
+                    vc, vp = "hev1", {
+                        "profile": p, "level": 93 if p == 1 else 120,
+                    }
+                elif vfam == 2:
+                    vc, vp = "av01", {
+                        "level": sel % 14, "high_bitdepth": bool(sel % 2),
+                    }
+                else:
+                    vc, vp = "vp09", {
+                        "profile": sel % 4,
+                        "level": (10, 20, 30, 41)[sel % 4],
+                        "bit_depth": 10 if sel % 2 else 8,
+                    }
                 out["payload"].append(
                     encode_mp4_stub(
                         1000 + did % 9000,
@@ -1904,6 +1931,9 @@ def _container_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
                         16 * (1 + did % 30),
                         n_tracks=1 + did % 2,
                         version1=(did % 3 == 0),
+                        video_codec=vc,
+                        video_params=vp,
+                        audio_codec="mp4a" if vfam == 1 else "Opus",
                     )
                 )
                 out["media_id"].append(f"k{did}")
@@ -1922,10 +1952,13 @@ def _container_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL video-container metadata walk (MP4 boxes incl. per-track
-    stsd codec fourccs, WebM EBML incl. per-TrackEntry CodecID, AVI
-    avih + stream-aware strl) — the filter-before-decode operator.
-    Fields a container does not carry are coalesced to 0/'' for the
-    integer twin (the operator itself emits honest NULLs)."""
+    stsd codec fourccs AND the codec-configuration records — avcC with
+    genuine SPS parse, hvcC, av1C sequence-header OBU, vpcC, esds, dOps
+    — rendered as RFC 6381 codec strings with SPS-authoritative coded
+    dims; WebM EBML incl. per-TrackEntry CodecID; AVI avih +
+    stream-aware strl) — the filter-before-decode operator.  Fields a
+    container does not carry are coalesced to 0/'' for the integer twin
+    (the operator itself emits honest NULLs)."""
     from hquery_php_spark.operators.multimodal import video_meta_df
 
     payloads = _container_payloads(spark, sf_dir).unionByName(
@@ -1942,6 +1975,9 @@ def q_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("duration_ms", z).alias("duration_ms"),
         F.coalesce("timescale", z).alias("timescale"),
         F.coalesce("codecs", F.lit("")).alias("codecs"),
+        F.coalesce("codec_tags", F.lit("")).alias("codec_tags"),
+        F.coalesce("coded_width", z).alias("coded_width"),
+        F.coalesce("coded_height", z).alias("coded_height"),
     )
 
 
@@ -2067,14 +2103,14 @@ def q_media_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     m = q_media_meta(spark, sf_dir).select(
         F.lit("vmeta").alias("fam"),
-        F.concat_ws(":", "media_id", "codecs").alias("k1"),
+        F.concat_ws(":", "media_id", "codecs", "codec_tags").alias("k1"),
         F.col("width").cast("int").alias("k2"),
         F.col("height").cast("long").alias("a"),
         F.col("n_tracks").cast("long").alias("b"),
         F.col("duration_ms").cast("long").alias("c"),
         F.col("timescale").cast("long").alias("d"),
-        F.lit(0).cast("long").alias("e"),
-        F.lit(0).cast("long").alias("f"),
+        F.col("coded_width").cast("long").alias("e"),
+        F.col("coded_height").cast("long").alias("f"),
     )
     am = q_audio_meta(spark, sf_dir).select(
         F.lit("ameta").alias("fam"),
@@ -4626,6 +4662,12 @@ def _base_oracle_sql() -> dict[str, str]:
         # _container_payloads + _avi_payloads (integer header fields;
         # 0 = the container does not carry that field).
         "media_meta": """
+            -- mp4 family: video codec cycles doc_id%4 (avc1/hev1/av01/
+            -- vp09), profile/level/depth from doc_id//4; audio track
+            -- only when n_tracks=2 (odd ids): mp4a under hev1, Opus
+            -- under vp09.  codec_tags = RFC 6381; coded dims only for
+            -- families whose config records carry a parseable
+            -- bitstream header (avcC SPS, av1C sequence header).
             SELECT 'm' || CAST(doc_id AS VARCHAR) AS media_id,
                    'video/mp4' AS mime,
                    CAST(16 * (1 + doc_id % 40) AS INTEGER) AS width,
@@ -4633,8 +4675,38 @@ def _base_oracle_sql() -> dict[str, str]:
                    CAST(1 + doc_id % 2 AS INTEGER) AS n_tracks,
                    CAST(1000 + doc_id % 9000 AS INTEGER) AS duration_ms,
                    CAST(1000 AS INTEGER) AS timescale,
-                   CASE WHEN doc_id % 2 = 0 THEN 'avc1'
-                        ELSE 'avc1,mp4a' END AS codecs
+                   CASE doc_id % 4 WHEN 0 THEN 'avc1'
+                        WHEN 1 THEN 'hev1,mp4a'
+                        WHEN 2 THEN 'av01'
+                        ELSE 'vp09,Opus' END AS codecs,
+                   CASE doc_id % 4
+                        WHEN 0 THEN 'avc1.' ||
+                             printf('%02X', CASE doc_id % 3 WHEN 0 THEN 66
+                                    WHEN 1 THEN 77 ELSE 100 END) ||
+                             '00' || printf('%02X', 10 + doc_id % 42)
+                        WHEN 1 THEN (CASE (doc_id // 4) % 2
+                                     WHEN 0 THEN 'hev1.1.6.L93.B0'
+                                     ELSE 'hev1.2.4.L120.B0' END)
+                                    || ',mp4a.40.2'
+                        WHEN 2 THEN 'av01.0.' ||
+                             printf('%02d', (doc_id // 4) % 14) || 'M.' ||
+                             CASE (doc_id // 4) % 2 WHEN 0 THEN '08'
+                                  ELSE '10' END
+                        ELSE 'vp09.' ||
+                             printf('%02d', (doc_id // 4) % 4) || '.' ||
+                             printf('%02d', CASE (doc_id // 4) % 4
+                                    WHEN 0 THEN 10 WHEN 1 THEN 20
+                                    WHEN 2 THEN 30 ELSE 41 END) || '.' ||
+                             CASE (doc_id // 4) % 2 WHEN 0 THEN '08'
+                                  ELSE '10' END
+                             || ',Opus'
+                   END AS codec_tags,
+                   CAST(CASE WHEN doc_id % 4 IN (0, 2)
+                        THEN 16 * (1 + doc_id % 40) ELSE 0 END
+                        AS INTEGER) AS coded_width,
+                   CAST(CASE WHEN doc_id % 4 IN (0, 2)
+                        THEN 16 * (1 + doc_id % 30) ELSE 0 END
+                        AS INTEGER) AS coded_height
             FROM documents
             UNION ALL
             SELECT 'k' || CAST(doc_id AS VARCHAR), 'video/webm',
@@ -4643,7 +4715,8 @@ def _base_oracle_sql() -> dict[str, str]:
                    CAST(1 + doc_id % 3 AS INTEGER),
                    CAST(0 AS INTEGER),
                    CAST(100000 * (1 + doc_id % 10) AS INTEGER),
-                   'V_VP8' || repeat(',A_OPUS', doc_id % 3)
+                   'V_VP8' || repeat(',A_OPUS', doc_id % 3),
+                   '', CAST(0 AS INTEGER), CAST(0 AS INTEGER)
             FROM documents
             UNION ALL
             SELECT 'x' || CAST(doc_id AS VARCHAR), 'video/x-msvideo',
@@ -4652,7 +4725,8 @@ def _base_oracle_sql() -> dict[str, str]:
                    CAST(1 AS INTEGER),
                    CAST(40 * (1 + doc_id % 4) AS INTEGER),
                    CAST(0 AS INTEGER),
-                   'DIB'
+                   'DIB',
+                   '', CAST(0 AS INTEGER), CAST(0 AS INTEGER)
             FROM documents
         """,
         "embed_near_dup_exact": """
@@ -5012,11 +5086,12 @@ def oracle_sql() -> dict[str, str]:
                CAST(0 AS BIGINT)
         FROM ({base['frame_sample']})
         UNION ALL
-        SELECT 'vmeta', media_id || ':' || codecs, width,
+        SELECT 'vmeta', media_id || ':' || codecs || ':' || codec_tags,
+               width,
                CAST(height AS BIGINT),
                CAST(n_tracks AS BIGINT), CAST(duration_ms AS BIGINT),
-               CAST(timescale AS BIGINT), CAST(0 AS BIGINT),
-               CAST(0 AS BIGINT)
+               CAST(timescale AS BIGINT), CAST(coded_width AS BIGINT),
+               CAST(coded_height AS BIGINT)
         FROM ({base['media_meta']})
         UNION ALL
         SELECT 'ameta', media_id || ':' || codec, sample_rate,

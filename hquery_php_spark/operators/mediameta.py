@@ -64,6 +64,101 @@ def _box(typ: bytes, body: bytes) -> bytes:
     return struct.pack(">I", 8 + len(body)) + typ + body
 
 
+_VISUAL_FOURCCS = frozenset((b"avc1", b"avc3", b"hvc1", b"hev1", b"av01",
+                             b"vp09", b"vp08", b"mp4v", b"encv"))
+_AUDIO_FOURCCS = frozenset((b"mp4a", b"Opus", b"enca", b"ac-3", b"ec-3",
+                            b"fLaC"))
+
+
+def _visual_sample_entry(
+    fourcc: bytes, width: int, height: int, cfg: bytes = b""
+) -> bytes:
+    """Full VisualSampleEntry (ISO 14496-12 §12.1.3): 78-byte fixed
+    header then child boxes (the codec config)."""
+    body = (
+        b"\x00" * 6 + struct.pack(">H", 1)  # reserved + data_ref_index
+        + b"\x00" * 16  # pre_defined/reserved
+        + struct.pack(">HH", width, height)
+        + struct.pack(">II", 0x480000, 0x480000)  # 72 dpi
+        + b"\x00" * 4
+        + struct.pack(">H", 1)  # frame_count
+        + b"\x00" * 32  # compressorname
+        + struct.pack(">Hh", 24, -1)  # depth, pre_defined
+    )
+    return _box(fourcc, body + cfg)
+
+
+def _audio_sample_entry(
+    fourcc: bytes, channels: int, sample_rate: int, cfg: bytes = b""
+) -> bytes:
+    """Full AudioSampleEntry (ISO 14496-12 §12.2.3): 28-byte fixed
+    header then child boxes."""
+    body = (
+        b"\x00" * 6 + struct.pack(">H", 1)
+        + b"\x00" * 8  # version/revision/vendor
+        + struct.pack(">HHHH", channels, 16, 0, 0)
+        + struct.pack(">I", sample_rate << 16)  # 16.16
+    )
+    return _box(fourcc, body + cfg)
+
+
+def _codec_config_box(fourcc: bytes, width: int, height: int, params: dict):
+    """(config child box bytes) for a sample-entry fourcc, built from
+    the deterministic ``params`` — the writer half of the codec-config
+    surface (parse half: operators/codecconfig.py)."""
+    from . import codecconfig as cc
+
+    if fourcc in (b"avc1", b"avc3"):
+        sps = cc.build_avc_sps(
+            width, height,
+            profile_idc=params.get("profile", 66),
+            level_idc=params.get("level", 30),
+        )
+        return _box(b"avcC", cc.build_avcc(sps))
+    if fourcc in (b"hev1", b"hvc1"):
+        return _box(
+            b"hvcC",
+            cc.build_hvcc(
+                profile_idc=params.get("profile", 1),
+                level_idc=params.get("level", 93),
+            ),
+        )
+    if fourcc == b"av01":
+        high_bd = bool(params.get("high_bitdepth"))
+        lvl = params.get("level", 8)
+        obu = cc.build_av1_seq_header_obu(
+            width, height, seq_level_idx=lvl, high_bitdepth=high_bd
+        )
+        return _box(
+            b"av1C",
+            cc.build_av1c(
+                seq_level_idx=lvl, high_bitdepth=high_bd, config_obus=obu
+            ),
+        )
+    if fourcc == b"vp09":
+        return _box(
+            b"vpcC",
+            cc.build_vpcc(
+                profile=params.get("profile", 0),
+                level=params.get("level", 10),
+                bit_depth=params.get("bit_depth", 8),
+            ),
+        )
+    if fourcc == b"mp4a":
+        return _box(
+            b"esds",
+            cc.build_esds(
+                sample_rate=params.get("sample_rate", 44100),
+                channels=params.get("channels", 2),
+            ),
+        )
+    if fourcc == b"Opus":
+        return _box(
+            b"dOps", cc.build_dops(channels=params.get("channels", 2))
+        )
+    return b""
+
+
 def encode_mp4_stub(
     duration_ms: int,
     width: int,
@@ -71,13 +166,23 @@ def encode_mp4_stub(
     n_tracks: int = 1,
     brand: bytes = b"isom",
     version1: bool = False,
+    video_codec: Optional[str] = None,
+    audio_codec: Optional[str] = None,
+    video_params: Optional[dict] = None,
+    audio_params: Optional[dict] = None,
 ) -> bytes:
     """Minimal valid ftyp+moov (+empty mdat): mvhd at timescale 1000,
     one tkhd per track (the first carries the video dimensions), and a
     per-track mdia>minf>stbl>stsd sample description naming the codec
     (track 0 ``avc1``, later tracks ``mp4a`` — the dominant real-corpus
     layout).  ``version1`` emits 64-bit mvhd/tkhd variants so the
-    parser's wide path is exercised."""
+    parser's wide path is exercised.
+
+    With ``video_codec``/``audio_codec`` set (avc1|hev1|av01|vp09 /
+    mp4a|Opus), sample entries are FULL visual/audio entries carrying a
+    real codec-configuration child box (avcC with a genuine SPS+PPS,
+    hvcC, av1C with a sequence-header OBU, vpcC, esds, dOps) built from
+    ``video_params``/``audio_params`` — the RFC 6381 filter surface."""
     ftyp = _box(b"ftyp", brand + struct.pack(">I", 0x200) + brand + b"mp42")
     if version1:
         mvhd = _box(
@@ -109,10 +214,24 @@ def encode_mp4_stub(
                 + struct.pack(">I", duration_ms) + b"\x00" * 52
                 + struct.pack(">II", w << 16, h << 16)
             )
-        fourcc = b"avc1" if t == 0 else b"mp4a"
-        # sample entry: size + fourcc + 8 reserved bytes is enough for
-        # the codec-inventory walk (real entries carry more)
-        entry = struct.pack(">I", 16) + fourcc + b"\x00" * 8
+        if t == 0 and video_codec:
+            fc = video_codec.encode("ascii")
+            entry = _visual_sample_entry(
+                fc, width, height,
+                _codec_config_box(fc, width, height, video_params or {}),
+            )
+        elif t > 0 and audio_codec:
+            fc = audio_codec.encode("ascii")
+            ap = audio_params or {}
+            entry = _audio_sample_entry(
+                fc, ap.get("channels", 2), ap.get("sample_rate", 44100),
+                _codec_config_box(fc, 0, 0, ap),
+            )
+        else:
+            fourcc = b"avc1" if t == 0 else b"mp4a"
+            # bare sample entry: size + fourcc + 8 reserved bytes is
+            # enough for the codec-inventory walk (real entries more)
+            entry = struct.pack(">I", 16) + fourcc + b"\x00" * 8
         stsd = _box(b"stsd", b"\x00" * 4 + struct.pack(">I", 1) + entry)
         mdia = _box(b"mdia", _box(b"minf", _box(b"stbl", stsd)))
         traks += _box(b"trak", _box(b"tkhd", tk) + mdia)
@@ -159,8 +278,10 @@ def _mp4_meta_impl(payload):
         return None
     out = {"brand": payload[8:12].decode("latin-1"), "timescale": None,
            "duration": None, "duration_ms": None, "n_tracks": 0,
-           "width": None, "height": None, "codecs": None}
+           "width": None, "height": None, "codecs": None,
+           "codec_tags": None, "coded_width": None, "coded_height": None}
     codecs = []
+    tags = []
     for typ, body, end in _walk_boxes(payload, 0, len(payload)):
         if typ != b"moov":
             continue
@@ -184,20 +305,71 @@ def _mp4_meta_impl(payload):
                         if (w or h) and out["width"] is None:
                             out["width"], out["height"] = w >> 16, h >> 16
                     elif t3 == b"mdia":
-                        cc = _stsd_fourcc(payload, b3, e3)
-                        if cc:
-                            codecs.append(cc)
+                        info = _stsd_entry(payload, b3, e3)
+                        if info:
+                            fc, tag, cw, ch = info
+                            codecs.append(fc)
+                            tags.append(tag)
+                            if cw and out["coded_width"] is None:
+                                out["coded_width"] = cw
+                                out["coded_height"] = ch
         break
     if out["timescale"] is None:
         return None
     if codecs:
         out["codecs"] = ",".join(codecs)
+        out["codec_tags"] = ",".join(tags)
     return out
 
 
 def _stsd_fourcc(payload, b3, e3):
     """First sample-entry fourcc of a trak's mdia>minf>stbl>stsd, or
     None — the per-track codec name."""
+    info = _stsd_entry(payload, b3, e3)
+    return info[0] if info else None
+
+
+def _parse_entry_config(payload, fourcc, cfg_start, entry_end):
+    """Walk the child boxes of a sample entry; return (rfc6381_tag,
+    coded_w, coded_h) from the codec-configuration record, or
+    (fourcc, None, None) when no known config box is present."""
+    from . import codecconfig as cc
+
+    fc = fourcc.decode("latin-1").strip()
+    for t, b, e in _walk_boxes(payload, cfg_start, entry_end):
+        body = payload[b:e]
+        if t == b"avcC":
+            m = cc.parse_avcc(body)
+            if m:
+                return cc.codec_string(fc, m), m.get("width"), m.get("height")
+        elif t == b"hvcC":
+            m = cc.parse_hvcc(body)
+            if m:
+                return cc.codec_string(fc, m), None, None
+        elif t == b"av1C":
+            m = cc.parse_av1c(body)
+            if m:
+                return cc.codec_string(fc, m), m.get("width"), m.get("height")
+        elif t == b"vpcC":
+            m = cc.parse_vpcc(body)
+            if m:
+                return cc.codec_string(fc, m), None, None
+        elif t == b"esds":
+            m = cc.parse_esds(body)
+            if m:
+                return cc.codec_string(fc, m), None, None
+        elif t == b"dOps":
+            if cc.parse_dops(body):
+                return fc, None, None  # RFC 6381 string for Opus = "Opus"
+    return fc, None, None
+
+
+def _stsd_entry(payload, b3, e3):
+    """First sample entry of a trak's mdia>minf>stbl>stsd ->
+    (fourcc, rfc6381_tag, coded_w, coded_h), or None.  The codec tag
+    and coded dims come from the entry's configuration child box
+    (avcC SPS / av1C sequence header are authoritative for coded
+    dimensions; tkhd dims are presentation hints)."""
     for t4, b4, e4 in _walk_boxes(payload, b3, e3):
         if t4 != b"minf":
             continue
@@ -210,9 +382,28 @@ def _stsd_fourcc(payload, b3, e3):
                 (n_entries,) = struct.unpack_from(">I", payload, b6 + 4)
                 if n_entries < 1:
                     continue
-                return payload[b6 + 12 : b6 + 16].decode(
-                    "latin-1"
-                ).strip() or None
+                entry_start = b6 + 8
+                (entry_size,) = struct.unpack_from(
+                    ">I", payload, entry_start
+                )
+                fourcc = payload[entry_start + 4 : entry_start + 8]
+                fc = fourcc.decode("latin-1").strip()
+                if not fc:
+                    return None
+                entry_end = min(entry_start + max(entry_size, 8), e6)
+                # fixed sample-entry header before child boxes
+                if fourcc in _VISUAL_FOURCCS:
+                    cfg_start = entry_start + 8 + 78
+                elif fourcc in _AUDIO_FOURCCS:
+                    cfg_start = entry_start + 8 + 28
+                else:
+                    return fc, fc, None, None
+                if cfg_start >= entry_end:
+                    return fc, fc, None, None
+                tag, cw, ch = _parse_entry_config(
+                    payload, fourcc, cfg_start, entry_end
+                )
+                return fc, tag, cw, ch
     return None
 
 

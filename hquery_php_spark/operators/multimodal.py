@@ -953,6 +953,9 @@ def video_meta_df(df: DataFrame, payload_col: str = "payload") -> DataFrame:
             StructField("duration_ms", IntegerType()),
             StructField("timescale", IntegerType()),
             StructField("codecs", StringType()),
+            StructField("codec_tags", StringType()),
+            StructField("coded_width", IntegerType()),
+            StructField("coded_height", IntegerType()),
         ]
     )
     narrow = df.select(F.col("media_id").cast("string"), F.col(payload_col).alias("p"))
@@ -964,6 +967,7 @@ def video_meta_df(df: DataFrame, payload_col: str = "payload") -> DataFrame:
                 payload = bytes(p) if p is not None else None
                 mime = sniff_media_type(payload)
                 w = h = tracks = dur = ts = codecs = None
+                tags = cw = chh = None
                 if mime in ("video/mp4", "video/quicktime", "audio/mp4"):
                     m = mp4_meta(payload)
                     if m:
@@ -972,6 +976,9 @@ def video_meta_df(df: DataFrame, payload_col: str = "payload") -> DataFrame:
                             m["n_tracks"], m["duration_ms"], m["timescale"],
                         )
                         codecs = m["codecs"]
+                        # RFC 6381 strings + SPS/seq-header coded dims
+                        tags = m["codec_tags"]
+                        cw, chh = m["coded_width"], m["coded_height"]
                 elif mime in ("video/webm", "video/x-matroska"):
                     m = webm_meta(payload)
                     if m:
@@ -993,6 +1000,9 @@ def video_meta_df(df: DataFrame, payload_col: str = "payload") -> DataFrame:
                 out["duration_ms"].append(dur)
                 out["timescale"].append(ts)
                 out["codecs"].append(codecs)
+                out["codec_tags"].append(tags)
+                out["coded_width"].append(cw)
+                out["coded_height"].append(chh)
             yield pd.DataFrame(out)
 
     return narrow.mapInPandas(run, schema)

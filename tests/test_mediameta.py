@@ -26,7 +26,8 @@ def test_mp4_walk(version1):
     assert m == {
         "brand": "isom", "timescale": 1000, "duration": 5321,
         "duration_ms": 5321, "n_tracks": 2, "width": 640, "height": 360,
-        "codecs": "avc1,mp4a",
+        "codecs": "avc1,mp4a", "codec_tags": "avc1,mp4a",
+        "coded_width": None, "coded_height": None,
     }
 
 
