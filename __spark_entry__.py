@@ -1937,12 +1937,33 @@ def _container_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
                     )
                 )
                 out["media_id"].append(f"k{did}")
+                # WebM video codec cycles did%3 (V_VP8 bare / V_VP9
+                # feature-list CodecPrivate / V_AV1 av1C CodecPrivate
+                # whose sequence header carries the coded dims);
+                # audio tracks are A_OPUS with a real OpusHead
+                wfam = did % 3
+                wsel = did // 3
+                if wfam == 1:
+                    wc, wp = b"V_VP9", {
+                        "profile": wsel % 4,
+                        "level": (10, 20, 30, 41)[wsel % 4],
+                        "bit_depth": 10 if wsel % 2 else 8,
+                    }
+                elif wfam == 2:
+                    wc, wp = b"V_AV1", {
+                        "level": wsel % 14,
+                        "high_bitdepth": bool(wsel % 2),
+                    }
+                else:
+                    wc, wp = b"V_VP8", None
                 out["payload"].append(
                     encode_webm_stub(
                         100000 * (1 + did % 10),
                         2 + did % 1919,
                         2 + did % 1079,
                         n_tracks=1 + did % 3,
+                        video_codec=wc,
+                        video_params=wp,
                     )
                 )
             yield pd.DataFrame(out)
@@ -4715,8 +4736,27 @@ def _base_oracle_sql() -> dict[str, str]:
                    CAST(1 + doc_id % 3 AS INTEGER),
                    CAST(0 AS INTEGER),
                    CAST(100000 * (1 + doc_id % 10) AS INTEGER),
-                   'V_VP8' || repeat(',A_OPUS', doc_id % 3),
-                   '', CAST(0 AS INTEGER), CAST(0 AS INTEGER)
+                   (CASE doc_id % 3 WHEN 0 THEN 'V_VP8'
+                         WHEN 1 THEN 'V_VP9' ELSE 'V_AV1' END)
+                   || repeat(',A_OPUS', doc_id % 3),
+                   (CASE doc_id % 3
+                        WHEN 0 THEN 'vp8'
+                        WHEN 1 THEN 'vp09.' ||
+                             printf('%02d', (doc_id // 3) % 4) || '.' ||
+                             printf('%02d', CASE (doc_id // 3) % 4
+                                    WHEN 0 THEN 10 WHEN 1 THEN 20
+                                    WHEN 2 THEN 30 ELSE 41 END) || '.' ||
+                             CASE (doc_id // 3) % 2 WHEN 0 THEN '08'
+                                  ELSE '10' END
+                        ELSE 'av01.0.' ||
+                             printf('%02d', (doc_id // 3) % 14) || 'M.' ||
+                             CASE (doc_id // 3) % 2 WHEN 0 THEN '08'
+                                  ELSE '10' END
+                   END) || repeat(',opus', doc_id % 3),
+                   CAST(CASE WHEN doc_id % 3 = 2
+                        THEN 2 + doc_id % 1919 ELSE 0 END AS INTEGER),
+                   CAST(CASE WHEN doc_id % 3 = 2
+                        THEN 2 + doc_id % 1079 ELSE 0 END AS INTEGER)
             FROM documents
             UNION ALL
             SELECT 'x' || CAST(doc_id AS VARCHAR), 'video/x-msvideo',

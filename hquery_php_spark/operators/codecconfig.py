@@ -64,6 +64,10 @@ __all__ = [
     "parse_esds",
     "build_dops",
     "parse_dops",
+    "build_opus_head",
+    "parse_opus_head",
+    "build_vp9_codec_private",
+    "parse_vp9_codec_private",
     "codec_string",
     "AAC_FREQ_TABLE",
 ]
@@ -863,6 +867,65 @@ def parse_dops(body: bytes) -> Optional[dict]:
     }
 
 
+def build_opus_head(
+    channels: int = 2,
+    pre_skip: int = 312,
+    input_sample_rate: int = 48000,
+    output_gain: int = 0,
+) -> bytes:
+    """OpusHead identification header (RFC 7845 §5.1) — the Matroska
+    A_OPUS CodecPrivate payload and the Ogg BOS packet.  Same fields as
+    ``dOps`` but little-endian behind the magic."""
+    return b"OpusHead" + struct.pack(
+        "<BBHIhB", 1, channels, pre_skip, input_sample_rate, output_gain, 0
+    )
+
+
+def parse_opus_head(body: bytes) -> Optional[dict]:
+    if len(body) < 19 or body[:8] != b"OpusHead" or body[8] != 1:
+        return None
+    ver, ch, skip, rate, gain, fam = struct.unpack_from("<BBHIhB", body, 8)
+    return {
+        "channels": ch,
+        "pre_skip": skip,
+        "input_sample_rate": rate,
+        "output_gain": gain,
+        "mapping_family": fam,
+    }
+
+
+def build_vp9_codec_private(
+    profile: int = 0, level: int = 10, bit_depth: int = 8,
+    chroma_subsampling: int = 1,
+) -> bytes:
+    """Matroska V_VP9 CodecPrivate (WebM spec): a sequence of
+    (id, length, value) features — 1=Profile, 2=Level, 3=BitDepth,
+    4=ChromaSubsampling."""
+    return bytes(
+        (1, 1, profile, 2, 1, level, 3, 1, bit_depth,
+         4, 1, chroma_subsampling)
+    )
+
+
+def parse_vp9_codec_private(body: bytes) -> Optional[dict]:
+    out = {"profile": None, "level": None, "bit_depth": None,
+           "chroma_subsampling": None}
+    names = {1: "profile", 2: "level", 3: "bit_depth",
+             4: "chroma_subsampling"}
+    pos = 0
+    seen = False
+    while pos + 2 <= len(body):
+        fid, ln = body[pos], body[pos + 1]
+        pos += 2
+        if pos + ln > len(body):
+            return None
+        if fid in names and ln == 1:
+            out[names[fid]] = body[pos]
+            seen = True
+        pos += ln
+    return out if seen else None
+
+
 # ------------------------------------------------------------------ #
 # RFC 6381 codec strings
 
@@ -911,7 +974,9 @@ def codec_string(fourcc: str, cfg: Optional[dict]) -> str:
             f"av01.{cfg['seq_profile']}."
             f"{cfg['seq_level_idx']:02d}{tier}.{depth:02d}"
         )
-    if fourcc == "vp09" and "profile" in cfg:
+    if fourcc == "vp09" and cfg.get("profile") is not None:
+        if cfg.get("level") is None or cfg.get("bit_depth") is None:
+            return fourcc  # partial VP9 feature list: no full tag
         return f"vp09.{cfg['profile']:02d}.{cfg['level']:02d}.{cfg['bit_depth']:02d}"
     if fourcc == "mp4a" and cfg.get("object_type") is not None:
         s = f"mp4a.{cfg['object_type']:02X}"

@@ -418,6 +418,7 @@ _TIMESTAMP_SCALE = 0x2AD7B1
 _TRACKS = 0x1654AE6B
 _TRACK_ENTRY = 0xAE
 _CODEC_ID = 0x86
+_CODEC_PRIVATE = 0x63A2
 _VIDEO = 0xE0
 _PIXEL_W = 0xB0
 _PIXEL_H = 0xBA
@@ -444,15 +445,46 @@ def _uint_el(eid: int, v: int) -> bytes:
     return _el(eid, v.to_bytes(ln, "big"))
 
 
+def _webm_codec_private(codec_id: bytes, width: int, height: int,
+                        params: Optional[dict]):
+    """CodecPrivate bytes for a TrackEntry, or b'' when the codec's
+    private data is not modeled (V_VP8 carries none in real files)."""
+    from . import codecconfig as cc
+
+    p = params or {}
+    if codec_id == b"V_AV1":
+        # Matroska V_AV1 CodecPrivate IS the av1C record; include the
+        # sequence-header OBU so coded dims are recoverable
+        lvl = p.get("level", 8)
+        hbd = bool(p.get("high_bitdepth"))
+        obu = cc.build_av1_seq_header_obu(
+            width, height, seq_level_idx=lvl, high_bitdepth=hbd
+        )
+        return cc.build_av1c(seq_level_idx=lvl, high_bitdepth=hbd,
+                             config_obus=obu)
+    if codec_id == b"V_VP9":
+        return cc.build_vp9_codec_private(
+            profile=p.get("profile", 0), level=p.get("level", 10),
+            bit_depth=p.get("bit_depth", 8),
+        )
+    if codec_id == b"A_OPUS":
+        return cc.build_opus_head(channels=p.get("channels", 2))
+    return b""
+
+
 def encode_webm_stub(
     timestamp_scale: int, width: int, height: int, n_tracks: int = 1,
     doctype: bytes = b"webm",
+    video_codec: bytes = b"V_VP8",
+    video_params: Optional[dict] = None,
 ) -> bytes:
     """Minimal valid EBML stream: header (DocType) + Segment with Info
     (TimestampScale) and Tracks (one TrackEntry per track carrying
-    TrackNumber + CodecID — V_VP8 for the first, A_OPUS for the rest,
-    the dominant WebM layout — plus Video > PixelWidth/PixelHeight on
-    the first track)."""
+    TrackNumber + CodecID — ``video_codec`` for the first, A_OPUS for
+    the rest, the dominant WebM layout — plus Video > PixelWidth/
+    PixelHeight on the first track).  V_VP9 / V_AV1 / A_OPUS tracks
+    carry a real CodecPrivate (VP9 feature list / av1C with sequence
+    header / OpusHead) built from ``video_params``."""
     header = _el(_EBML, _el(_DOCTYPE, doctype))
     info = _el(_INFO, _uint_el(_TIMESTAMP_SCALE, timestamp_scale))
     entries = b""
@@ -462,7 +494,13 @@ def encode_webm_stub(
             if t == 0
             else b""
         )
-        codec = _el(_CODEC_ID, b"V_VP8" if t == 0 else b"A_OPUS")
+        cid = video_codec if t == 0 else b"A_OPUS"
+        codec = _el(_CODEC_ID, cid)
+        private = _webm_codec_private(
+            cid, width, height, video_params if t == 0 else None
+        )
+        if private:
+            codec += _el(_CODEC_PRIVATE, private)
         entries += _el(
             _TRACK_ENTRY, _uint_el(0xD7, t + 1) + codec + video
         )  # TrackNumber
@@ -507,12 +545,41 @@ def webm_meta(payload: Optional[bytes]) -> Optional[dict]:
         return None
 
 
+def _webm_codec_tag(codec_id, private, out):
+    """RFC 6381-style tag for a Matroska track from its CodecID +
+    CodecPrivate (WebM <source codecs=...> vocabulary: vp8, vp09.*,
+    av01.*, opus, vorbis); fills out['coded_*'] from an av1C sequence
+    header.  Falls back to the raw CodecID."""
+    from . import codecconfig as cc
+
+    if codec_id == "V_VP8":
+        return "vp8"
+    if codec_id == "V_VP9":
+        m = cc.parse_vp9_codec_private(private) if private else None
+        return cc.codec_string("vp09", m) if m else "vp9"
+    if codec_id == "V_AV1":
+        m = cc.parse_av1c(private) if private else None
+        if m:
+            if m.get("width") and out["coded_width"] is None:
+                out["coded_width"] = m["width"]
+                out["coded_height"] = m["height"]
+            return cc.codec_string("av01", m)
+        return "av01"
+    if codec_id == "A_OPUS":
+        return "opus"
+    if codec_id == "A_VORBIS":
+        return "vorbis"
+    return codec_id
+
+
 def _webm_meta_impl(payload):
     if payload is None or len(payload) < 8 or payload[:4] != b"\x1aE\xdf\xa3":
         return None
     out = {"doctype": None, "timestamp_scale": None, "n_tracks": 0,
-           "width": None, "height": None, "codecs": None}
+           "width": None, "height": None, "codecs": None,
+           "codec_tags": None, "coded_width": None, "coded_height": None}
     codecs = []
+    tags = []
     for eid, body, end in _walk_ebml(payload, 0, len(payload)):
         if eid == _EBML:
             for e2, b2, e2e in _walk_ebml(payload, body, end):
@@ -533,13 +600,14 @@ def _webm_meta_impl(payload):
                         if e3 != _TRACK_ENTRY:
                             continue
                         out["n_tracks"] += 1
+                        cid = private = None
                         for e4, b4, e4e in _walk_ebml(payload, b3, e3e):
                             if e4 == _CODEC_ID:
-                                codecs.append(
-                                    payload[b4:e4e].rstrip(b"\x00").decode(
-                                        "latin-1"
-                                    )
+                                cid = payload[b4:e4e].rstrip(b"\x00").decode(
+                                    "latin-1"
                                 )
+                            elif e4 == _CODEC_PRIVATE:
+                                private = payload[b4:e4e]
                             elif e4 == _VIDEO:
                                 for e5, b5, e5e in _walk_ebml(payload, b4, e4e):
                                     v = int.from_bytes(payload[b5:e5e], "big")
@@ -547,10 +615,14 @@ def _webm_meta_impl(payload):
                                         out["width"] = v
                                     elif e5 == _PIXEL_H and out["height"] is None:
                                         out["height"] = v
+                        if cid is not None:
+                            codecs.append(cid)
+                            tags.append(_webm_codec_tag(cid, private, out))
     if out["doctype"] is None:
         return None
     if codecs:
         out["codecs"] = ",".join(codecs)
+        out["codec_tags"] = ",".join(tags)
     return out
 
 

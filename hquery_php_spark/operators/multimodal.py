@@ -985,6 +985,8 @@ def video_meta_df(df: DataFrame, payload_col: str = "payload") -> DataFrame:
                         w, h, tracks = m["width"], m["height"], m["n_tracks"]
                         ts = m["timestamp_scale"]
                         codecs = m["codecs"]
+                        tags = m["codec_tags"]
+                        cw, chh = m["coded_width"], m["coded_height"]
                 elif mime == "video/x-msvideo":
                     d = avi_dims(payload)
                     if d:

@@ -303,3 +303,77 @@ def test_mp4_meta_fuzz_never_raises():
         mp4_meta(bytes(b))  # any dict/None is fine; no exception
     for cut in range(0, len(base), 7):
         mp4_meta(base[:cut])
+
+
+# ------------------------------------------------- WebM / Matroska
+
+
+def test_opus_head_round_trip():
+    m = cc.parse_opus_head(cc.build_opus_head(channels=6, pre_skip=100))
+    assert (m["channels"], m["pre_skip"], m["input_sample_rate"]) == (
+        6, 100, 48000,
+    )
+    assert cc.parse_opus_head(b"OpusTags" + b"\x00" * 16) is None
+    assert cc.parse_opus_head(b"OpusHead\x02" + b"\x00" * 10) is None
+
+
+def test_vp9_codec_private_round_trip():
+    m = cc.parse_vp9_codec_private(
+        cc.build_vp9_codec_private(profile=2, level=41, bit_depth=12)
+    )
+    assert (m["profile"], m["level"], m["bit_depth"]) == (2, 41, 12)
+    assert cc.codec_string("vp09", m) == "vp09.02.41.12"
+    # partial feature list: no full tag
+    assert cc.codec_string("vp09", {"profile": 1}) == "vp09"
+    assert cc.parse_vp9_codec_private(b"") is None
+    assert cc.parse_vp9_codec_private(b"\x01\x05\x00") is None  # truncated
+
+
+def test_webm_stub_codec_private_tags():
+    from hquery_php_spark.operators.mediameta import (
+        encode_webm_stub, webm_meta,
+    )
+
+    m = webm_meta(encode_webm_stub(100000, 640, 360, n_tracks=3))
+    assert m["codec_tags"] == "vp8,opus,opus"
+    assert m["coded_width"] is None
+    m = webm_meta(
+        encode_webm_stub(
+            100000, 641, 361, n_tracks=2, video_codec=b"V_VP9",
+            video_params={"profile": 2, "level": 30, "bit_depth": 10},
+        )
+    )
+    assert m["codecs"] == "V_VP9,A_OPUS"
+    assert m["codec_tags"] == "vp09.02.30.10,opus"
+    m = webm_meta(
+        encode_webm_stub(
+            100000, 641, 361, video_codec=b"V_AV1",
+            video_params={"level": 9, "high_bitdepth": True},
+        )
+    )
+    # Matroska V_AV1 CodecPrivate IS the av1C record; the sequence
+    # header inside it is authoritative for the coded dims (odd dims
+    # are representable in AV1, unlike H.264 4:2:0)
+    assert m["codec_tags"] == "av01.0.09M.10"
+    assert (m["coded_width"], m["coded_height"]) == (641, 361)
+
+
+def test_webm_codec_private_fuzz_never_raises():
+    import random
+
+    from hquery_php_spark.operators.mediameta import (
+        encode_webm_stub, webm_meta,
+    )
+
+    rng = random.Random(77)
+    base = encode_webm_stub(
+        100000, 320, 240, n_tracks=2, video_codec=b"V_AV1",
+        video_params={"level": 5},
+    )
+    for _ in range(300):
+        b = bytearray(base)
+        for _ in range(rng.randrange(1, 6)):
+            b[rng.randrange(len(b))] = rng.randrange(256)
+        webm_meta(bytes(b))
+    for cut in range(0, len(base), 5):
+        webm_meta(base[:cut])

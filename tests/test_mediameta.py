@@ -60,6 +60,7 @@ def test_webm_walk_and_matroska():
     assert webm_meta(p) == {
         "doctype": "webm", "timestamp_scale": 1000000, "n_tracks": 2,
         "width": 1920, "height": 1080, "codecs": "V_VP8,A_OPUS",
+        "codec_tags": "vp8,opus", "coded_width": None, "coded_height": None,
     }
     mk = encode_webm_stub(500, 10, 20, doctype=b"matroska")
     assert sniff_media_type(mk) == "video/x-matroska"
