@@ -1883,6 +1883,7 @@ def _container_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
         encode_mp4_stub,
         encode_webm_stub,
     )
+    from hquery_php_spark.operators.mpegts import encode_ts_stub
 
     d = _spread(_docs(spark, sf_dir), spark).select(
         F.col("doc_id").cast("long").alias("did")
@@ -1964,6 +1965,24 @@ def _container_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
                         n_tracks=1 + did % 3,
                         video_codec=wc,
                         video_params=wp,
+                    )
+                )
+                # HLS media segment ('s'): MPEG-2 transport stream —
+                # PAT/PMT (CRC-verified), H.264 PES whose SPS carries
+                # the coded dims, ADTS-AAC / MP3 / video-only audio
+                # cycle, PCR span pinning the duration exactly
+                out["media_id"].append(f"s{did}")
+                out["payload"].append(
+                    encode_ts_stub(
+                        1000 + did % 9000,
+                        2 * (1 + did % 959),
+                        2 * (1 + did % 539),
+                        avc_profile=(66, 77, 100)[did % 3],
+                        avc_level=10 + did % 42,
+                        audio=("aac", "mp3", None)[did % 3],
+                        aac_rate=(44100, 48000, 32000, 24000, 16000,
+                                  8000)[did % 6],
+                        aac_channels=1 + did % 2,
                     )
                 )
             yield pd.DataFrame(out)
@@ -4767,6 +4786,28 @@ def _base_oracle_sql() -> dict[str, str]:
                    CAST(0 AS INTEGER),
                    'DIB',
                    '', CAST(0 AS INTEGER), CAST(0 AS INTEGER)
+            FROM documents
+            UNION ALL
+            -- HLS transport segments: dims from the H.264 SPS (the TS
+            -- container itself carries none), timescale = the 90 kHz
+            -- system clock, duration = the pinned PCR span
+            SELECT 's' || CAST(doc_id AS VARCHAR), 'video/mp2t',
+                   CAST(2 * (1 + doc_id % 959) AS INTEGER),
+                   CAST(2 * (1 + doc_id % 539) AS INTEGER),
+                   CAST(CASE doc_id % 3 WHEN 2 THEN 1 ELSE 2 END
+                        AS INTEGER),
+                   CAST(1000 + doc_id % 9000 AS INTEGER),
+                   CAST(90000 AS INTEGER),
+                   'h264' || (CASE doc_id % 3 WHEN 0 THEN ',aac'
+                              WHEN 1 THEN ',mp3' ELSE '' END),
+                   'avc1.' ||
+                   printf('%02X', CASE doc_id % 3 WHEN 0 THEN 66
+                          WHEN 1 THEN 77 ELSE 100 END) ||
+                   '00' || printf('%02X', 10 + doc_id % 42) ||
+                   (CASE doc_id % 3 WHEN 0 THEN ',mp4a.40.2'
+                    WHEN 1 THEN ',mp3' ELSE '' END),
+                   CAST(2 * (1 + doc_id % 959) AS INTEGER),
+                   CAST(2 * (1 + doc_id % 539) AS INTEGER)
             FROM documents
         """,
         "embed_near_dup_exact": """

@@ -121,6 +121,16 @@ def sniff_media_type(payload: Optional[bytes]) -> Optional[str]:
                     return "video/webm"
                 return "video/x-matroska"
             return mime
+    # MPEG transport stream (HLS segment): 0x47 sync repeating on the
+    # 188-byte lattice — two aligned sync bytes are required, so a lone
+    # 'G' never matches
+    if (
+        len(payload) >= 2 * 188
+        and payload[0] == 0x47
+        and payload[188] == 0x47
+        and (len(payload) < 3 * 188 or payload[376] == 0x47)
+    ):
+        return "video/mp2t"
     # raw MPEG-audio sync (no ID3 prefix): FF Ex/Fx with a valid
     # (non-reserved) version + Layer III — checked after _MAGIC so the
     # JPEG FF D8 FF prefix has already matched above
@@ -942,6 +952,7 @@ def video_meta_df(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     with NULL fields (honest, never an error)."""
     from hquery_php_spark.operators.avi import avi_codecs, avi_dims
     from hquery_php_spark.operators.mediameta import mp4_meta, webm_meta
+    from hquery_php_spark.operators.mpegts import ts_meta
 
     schema = StructType(
         [
@@ -994,6 +1005,20 @@ def video_meta_df(df: DataFrame, payload_col: str = "payload") -> DataFrame:
                         dur = nf * uspf // 1000
                         codecs = avi_codecs(payload)
                         tracks = 1 + (codecs or "").count(",")
+                elif mime == "video/mp2t":
+                    m = ts_meta(payload)
+                    if m:
+                        # TS carries no container-level dims; the SPS
+                        # coded dims are authoritative for both
+                        w, h = m["width"], m["height"]
+                        cw, chh = m["width"], m["height"]
+                        codecs = m["streams"]
+                        tags = m["codec_tags"]
+                        dur = m["duration_ms"]
+                        ts = 90000  # the TS system clock
+                        tracks = (
+                            1 + codecs.count(",") if codecs else None
+                        )
                 out["media_id"].append(mid)
                 out["mime"].append(mime)
                 out["width"].append(w)
