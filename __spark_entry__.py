@@ -4741,10 +4741,13 @@ def _base_oracle_sql() -> dict[str, str]:
                                   ELSE '10' END
                              || ',Opus'
                    END AS codec_tags,
-                   CAST(CASE WHEN doc_id % 4 IN (0, 2)
+                   -- avcC SPS / hvcC-embedded SPS / av1C sequence
+                   -- header all yield coded dims; vpcC alone carries
+                   -- none (honest 0)
+                   CAST(CASE WHEN doc_id % 4 IN (0, 1, 2)
                         THEN 16 * (1 + doc_id % 40) ELSE 0 END
                         AS INTEGER) AS coded_width,
-                   CAST(CASE WHEN doc_id % 4 IN (0, 2)
+                   CAST(CASE WHEN doc_id % 4 IN (0, 1, 2)
                         THEN 16 * (1 + doc_id % 30) ELSE 0 END
                         AS INTEGER) AS coded_height
             FROM documents

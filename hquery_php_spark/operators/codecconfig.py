@@ -54,6 +54,8 @@ __all__ = [
     "parse_avcc",
     "build_hvcc",
     "parse_hvcc",
+    "build_hevc_sps",
+    "parse_hevc_sps",
     "build_av1c",
     "parse_av1c",
     "build_av1_seq_header_obu",
@@ -427,8 +429,146 @@ def parse_avcc(body: bytes) -> Optional[dict]:
 
 
 # ------------------------------------------------------------------ #
-# H.265 / HEVC record (ISO 14496-15 §8.3.3.1) — record level only;
-# the SPS bitstream inside the arrays is an honest boundary.
+# H.265 / HEVC: record (ISO 14496-15 §8.3.3.1) + SPS bitstream
+# (ISO 23008-2 / ITU-T H.265 §7.3.2.2.1)
+
+
+def _write_ptl(w: BitWriter, profile_idc: int, tier: int, level_idc: int,
+               compat_flags: int) -> None:
+    # profile_tier_level(1, 0): general block only (no sub-layers)
+    w.u(0, 2).u(tier, 1).u(profile_idc, 5)
+    w.u(compat_flags, 32)
+    # progressive=1, interlaced=0, non_packed=1, frame_only=1
+    w.u(1, 1).u(0, 1).u(1, 1).u(1, 1)
+    w.u(0, 43)  # general_reserved_zero_43bits
+    w.u(0, 1)  # general_inbld_flag
+    w.u(level_idc, 8)
+
+
+def build_hevc_sps(
+    width: int,
+    height: int,
+    profile_idc: int = 1,
+    tier: int = 0,
+    level_idc: int = 93,
+    bit_depth: int = 8,
+) -> bytes:
+    """A complete, syntactically valid HEVC SPS NAL unit (2-byte NAL
+    header + escaped RBSP) encoding the EXACT ``width`` x ``height``:
+    luma dims are rounded up to the 8-sample MinCbSizeY grid and the
+    remainder expressed through the conformance window, exactly as
+    encoders do."""
+    if width < 1 or height < 1 or width % 2 or height % 2:
+        raise ValueError("dimensions must be positive and even")
+    if profile_idc == 1:
+        compat = 0x60000000
+    elif profile_idc == 2:
+        compat = 0x20000000
+    else:
+        compat = 1 << (31 - profile_idc)
+    w = BitWriter()
+    w.u(0, 4)  # sps_video_parameter_set_id
+    w.u(0, 3)  # sps_max_sub_layers_minus1
+    w.u(1, 1)  # sps_temporal_id_nesting_flag
+    _write_ptl(w, profile_idc, tier, level_idc, compat)
+    w.ue(0)  # sps_seq_parameter_set_id
+    w.ue(1)  # chroma_format_idc = 4:2:0
+    lw = (width + 7) & ~7  # MinCbSizeY = 8 grid
+    lh = (height + 7) & ~7
+    w.ue(lw)  # pic_width_in_luma_samples
+    w.ue(lh)  # pic_height_in_luma_samples
+    crop_r = (lw - width) // 2  # conformance offsets in chroma units
+    crop_b = (lh - height) // 2
+    if crop_r or crop_b:
+        w.u(1, 1)
+        w.ue(0).ue(crop_r).ue(0).ue(crop_b)
+    else:
+        w.u(0, 1)
+    w.ue(bit_depth - 8)  # bit_depth_luma_minus8
+    w.ue(bit_depth - 8)  # bit_depth_chroma_minus8
+    w.ue(4)  # log2_max_pic_order_cnt_lsb_minus4
+    w.u(0, 1)  # sps_sub_layer_ordering_info_present_flag
+    w.ue(1).ue(0).ue(0)  # max_dec_pic_buffering_minus1/reorder/latency
+    w.ue(0)  # log2_min_luma_coding_block_size_minus3 -> MinCbSizeY 8
+    w.ue(3)  # log2_diff_max_min_luma_coding_block_size -> CTB 64
+    w.ue(0)  # log2_min_luma_transform_block_size_minus2
+    w.ue(3)  # log2_diff_max_min_luma_transform_block_size
+    w.ue(0).ue(0)  # max_transform_hierarchy_depth_{inter,intra}
+    w.u(0, 1)  # scaling_list_enabled_flag
+    w.u(1, 1)  # amp_enabled_flag
+    w.u(1, 1)  # sample_adaptive_offset_enabled_flag
+    w.u(0, 1)  # pcm_enabled_flag
+    w.ue(0)  # num_short_term_ref_pic_sets
+    w.u(0, 1)  # long_term_ref_pics_present_flag
+    w.u(1, 1)  # sps_temporal_mvp_enabled_flag
+    w.u(1, 1)  # strong_intra_smoothing_enabled_flag
+    w.u(0, 1)  # vui_parameters_present_flag
+    w.u(0, 1)  # sps_extension_present_flag
+    w.rbsp_trailing()
+    # NAL header: type 33 (SPS), layer 0, temporal_id_plus1 1
+    return bytes((33 << 1, 1)) + rbsp_escape(w.bytes())
+
+
+def parse_hevc_sps(nal: bytes) -> Optional[dict]:
+    """HEVC SPS NAL -> {'profile_space','tier','profile_idc',
+    'profile_compat','level_idc','chroma_format_idc','width','height',
+    'bit_depth_luma'}, or None.  Handles sub-layer profile_tier_level
+    syntax and the conformance-window crop arithmetic."""
+    if len(nal) < 4 or (nal[0] >> 1) & 0x3F != 33:
+        return None
+    try:
+        r = BitReader(rbsp_unescape(nal[2:]))
+        r.u(4)  # vps id
+        max_sub_layers = r.u(3)
+        r.u(1)  # temporal_id_nesting
+        space = r.u(2)
+        tier = r.u(1)
+        profile = r.u(5)
+        compat = r.u(32)
+        r.u(48)  # progressive/interlaced/non_packed/frame_only + reserved
+        level = r.u(8)
+        if max_sub_layers:
+            prof_present = []
+            lvl_present = []
+            for _ in range(max_sub_layers):
+                prof_present.append(r.u(1))
+                lvl_present.append(r.u(1))
+            for _ in range(max_sub_layers, 8):
+                r.u(2)  # reserved_zero_2bits
+            for i in range(max_sub_layers):
+                if prof_present[i]:
+                    r.u(88)
+                if lvl_present[i]:
+                    r.u(8)
+        r.ue()  # sps id
+        chroma = r.ue()
+        separate = r.u(1) if chroma == 3 else 0
+        lw = r.ue()
+        lh = r.ue()
+        crop_l = crop_r = crop_t = crop_b = 0
+        if r.u(1):  # conformance_window_flag
+            crop_l, crop_r, crop_t, crop_b = r.ue(), r.ue(), r.ue(), r.ue()
+        bd_luma = 8 + r.ue()
+        # crop units (§7.4.3.2.1): SubWidthC/SubHeightC by chroma format
+        if chroma == 1 and not separate:
+            sw, sh = 2, 2
+        elif chroma == 2 and not separate:
+            sw, sh = 2, 1
+        else:
+            sw, sh = 1, 1
+        return {
+            "profile_space": space,
+            "tier": tier,
+            "profile_idc": profile,
+            "profile_compat": compat,
+            "level_idc": level,
+            "chroma_format_idc": chroma,
+            "width": lw - sw * (crop_l + crop_r),
+            "height": lh - sh * (crop_t + crop_b),
+            "bit_depth_luma": bd_luma,
+        }
+    except ValueError:
+        return None
 
 
 def build_hvcc(
@@ -439,10 +579,13 @@ def build_hvcc(
     constraint_flags: int = 0xB00000000000,
     chroma_format_idc: int = 1,
     bit_depth: int = 8,
+    sps: Optional[bytes] = None,
 ) -> bytes:
-    """HEVCDecoderConfigurationRecord with empty NAL arrays.  Default
-    compatibility flags mirror the common Main-profile pattern (the
-    profile's own bit + the general bit 0 set)."""
+    """HEVCDecoderConfigurationRecord.  With ``sps`` a real SPS NAL
+    (``build_hevc_sps``) rides in a type-33 NAL array — the layout
+    every real hvcC uses, and what makes coded dims recoverable.
+    Default compatibility flags mirror the common Main-profile pattern
+    (the profile's own bit + the general bit 0 set)."""
     if compat_flags is None:
         # canonical values: Main (1) streams decode on Main and Main-10
         # decoders -> flag[1]|flag[2] = 0x60000000 (string "...1.6.L93");
@@ -466,8 +609,15 @@ def build_hvcc(
     w.u(0x1F, 5).u(bit_depth - 8, 3)  # bit_depth_chroma_minus8
     w.u(0, 16)  # avgFrameRate
     w.u(0, 2).u(1, 3).u(1, 1).u(3, 2)  # cfr/numTemporalLayers/nested/len-1
-    w.u(0, 8)  # numOfArrays
-    return w.bytes()
+    if sps is None:
+        w.u(0, 8)  # numOfArrays
+        return w.bytes()
+    w.u(1, 8)  # numOfArrays
+    w.u(1, 1).u(0, 1).u(33, 6)  # array_completeness / reserved / SPS
+    w.u(1, 16)  # numNalus
+    w.u(len(sps), 16)
+    out = w.bytes() + sps
+    return out
 
 
 def parse_hvcc(body: bytes) -> Optional[dict]:
@@ -481,7 +631,7 @@ def parse_hvcc(body: bytes) -> Optional[dict]:
     compat = r.u(32)
     constraint = r.u(48)
     level = r.u(8)
-    return {
+    out = {
         "profile_space": space,
         "tier": tier,
         "profile_idc": profile,
@@ -491,6 +641,26 @@ def parse_hvcc(body: bytes) -> Optional[dict]:
         "chroma_format_idc": body[16] & 3,
         "bit_depth_luma": (body[17] & 7) + 8,
     }
+    # NAL arrays: a type-33 entry carries the SPS -> coded dims
+    try:
+        pos = 23
+        for _ in range(body[22]):
+            ntype = body[pos] & 0x3F
+            (n_nalus,) = struct.unpack_from(">H", body, pos + 1)
+            pos += 3
+            for _ in range(n_nalus):
+                (ln,) = struct.unpack_from(">H", body, pos)
+                pos += 2
+                if ntype == 33:
+                    sps = parse_hevc_sps(body[pos : pos + ln])
+                    if sps:
+                        out.update(
+                            {"width": sps["width"], "height": sps["height"]}
+                        )
+                pos += ln
+    except (IndexError, struct.error):
+        pass
+    return out
 
 
 # ------------------------------------------------------------------ #

@@ -116,11 +116,16 @@ def _codec_config_box(fourcc: bytes, width: int, height: int, params: dict):
         )
         return _box(b"avcC", cc.build_avcc(sps))
     if fourcc in (b"hev1", b"hvc1"):
+        p = params.get("profile", 1)
+        lvl = params.get("level", 93)
         return _box(
             b"hvcC",
             cc.build_hvcc(
-                profile_idc=params.get("profile", 1),
-                level_idc=params.get("level", 93),
+                profile_idc=p,
+                level_idc=lvl,
+                sps=cc.build_hevc_sps(
+                    width, height, profile_idc=p, level_idc=lvl
+                ) if width and height else None,
             ),
         )
     if fourcc == b"av01":
@@ -345,7 +350,7 @@ def _parse_entry_config(payload, fourcc, cfg_start, entry_end):
         elif t == b"hvcC":
             m = cc.parse_hvcc(body)
             if m:
-                return cc.codec_string(fc, m), None, None
+                return cc.codec_string(fc, m), m.get("width"), m.get("height")
         elif t == b"av1C":
             m = cc.parse_av1c(body)
             if m:
@@ -469,6 +474,20 @@ def _webm_codec_private(codec_id: bytes, width: int, height: int,
         )
     if codec_id == b"A_OPUS":
         return cc.build_opus_head(channels=p.get("channels", 2))
+    if codec_id == b"V_MPEG4/ISO/AVC":
+        return cc.build_avcc(
+            cc.build_avc_sps(width, height,
+                             profile_idc=p.get("profile", 66),
+                             level_idc=p.get("level", 30))
+        )
+    if codec_id == b"V_MPEGH/ISO/HEVC":
+        p_idc = p.get("profile", 1)
+        lvl = p.get("level", 93)
+        return cc.build_hvcc(
+            profile_idc=p_idc, level_idc=lvl,
+            sps=cc.build_hevc_sps(width, height, profile_idc=p_idc,
+                                  level_idc=lvl),
+        )
     return b""
 
 
@@ -569,6 +588,24 @@ def _webm_codec_tag(codec_id, private, out):
         return "opus"
     if codec_id == "A_VORBIS":
         return "vorbis"
+    if codec_id == "V_MPEG4/ISO/AVC":
+        # Matroska AVC CodecPrivate IS the avcC record
+        m = cc.parse_avcc(private) if private else None
+        if m:
+            if m.get("width") and out["coded_width"] is None:
+                out["coded_width"] = m["width"]
+                out["coded_height"] = m["height"]
+            return cc.codec_string("avc1", m)
+        return "avc1"
+    if codec_id == "V_MPEGH/ISO/HEVC":
+        # ... and HEVC CodecPrivate IS the hvcC record
+        m = cc.parse_hvcc(private) if private else None
+        if m:
+            if m.get("width") and out["coded_width"] is None:
+                out["coded_width"] = m["width"]
+                out["coded_height"] = m["height"]
+            return cc.codec_string("hev1", m)
+        return "hev1"
     return codec_id
 
 

@@ -377,3 +377,82 @@ def test_webm_codec_private_fuzz_never_raises():
         webm_meta(bytes(b))
     for cut in range(0, len(base), 5):
         webm_meta(base[:cut])
+
+
+# ------------------------------------------------- HEVC SPS bitstream
+
+
+@pytest.mark.parametrize(
+    "w,h,profile,level,bd",
+    [
+        (1920, 1080, 1, 93, 8),   # 1080 % 8 == 0: no conformance window
+        (1280, 720, 2, 120, 10),  # Main 10
+        (322, 242, 1, 93, 8),     # crop on both axes
+        (2, 2, 1, 10, 8),         # degenerate
+        (3838, 2158, 1, 153, 8),  # near-4K with crop
+    ],
+)
+def test_hevc_sps_round_trip(w, h, profile, level, bd):
+    sps = cc.build_hevc_sps(
+        w, h, profile_idc=profile, level_idc=level, bit_depth=bd
+    )
+    m = cc.parse_hevc_sps(sps)
+    assert m is not None
+    assert (m["width"], m["height"]) == (w, h)
+    assert (m["profile_idc"], m["level_idc"]) == (profile, level)
+    assert m["bit_depth_luma"] == bd and m["chroma_format_idc"] == 1
+
+
+def test_hevc_sps_rejects_garbage():
+    assert cc.parse_hevc_sps(b"") is None
+    assert cc.parse_hevc_sps(b"\x40\x01\x00") is None  # VPS, not SPS
+    assert cc.parse_hevc_sps(b"\x42\x01") is None  # truncated
+    sps = cc.build_hevc_sps(640, 480)
+    for cut in range(len(sps)):
+        cc.parse_hevc_sps(sps[:cut])  # never raises
+
+
+def test_hvcc_embedded_sps_gives_coded_dims():
+    sps = cc.build_hevc_sps(1918, 1078, profile_idc=2, level_idc=120)
+    rec = cc.parse_hvcc(cc.build_hvcc(profile_idc=2, level_idc=120, sps=sps))
+    assert (rec["width"], rec["height"]) == (1918, 1078)
+    assert cc.codec_string("hev1", rec) == "hev1.2.4.L120.B0"
+    # record without arrays still parses, no dims claimed
+    bare = cc.parse_hvcc(cc.build_hvcc())
+    assert "width" not in bare
+
+
+def test_mp4_hev1_coded_dims():
+    p = encode_mp4_stub(
+        5000, 1918, 1078, video_codec="hev1",
+        video_params={"profile": 1, "level": 93},
+    )
+    m = mp4_meta(p)
+    assert m["codec_tags"] == "hev1.1.6.L93.B0"
+    assert (m["coded_width"], m["coded_height"]) == (1918, 1078)
+
+
+def test_matroska_avc_hevc_codec_private():
+    from hquery_php_spark.operators.mediameta import (
+        encode_webm_stub, webm_meta,
+    )
+
+    m = webm_meta(
+        encode_webm_stub(
+            100, 854, 480, doctype=b"matroska",
+            video_codec=b"V_MPEG4/ISO/AVC",
+            video_params={"profile": 100, "level": 40},
+        )
+    )
+    assert m["codecs"] == "V_MPEG4/ISO/AVC"
+    assert m["codec_tags"] == "avc1.640028"
+    assert (m["coded_width"], m["coded_height"]) == (854, 480)
+    m = webm_meta(
+        encode_webm_stub(
+            100, 854, 480, doctype=b"matroska",
+            video_codec=b"V_MPEGH/ISO/HEVC",
+            video_params={"profile": 2, "level": 120},
+        )
+    )
+    assert m["codec_tags"] == "hev1.2.4.L120.B0"
+    assert (m["coded_width"], m["coded_height"]) == (854, 480)
