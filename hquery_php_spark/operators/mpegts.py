@@ -42,6 +42,8 @@ __all__ = [
     "build_adts_frame",
     "encode_ts_stub",
     "ts_meta",
+    "parse_m3u8",
+    "hls_declared_vs_coded",
     "TS_PACKET",
 ]
 
@@ -443,4 +445,163 @@ def _ts_meta_impl(payload):
         "duration_ms": duration_ms,
         "width": width,
         "height": height,
+    }
+
+
+# ------------------------------------------------------------------ #
+# HLS playlists (RFC 8216): the text side of the segment walk
+
+
+def _attr_list(s: str) -> dict:
+    """Parse an EXT-X attribute list: KEY=VALUE pairs, comma-separated,
+    values optionally quoted (commas inside quotes are literal)."""
+    out = {}
+    i, n = 0, len(s)
+    while i < n:
+        eq = s.find("=", i)
+        if eq < 0:
+            break
+        key = s[i:eq].strip()
+        j = eq + 1
+        if j < n and s[j] == '"':
+            k = s.find('"', j + 1)
+            if k < 0:
+                out[key] = s[j + 1 :]
+                break
+            out[key] = s[j + 1 : k]
+            i = k + 1
+            if i < n and s[i] == ",":
+                i += 1
+        else:
+            k = s.find(",", j)
+            if k < 0:
+                out[key] = s[j:]
+                break
+            out[key] = s[j:k]
+            i = k + 1
+    return out
+
+
+def parse_m3u8(text) -> Optional[dict]:
+    """HLS playlist -> {'kind': 'master'|'media', 'version',
+    'variants': [{'bandwidth','width','height','codecs','uri'}],
+    'segments': [{'duration_ms','uri'}], 'target_duration_ms',
+    'total_duration_ms', 'ended'} — the crawl-side join surface for the
+    transport-stream walker: a master playlist DECLARES the RFC 6381
+    codec strings the segment walk then proves.  Accepts str or bytes;
+    returns None unless the #EXTM3U magic leads."""
+    if text is None:
+        return None
+    if isinstance(text, (bytes, bytearray)):
+        try:
+            text = bytes(text).decode("utf-8", "replace")
+        except Exception:
+            return None
+    lines = [ln.strip() for ln in text.lstrip("﻿").splitlines()]
+    if not lines or lines[0] != "#EXTM3U":
+        return None
+    out = {
+        "kind": "media", "version": None, "variants": [], "segments": [],
+        "target_duration_ms": None, "total_duration_ms": None,
+        "ended": False,
+    }
+    pending_variant = None
+    pending_duration = None
+    total = 0
+    for ln in lines[1:]:
+        if not ln:
+            continue
+        if ln.startswith("#EXT-X-VERSION:"):
+            try:
+                out["version"] = int(ln.split(":", 1)[1])
+            except ValueError:
+                pass
+        elif ln.startswith("#EXT-X-STREAM-INF:"):
+            out["kind"] = "master"
+            a = _attr_list(ln.split(":", 1)[1])
+            w = h = None
+            res = a.get("RESOLUTION", "")
+            if "x" in res:
+                try:
+                    w, h = (int(v) for v in res.lower().split("x", 1))
+                except ValueError:
+                    w = h = None
+            try:
+                bw = int(a.get("BANDWIDTH", ""))
+            except ValueError:
+                bw = None
+            pending_variant = {
+                "bandwidth": bw, "width": w, "height": h,
+                "codecs": a.get("CODECS"), "uri": None,
+            }
+        elif ln.startswith("#EXT-X-TARGETDURATION:"):
+            try:
+                out["target_duration_ms"] = (
+                    int(float(ln.split(":", 1)[1]) * 1000)
+                )
+            except ValueError:
+                pass
+        elif ln.startswith("#EXTINF:"):
+            try:
+                pending_duration = int(
+                    float(ln.split(":", 1)[1].split(",", 1)[0]) * 1000
+                )
+            except ValueError:
+                pending_duration = None
+        elif ln.startswith("#EXT-X-ENDLIST"):
+            out["ended"] = True
+        elif not ln.startswith("#"):
+            if pending_variant is not None:
+                pending_variant["uri"] = ln
+                out["variants"].append(pending_variant)
+                pending_variant = None
+            else:
+                out["segments"].append(
+                    {"duration_ms": pending_duration, "uri": ln}
+                )
+                if pending_duration:
+                    total += pending_duration
+                pending_duration = None
+    if out["segments"]:
+        out["total_duration_ms"] = total
+    return out
+
+
+def hls_declared_vs_coded(playlist_text, segment_payload) -> Optional[dict]:
+    """The consistency operator: does a segment's ACTUAL bitstream match
+    what its (master-playlist) variant declared?  Returns {'declared',
+    'coded', 'codecs_match', 'declared_res', 'coded_res', 'res_match'}
+    comparing the playlist CODECS/RESOLUTION attributes against the
+    transport stream's own SPS/ADTS-derived values — the check a
+    curation pipeline runs before trusting crawl-side manifests."""
+    pl = parse_m3u8(playlist_text)
+    seg = ts_meta(segment_payload)
+    if pl is None or seg is None or not pl["variants"]:
+        return None
+    v = pl["variants"][0]
+    declared = v.get("codecs")
+    coded = seg.get("codec_tags")
+    codecs_match = None
+    if declared and coded:
+        dset = {c.strip() for c in declared.split(",")}
+        cset = set(coded.split(","))
+        codecs_match = dset == cset
+    declared_res = (
+        (v["width"], v["height"]) if v.get("width") else None
+    )
+    coded_res = (
+        (seg["width"], seg["height"]) if seg.get("width") else None
+    )
+    res_match = (
+        declared_res == coded_res
+        if declared_res and coded_res
+        else None
+    )
+    return {
+        "declared": declared,
+        "coded": coded,
+        "codecs_match": codecs_match,
+        "declared_res": declared_res,
+        "coded_res": coded_res,
+        "res_match": res_match,
     }

@@ -127,3 +127,59 @@ def test_video_meta_df_dispatch(spark):
     assert r["duration_ms"] == 4321
     assert r["codecs"] == "h264,aac"
     assert r["codec_tags"] == "avc1.64001F,mp4a.40.2"
+
+
+# ------------------------------------------------- HLS playlists
+
+
+MASTER = (
+    "#EXTM3U\n#EXT-X-VERSION:6\n"
+    '#EXT-X-STREAM-INF:BANDWIDTH=2000000,RESOLUTION=1280x720,'
+    'CODECS="avc1.64001F,mp4a.40.2"\n'
+    "v720/index.m3u8\n"
+    '#EXT-X-STREAM-INF:BANDWIDTH=800000,RESOLUTION=640x360,'
+    'CODECS="avc1.42001E,mp4a.40.2"\n'
+    "v360/index.m3u8\n"
+)
+
+
+def test_m3u8_master():
+    m = ts.parse_m3u8(MASTER)
+    assert m["kind"] == "master" and m["version"] == 6
+    assert len(m["variants"]) == 2
+    v = m["variants"][0]
+    assert v["bandwidth"] == 2000000
+    assert (v["width"], v["height"]) == (1280, 720)
+    assert v["codecs"] == "avc1.64001F,mp4a.40.2"
+    assert v["uri"] == "v720/index.m3u8"
+
+
+def test_m3u8_media_and_rejects():
+    media = (
+        "#EXTM3U\n#EXT-X-TARGETDURATION:6\n"
+        "#EXTINF:5.005,\nseg0.ts\n#EXTINF:4.796,\nseg1.ts\n"
+        "#EXT-X-ENDLIST\n"
+    )
+    m = ts.parse_m3u8(media)
+    assert m["kind"] == "media" and m["ended"]
+    assert [s["uri"] for s in m["segments"]] == ["seg0.ts", "seg1.ts"]
+    assert m["total_duration_ms"] == 9801
+    assert m["target_duration_ms"] == 6000
+    assert ts.parse_m3u8("not a playlist") is None
+    assert ts.parse_m3u8(None) is None
+    assert ts.parse_m3u8(b"#EXTM3U\n#EXTINF:bogus,\nx.ts\n")["segments"]
+
+
+def test_m3u8_quoted_commas_and_bytes_input():
+    m = ts.parse_m3u8(MASTER.encode())
+    assert m["variants"][0]["codecs"] == "avc1.64001F,mp4a.40.2"
+
+
+def test_hls_declared_vs_coded():
+    seg = ts.encode_ts_stub(5005, 1280, 720, avc_profile=100, avc_level=31)
+    r = ts.hls_declared_vs_coded(MASTER, seg)
+    assert r["codecs_match"] is True and r["res_match"] is True
+    # a segment that does not match what the manifest declared
+    bad = ts.hls_declared_vs_coded(MASTER, ts.encode_ts_stub(5005, 640, 360))
+    assert bad["codecs_match"] is False and bad["res_match"] is False
+    assert ts.hls_declared_vs_coded("junk", seg) is None
