@@ -43,6 +43,8 @@ __all__ = [
     "encode_ts_stub",
     "ts_meta",
     "parse_m3u8",
+    "parse_mpd",
+    "parse_manifest",
     "hls_declared_vs_coded",
     "TS_PACKET",
 ]
@@ -605,3 +607,103 @@ def hls_declared_vs_coded(playlist_text, segment_payload) -> Optional[dict]:
         "coded_res": coded_res,
         "res_match": res_match,
     }
+
+
+# ------------------------------------------------------------------ #
+# DASH manifests (ISO 23009-1) — parsed with the in-repo hquery engine
+
+
+def _iso8601_duration_ms(s: Optional[str]) -> Optional[int]:
+    """'PT1H2M3.5S' -> milliseconds (the MPD duration format)."""
+    if not s or not s.startswith("P"):
+        return None
+    total = 0.0
+    num = ""
+    in_time = False
+    for ch in s[1:]:
+        if ch == "T":
+            in_time = True
+        elif ch.isdigit() or ch == ".":
+            num += ch
+        else:
+            if not num:
+                return None
+            v = float(num)
+            num = ""
+            if ch == "H":
+                total += v * 3600
+            elif ch == "M":
+                total += v * (60 if in_time else 2592000)
+            elif ch == "S":
+                total += v
+            elif ch == "D":
+                total += v * 86400
+            elif ch == "Y":
+                total += v * 31536000
+            else:
+                return None
+    return int(total * 1000)
+
+
+def parse_mpd(text) -> Optional[dict]:
+    """DASH MPD manifest -> the same shape as ``parse_m3u8``:
+    {'kind': 'dash', 'variants': [{'bandwidth','width','height',
+    'codecs','uri','mime'}], 'total_duration_ms', 'dynamic'}.
+
+    Dogfoods the repo's own extraction engine: the MPD's XML is indexed
+    by the hquery tokenizer and the Representation inventory is pulled
+    with the same selector algebra the HTML pipeline uses — tag query,
+    context find, attribute access (names case-folded, reference
+    semantics), BaseURL text extraction."""
+    import hquery_php_spark as hq
+
+    if text is None:
+        return None
+    raw = text if isinstance(text, (bytes, bytearray)) else text.encode("utf-8")
+    head = bytes(raw[:512]).lstrip()
+    if b"<MPD" not in head and b"urn:mpeg:dash" not in bytes(raw[:2048]):
+        return None
+    doc = hq.HDoc(bytes(raw))
+    mpds = doc.find("MPD")
+    if not mpds:
+        return None
+    mpd = next(iter(mpds))
+    out = {
+        "kind": "dash",
+        "variants": [],
+        "total_duration_ms": _iso8601_duration_ms(
+            mpd.attr("mediapresentationduration")
+        ),
+        "dynamic": (mpd.attr("type") or "static") == "dynamic",
+    }
+
+    def _int(v):
+        try:
+            return int(v) if v is not None else None
+        except ValueError:
+            return None
+
+    for aset in doc.find("AdaptationSet") or []:
+        set_mime = aset.attr("mimetype")
+        set_codecs = aset.attr("codecs")
+        for rep in aset.find("Representation") or []:
+            base = rep.find("BaseURL")
+            uri = next(iter(base)).text().strip() if base else None
+            out["variants"].append(
+                {
+                    "bandwidth": _int(rep.attr("bandwidth")),
+                    "width": _int(rep.attr("width")),
+                    "height": _int(rep.attr("height")),
+                    # Representation attributes inherit from the set
+                    "codecs": rep.attr("codecs") or set_codecs,
+                    "mime": rep.attr("mimetype") or set_mime,
+                    "uri": uri,
+                }
+            )
+    return out
+
+
+def parse_manifest(text) -> Optional[dict]:
+    """Sniff-and-parse either streaming manifest format: HLS M3U8 or
+    DASH MPD, normalized to one variant-inventory shape."""
+    return parse_m3u8(text) or parse_mpd(text)

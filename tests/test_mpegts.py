@@ -183,3 +183,54 @@ def test_hls_declared_vs_coded():
     bad = ts.hls_declared_vs_coded(MASTER, ts.encode_ts_stub(5005, 640, 360))
     assert bad["codecs_match"] is False and bad["res_match"] is False
     assert ts.hls_declared_vs_coded("junk", seg) is None
+
+
+# ------------------------------------------------- DASH MPD
+
+
+MPD = """<?xml version="1.0"?>
+<MPD xmlns="urn:mpeg:dash:schema:mpd:2011" type="static"
+     mediaPresentationDuration="PT1H2M3.5S">
+ <Period>
+  <AdaptationSet mimeType="video/mp4">
+   <Representation id="v720" bandwidth="2000000" codecs="avc1.64001F"
+                   width="1280" height="720">
+    <BaseURL>v720.mp4</BaseURL>
+   </Representation>
+   <Representation id="v360" bandwidth="800000" codecs="avc1.42001E"
+                   width="640" height="360"/>
+  </AdaptationSet>
+  <AdaptationSet mimeType="audio/mp4" codecs="mp4a.40.2">
+   <Representation id="a1" bandwidth="128000" audioSamplingRate="44100"/>
+  </AdaptationSet>
+ </Period>
+</MPD>"""
+
+
+def test_mpd_parse_through_hquery_engine():
+    m = ts.parse_mpd(MPD)
+    assert m["kind"] == "dash" and m["dynamic"] is False
+    assert m["total_duration_ms"] == 3723500  # PT1H2M3.5S
+    assert len(m["variants"]) == 3
+    v = m["variants"][0]
+    assert (v["bandwidth"], v["width"], v["height"]) == (2000000, 1280, 720)
+    assert v["codecs"] == "avc1.64001F" and v["uri"] == "v720.mp4"
+    # Representation inherits codecs from its AdaptationSet
+    assert m["variants"][2]["codecs"] == "mp4a.40.2"
+    assert m["variants"][2]["mime"] == "audio/mp4"
+
+
+def test_mpd_rejects_and_sniff():
+    assert ts.parse_mpd("<html><body>no</body></html>") is None
+    assert ts.parse_mpd(None) is None
+    assert ts.parse_manifest(MPD)["kind"] == "dash"
+    assert ts.parse_manifest("#EXTM3U\n#EXTINF:1,\nx.ts\n")["kind"] == "media"
+    assert ts.parse_manifest("plain text") is None
+
+
+def test_iso8601_duration():
+    assert ts._iso8601_duration_ms("PT9.8S") == 9800
+    assert ts._iso8601_duration_ms("PT2M") == 120000
+    assert ts._iso8601_duration_ms("P1DT1S") == 86401000
+    assert ts._iso8601_duration_ms("nope") is None
+    assert ts._iso8601_duration_ms(None) is None
