@@ -2116,6 +2116,90 @@ def q_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pagemeta_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured head-metadata extraction driver rows: synthesize a
+    metadata-rich page per doc (OpenGraph, Twitter card, canonical
+    against a per-doc base URL, JSON-LD incl. a deliberately broken
+    block, RSS feed link), run operators/pagemeta.page_meta_rows —
+    the hquery engine end to end — and emit (media_id, ord, kind,
+    key, value) rows whose twin is pure string arithmetic."""
+    import pandas as pd
+    from pyspark.sql.types import (
+        IntegerType, StringType, StructField, StructType,
+    )
+
+    from hquery_php_spark.operators.pagemeta import page_meta_rows
+
+    d = _spread(_docs(spark, sf_dir), spark).select(
+        F.col("doc_id").cast("long").alias("did")
+    )
+    schema = StructType(
+        [
+            StructField("media_id", StringType()),
+            StructField("ord", IntegerType()),
+            StructField("kind", StringType()),
+            StructField("key", StringType()),
+            StructField("value", StringType()),
+        ]
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            out = {k: [] for k in schema.fieldNames()}
+            for did in pdf["did"]:
+                did = int(did)
+                jsonld = (
+                    '<script type="application/ld+json">{broken'
+                    "</script>"
+                    if did % 4 == 3
+                    else '<script type="application/ld+json">'
+                    '{"@type": "%s"}</script>'
+                    % ("Article", "Product", "NewsArticle")[did % 3]
+                )
+                html = (
+                    '<html><head><meta charset="utf-8">'
+                    f"<title>Doc {did} Meta</title>"
+                    f'<link rel="canonical" href="/c/{did}">'
+                    + (
+                        f'<meta name="description" content="Desc {did}.">'
+                        if did % 2 == 0
+                        else ""
+                    )
+                    + f'<meta property="og:title" content="OG {did}">'
+                    + (
+                        '<meta property="og:image" content='
+                        f'"https://cdn.example.com/i/{did}.png">'
+                        if did % 3 != 0
+                        else ""
+                    )
+                    + '<meta name="twitter:card" content='
+                    + (
+                        '"summary">' if did % 2 == 0
+                        else '"summary_large_image">'
+                    )
+                    + (
+                        '<link rel="alternate" type="application/rss+xml"'
+                        ' href="/feed.xml">'
+                        if did % 5 == 0
+                        else ""
+                    )
+                    + jsonld
+                    + f"</head><body><p>Doc {did}</p></body></html>"
+                )
+                rows = page_meta_rows(
+                    html, f"https://ex{did % 7}.com/page/{did}"
+                )
+                for i, r in enumerate(rows):
+                    out["media_id"].append(f"p{did}")
+                    out["ord"].append(i)
+                    out["kind"].append(r["kind"])
+                    out["key"].append(r["key"])
+                    out["value"].append(r["value"])
+            yield pd.DataFrame(out)
+
+    return d.mapInPandas(gen, schema)
+
+
 def q_media_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio PCM statistics + sampled-video-frame statistics in one
     driver row: the non-image legs of the multimodal contract."""
@@ -2163,7 +2247,15 @@ def q_media_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).cast("long").alias("e"),
         F.lit(0).cast("long").alias("f"),
     )
-    return a.unionByName(v).unionByName(m).unionByName(am)
+    pm = _pagemeta_rows(spark, sf_dir).select(
+        F.lit("pmeta").alias("fam"),
+        F.concat_ws(":", "media_id", "kind", "key", "value").alias("k1"),
+        F.col("ord").cast("int").alias("k2"),
+        *[F.lit(0).cast("long").alias(c) for c in "abcdef"],
+    )
+    return (
+        a.unionByName(v).unionByName(m).unionByName(am).unionByName(pm)
+    )
 
 
 def _heif_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5183,5 +5275,54 @@ def oracle_sql() -> dict[str, str]:
                CAST(n_streams AS BIGINT), CAST(last_granule AS BIGINT),
                CAST(0 AS BIGINT), CAST(0 AS BIGINT)
         FROM ({base['audio_meta']})
+        UNION ALL
+        -- pmeta: template inversion of _pagemeta_rows (head-metadata
+        -- extraction through the hquery engine); rk is the fixed
+        -- emission order of page_meta_rows, ord its dense renumber
+        SELECT 'pmeta',
+               'p' || CAST(doc_id AS VARCHAR) || ':' || kind || ':'
+                    || key || ':' || value,
+               CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+                                       ORDER BY rk) - 1 AS INT),
+               CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+               CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+        FROM (
+            SELECT doc_id, 0 AS rk, 'doc' AS kind, 'title' AS key,
+                   'Doc ' || CAST(doc_id AS VARCHAR) || ' Meta' AS value
+            FROM documents
+            UNION ALL
+            SELECT doc_id, 1, 'link', 'canonical',
+                   'https://ex' || CAST(doc_id % 7 AS VARCHAR)
+                   || '.com/c/' || CAST(doc_id AS VARCHAR)
+            FROM documents
+            UNION ALL
+            SELECT doc_id, 2, 'doc', 'description',
+                   'Desc ' || CAST(doc_id AS VARCHAR) || '.'
+            FROM documents WHERE doc_id % 2 = 0
+            UNION ALL
+            SELECT doc_id, 3, 'og', 'image',
+                   'https://cdn.example.com/i/'
+                   || CAST(doc_id AS VARCHAR) || '.png'
+            FROM documents WHERE doc_id % 3 != 0
+            UNION ALL
+            SELECT doc_id, 4, 'og', 'title',
+                   'OG ' || CAST(doc_id AS VARCHAR)
+            FROM documents
+            UNION ALL
+            SELECT doc_id, 5, 'twitter', 'card',
+                   CASE doc_id % 2 WHEN 0 THEN 'summary'
+                        ELSE 'summary_large_image' END
+            FROM documents
+            UNION ALL
+            SELECT doc_id, 6, 'link', 'feed',
+                   'https://ex' || CAST(doc_id % 7 AS VARCHAR)
+                   || '.com/feed.xml'
+            FROM documents WHERE doc_id % 5 = 0
+            UNION ALL
+            SELECT doc_id, 7, 'jsonld', '@type',
+                   CASE doc_id % 3 WHEN 0 THEN 'Article'
+                        WHEN 1 THEN 'Product' ELSE 'NewsArticle' END
+            FROM documents WHERE doc_id % 4 != 3
+        )
     """
     return out
