@@ -1,0 +1,137 @@
+"""Markdown renderer: deterministic rendering rules over the tag index."""
+
+from hquery_php_spark.operators.markdown import render_markdown
+
+
+def test_headings_and_paragraphs():
+    md = render_markdown(
+        "<h1>Title</h1><p>one</p><h2>Sub</h2><p>two</p>"
+    )
+    assert md == "# Title\n\none\n\n## Sub\n\ntwo"
+
+
+def test_inline_marks_links_images():
+    md = render_markdown(
+        '<p>a <strong>b</strong> <em>c</em> <code>d()</code> '
+        '<a href="/x">lnk</a> <img src="/i.png" alt="pic"></p>',
+        "https://ex.com/base/",
+    )
+    assert md == (
+        "a **b** *c* `d()` [lnk](https://ex.com/x) "
+        "![pic](https://ex.com/i.png)"
+    )
+
+
+def test_b_i_aliases_and_empty_emphasis():
+    assert render_markdown("<p><b>x</b><i>y</i></p>") == "**x***y*"
+    assert render_markdown("<p>a<b>  </b>b</p>") == "a b"
+
+
+def test_nested_lists_ordered_and_unordered():
+    md = render_markdown(
+        "<ul><li>one</li><li>two<ul><li>sub</li></ul></li></ul>"
+        "<ol><li>first</li><li>second</li></ol>"
+    )
+    assert md == (
+        "- one\n- two\n  - sub\n\n1. first\n2. second"
+    )
+
+
+def test_blockquote_prefixes_every_line():
+    md = render_markdown("<blockquote><p>a</p><p>b</p></blockquote>")
+    assert md == "> a\n>\n> b"
+
+
+def test_pre_code_fence_not_collapsed():
+    md = render_markdown("<pre><code>x = 1\n  y = 2</code></pre>")
+    assert md == "```\nx = 1\n  y = 2\n```"
+    # bare pre without code wrapper
+    assert render_markdown("<pre>a  b</pre>") == "```\na  b\n```"
+
+
+def test_table_pipe_rendering():
+    md = render_markdown(
+        "<table><tr><th>k</th><th>v</th></tr>"
+        "<tr><td>id</td><td>4|2</td></tr></table>"
+    )
+    assert md == "| k | v |\n| --- | --- |\n| id | 4\\|2 |"
+
+
+def test_br_and_hr():
+    assert render_markdown("<p>a<br>b</p>") == "a\nb"
+    assert render_markdown("<p>a</p><hr><p>b</p>") == "a\n\n---\n\nb"
+
+
+def test_head_script_style_skipped():
+    md = render_markdown(
+        "<html><head><title>T</title><style>p{}</style>"
+        "<script>var x;</script></head><body><p>only</p></body></html>"
+    )
+    assert md == "only"
+
+
+def test_bare_text_in_container_becomes_paragraph():
+    md = render_markdown("<div>bare<p>para</p>tail</div>")
+    assert md == "bare\n\npara\n\ntail"
+
+
+def test_entities_decoded():
+    assert render_markdown("<p>a &amp; b &lt;c&gt;</p>") == "a & b <c>"
+
+
+def test_base_href_absolutization():
+    md = render_markdown(
+        '<head><base href="https://cdn.ex.com/root/"></head>'
+        '<p><a href="f.html">f</a></p>'
+    )
+    assert md == "[f](https://cdn.ex.com/root/f.html)"
+
+
+def test_unclosed_soup_never_raises():
+    for soup in (
+        "<p>broken <b>soup",
+        "<ul><li>a<li>b",
+        "<table><tr><td>x",
+        "<blockquote>q",
+        "\x00\xff<div<<>p",
+        "",
+    ):
+        render_markdown(soup)  # must not raise
+
+
+def test_unclosed_li_html5_style():
+    md = render_markdown("<ul><li>a</li><li>b</li></ul>")
+    assert md == "- a\n- b"
+
+
+def test_anchor_without_href_is_transparent():
+    assert render_markdown("<p><a>just text</a></p>") == "just text"
+
+
+def test_comment_between_blocks_invisible():
+    assert render_markdown("<p>a</p><!-- hidden --><p>b</p>") == "a\n\nb"
+
+
+def test_markdown_df_roundtrip(tmp_path):
+    import pytest
+
+    pytest.importorskip("pyspark")
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master("local[2]")
+        .config("spark.sql.shuffle.partitions", "2")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    from hquery_php_spark.operators.markdown import markdown_df
+
+    df = spark.createDataFrame(
+        [(1, "<h1>T</h1><p>body</p>"), (2, "<p>x</p>")],
+        "doc_id long, html string",
+    )
+    rows = {r["doc_id"]: r for r in markdown_df(df).collect()}
+    assert rows[1]["markdown"] == "# T\n\nbody"
+    assert rows[1]["n_blocks"] == 2
+    assert rows[2]["markdown"] == "x"
+    assert rows[2]["n_chars"] == 1
