@@ -3794,6 +3794,287 @@ def q_multimodal_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.join(meta, "media_id", "full")
 
 
+# --------------------------------------------------------------------- #
+# Structured-extraction + web-policy operators (round-4 session 13):
+# HTML→Markdown rendering, table-grid extraction, sentence segmentation,
+# RSS/Atom + sitemap parsing, robots.txt rules at corpus scale.
+
+
+def _struct_html() -> F.Column:
+    """Deterministic structure-rich page per doc: heading, paragraph,
+    list with emphasis, 2-col table, trailing link — every Markdown
+    block family, invertible in closed-form SQL."""
+    sid = F.col("doc_id").cast("string")
+    norm = F.trim(F.regexp_replace(F.col("text"), r"\s+", " "))
+    return F.concat(
+        F.lit("<html><head><title>Doc "), sid,
+        F.lit("</title></head><body>\n<h1>Doc "), sid,
+        F.lit("</h1>\n<p>"), norm,
+        F.lit("</p>\n<h2>Facts</h2>\n<ul><li>id "), sid,
+        F.lit("</li><li>src <b>"), F.col("source"),
+        F.lit("</b></li></ul>\n<table><tr><th>k</th><th>v</th></tr>"
+              "<tr><td>id</td><td>"), sid,
+        F.lit("</td></tr><tr><td>source</td><td>"), F.col("source"),
+        F.lit('</td></tr></table>\n<p>See <a href="/docs/'), sid,
+        F.lit('.html">Doc '), sid, F.lit("</a>.</p>\n</body></html>"),
+    )
+
+
+def q_html_markdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Main-content Markdown render of the structure-rich page (the
+    operators/markdown.py engine walk), one row per doc."""
+    from hquery_php_spark.operators.markdown import markdown_df
+
+    d = _spread(_docs(spark, sf_dir), spark).select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        _struct_html().alias("html"),
+        F.lit(BASE_URL).alias("url"),
+    )
+    return markdown_df(d, url_col="url")
+
+
+def q_table_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-resolved table cells of the structure-rich page: 6 cells
+    per doc (header row + two data rows)."""
+    from hquery_php_spark.operators.tables import html_tables_df
+
+    d = _spread(_docs(spark, sf_dir), spark).select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        _struct_html().alias("html"),
+    )
+    return html_tables_df(d).select(
+        "doc_id", "table_no", "row_no", "col_no", "is_header", "text"
+    )
+
+
+def q_sentence_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable sentence segmentation over the raw document text —
+    zero-shuffle expression tree (functions/segment.py)."""
+    from hquery_php_spark.functions.segment import sentence_stats
+
+    return _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        sentence_stats(F.col("text")).alias("s"),
+    ).select("doc_id", "s.*")
+
+
+def q_struct_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured-extraction coverage in one row per doc: the full
+    Markdown render + ordered table-cell inventory + sentence stats."""
+    md = q_html_markdown(spark, sf_dir)
+    cells = (
+        q_table_extract(spark, sf_dir)
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("int").alias("n_cells"),
+            F.concat_ws(
+                "|",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct("table_no", "row_no", "col_no", "text")
+                        )
+                    ),
+                    lambda s: s["text"],
+                ),
+            ).alias("cells"),
+        )
+    )
+    sent = q_sentence_segment(spark, sf_dir)
+    return md.join(cells, "doc_id").join(sent, "doc_id")
+
+
+def _feed_xml() -> F.Column:
+    """RSS 2.0 (even doc_id) / Atom 1.0 (odd) feed with two entries;
+    the second entry omits optional fields (NULL path)."""
+    sid = F.col("doc_id").cast("string")
+    rss = F.concat(
+        F.lit('<?xml version="1.0"?><rss version="2.0"><channel><title>'
+              "Feed "), sid, F.lit("</title>\n<item><title>Post "), sid,
+        F.lit(" A</title><link>https://feeds.example.com/"), sid,
+        F.lit("/a</link><guid>g"), sid,
+        F.lit("a</guid><pubDate>Mon, 01 Jan 2024</pubDate><description>d "),
+        sid, F.lit(" a</description></item>\n<item><title>Post "), sid,
+        F.lit(" B</title><link>https://feeds.example.com/"), sid,
+        F.lit("/b</link></item>\n</channel></rss>"),
+    )
+    atom = F.concat(
+        F.lit("<feed><title>Feed "), sid,
+        F.lit("</title>\n<entry><title>Post "), sid,
+        F.lit(' A</title><link href="https://feeds.example.com/'), sid,
+        F.lit('/a"/><id>i'), sid,
+        F.lit("a</id><updated>2024-01-01T00:00:00Z</updated><summary>s "),
+        sid, F.lit(" a</summary></entry>\n<entry><title>Post "), sid,
+        F.lit(' B</title><link href="https://feeds.example.com/'), sid,
+        F.lit('/b"/></entry>\n</feed>'),
+    )
+    return F.when(F.pmod(F.col("doc_id"), F.lit(2)) == 0, rss).otherwise(atom)
+
+
+def q_feed_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RSS/Atom entries (operators/feeds.py over the hquery engine):
+    two rows per doc."""
+    from hquery_php_spark.operators.feeds import feed_entries_df
+
+    d = _spread(_docs(spark, sf_dir), spark).select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        _feed_xml().alias("xml"),
+    )
+    return feed_entries_df(d)
+
+
+def _sitemap_xml() -> F.Column:
+    """sitemapindex every 5th doc, urlset (2 urls, second minimal)
+    otherwise."""
+    sid = F.col("doc_id").cast("string")
+    urlset = F.concat(
+        F.lit("<urlset><url><loc>https://example.com/docs/"), sid,
+        F.lit(".html</loc><lastmod>2024-01-01</lastmod><changefreq>daily"
+              "</changefreq><priority>0.8</priority></url>"
+              "<url><loc>https://example.com/alt/"), sid,
+        F.lit("</loc></url></urlset>"),
+    )
+    smidx = F.concat(
+        F.lit("<sitemapindex><sitemap><loc>https://example.com/sm/"), sid,
+        F.lit(".xml</loc><lastmod>2024-02-02</lastmod></sitemap>"
+              "</sitemapindex>"),
+    )
+    return F.when(F.pmod(F.col("doc_id"), F.lit(5)) == 0, smidx).otherwise(urlset)
+
+
+def q_sitemap_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hquery_php_spark.operators.feeds import sitemap_entries_df
+
+    d = _spread(_docs(spark, sf_dir), spark).select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        _sitemap_xml().alias("xml"),
+    )
+    return sitemap_entries_df(d)
+
+
+_ROBOTS_HOSTS = 97  # distinct robots.txt hosts in the synthetic corpus
+
+
+def _robots_host() -> F.Column:
+    return F.concat(
+        F.lit("h"),
+        F.pmod(F.col("doc_id"), F.lit(_ROBOTS_HOSTS)).cast("string"),
+        F.lit(".example.com"),
+    )
+
+
+def _robots_txt(h: F.Column) -> F.Column:
+    """Per-host rules: literal prefix deny, longer literal allow, a
+    wildcard deny, a crawl delay — exercises every match family."""
+    return F.concat(
+        F.lit("User-agent: crawler\nDisallow: /x/\n"
+              "User-agent: *\nDisallow: /private/\nAllow: /private/ok"),
+        h, F.lit(".html\nDisallow: /t/*/z\nCrawl-delay: "),
+        F.pmod(h.cast("long"), F.lit(5)).cast("string"),
+        F.lit("\nSitemap: https://example.com/sm.xml\n"),
+    )
+
+
+def _robots_url() -> F.Column:
+    """doc_id%4 selects the decision family: 0 allowed (longest-match
+    Allow), 1 denied (prefix), 2 denied (wildcard), 3 allowed (no
+    rule)."""
+    sid = F.col("doc_id").cast("string")
+    h = F.pmod(F.col("doc_id"), F.lit(_ROBOTS_HOSTS)).cast("string")
+    base = F.concat(F.lit("https://"), _robots_host())
+    fam = F.pmod(F.col("doc_id"), F.lit(4))
+    path = (
+        F.when(fam == 0, F.concat(F.lit("/private/ok"), h, F.lit(".html")))
+        .when(fam == 1, F.concat(F.lit("/private/no"), sid))
+        .when(fam == 2, F.concat(F.lit("/t/a"), sid, F.lit("/z")))
+        .otherwise(F.concat(F.lit("/pub/"), sid))
+    )
+    return F.concat(base, path)
+
+
+def q_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus-scale allow-filter END-TO-END: per-host robots.txt
+    parsed once (mapInPandas ∝ hosts), URLs joined on host (plain
+    shuffle join, AQE-broadcastable), longest-match decision as a
+    map-side expression fold (operators/robots.py)."""
+    from hquery_php_spark.operators.robots import (
+        filter_allowed,
+        robots_rules_df,
+    )
+
+    docs = _docs(spark, sf_dir)
+    hosts = (
+        docs.select(
+            F.pmod(F.col("doc_id"), F.lit(_ROBOTS_HOSTS)).cast("string").alias("h")
+        )
+        .distinct()
+        .select(
+            F.concat(F.lit("h"), F.col("h"), F.lit(".example.com")).alias("host"),
+            _robots_txt(F.col("h")).alias("robots_txt"),
+        )
+    )
+    rules = robots_rules_df(hosts)
+    urls = _spread(docs, spark).select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        _robots_host().alias("host"),
+        _robots_url().alias("url"),
+    )
+    return filter_allowed(urls, rules, keep_denied=True).select(
+        "doc_id", "host", "url", "allowed"
+    )
+
+
+def q_webfeed_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Web-discovery coverage in one row per doc: the parsed feed
+    (kind, title, both entries), the parsed sitemap, and the robots
+    allow decision for the doc's URL."""
+    feeds = (
+        q_feed_parse(spark, sf_dir)
+        .groupBy("doc_id")
+        .agg(
+            F.max("kind").alias("feed_kind"),
+            F.max("feed_title").alias("feed_title"),
+            F.count("*").cast("int").alias("n_entries"),
+            F.max(F.when(F.col("ord") == 0, F.col("title"))).alias("e1_title"),
+            F.max(F.when(F.col("ord") == 0, F.col("link"))).alias("e1_link"),
+            F.max(F.when(F.col("ord") == 0, F.col("entry_id"))).alias("e1_id"),
+            F.max(F.when(F.col("ord") == 1, F.col("title"))).alias("e2_title"),
+            F.max(F.when(F.col("ord") == 1, F.col("updated"))).alias("e2_updated"),
+        )
+    )
+    sm = (
+        q_sitemap_parse(spark, sf_dir)
+        .groupBy("doc_id")
+        .agg(
+            F.max("kind").alias("sm_kind"),
+            F.count("*").cast("int").alias("n_locs"),
+            F.max(F.when(F.col("ord") == 0, F.col("loc"))).alias("loc1"),
+            F.max(F.when(F.col("ord") == 0, F.col("lastmod"))).alias("lastmod1"),
+            F.max(F.when(F.col("ord") == 0, F.col("priority"))).alias("priority1"),
+        )
+    )
+    rb = q_robots_filter(spark, sf_dir).select("doc_id", "url", "allowed")
+    return feeds.join(sm, "doc_id").join(rb, "doc_id")
+
+
+def q_strip_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate-strip span rows + the selector-algebra exclude view
+    of the same page, one consolidated driver row."""
+    b = q_boilerplate_strip(spark, sf_dir)
+    x = q_exclude_text(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "main_text"
+    )
+    return b.join(x, "doc_id")
+
+
+def q_docquality_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc quality gates in one row: Gopher rules + repetition
+    stats (both zero-shuffle expression trees)."""
+    return q_repetition_stats(spark, sf_dir).join(
+        q_gopher_quality(spark, sf_dir), "doc_id"
+    )
+
+
 # Which original per-operator queries each consolidated registry entry
 # covers — the judge-readable mapping (also pinned by the contract test).
 SUITE_COVERS = {
@@ -3824,6 +4105,10 @@ SUITE_COVERS = {
     "tpch_suite": ["revenue_by_nation", "pricing_summary"],
     "multimodal_suite": ["multimodal_meta", "multimodal_features"],
     "media_suite": ["audio_stats", "frame_sample", "media_meta", "audio_meta"],
+    "strip_suite": ["boilerplate_strip", "exclude_text"],
+    "docquality_suite": ["gopher_quality", "repetition_stats"],
+    "struct_suite": ["html_markdown", "table_extract", "sentence_segment"],
+    "webfeed_suite": ["feed_parse", "sitemap_parse", "robots_filter"],
 }
 
 
@@ -3919,6 +4204,12 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "revenue_by_nation": q_revenue_by_nation,
         "pricing_summary": q_pricing_summary,
+        "html_markdown": q_html_markdown,
+        "table_extract": q_table_extract,
+        "sentence_segment": q_sentence_segment,
+        "feed_parse": q_feed_parse,
+        "sitemap_parse": q_sitemap_parse,
+        "robots_filter": q_robots_filter,
     }
 
 
@@ -3934,9 +4225,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "charset_suite": q_charset_suite,
         "find_counts": q_find_counts,
         "pseudo_slices": q_pseudo_slices,
-        "boilerplate_strip": q_boilerplate_strip,
-        "exclude_text": q_exclude_text,
+        "strip_suite": q_strip_suite,
         "dl_extract": q_dl_extract,
+        "struct_suite": q_struct_suite,
+        "webfeed_suite": q_webfeed_suite,
         "pdf_extract": q_pdf_extract,
         "training_pipeline": q_training_pipeline,
         "interleaved_suite": q_interleaved_suite,
@@ -3944,8 +4236,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_profile": q_text_profile,
         "classifier_suite": q_classifier_suite,
         "redact_pii": q_redact_pii,
-        "gopher_quality": q_gopher_quality,
-        "repetition_stats": q_repetition_stats,
+        "docquality_suite": q_docquality_suite,
         "paragraph_dedup": q_paragraph_dedup,
         "substring_dedup": q_substring_dedup,
         "dedup_minhash_clusters": q_dedup_minhash_clusters,
@@ -3979,6 +4270,149 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_suite": q_multimodal_suite,
         "media_suite": q_media_suite,
     }
+
+
+# -- structured-extraction / web-policy twins (closed-form inversions
+# of the deterministic synth templates above) ------------------------- #
+
+_NL2 = "chr(10) || chr(10)"
+
+
+def _markdown_sql() -> str:
+    """Closed-form Markdown of the _struct_html template: 6 blocks
+    (5 when the paragraph text collapses to empty)."""
+    norm = TSQL.norm_ws("text")
+    md = (
+        f"'# Doc ' || sid || {_NL2} || "
+        f"CASE WHEN length(norm) > 0 THEN norm || {_NL2} ELSE '' END || "
+        f"'## Facts' || {_NL2} || "
+        f"'- id ' || sid || chr(10) || '- src **' || source || '**' || {_NL2} || "
+        f"'| k | v |' || chr(10) || '| --- | --- |' || chr(10) || "
+        f"'| id | ' || sid || ' |' || chr(10) || "
+        f"'| source | ' || source || ' |' || {_NL2} || "
+        f"'See [Doc ' || sid || '](https://example.com/docs/' || sid || '.html).'"
+    )
+    return f"""
+        SELECT sid AS doc_id, md AS markdown,
+               CAST(CASE WHEN norm = '' THEN 5 ELSE 6 END AS INT) AS n_blocks,
+               CAST(length(md) AS INT) AS n_chars
+        FROM (SELECT sid, norm, {md} AS md
+              FROM (SELECT CAST(doc_id AS VARCHAR) AS sid,
+                           {norm} AS norm, source FROM documents))
+    """
+
+
+def _table_extract_sql() -> str:
+    """The 2x3 facts table of _struct_html as grid rows."""
+    return """
+        WITH m AS (SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                          CAST(doc_id AS VARCHAR) AS sid, source
+                   FROM documents),
+        c(row_no, col_no, is_header, kind) AS (VALUES
+            (0, 0, true,  'k'), (0, 1, true,  'v'),
+            (1, 0, false, 'lid'), (1, 1, false, 'sid'),
+            (2, 0, false, 'lsrc'), (2, 1, false, 'src'))
+        SELECT doc_id, CAST(0 AS INT) AS table_no,
+               CAST(row_no AS INT) AS row_no, CAST(col_no AS INT) AS col_no,
+               is_header,
+               CASE kind WHEN 'k' THEN 'k' WHEN 'v' THEN 'v'
+                         WHEN 'lid' THEN 'id' WHEN 'sid' THEN sid
+                         WHEN 'lsrc' THEN 'source' ELSE source END AS text
+        FROM m, c
+    """
+
+
+def _sentence_sql() -> str:
+    from hquery_php_spark.functions.segment import SegSQL
+
+    f = SegSQL.stats_fields("text")
+    cols = ", ".join(f"{e} AS {k}" for k, e in f.items())
+    return (
+        f"SELECT CAST(doc_id AS VARCHAR) AS doc_id, {cols} FROM documents"
+    )
+
+
+def _feed_parse_sql() -> str:
+    """Inverse of _feed_xml: RSS on even doc_id, Atom on odd; entry B
+    carries only title+link (the NULL path)."""
+    return """
+        WITH m AS (SELECT doc_id, CAST(doc_id AS VARCHAR) AS sid
+                   FROM documents),
+        e(ord) AS (VALUES (0), (1))
+        SELECT CAST(m.doc_id AS VARCHAR) AS doc_id,
+               CASE WHEN m.doc_id % 2 = 0 THEN 'rss' ELSE 'atom' END AS kind,
+               'Feed ' || sid AS feed_title,
+               CAST(e.ord AS INT) AS ord,
+               'Post ' || sid || CASE e.ord WHEN 0 THEN ' A' ELSE ' B' END AS title,
+               'https://feeds.example.com/' || sid ||
+                 CASE e.ord WHEN 0 THEN '/a' ELSE '/b' END AS link,
+               CASE WHEN e.ord = 0 THEN
+                 CASE WHEN m.doc_id % 2 = 0 THEN 'g' ELSE 'i' END || sid || 'a'
+               END AS entry_id,
+               CASE WHEN e.ord = 0 THEN
+                 CASE WHEN m.doc_id % 2 = 0 THEN 'Mon, 01 Jan 2024'
+                      ELSE '2024-01-01T00:00:00Z' END
+               END AS updated,
+               CASE WHEN e.ord = 0 THEN
+                 CASE WHEN m.doc_id % 2 = 0 THEN 'd ' ELSE 's ' END
+                   || sid || ' a'
+               END AS summary
+        FROM m, e
+    """
+
+
+def _sitemap_parse_sql() -> str:
+    """Inverse of _sitemap_xml: 1-row sitemapindex every 5th doc,
+    2-row urlset otherwise (second url minimal)."""
+    return """
+        WITH m AS (SELECT doc_id, CAST(doc_id AS VARCHAR) AS sid
+                   FROM documents),
+        e(ord) AS (VALUES (0), (1))
+        SELECT CAST(m.doc_id AS VARCHAR) AS doc_id,
+               CASE WHEN m.doc_id % 5 = 0 THEN 'sitemapindex'
+                    ELSE 'urlset' END AS kind,
+               CAST(e.ord AS INT) AS ord,
+               CASE WHEN m.doc_id % 5 = 0
+                      THEN 'https://example.com/sm/' || sid || '.xml'
+                    WHEN e.ord = 0
+                      THEN 'https://example.com/docs/' || sid || '.html'
+                    ELSE 'https://example.com/alt/' || sid END AS loc,
+               CASE WHEN m.doc_id % 5 = 0 THEN '2024-02-02'
+                    WHEN e.ord = 0 THEN '2024-01-01' END AS lastmod,
+               CASE WHEN m.doc_id % 5 != 0 AND e.ord = 0
+                    THEN 'daily' END AS changefreq,
+               CASE WHEN m.doc_id % 5 != 0 AND e.ord = 0
+                    THEN '0.8' END AS priority
+        FROM m, e
+        WHERE e.ord = 0 OR m.doc_id % 5 != 0
+    """
+
+
+_ROBOTS_M = """m AS (SELECT doc_id, CAST(doc_id AS VARCHAR) AS sid,
+                            CAST(doc_id % 97 AS VARCHAR) AS h,
+                            CAST(doc_id % 4 AS INT) AS fam
+                     FROM documents)"""
+
+_ROBOTS_URL = """'https://h' || h || '.example.com' ||
+               CASE fam WHEN 0 THEN '/private/ok' || h || '.html'
+                        WHEN 1 THEN '/private/no' || sid
+                        WHEN 2 THEN '/t/a' || sid || '/z'
+                        ELSE '/pub/' || sid END"""
+
+
+def _robots_filter_sql() -> str:
+    """Closed-form allow decision for the 4 synthetic path families:
+    0 allowed (longest-match Allow beats the /private/ Disallow),
+    1 denied (prefix), 2 denied (wildcard /t/*/z), 3 allowed (no
+    matching rule)."""
+    return f"""
+        WITH {_ROBOTS_M}
+        SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+               'h' || h || '.example.com' AS host,
+               {_ROBOTS_URL} AS url,
+               fam IN (0, 3) AS allowed
+        FROM m
+    """
 
 
 def _base_oracle_sql() -> dict[str, str]:
@@ -4976,6 +5410,12 @@ def _base_oracle_sql() -> dict[str, str]:
             raw_sql="SELECT doc_id, text FROM documents",
             target_sql="SELECT doc_id, text FROM documents WHERE lang = 'en'",
         ),
+        "html_markdown": _markdown_sql(),
+        "table_extract": _table_extract_sql(),
+        "sentence_segment": _sentence_sql(),
+        "feed_parse": _feed_parse_sql(),
+        "sitemap_parse": _sitemap_parse_sql(),
+        "robots_filter": _robots_filter_sql(),
         "bloom_screen": _bloom_sql(
             batch_sql=(
                 "SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1 "
@@ -5039,10 +5479,9 @@ def oracle_sql() -> dict[str, str]:
         k: base[k]
         for k in (
             "extract_spans", "selector_counts", "media_refs", "find_counts",
-            "pseudo_slices", "boilerplate_strip", "exclude_text", "dl_extract",
+            "pseudo_slices", "dl_extract",
             "pdf_extract", "training_pipeline", "dedup_exact",
-            "redact_pii", "gopher_quality",
-            "repetition_stats", "paragraph_dedup", "substring_dedup",
+            "redact_pii", "paragraph_dedup", "substring_dedup",
             "dedup_ngram_exact", "simhash", "winnow_fp", "url_dedup",
             "semantic_dedup", "dsir_weights", "pagerank_hosts",
             "tfidf_top", "bm25_search", "pmi_collocations", "corpus_stats",
@@ -5059,6 +5498,59 @@ def oracle_sql() -> dict[str, str]:
         UNION ALL
         SELECT 'mm' AS fam, doc_id, cost, shard, pack_no
         FROM ({base['pack_interleaved']})
+    """
+    # boilerplate span rows + the exclude view of the same page
+    out["strip_suite"] = f"""
+        SELECT b.doc_id, b.kind, b.text, b."offset", x.main_text
+        FROM ({base['boilerplate_strip']}) b
+        JOIN (SELECT CAST(doc_id AS BIGINT) AS doc_id, main_text
+              FROM ({base['exclude_text']})) x USING (doc_id)
+    """
+    # per-doc quality gates: Gopher rules + repetition stats
+    out["docquality_suite"] = f"""
+        SELECT * FROM ({base['repetition_stats']}) r
+        JOIN ({base['gopher_quality']}) g USING (doc_id)
+    """
+    # Markdown render + ordered cell inventory + sentence stats
+    out["struct_suite"] = f"""
+        SELECT md.doc_id, md.markdown, md.n_blocks, md.n_chars,
+               c.n_cells, c.cells,
+               s.n_sent, s.s_first, s.s_last, s.len_total
+        FROM ({base['html_markdown']}) md
+        JOIN (SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                     CAST(6 AS INT) AS n_cells,
+                     'k|v|id|' || CAST(doc_id AS VARCHAR) || '|source|'
+                       || source AS cells
+              FROM documents) c USING (doc_id)
+        JOIN ({base['sentence_segment']}) s USING (doc_id)
+    """
+    # parsed feed + parsed sitemap + robots allow decision, one row/doc
+    out["webfeed_suite"] = f"""
+        WITH {_ROBOTS_M}
+        SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+               CASE WHEN doc_id % 2 = 0 THEN 'rss' ELSE 'atom' END AS feed_kind,
+               'Feed ' || sid AS feed_title,
+               CAST(2 AS INT) AS n_entries,
+               'Post ' || sid || ' A' AS e1_title,
+               'https://feeds.example.com/' || sid || '/a' AS e1_link,
+               CASE WHEN doc_id % 2 = 0 THEN 'g' ELSE 'i' END
+                 || sid || 'a' AS e1_id,
+               'Post ' || sid || ' B' AS e2_title,
+               CAST(NULL AS VARCHAR) AS e2_updated,
+               CASE WHEN doc_id % 5 = 0 THEN 'sitemapindex'
+                    ELSE 'urlset' END AS sm_kind,
+               CAST(CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 2 END AS INT)
+                 AS n_locs,
+               CASE WHEN doc_id % 5 = 0
+                      THEN 'https://example.com/sm/' || sid || '.xml'
+                    ELSE 'https://example.com/docs/' || sid || '.html'
+                 END AS loc1,
+               CASE WHEN doc_id % 5 = 0 THEN '2024-02-02'
+                    ELSE '2024-01-01' END AS lastmod1,
+               CASE WHEN doc_id % 5 != 0 THEN '0.8' END AS priority1,
+               {_ROBOTS_URL} AS url,
+               fam IN (0, 3) AS allowed
+        FROM m
     """
     out["charset_suite"] = f"""
         SELECT d.doc_id, d.sniffed, x.text, x."offset", x.decoded_from

@@ -122,6 +122,15 @@ def main() -> None:
         "frame_sample",
         "media_meta",
         "audio_meta",
+        # structured extraction: Markdown render + table grids over the
+        # engine walk; sentence split is a pure expression tree
+        "html_markdown",
+        "table_extract",
+        "sentence_segment",
+        # web discovery/policy: feed parse (engine) and the robots
+        # host-join allow filter (expression-fold decision)
+        "feed_parse",
+        "robots_filter",
     ]
 
     timings = {}
