@@ -4024,6 +4024,42 @@ def q_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _frontier_cands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic candidate set: each doc contributes its sitemap
+    loc (on example.com) and its first feed link (feeds.example.com)."""
+    docs = _docs(spark, sf_dir)
+    sid = F.col("doc_id").cast("string")
+    five = F.pmod(F.col("doc_id"), F.lit(5)) == 0
+    sm_loc = F.when(
+        five, F.concat(F.lit("https://example.com/sm/"), sid, F.lit(".xml"))
+    ).otherwise(
+        F.concat(F.lit("https://example.com/docs/"), sid, F.lit(".html"))
+    )
+    sm_pri = F.when(five, F.lit(0)).otherwise(F.lit(800_000)).cast("long")
+    feed_link = F.concat(F.lit("https://feeds.example.com/"), sid, F.lit("/a"))
+    return docs.select(
+        sm_loc.alias("url"),
+        F.lit("sitemap").alias("source_kind"),
+        sm_pri.alias("priority_micro"),
+    ).unionByName(
+        docs.select(
+            feed_link.alias("url"),
+            F.lit("feed").alias("source_kind"),
+            F.lit(0).cast("long").alias("priority_micro"),
+        )
+    )
+
+
+def q_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed crawl-frontier assembly (operators/frontier.py):
+    canonicalize → dedup → prioritize → per-host politeness layout;
+    one row per candidate URL with its within-host fetch rank."""
+    from hquery_php_spark.operators.frontier import frontier_df
+
+    fr = frontier_df(_frontier_cands(spark, sf_dir))
+    return fr.select("url", "host", "source_kind", "priority", "fetch_order")
+
+
 def q_webfeed_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Web-discovery coverage in one row per doc: the parsed feed
     (kind, title, both entries), the parsed sitemap, and the robots
@@ -4054,7 +4090,21 @@ def q_webfeed_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     rb = q_robots_filter(spark, sf_dir).select("doc_id", "url", "allowed")
-    return feeds.join(sm, "doc_id").join(rb, "doc_id")
+    fr = q_frontier(spark, sf_dir)
+    f1 = fr.select(
+        F.col("url").alias("loc1"),
+        F.col("priority").alias("f_priority"),
+        F.col("fetch_order").alias("f_rank"),
+    )
+    f2 = fr.select(
+        F.col("url").alias("e1_link"), F.col("fetch_order").alias("f2_rank")
+    )
+    return (
+        feeds.join(sm, "doc_id")
+        .join(rb, "doc_id")
+        .join(f1, "loc1")
+        .join(f2, "e1_link")
+    )
 
 
 def q_strip_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4108,7 +4158,8 @@ SUITE_COVERS = {
     "strip_suite": ["boilerplate_strip", "exclude_text"],
     "docquality_suite": ["gopher_quality", "repetition_stats"],
     "struct_suite": ["html_markdown", "table_extract", "sentence_segment"],
-    "webfeed_suite": ["feed_parse", "sitemap_parse", "robots_filter"],
+    "webfeed_suite": ["feed_parse", "sitemap_parse", "robots_filter",
+                      "frontier"],
 }
 
 
@@ -4210,6 +4261,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "feed_parse": q_feed_parse,
         "sitemap_parse": q_sitemap_parse,
         "robots_filter": q_robots_filter,
+        "frontier": q_frontier,
     }
 
 
@@ -4398,6 +4450,34 @@ _ROBOTS_URL = """'https://h' || h || '.example.com' ||
                         WHEN 1 THEN '/private/no' || sid
                         WHEN 2 THEN '/t/a' || sid || '/z'
                         ELSE '/pub/' || sid END"""
+
+
+def _frontier_sql() -> str:
+    """Closed-form frontier: sitemap locs on example.com (priority
+    2.0M/2.8M), feed links on feeds.example.com (1.0M); fetch_order =
+    within-host rank by (priority desc, url)."""
+    return """
+        WITH m AS (SELECT doc_id, CAST(doc_id AS VARCHAR) AS sid
+                   FROM documents),
+        cand AS (
+          SELECT CASE WHEN doc_id % 5 = 0
+                   THEN 'https://example.com/sm/' || sid || '.xml'
+                   ELSE 'https://example.com/docs/' || sid || '.html'
+                 END AS url,
+                 'example.com' AS host, 'sitemap' AS source_kind,
+                 CAST(2000000 + CASE WHEN doc_id % 5 = 0 THEN 0
+                                     ELSE 800000 END AS BIGINT) AS priority
+          FROM m
+          UNION ALL
+          SELECT 'https://feeds.example.com/' || sid || '/a',
+                 'feeds.example.com', 'feed', CAST(1000000 AS BIGINT)
+          FROM m
+        )
+        SELECT url, host, source_kind, priority,
+               CAST(ROW_NUMBER() OVER (PARTITION BY host
+                    ORDER BY priority DESC, url) - 1 AS INT) AS fetch_order
+        FROM cand
+    """
 
 
 def _robots_filter_sql() -> str:
@@ -5416,6 +5496,7 @@ def _base_oracle_sql() -> dict[str, str]:
         "feed_parse": _feed_parse_sql(),
         "sitemap_parse": _sitemap_parse_sql(),
         "robots_filter": _robots_filter_sql(),
+        "frontier": _frontier_sql(),
         "bloom_screen": _bloom_sql(
             batch_sql=(
                 "SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1 "
@@ -5549,7 +5630,18 @@ def oracle_sql() -> dict[str, str]:
                     ELSE '2024-01-01' END AS lastmod1,
                CASE WHEN doc_id % 5 != 0 THEN '0.8' END AS priority1,
                {_ROBOTS_URL} AS url,
-               fam IN (0, 3) AS allowed
+               fam IN (0, 3) AS allowed,
+               CAST(2000000 + CASE WHEN doc_id % 5 = 0 THEN 0
+                                   ELSE 800000 END AS BIGINT) AS f_priority,
+               CAST(ROW_NUMBER() OVER (ORDER BY
+                      CASE WHEN doc_id % 5 = 0 THEN 0 ELSE 800000 END DESC,
+                      CASE WHEN doc_id % 5 = 0
+                        THEN 'https://example.com/sm/' || sid || '.xml'
+                        ELSE 'https://example.com/docs/' || sid || '.html'
+                      END) - 1 AS INT) AS f_rank,
+               CAST(ROW_NUMBER() OVER (ORDER BY
+                      'https://feeds.example.com/' || sid || '/a')
+                    - 1 AS INT) AS f2_rank
         FROM m
     """
     out["charset_suite"] = f"""
