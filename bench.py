@@ -131,6 +131,9 @@ def main() -> None:
         # host-join allow filter (expression-fold decision)
         "feed_parse",
         "robots_filter",
+        # composed discovery→fetch-queue assembly (dedup + priority +
+        # politeness repartition + per-host rank window)
+        "frontier",
     ]
 
     timings = {}

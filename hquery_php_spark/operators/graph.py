@@ -34,7 +34,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["pagerank_fixed_point", "pagerank_oracle_sql"]
+__all__ = ["pagerank_fixed_point", "pagerank_oracle_sql",
+           "host_link_edges", "host_ids"]
 
 SCALE = 1_000_000
 
@@ -132,4 +133,61 @@ def pagerank_oracle_sql(
         "WITH "
         + ",\n".join(ctes)
         + f"\nSELECT node, r AS rank_micro FROM {prev}"
+    )
+
+
+def host_link_edges(
+    spans_df: DataFrame,
+    base_host_col: str = "base_host",
+    ref_col: str = "media_ref",
+    kind_col: str = "kind",
+) -> DataFrame:
+    """Exploded span rows -> weighted host edge list (src, dst, n).
+
+    The real-corpus feeder for ``pagerank_fixed_point``: ``a[href]``
+    media spans carry absolute URLs (the extract stage resolved them),
+    so src = the document's host, dst = host(media_ref); self-loops
+    (internal navigation) are dropped, parallel links aggregate to a
+    weight.  One partial-agg shuffle keyed by (src, dst) — linear in
+    spans, no Python.  Feed the (src, dst) pairs to the integer
+    PageRank (weighted variant: multiply share by ``n``) after mapping
+    hosts to dense ids with the same first-occurrence ranking every
+    other operator uses."""
+    dst = F.lower(
+        F.regexp_extract(F.col(ref_col), r"^[a-z][a-z0-9+.-]*://([^/]+)", 1)
+    )
+    return (
+        spans_df.where(
+            (F.col(kind_col) == "media") & F.col(ref_col).isNotNull()
+        )
+        .select(
+            F.lower(F.col(base_host_col)).alias("src"), dst.alias("dst")
+        )
+        .where((F.col("dst") != "") & (F.col("src") != F.col("dst")))
+        .groupBy("src", "dst")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+
+
+def host_ids(edges: DataFrame, dense: bool = False) -> DataFrame:
+    """(host, node_id) for the hosts appearing in the edge list.
+
+    Default: node_id = xxhash64(host) — zero-shuffle beyond the
+    distinct, scales to any host count; PageRank only needs ids as
+    join keys, not a dense range (collision odds ~ n²/2⁶⁴).
+    ``dense=True`` ranks hosts lexicographically through a single
+    global window — deterministic and twin-friendly, but one-partition
+    at the rank step, so reserve it for test/oracle corpora."""
+    hosts = (
+        edges.select(F.col("src").alias("host"))
+        .unionByName(edges.select(F.col("dst").alias("host")))
+        .distinct()
+    )
+    if not dense:
+        return hosts.withColumn("node_id", F.xxhash64("host"))
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy("host")
+    return hosts.withColumn(
+        "node_id", (F.row_number().over(w) - 1).cast("long")
     )

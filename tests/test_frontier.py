@@ -113,3 +113,50 @@ def test_deterministic_rerun(spark):
     a = sorted(map(tuple, frontier_df(c).collect()))
     b = sorted(map(tuple, frontier_df(c).collect()))
     assert a == b
+
+
+def test_host_link_edges_and_pagerank(spark):
+    """Real-corpus feeder: exploded a[href] spans -> host edges -> the
+    integer PageRank; a hub linked by everyone outranks the spokes."""
+    import pyspark.sql.functions as F
+
+    from hquery_php_spark.operators.graph import (
+        host_ids,
+        host_link_edges,
+        pagerank_fixed_point,
+    )
+
+    rows = []
+    # 6 spoke hosts each link to hub.com twice; hub links to s0 once
+    for i in range(6):
+        rows.append((f"s{i}.com", "media", f"https://hub.com/p{i}"))
+        rows.append((f"s{i}.com", "media", f"https://hub.com/q{i}"))
+        rows.append((f"s{i}.com", "text", None))
+        rows.append((f"s{i}.com", "media", f"https://s{i}.com/self"))  # self-loop
+    rows.append(("hub.com", "media", "https://s0.com/x"))
+    spans = spark.createDataFrame(
+        rows, "base_host string, kind string, media_ref string"
+    )
+    edges = host_link_edges(spans)
+    got = {(r["src"], r["dst"]): r["n"] for r in edges.collect()}
+    assert got[("s0.com", "hub.com")] == 2
+    assert ("s0.com", "s0.com") not in got  # self-loop dropped
+    assert got[("hub.com", "s0.com")] == 1
+
+    ids = host_ids(edges, dense=True)
+    e = (
+        edges.join(ids.withColumnRenamed("host", "src"), "src")
+        .withColumnRenamed("node_id", "src_id")
+        .join(ids.withColumnRenamed("host", "dst"), "dst")
+        .withColumnRenamed("node_id", "dst_id")
+        .select(F.col("src_id").alias("src"), F.col("dst_id").alias("dst"))
+    )
+    ranks = pagerank_fixed_point(e, iters=5)
+    r = {row["node"]: row["rank_micro"] for row in ranks.collect()}
+    hub = {row["host"]: row["node_id"] for row in ids.collect()}["hub.com"]
+    assert r[hub] == max(r.values())
+
+    # hashed ids: same edge structure, same winner
+    ids_h = host_ids(edges)
+    assert ids_h.count() == ids.count()
+    assert ids_h.select("node_id").distinct().count() == ids.count()
