@@ -3858,6 +3858,25 @@ def q_sentence_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "s.*")
 
 
+def q_section_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outline extraction + structure-aware chunking over the
+    structure-rich page (operators/sections.py): one row per section
+    with its breadcrumb path and greedy chunk assignment."""
+    from hquery_php_spark.operators.sections import (
+        chunk_sections_df,
+        section_rows_df,
+    )
+
+    d = _spread(_docs(spark, sf_dir), spark).select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        _struct_html().alias("html"),
+    )
+    return chunk_sections_df(section_rows_df(d), max_tokens=16).select(
+        "doc_id", "section_no", "level", "title", "path", "text",
+        "n_tokens", "chunk_no", "oversize",
+    )
+
+
 def q_struct_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured-extraction coverage in one row per doc: the full
     Markdown render + ordered table-cell inventory + sentence stats."""
@@ -3881,7 +3900,25 @@ def q_struct_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     sent = q_sentence_segment(spark, sf_dir)
-    return md.join(cells, "doc_id").join(sent, "doc_id")
+    secs = (
+        q_section_chunks(spark, sf_dir)
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("int").alias("n_sections"),
+            F.max(F.when(F.col("section_no") == 0, F.col("title")))
+                .alias("sec1_title"),
+            F.max(F.when(F.col("section_no") == 1, F.col("path")))
+                .alias("sec2_path"),
+            F.max(F.when(F.col("section_no") == 1, F.col("text")))
+                .alias("sec2_text"),
+            (F.max("chunk_no") + 1).cast("int").alias("n_chunks"),
+            F.sum(F.col("oversize").cast("int")).cast("int")
+                .alias("n_oversize"),
+        )
+    )
+    return (
+        md.join(cells, "doc_id").join(sent, "doc_id").join(secs, "doc_id")
+    )
 
 
 def _feed_xml() -> F.Column:
@@ -4157,7 +4194,8 @@ SUITE_COVERS = {
     "media_suite": ["audio_stats", "frame_sample", "media_meta", "audio_meta"],
     "strip_suite": ["boilerplate_strip", "exclude_text"],
     "docquality_suite": ["gopher_quality", "repetition_stats"],
-    "struct_suite": ["html_markdown", "table_extract", "sentence_segment"],
+    "struct_suite": ["html_markdown", "table_extract", "sentence_segment",
+                     "section_chunks"],
     "webfeed_suite": ["feed_parse", "sitemap_parse", "robots_filter",
                       "frontier"],
 }
@@ -4262,6 +4300,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sitemap_parse": q_sitemap_parse,
         "robots_filter": q_robots_filter,
         "frontier": q_frontier,
+        "section_chunks": q_section_chunks,
     }
 
 
@@ -4371,6 +4410,44 @@ def _table_extract_sql() -> str:
                          WHEN 'lid' THEN 'id' WHEN 'sid' THEN sid
                          WHEN 'lsrc' THEN 'source' ELSE source END AS text
         FROM m, c
+    """
+
+
+_SEC2_TEXT = (
+    "'id ' || sid || 'src ' || source || ' kvid' || sid || 'source' "
+    "|| source || ' See Doc ' || sid || '.'"
+)
+
+
+def _section_chunks_sql() -> str:
+    """Inverse of the outline walk on _struct_html: section 0 = the h1
+    body (the paragraph), section 1 = the h2 'Facts' body (list +
+    table + trailing link text, engine text() concatenation); greedy
+    16-token chunking in closed form over W = token_count(norm)."""
+    norm = TSQL.norm_ws("text")
+    w = TSQL.token_count("norm")
+    return f"""
+        WITH m AS (SELECT CAST(doc_id AS VARCHAR) AS sid, norm, source,
+                          CAST({w} AS BIGINT) AS W
+                   FROM (SELECT doc_id, {norm} AS norm, source
+                         FROM documents)),
+        e(section_no) AS (VALUES (0), (1))
+        SELECT sid AS doc_id, CAST(section_no AS INT) AS section_no,
+               CAST(CASE section_no WHEN 0 THEN 1 ELSE 2 END AS INT) AS level,
+               CASE section_no WHEN 0 THEN 'Doc ' || sid
+                               ELSE 'Facts' END AS title,
+               'Doc ' || sid || CASE section_no WHEN 0 THEN ''
+                                ELSE ' > Facts' END AS path,
+               CASE section_no WHEN 0 THEN norm
+                               ELSE {_SEC2_TEXT} END AS text,
+               CAST(CASE section_no WHEN 0 THEN W ELSE 7 END AS BIGINT)
+                 AS n_tokens,
+               CAST(CASE WHEN section_no = 0 THEN 0
+                         WHEN W + 7 <= 16 THEN 0 ELSE 1 END AS INT)
+                 AS chunk_no,
+               CASE WHEN section_no = 0 THEN W > 16 ELSE false END
+                 AS oversize
+        FROM m, e
     """
 
 
@@ -5493,6 +5570,7 @@ def _base_oracle_sql() -> dict[str, str]:
         "html_markdown": _markdown_sql(),
         "table_extract": _table_extract_sql(),
         "sentence_segment": _sentence_sql(),
+        "section_chunks": _section_chunks_sql(),
         "feed_parse": _feed_parse_sql(),
         "sitemap_parse": _sitemap_parse_sql(),
         "robots_filter": _robots_filter_sql(),
@@ -5592,11 +5670,15 @@ def oracle_sql() -> dict[str, str]:
         SELECT * FROM ({base['repetition_stats']}) r
         JOIN ({base['gopher_quality']}) g USING (doc_id)
     """
-    # Markdown render + ordered cell inventory + sentence stats
+    # Markdown render + ordered cell inventory + sentence stats +
+    # outline/chunk rollup
+    _w = TSQL.token_count(TSQL.norm_ws("text"))
     out["struct_suite"] = f"""
         SELECT md.doc_id, md.markdown, md.n_blocks, md.n_chars,
                c.n_cells, c.cells,
-               s.n_sent, s.s_first, s.s_last, s.len_total
+               s.n_sent, s.s_first, s.s_last, s.len_total,
+               o.n_sections, o.sec1_title, o.sec2_path, o.sec2_text,
+               o.n_chunks, o.n_oversize
         FROM ({base['html_markdown']}) md
         JOIN (SELECT CAST(doc_id AS VARCHAR) AS doc_id,
                      CAST(6 AS INT) AS n_cells,
@@ -5604,6 +5686,18 @@ def oracle_sql() -> dict[str, str]:
                        || source AS cells
               FROM documents) c USING (doc_id)
         JOIN ({base['sentence_segment']}) s USING (doc_id)
+        JOIN (SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                     CAST(2 AS INT) AS n_sections,
+                     'Doc ' || sid AS sec1_title,
+                     'Doc ' || sid || ' > Facts' AS sec2_path,
+                     {_SEC2_TEXT} AS sec2_text,
+                     CAST(CASE WHEN W + 7 <= 16 THEN 1 ELSE 2 END AS INT)
+                       AS n_chunks,
+                     CAST(CASE WHEN W > 16 THEN 1 ELSE 0 END AS INT)
+                       AS n_oversize
+              FROM (SELECT doc_id, CAST(doc_id AS VARCHAR) AS sid, source,
+                           CAST({_w} AS BIGINT) AS W
+                    FROM documents)) o USING (doc_id)
     """
     # parsed feed + parsed sitemap + robots allow decision, one row/doc
     out["webfeed_suite"] = f"""
