@@ -506,3 +506,36 @@ def streaming_append_snaptable(
     return stream_df.writeStream.foreachBatch(_commit).option(
         "checkpointLocation", checkpoint_dir
     )
+
+
+def streaming_feed_entries(
+    feeds: DataFrame,
+    seen_ledger: DataFrame,
+    xml_col: str = "xml",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Continuous discovery: a stream of fetched feed documents →
+    NEVER-SEEN entries only.
+
+    Per micro-batch: ``feeds.feed_entries_df`` parses the RSS/Atom
+    payloads (Arrow ``mapInPandas`` — streaming-safe, per-row work),
+    each entry gets a stable identity (its ``entry_id``/guid when the
+    feed provides one, else the link), and a stream-STATIC left-anti
+    join against the at-rest ``seen_ledger`` (one ``entry_key``
+    column) suppresses everything already discovered — the same
+    no-state-store shape as ``streaming_incremental_dedup``: the
+    ledger table IS the state, appends to it become visible to later
+    micro-batches without a restart.  Downstream commits survivors to
+    the ledger + the frontier (``jobs/frontier_job.py`` consumes the
+    same contract).
+    """
+    from ..operators.feeds import feed_entries_df
+
+    if not feeds.isStreaming:
+        raise ValueError("expected a streaming DataFrame (readStream source)")
+    entries = feed_entries_df(feeds, xml_col=xml_col, id_col=id_col)
+    keyed = entries.withColumn(
+        "entry_key", F.coalesce(F.col("entry_id"), F.col("link"))
+    ).where(F.col("entry_key").isNotNull())
+    led = seen_ledger.select(F.col("entry_key"))
+    return keyed.join(led, "entry_key", "left_anti")

@@ -49,23 +49,32 @@ def main() -> None:
                          "row counts are restored")
     args = ap.parse_args()
 
-    import json
-
     from pyspark.sql import SparkSession
-    from pyspark.sql import functions as F
 
     spark = SparkSession.builder.appName("hquery-takedown").getOrCreate()
 
-    from hquery_php_spark.sources.snaptable import SnapTable
-
-    root = args.output.rstrip("/")
     keys_raw = spark.read.parquet(args.keys)
     if args.key_col not in keys_raw.columns:
         raise SystemExit(
             "--keys %s has no column %r (columns: %s)"
             % (args.keys, args.key_col, keys_raw.columns)
         )
+    apply_takedown(spark, args.output, keys_raw, args.key_col,
+                   args.takedown_id, args.materialize)
+    spark.stop()
 
+
+def apply_takedown(spark, output, keys_raw, key_col, takedown_id,
+                   materialize=False):
+    """Idempotent per-table equality-delete commits (reusable by other
+    governance jobs, e.g. jobs/robots_recheck_job.py)."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from hquery_php_spark.sources.snaptable import SnapTable
+
+    root = output.rstrip("/")
     for name in ("spans", "curated", "packs"):
         path = os.path.join(root, name)
         tbl = SnapTable(path)
@@ -78,36 +87,34 @@ def main() -> None:
         ktype = next(
             f["type"]
             for f in json.loads(snap["schema"])["fields"]
-            if f["name"] == args.key_col
+            if f["name"] == key_col
         )
         keys = keys_raw.select(
-            F.col(args.key_col).cast(ktype).alias(args.key_col)
+            F.col(key_col).cast(ktype).alias(key_col)
         )
         new = tbl.delete_keys(
-            keys, [args.key_col], delete_id=args.takedown_id
+            keys, [key_col], delete_id=takedown_id
         )
         pend = tbl.pending_deletes()
-        mine = [d for d in pend if d.get("delete_id") == args.takedown_id]
+        mine = [d for d in pend if d.get("delete_id") == takedown_id]
         if new["snapshot_id"] == snap["snapshot_id"] and not mine:
             print("table %s: nothing to delete (empty key set)" % name)
         elif new["snapshot_id"] == snap["snapshot_id"]:
             print("table %s: takedown %r already committed, skipping"
-                  % (name, args.takedown_id))
+                  % (name, takedown_id))
         else:
             print(
                 "table %s: delete committed (snapshot %d, %d keys, "
                 "0 data files rewritten)"
                 % (name, new["snapshot_id"], mine[0]["n_keys"])
             )
-        if args.materialize and tbl.pending_deletes():
+        if materialize and tbl.pending_deletes():
             tbl.compact(spark)
             print(
                 "table %s: materialized -> %d live rows, fsck %s"
                 % (name, tbl.row_count(),
                    "ok" if tbl.fsck()["ok"] else "FAILED")
             )
-
-    spark.stop()
 
 
 if __name__ == "__main__":
