@@ -54,6 +54,11 @@ QUERIES = [
     ("snaptable_point_lookup", "point lookup on a bucket[8]-partitioned snaptable: the manifest plans ONLY the key's bucket files (the InMemoryFileIndex lists ~1/8 of the table — driver-side, no Spark job) + PushedFilters carries the residual doc_id equality into the rowgroup scan"),
     ("snaptable_incremental_read", "changelog consumption: read_incremental(after) plans ONLY the files appended after the watermark snapshot — the scan's file list is the delta, so downstream incremental curate/pack cost follows NEW data, never the corpus"),
     ("snaptable_mor_delete_read", "merge-on-read equality delete: delete_keys committed the key set as ONE small equality-delete file (no data file rewritten — commit cost O(|keys|)); the read is the data scan anti-joined against it, key side broadcast — no table shuffle, and compact() later materializes the delete away entirely"),
+    ("html_markdown", "Markdown render: synth projection -> salted repartition -> ONE mapInPandas engine walk, zero shuffle beyond the spread"),
+    ("sentence_segment", "portable sentence split: pure expression tree (regexp mark + split + fold), zero shuffle, WholeStageCodegen end to end"),
+    ("robots_filter", "policy gate: rules mapInPandas ∝ hosts -> ONE shuffle join on host (no forced broadcast; AQE picks it when the rule table is small) -> map-side filter/aggregate longest-match fold — no per-URL Python, no explode of the rule array"),
+    ("frontier", "frontier assembly: expression canonicalization -> ONE (url) partial-agg dedup shuffle -> politeness Exchange on hash(host)%B with within-partition (host, priority) sort -> per-host rank window (bounded by the host's URL count, never global)"),
+    ("section_chunks", "outline + chunking: mapInPandas section walk -> per-doc collect_list (one shuffle) -> greedy cut recurrence as an aggregate-fold EXPRESSION over the section array -> explode back; no iterative jobs, no window"),
 ]
 
 def main():
