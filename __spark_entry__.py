@@ -584,6 +584,78 @@ def _bpe_merges(spark: SparkSession, sf_dir: str):
     return got
 
 
+_UNIGRAM_CACHE: dict = {}
+_UNI_PARAMS = dict(
+    vocab_size=4, max_piece_len=3, rounds=1, min_count=1, seed_cap=64
+)
+
+
+def _unigram_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-family synthetic word corpus (doc_id % 3 → abab / abcabc /
+    aabb): small enough that the full EM arithmetic has a closed-form
+    SQL twin, rich enough to exercise seeding, Viterbi ties (aabb's
+    [aab,b] vs [a,abb] is an EXACT integer tie resolved by the pinned
+    longer-last-piece rule), and pruning."""
+    return (
+        _docs(spark, sf_dir)
+        .select(
+            F.when(F.pmod(F.col("doc_id"), F.lit(3)) == 0, F.lit("abab"))
+            .when(F.pmod(F.col("doc_id"), F.lit(3)) == 1, F.lit("abcabc"))
+            .otherwise(F.lit("aabb"))
+            .alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count("*").cast("long").alias("freq"))
+    )
+
+
+def _unigram_fit(spark: SparkSession, sf_dir: str):
+    """Memoized driver-row unigram fit (the _bpe_merges precedent)."""
+    from hquery_php_spark.operators.unigram import train_unigram
+
+    key = _docs_cache_key(sf_dir)
+    got = _UNIGRAM_CACHE.get(key)
+    if got is None:
+        out, scores = train_unigram(
+            _unigram_words(spark, sf_dir), **_UNI_PARAMS
+        )
+        got = ([tuple(r) for r in out.collect()], scores)
+        _UNIGRAM_CACHE[key] = got
+    return got
+
+
+def q_unigram_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed unigram-LM (SentencePiece) tokenizer training
+    (operators/unigram.py): hard-EM over the word table, integer
+    micro-nat scores; (piece, cnt, lp_micro) final vocabulary."""
+    rows, _ = _unigram_fit(spark, sf_dir)
+    return spark.createDataFrame(
+        rows, "piece string, cnt long, lp_micro long"
+    )
+
+
+def q_unigram_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Viterbi encoding under the trained table: one row per doc with
+    the piece sequence of its synthetic word."""
+    from hquery_php_spark.operators.unigram import unigram_encode_df
+
+    _, scores = _unigram_fit(spark, sf_dir)
+    d = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.when(F.pmod(F.col("doc_id"), F.lit(3)) == 0, F.lit("abab"))
+        .when(F.pmod(F.col("doc_id"), F.lit(3)) == 1, F.lit("abcabc"))
+        .otherwise(F.lit("aabb"))
+        .alias("text"),
+    )
+    return unigram_encode_df(
+        d, scores, _UNI_PARAMS["max_piece_len"]
+    ).select(
+        "doc_id",
+        F.concat_ws("|", F.col("pieces")).alias("pieces"),
+        F.col("n_pieces"),
+    )
+
+
 def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE tokenizer training: one corpus→vocab shuffle,
     then 16 expression-level merge rounds on the vocab table (pair
@@ -648,7 +720,29 @@ def q_vocab_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
         )
     )
-    return vocab.unionByName(m).unionByName(ev)
+    uni = q_unigram_train(spark, sf_dir).select(
+        F.lit("uni").alias("fam"),
+        F.col("lp_micro").alias("rk"),
+        F.col("piece").alias("k1"),
+        F.lit("").alias("k2"),
+        F.col("cnt").alias("n"),
+    )
+    uenc = (
+        q_unigram_encode(spark, sf_dir)
+        .groupBy("pieces", "n_pieces")
+        .agg(F.count("*").cast("long").alias("n"))
+        .select(
+            F.lit("uenc").alias("fam"),
+            F.col("n_pieces").cast("long").alias("rk"),
+            F.col("pieces").alias("k1"),
+            F.lit("").alias("k2"),
+            "n",
+        )
+    )
+    return (
+        vocab.unionByName(m).unionByName(ev)
+        .unionByName(uni).unionByName(uenc)
+    )
 
 
 def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4182,7 +4276,8 @@ SUITE_COVERS = {
     "sketch_suite": ["cms_heavy_hitters", "hll_distinct", "bloom_screen",
                      "length_quantiles"],
     "logprob_suite": ["unigram_logprob", "bigram_logprob"],
-    "vocab_suite": ["vocab_top", "bpe_train", "bpe_encode"],
+    "vocab_suite": ["vocab_top", "bpe_train", "bpe_encode",
+                    "unigram_train", "unigram_encode"],
     "pack_suite": ["pack_sequences", "pack_interleaved"],
     "classifier_suite": ["quality_classifier", "classifier_train",
                          "classifier_pred"],
@@ -4301,6 +4396,8 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_filter": q_robots_filter,
         "frontier": q_frontier,
         "section_chunks": q_section_chunks,
+        "unigram_train": q_unigram_train,
+        "unigram_encode": q_unigram_encode,
     }
 
 
@@ -4367,6 +4464,49 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # of the deterministic synth templates above) ------------------------- #
 
 _NL2 = "chr(10) || chr(10)"
+
+
+_UNI_N = """n AS (SELECT
+      CAST(sum(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+      CAST(sum(CASE WHEN doc_id % 3 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+      CAST(sum(CASE WHEN doc_id % 3 = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2
+    FROM documents)"""
+
+
+def _unigram_train_sql() -> str:
+    """Closed-form replay of the 1-round hard-EM on the 3-word corpus
+    (segmentations abab→[ab,ab], abcabc→[abc,abc], aabb→[a,abb] — the
+    last an exact integer tie resolved by the pinned longer-last-piece
+    rule; verified stable in counts across sf in tests): final vocab
+    a:n2, b:1, c:1 (zero-count single chars floor to 1), ab:2n0,
+    abc:2n1, abb:n2; lp = floor(ln(cnt/total)*1e6)."""
+    return f"""
+        WITH {_UNI_N},
+        v(piece, cnt) AS (
+          SELECT 'a', n2 FROM n UNION ALL
+          SELECT 'ab', 2 * n0 FROM n UNION ALL
+          SELECT 'abb', n2 FROM n UNION ALL
+          SELECT 'abc', 2 * n1 FROM n UNION ALL
+          SELECT 'b', 1 FROM n UNION ALL
+          SELECT 'c', 1 FROM n),
+        t AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM v)
+        SELECT piece, CAST(cnt AS BIGINT) AS cnt,
+               CAST(floor(ln(CAST(cnt AS DOUBLE) / total) * 1000000)
+                    AS BIGINT) AS lp_micro
+        FROM v, t
+    """
+
+
+def _unigram_encode_sql() -> str:
+    return """
+        SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+               CASE CAST(doc_id % 3 AS INT)
+                 WHEN 0 THEN 'ab|ab'
+                 WHEN 1 THEN 'abc|abc'
+                 ELSE 'a|abb' END AS pieces,
+               CAST(2 AS INT) AS n_pieces
+        FROM documents
+    """
 
 
 def _markdown_sql() -> str:
@@ -5575,6 +5715,8 @@ def _base_oracle_sql() -> dict[str, str]:
         "sitemap_parse": _sitemap_parse_sql(),
         "robots_filter": _robots_filter_sql(),
         "frontier": _frontier_sql(),
+        "unigram_train": _unigram_train_sql(),
+        "unigram_encode": _unigram_encode_sql(),
         "bloom_screen": _bloom_sql(
             batch_sql=(
                 "SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1 "
@@ -5784,6 +5926,14 @@ def oracle_sql() -> dict[str, str]:
         FROM ({base['vocab_top']})
         UNION ALL
         SELECT fam, rk, k1, k2, n FROM ({_bpe_sql(_BPE_MERGES, top_n=_BPE_TOP)})
+        UNION ALL
+        SELECT 'uni', lp_micro, piece, '', cnt
+        FROM ({base['unigram_train']})
+        UNION ALL
+        SELECT 'uenc', CAST(2 AS BIGINT), pieces, '',
+               CAST(count(*) AS BIGINT)
+        FROM ({base['unigram_encode']})
+        GROUP BY pieces
     """
     out["interleaved_suite"] = f"""
         SELECT s.doc_id, s.ord, s.kind, s.text, s.media_ref, s."offset",
