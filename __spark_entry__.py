@@ -656,6 +656,24 @@ def q_unigram_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_unigram_train_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The trainer at REAL-corpus parameters (full word_freqs scan,
+    4-char pieces, 2 EM rounds, 256-piece budget) — the bench row for
+    actual training cost.  Rows-only: EM over an open vocabulary has
+    no closed-form SQL; values are pinned by the parameter-identical
+    driver-corpus twin (`unigram_train`) plus the distributed ==
+    single-process equality test (tests/test_unigram.py)."""
+    from hquery_php_spark.operators.bpe import word_freqs
+    from hquery_php_spark.operators.unigram import train_unigram
+
+    out, _ = train_unigram(
+        word_freqs(_docs(spark, sf_dir)),
+        vocab_size=256, max_piece_len=4, rounds=2, min_count=2,
+        seed_cap=2048,
+    )
+    return out
+
+
 def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE tokenizer training: one corpus→vocab shuffle,
     then 16 expression-level merge rounds on the vocab table (pair
@@ -4276,8 +4294,12 @@ SUITE_COVERS = {
     "sketch_suite": ["cms_heavy_hitters", "hll_distinct", "bloom_screen",
                      "length_quantiles"],
     "logprob_suite": ["unigram_logprob", "bigram_logprob"],
+    # unigram_train_real = the same trainer at real-corpus parameters;
+    # its values are pinned by the driver-corpus twin + the
+    # distributed==reference pytest equality (curate_fast precedent)
     "vocab_suite": ["vocab_top", "bpe_train", "bpe_encode",
-                    "unigram_train", "unigram_encode"],
+                    "unigram_train", "unigram_encode",
+                    "unigram_train_real"],
     "pack_suite": ["pack_sequences", "pack_interleaved"],
     "classifier_suite": ["quality_classifier", "classifier_train",
                          "classifier_pred"],
@@ -4398,6 +4420,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "section_chunks": q_section_chunks,
         "unigram_train": q_unigram_train,
         "unigram_encode": q_unigram_encode,
+        "unigram_train_real": q_unigram_train_real,  # rows-only: bench row
     }
 
 

@@ -109,6 +109,9 @@ def main() -> None:
         "bigram_logprob",
         "bpe_train",
         "bpe_encode",
+        # unigram-LM trainer at real-corpus parameters (hard-EM rounds
+        # of mapInPandas Viterbi + vocab-sized aggs)
+        "unigram_train_real",
         "pack_interleaved",
         "classifier_train",
         # codec throughput: synth + decode 5 payloads/doc (PNG, baseline
