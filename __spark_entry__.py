@@ -230,7 +230,13 @@ from hquery_php_spark.functions.url import (  # noqa: E402
     canonical_url_sql as _curl_sql,
 )
 
+from hquery_php_spark.functions.url import url_features_sql as _ufeat_sql
+
+_UF = _ufeat_sql("url")
 _URL_DEDUP_SQL = f"""
+SELECT url, keep_id, n_dups,
+       {", ".join(f"{e} AS {k}" for k, e in _UF.items())}
+FROM (
 SELECT {_curl_sql("messy")} AS url,
        min(doc_id) AS keep_id,
        CAST(count(*) AS BIGINT) AS n_dups
@@ -245,6 +251,7 @@ FROM (
          END AS messy
   FROM documents)
 GROUP BY 1
+)
 """
 
 # DuckDB twin of q_corpus_stats: identical per-doc integer signals
@@ -2927,7 +2934,9 @@ def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("v") == 3, F.concat(base, F.lit("#frag")))
         .otherwise(F.concat(base, F.lit("?b=2&a=1")))
     )
-    return (
+    from hquery_php_spark.functions.url import url_features
+
+    deduped = (
         d.select("doc_id", canonical_url(messy).alias("url"))
         .groupBy("url")
         .agg(
@@ -2935,6 +2944,10 @@ def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").cast("long").alias("n_dups"),
         )
     )
+    # crawl-prioritization features of the surviving canonical URL
+    return deduped.select(
+        "url", "keep_id", "n_dups", url_features(F.col("url")).alias("f")
+    ).select("url", "keep_id", "n_dups", "f.*")
 
 
 _BM25_TERMS = ["spark", "join", "window"]

@@ -29,7 +29,8 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-__all__ = ["canonical_url", "canonical_url_sql"]
+__all__ = ["canonical_url", "canonical_url_sql",
+           "url_features", "url_features_sql"]
 
 _SCHEME_RE = "^([A-Za-z][A-Za-z0-9+.-]*)://"
 _AUTH_RE = "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)"
@@ -108,3 +109,49 @@ def canonical_url_sql(col: str) -> str:
         f"CASE WHEN {q} <> '' THEN '?' || {q} ELSE '' END)"
     )
     return f"CASE WHEN {scheme} = '' THEN {u} ELSE {canon} END"
+
+
+def url_features(col: Column) -> Column:
+    """struct(host, tld, depth, ext, has_query, n_params) — the crawl-
+    prioritization features (URL shape is a strong quality/dup prior:
+    deep paths, parameterized URLs, and non-content extensions down-
+    rank).  Pure expression tree over an (ideally canonical) URL."""
+    host = F.lower(F.regexp_extract(col, r"^[a-z][a-z0-9+.-]*://([^/?#]*)", 1))
+    path = F.regexp_extract(col, r"^[a-z][a-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    query = F.regexp_extract(col, r"\?([^#]*)", 1)
+    return F.struct(
+        host.alias("host"),
+        F.regexp_extract(host, r"\.([a-z0-9-]+)$", 1).alias("tld"),
+        (F.length(path) - F.length(F.regexp_replace(path, "/", "")))
+        .cast("int")
+        .alias("depth"),
+        F.regexp_extract(path, r"\.([A-Za-z0-9]+)$", 1).alias("ext"),
+        (F.length(query) > 0).alias("has_query"),
+        F.when(F.length(query) == 0, F.lit(0))
+        .otherwise(
+            F.length(query) - F.length(F.regexp_replace(query, "&", "")) + 1
+        )
+        .cast("int")
+        .alias("n_params"),
+    )
+
+
+def url_features_sql(col: str) -> str:
+    """DuckDB twins of url_features, as a dict of (name -> expr)."""
+    host = f"lower(regexp_extract({col}, '^[a-z][a-z0-9+.-]*://([^/?#]*)', 1))"
+    path = f"regexp_extract({col}, '^[a-z][a-z0-9+.-]*://[^/?#]*([^?#]*)', 1)"
+    query = f"regexp_extract({col}, '\\?([^#]*)', 1)"
+    return {
+        "host": host,
+        "tld": f"regexp_extract({host}, '\\.([a-z0-9-]+)$', 1)",
+        "depth": (
+            f"CAST(length({path}) - length(replace({path}, '/', '')) AS INT)"
+        ),
+        "ext": f"regexp_extract({path}, '\\.([A-Za-z0-9]+)$', 1)",
+        "has_query": f"length({query}) > 0",
+        "n_params": (
+            f"CAST(CASE WHEN length({query}) = 0 THEN 0 ELSE "
+            f"length({query}) - length(replace({query}, '&', '')) + 1 "
+            f"END AS INT)"
+        ),
+    }

@@ -160,3 +160,22 @@ def test_host_link_edges_and_pagerank(spark):
     ids_h = host_ids(edges)
     assert ids_h.count() == ids.count()
     assert ids_h.select("node_id").distinct().count() == ids.count()
+
+
+def test_url_features_values(spark):
+    import pyspark.sql.functions as F
+
+    from hquery_php_spark.functions.url import url_features
+
+    cases = [
+        ("https://sub.example.co.uk/a/b/page.html?x=1&y=2#f",
+         ("sub.example.co.uk", "uk", 3, "html", True, 2)),
+        ("https://example.com/", ("example.com", "com", 1, "", False, 0)),
+        ("https://example.com/deep/path/dir", ("example.com", "com", 3, "", False, 0)),
+        ("https://host/doc.PDF", ("host", "", 1, "PDF", False, 0)),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    rows = df.select("url", url_features(F.col("url")).alias("f")).collect()
+    got = {r["url"]: tuple(r["f"]) for r in rows}
+    for u, want in cases:
+        assert got[u] == want, (u, got[u], want)
