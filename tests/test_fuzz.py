@@ -782,3 +782,37 @@ def test_lang_id_multi_known_sentences(spark):
     }
     for i, (t, want) in enumerate(cases):
         assert got[i] == want, (t, got[i], want)
+
+
+# richer soup: the structured-extraction walks see table/list/heading
+# fragments in every broken combination
+_struct_markup = st.sampled_from(
+    [b"<table>", b"</table>", b"<tr>", b"<td", b"<th>", b' rowspan="2"',
+     b' colspan="0"', b"<ul>", b"<li>", b"</li>", b"<h1>", b"</h2>",
+     b"<h3>", b"<blockquote>", b"<pre>", b"<code>", b"<b>", b"<em>",
+     b"<a href='/x'>", b"<img src=x>", b"<br>", b"<hr>", b">", b"<",
+     b"t ", b"\n", b"&amp;", b"\xff", b"</"]
+)
+_struct_soup = st.lists(_struct_markup, min_size=0, max_size=60).map(b"".join)
+
+
+@settings(max_examples=200, deadline=None)
+@given(_struct_soup)
+def test_structured_walks_never_crash(raw):
+    """markdown / table-grid / outline walks share the parser's
+    fault-tolerance bar: any byte soup renders to SOMETHING."""
+    from hquery_php_spark.operators.markdown import render_markdown
+    from hquery_php_spark.operators.sections import section_rows
+    from hquery_php_spark.operators.tables import html_tables
+
+    md = render_markdown(raw)
+    assert isinstance(md, str)
+    cells = html_tables(raw)
+    # grid invariants: coordinates non-negative, spans >= 1
+    for c in cells:
+        assert c.row_no >= 0 and c.col_no >= 0
+        assert c.rowspan >= 1 and c.colspan >= 1
+    secs = section_rows(raw)
+    # outline invariants: dense numbering, ascending offsets
+    assert [s.section_no for s in secs] == list(range(len(secs)))
+    assert all(a.offset <= b.offset for a, b in zip(secs, secs[1:]))
