@@ -165,9 +165,11 @@ def main() -> None:
             # the *_train rows must MEASURE training: drop the driver-side
             # fit memos before every run (encode/pred rows keep them — a
             # trained model is their honest input, training is these rows)
-            if name in ("bpe_train", "classifier_train"):
+            if name in ("bpe_train", "classifier_train",
+                        "unigram_train_real"):
                 E._BPE_MERGE_CACHE.clear()
                 E._CLF_WEIGHT_CACHE.clear()
+                E._UNIGRAM_CACHE.clear()
             t0 = time.perf_counter()
             fn(spark, sf_dir).count()
             dt = time.perf_counter() - t0
