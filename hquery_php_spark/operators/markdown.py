@@ -90,7 +90,11 @@ def _collapse_inline(s: str) -> str:
 
 
 class _Renderer:
-    def __init__(self, doc: HDoc) -> None:
+    def __init__(self, doc: HDoc, link_style: str = "inline") -> None:
+        # 'inline' = [text](url) / ![alt](src); 'text' = link text and
+        # image alt only, URLs dropped — the training-corpus option
+        # (URL strings are memorization-prone and token-expensive)
+        self.link_style = link_style
         idx = doc.index
         self.idx = idx
         self.html: bytes = idx.html
@@ -189,13 +193,15 @@ class _Renderer:
             return _BR
         if tag == "img":
             alt = self.idx.get_attr_by_id(b, "alt") or ""
+            if self.link_style == "text":
+                return alt
             src = self.idx.get_attr_by_id(b, "src")
             src = self.idx.url2abs(src) if src else ""
             return f"![{alt}]({src})"
         inner = self._inline(b)
         if tag == "a":
             href = self.idx.get_attr_by_id(b, "href")
-            if href:
+            if href and self.link_style != "text":
                 return f"[{' '.join(inner.split())}]({self.idx.url2abs(href)})"
             return inner
         if tag in ("strong", "b", "em", "i", "code"):
@@ -339,8 +345,12 @@ class _Renderer:
                 rows.append(cells)
 
 
-def render_markdown(html, url: Optional[str] = None) -> str:
-    """HTML (str/bytes or HDoc) -> GitHub-flavored Markdown string."""
+def render_markdown(
+    html, url: Optional[str] = None, link_style: str = "inline"
+) -> str:
+    """HTML (str/bytes or HDoc) -> GitHub-flavored Markdown string.
+    ``link_style='text'`` drops URLs (link text / image alt survive) —
+    the training-corpus variant."""
     if html is None:
         return ""
     if isinstance(html, (str, bytes, bytearray)):
@@ -348,7 +358,7 @@ def render_markdown(html, url: Optional[str] = None) -> str:
         doc = HDoc(raw, url)
     else:
         doc = html
-    return "\n\n".join(_Renderer(doc).blocks(None))
+    return "\n\n".join(_Renderer(doc, link_style).blocks(None))
 
 
 def markdown_df(
@@ -356,6 +366,7 @@ def markdown_df(
     html_col: str = "html",
     id_col: str = "doc_id",
     url_col: Optional[str] = None,
+    link_style: str = "inline",
 ):
     """(id, html[, url]) -> (id, markdown, n_blocks, n_chars) via one
     Arrow-batched ``mapInPandas`` — per-document work, zero shuffles."""
@@ -384,7 +395,7 @@ def markdown_df(
             urls = pdf[url_col].tolist() if has_url else [None] * len(ids)
             mds, nb, nc = [], [], []
             for h, u in zip(htmls, urls):
-                md = render_markdown(h, u)
+                md = render_markdown(h, u, link_style)
                 mds.append(md)
                 nb.append(md.count("\n\n") + 1 if md else 0)
                 nc.append(len(md))

@@ -135,3 +135,17 @@ def test_markdown_df_roundtrip(tmp_path):
     assert rows[1]["n_blocks"] == 2
     assert rows[2]["markdown"] == "x"
     assert rows[2]["n_chars"] == 1
+
+
+def test_link_style_text_drops_urls():
+    html = (
+        '<p>See <a href="/x">the docs</a> and '
+        '<img src="/i.png" alt="a chart"> now.</p>'
+    )
+    md = render_markdown(html, "https://e.com/", link_style="text")
+    assert md == "See the docs and a chart now."
+    # anchor with no text contributes nothing but its spacing
+    assert (
+        render_markdown('<p>a <a href="/x"></a>b</p>', link_style="text")
+        == "a b"
+    )
