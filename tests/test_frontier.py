@@ -179,3 +179,42 @@ def test_url_features_values(spark):
     got = {r["url"]: tuple(r["f"]) for r in rows}
     for u, want in cases:
         assert got[u] == want, (u, got[u], want)
+
+
+def test_robots_filter_never_forces_broadcast(spark):
+    """The rules table is host-proportional (corpus-scale at 10^12
+    docs): filter_allowed must not pin a broadcast hint — AQE decides
+    at runtime from actual sizes."""
+    from hquery_php_spark.operators.robots import (
+        filter_allowed,
+        robots_rules_df,
+    )
+
+    robots = spark.createDataFrame(
+        [(f"h{i}.com", "User-agent: *\nDisallow: /x/\n") for i in range(20)],
+        "host string, robots_txt string",
+    )
+    urls = spark.createDataFrame(
+        [(f"h{i % 20}.com", f"https://h{i % 20}.com/p{i}") for i in range(200)],
+        "host string, url string",
+    )
+    out = filter_allowed(urls, robots_rules_df(robots), keep_denied=True)
+    logical = out._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in logical, logical
+
+
+def test_frontier_plan_politeness_exchange(spark):
+    """The frontier's layout stage must be a hash Exchange on the
+    host bucket (the politeness unit), and its rank window must be
+    per-host — never a global single-partition window."""
+    from hquery_php_spark.operators.frontier import frontier_df
+
+    c = spark.createDataFrame(
+        [(f"https://h{i % 9}.com/p{i}", "outlink", 0) for i in range(90)],
+        "url string, source_kind string, priority_micro long",
+    )
+    out = frontier_df(c, n_host_buckets=8)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning(host_bucket" in plan, plan
+    # the rank window is keyed by host (bounded partitions), not empty
+    assert "windowspecdefinition(host" in plan.replace(" ", "").lower(), plan

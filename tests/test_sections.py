@@ -115,3 +115,57 @@ def test_chunking_budget_never_split_below_max(spark):
     )
     for r in per_chunk:
         assert r["t"] <= 12 or r["n"] == 1  # only oversize singletons exceed
+
+
+def test_section_chunks_flow_into_pack_sequences(spark):
+    """Composition: structure-aware chunks are pack_sequences input —
+    reassembled chunk texts pack under the same token budget with the
+    documented <=1-doc overflow bound."""
+    import pyspark.sql.functions as F
+
+    from hquery_php_spark.operators.pipeline import pack_sequences
+    from hquery_php_spark.operators.sections import (
+        chunk_sections_df,
+        section_rows_df,
+    )
+
+    html = "".join(
+        f"<h2>S{i}</h2>" + ("tok " * (4 + i % 6)) for i in range(30)
+    )
+    docs = spark.createDataFrame(
+        [(d, html) for d in range(4)], "doc_id long, html string"
+    )
+    chunks = (
+        chunk_sections_df(section_rows_df(docs), max_tokens=16)
+        .groupBy("doc_id", "chunk_no")
+        .agg(
+            F.concat_ws(
+                "\n\n",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("section_no", "text"))),
+                    lambda s: s["text"],
+                ),
+            ).alias("text")
+        )
+        .select(
+            F.concat_ws("#", F.col("doc_id"), F.col("chunk_no")).alias("doc_id"),
+            "text",
+        )
+    )
+    from hquery_php_spark.functions.text import token_count
+
+    chunks = chunks.withColumn("n_tokens", token_count(F.col("text")))
+    packed = pack_sequences(chunks, max_tokens=64, n_shards=2)
+    per_pack = (
+        packed.groupBy("shard", "pack_no")
+        .agg(
+            F.sum("n_tokens").alias("t"),
+            F.max("n_tokens").alias("mx"),
+            F.count("*").alias("n"),
+        )
+        .collect()
+    )
+    assert per_pack, "packing produced no packs"
+    for r in per_pack:
+        # pack_sequences' documented bound: overflow < one member
+        assert r["t"] - r["mx"] < 64, r
