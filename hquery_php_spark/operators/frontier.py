@@ -108,7 +108,23 @@ def frontier_df(
         .sortWithinPartitions("host", F.col("priority").desc(), "url")
     )
     w = Window.partitionBy("host").orderBy(F.col("priority").desc(), "url")
-    return out.withColumn(
+    out = out.withColumn(
         "fetch_order", (F.row_number().over(w) - 1).cast("int")
     ).select("url", "host", "source_kind", "priority", "host_bucket",
              "fetch_order")
+    if robots_rules is not None and "crawl_delay" in robots_rules.columns:
+        # politeness schedule: the earliest second (relative to the
+        # host's first fetch) this URL may be fetched — fetch_order x
+        # the host's Crawl-delay (default 1 s).  A fetcher streaming a
+        # bucket partition sleeps to this offset and needs NO
+        # cross-task coordination; the column is derived, one more
+        # probe of the same host-keyed join.
+        cd = robots_rules.select("host", "crawl_delay")
+        out = out.join(cd, "host", "left").withColumn(
+            "earliest_fetch_s",
+            (
+                F.col("fetch_order")
+                * F.coalesce(F.col("crawl_delay"), F.lit(1.0))
+            ).cast("double"),
+        ).drop("crawl_delay")
+    return out

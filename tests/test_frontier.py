@@ -218,3 +218,29 @@ def test_frontier_plan_politeness_exchange(spark):
     assert "hashpartitioning(host_bucket" in plan, plan
     # the rank window is keyed by host (bounded partitions), not empty
     assert "windowspecdefinition(host" in plan.replace(" ", "").lower(), plan
+
+
+def test_politeness_schedule_from_crawl_delay(spark):
+    from hquery_php_spark.operators.frontier import frontier_df
+    from hquery_php_spark.operators.robots import robots_rules_df
+
+    robots = spark.createDataFrame(
+        [
+            ("slow.com", "User-agent: *\nCrawl-delay: 2.5\nDisallow: /no/\n"),
+            ("fast.com", "User-agent: *\nDisallow:\n"),
+        ],
+        "host string, robots_txt string",
+    )
+    c = spark.createDataFrame(
+        [(f"https://slow.com/p{i}", "seed", 0) for i in range(3)]
+        + [(f"https://fast.com/p{i}", "seed", 0) for i in range(2)]
+        + [("https://norules.com/x", "seed", 0)],
+        "url string, source_kind string, priority_micro long",
+    )
+    out = frontier_df(c, robots_rules_df(robots)).collect()
+    sched = {r["url"]: (r["fetch_order"], r["earliest_fetch_s"]) for r in out}
+    assert sched["https://slow.com/p0"] == (0, 0.0)
+    assert sched["https://slow.com/p1"] == (1, 2.5)
+    assert sched["https://slow.com/p2"] == (2, 5.0)
+    assert sched["https://fast.com/p1"] == (1, 1.0)  # default 1 s
+    assert sched["https://norules.com/x"] == (0, 0.0)
