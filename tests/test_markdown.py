@@ -149,3 +149,33 @@ def test_link_style_text_drops_urls():
         render_markdown('<p>a <a href="/x"></a>b</p>', link_style="text")
         == "a b"
     )
+
+
+def test_markdown_df_mega_doc_among_small(tmp_path):
+    """A multi-MB document in the same batch as KB docs must not wedge
+    the Arrow batch path (the mega-doc skew case the extract leg
+    isolates with split-tail repartition)."""
+    import gzip
+
+    import pytest
+
+    pytest.importorskip("pyspark")
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master("local[2]")
+        .config("spark.sql.shuffle.partitions", "2")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    from hquery_php_spark.operators.markdown import markdown_df
+
+    mega = gzip.open(
+        "/root/reference/tests/data/big_granito_1.html.gz", "rb"
+    ).read().decode("windows-1251", "replace")
+    rows = [(0, mega)] + [(i, f"<h1>d{i}</h1><p>body {i}</p>") for i in range(1, 30)]
+    df = spark.createDataFrame(rows, "doc_id long, html string")
+    got = {r["doc_id"]: r for r in markdown_df(df).collect()}
+    assert len(got) == 30
+    assert got[0]["n_chars"] > 100_000  # the mega render is real
+    assert got[5]["markdown"] == "# d5\n\nbody 5"
