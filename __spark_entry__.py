@@ -4002,6 +4002,23 @@ def q_section_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_extract_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The single-parse multi-surface stage (operators/extract_all.py):
+    spans + main_text + markdown + outline + table cells + head
+    metadata from ONE HDoc per document.  Rows-only: each surface is
+    value-pinned by its own driver row (extract_spans, struct_suite,
+    media_suite's pagemeta family) and by the equality test in
+    tests/test_markdown.py; this row benches the amortized cost."""
+    from hquery_php_spark.operators.extract_all import extract_all_df
+
+    d = _spread(_docs(spark, sf_dir), spark).select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        _struct_html().alias("html"),
+        F.lit(BASE_URL).alias("url"),
+    )
+    return extract_all_df(d, url_col="url")
+
+
 def q_struct_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured-extraction coverage in one row per doc: the full
     Markdown render + ordered table-cell inventory + sentence stats."""
@@ -4324,8 +4341,10 @@ SUITE_COVERS = {
     "media_suite": ["audio_stats", "frame_sample", "media_meta", "audio_meta"],
     "strip_suite": ["boilerplate_strip", "exclude_text"],
     "docquality_suite": ["gopher_quality", "repetition_stats"],
+    # extract_all = the single-parse composition of surfaces the suite
+    # (and extract_spans / media_suite) already value-pins individually
     "struct_suite": ["html_markdown", "table_extract", "sentence_segment",
-                     "section_chunks"],
+                     "section_chunks", "extract_all"],
     "webfeed_suite": ["feed_parse", "sitemap_parse", "robots_filter",
                       "frontier"],
 }
@@ -4434,6 +4453,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_train": q_unigram_train,
         "unigram_encode": q_unigram_encode,
         "unigram_train_real": q_unigram_train_real,  # rows-only: bench row
+        "extract_all": q_extract_all,  # rows-only: single-parse stage
     }
 
 

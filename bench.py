@@ -130,6 +130,10 @@ def main() -> None:
         "html_markdown",
         "table_extract",
         "sentence_segment",
+        # single-parse composition of ALL surfaces (spans+markdown+
+        # outline+tables+pagemeta) — compare against the sum of the
+        # individual rows to read the parse amortization
+        "extract_all",
         # web discovery/policy: feed parse (engine) and the robots
         # host-join allow filter (expression-fold decision)
         "feed_parse",

@@ -179,3 +179,54 @@ def test_markdown_df_mega_doc_among_small(tmp_path):
     assert len(got) == 30
     assert got[0]["n_chars"] > 100_000  # the mega render is real
     assert got[5]["markdown"] == "# d5\n\nbody 5"
+
+
+def test_extract_all_single_parse_surfaces():
+    from hquery_php_spark.operators.extract_all import extract_all
+
+    h = (
+        '<html><head><title>T</title>'
+        '<link rel="canonical" href="https://e.com/c"></head>'
+        "<body><h1>H</h1><p>body <a href='/x'>lnk</a></p>"
+        "<table><tr><td>v</td></tr></table></body></html>"
+    )
+    r = extract_all(h, "https://e.com/")
+    assert r["title"] == "T"
+    assert r["canonical"] == "https://e.com/c"
+    assert r["markdown"].startswith("# H")
+    assert r["n_sections"] == 1 and r["sec1_path"] == "H"
+    assert r["n_cells"] == 1
+    assert "body" in r["main_text"]
+    kinds = [s.kind for s in r["spans"]]
+    assert "media" in kinds and "text" in kinds
+    # every surface agrees with its standalone operator
+    from hquery_php_spark.core.extract import extract_spans
+    from hquery_php_spark.operators.markdown import render_markdown
+    import hquery_php_spark as hq
+
+    doc = hq.HDoc(h.encode(), "https://e.com/")
+    assert r["spans"] == extract_spans(doc)
+    assert r["markdown"] == render_markdown(hq.HDoc(h.encode(), "https://e.com/"))
+
+
+def test_extract_all_df_roundtrip():
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master("local[2]")
+        .config("spark.sql.shuffle.partitions", "2")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    from hquery_php_spark.operators.extract_all import extract_all_df
+
+    df = spark.createDataFrame(
+        [(1, "<h1>A</h1><p>x</p>"), (2, "<p>y <b>z</b></p>")],
+        "doc_id long, html string",
+    )
+    rows = {r["doc_id"]: r for r in extract_all_df(df).collect()}
+    assert rows[1]["markdown"] == "# A\n\nx"
+    assert rows[1]["n_sections"] == 1
+    assert rows[2]["markdown"] == "y **z**"
+    assert [s["kind"] for s in rows[2]["spans"]] == ["text", "text"]
+    assert [s["text"] for s in rows[2]["spans"]] == ["y", "z"]
