@@ -35,7 +35,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 __all__ = ["pagerank_fixed_point", "pagerank_oracle_sql",
-           "host_link_edges", "host_ids"]
+           "host_link_edges", "host_ids", "anchor_term_topk"]
 
 SCALE = 1_000_000
 
@@ -190,4 +190,51 @@ def host_ids(edges: DataFrame, dense: bool = False) -> DataFrame:
     w = Window.orderBy("host")
     return hosts.withColumn(
         "node_id", (F.row_number().over(w) - 1).cast("long")
+    )
+
+
+def anchor_term_topk(
+    spans_df: DataFrame,
+    k: int = 10,
+    ref_col: str = "media_ref",
+    text_col: str = "text",
+    kind_col: str = "kind",
+) -> DataFrame:
+    """Anchor-text term profile per destination host: (dst_host, term,
+    n, rk<=k) — the classic off-page relevance signal (what OTHER
+    pages' link text says a host is about), fed by the same media
+    spans as ``host_link_edges``.
+
+    Shape: explode anchor tokens (already-extracted link text, no
+    re-parse) -> one (host, term) partial-agg shuffle -> per-host
+    window top-k over the counted table (bounded partitions: terms per
+    host, not corpus rows).  No Python, no global window."""
+    from pyspark.sql.window import Window
+
+    from ..functions.text import norm_ws
+
+    dst = F.lower(
+        F.regexp_extract(F.col(ref_col), r"^[a-z][a-z0-9+.-]*://([^/]+)", 1)
+    )
+    toks = (
+        spans_df.where(
+            (F.col(kind_col) == "media")
+            & F.col(ref_col).isNotNull()
+            & (F.col(text_col) != "")
+        )
+        .select(
+            dst.alias("dst_host"),
+            F.explode(F.split(norm_ws(F.lower(F.col(text_col))), " ")).alias(
+                "term"
+            ),
+        )
+        .where((F.col("term") != "") & (F.col("dst_host") != ""))
+    )
+    counts = toks.groupBy("dst_host", "term").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    w = Window.partitionBy("dst_host").orderBy(F.desc("n"), "term")
+    return (
+        counts.withColumn("rk", F.row_number().over(w).cast("int"))
+        .where(F.col("rk") <= k)
     )

@@ -244,3 +244,25 @@ def test_politeness_schedule_from_crawl_delay(spark):
     assert sched["https://slow.com/p2"] == (2, 5.0)
     assert sched["https://fast.com/p1"] == (1, 1.0)  # default 1 s
     assert sched["https://norules.com/x"] == (0, 0.0)
+
+
+def test_anchor_term_topk(spark):
+    from hquery_php_spark.operators.graph import anchor_term_topk
+
+    rows = [
+        ("media", "cheap widgets here", "https://shop.com/a"),
+        ("media", "widgets widgets", "https://shop.com/b"),
+        ("media", "news site", "https://news.com/x"),
+        ("media", "", "https://bare.com/x"),  # imageish: no anchor text
+        ("text", "not a link", None),
+    ]
+    spans = spark.createDataFrame(
+        rows, "kind string, text string, media_ref string"
+    )
+    out = anchor_term_topk(spans, k=2).collect()
+    by_host = {}
+    for r in out:
+        by_host.setdefault(r["dst_host"], []).append((r["rk"], r["term"], r["n"]))
+    assert sorted(by_host["shop.com"]) == [(1, "widgets", 3), (2, "cheap", 1)]
+    assert sorted(by_host["news.com"]) == [(1, "news", 1), (2, "site", 1)]
+    assert "bare.com" not in by_host
