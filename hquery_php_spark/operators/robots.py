@@ -194,12 +194,15 @@ def robots_rules_df(df, host_col: str = "host", txt_col: str = "robots_txt",
             StructField(host_col, df.schema[host_col].dataType),
             StructField("rules", ArrayType(rule_t)),
             StructField("crawl_delay", DoubleType()),
+            # robots-declared sitemap URLs: the discovery input
+            # jobs/frontier_job.py consumes (global per RFC 9309)
+            StructField("sitemaps", ArrayType(StringType())),
         ]
     )
 
     def run(batches):
         for pdf in batches:
-            hosts, rule_rows, delays = [], [], []
+            hosts, rule_rows, delays, smaps = [], [], [], []
             for h, t in zip(pdf[host_col].tolist(), pdf[txt_col].tolist()):
                 rb = parse_robots(t)
                 rules = rb.rules_for(agent)
@@ -216,8 +219,10 @@ def robots_rules_df(df, host_col: str = "host", txt_col: str = "robots_txt",
                     ]
                 )
                 delays.append(rb.delay_for(agent))
+                smaps.append(list(rb.sitemaps))
             yield pd.DataFrame(
-                {host_col: hosts, "rules": rule_rows, "crawl_delay": delays}
+                {host_col: hosts, "rules": rule_rows,
+                 "crawl_delay": delays, "sitemaps": smaps}
             )
 
     return df.select(host_col, txt_col).mapInPandas(run, schema)

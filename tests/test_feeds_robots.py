@@ -207,3 +207,19 @@ def test_sitemap_entries_df(spark):
     )
     rows = sitemap_entries_df(df).collect()
     assert [(r["kind"], r["loc"]) for r in rows] == [("urlset", "https://e/a")]
+
+
+def test_robots_rules_df_surfaces_sitemaps(spark):
+    from hquery_php_spark.operators.robots import robots_rules_df
+
+    robots = spark.createDataFrame(
+        [("a.com", "User-agent: *\nDisallow: /x/\n"
+          "Sitemap: https://a.com/sm1.xml\nSitemap: https://a.com/sm2.xml\n"),
+         ("b.com", "User-agent: *\nDisallow:\n")],
+        "host string, robots_txt string",
+    )
+    rows = {r["host"]: r for r in robots_rules_df(robots).collect()}
+    assert rows["a.com"]["sitemaps"] == [
+        "https://a.com/sm1.xml", "https://a.com/sm2.xml"
+    ]
+    assert rows["b.com"]["sitemaps"] == []
