@@ -109,6 +109,16 @@ def main() -> None:
         if args.robots
         else None
     )
+    if rules is not None:
+        # robots-declared Sitemap: URLs join the frontier as sitemap
+        # candidates (the crawl then fetches + feeds them back through
+        # --sitemaps on the next run)
+        declared = rules.select(
+            F.explode("sitemaps").alias("url"),
+            F.lit("sitemap").alias("source_kind"),
+            F.lit(0).cast("long").alias("priority_micro"),
+        )
+        cands = cands.unionByName(declared)
     fr = frontier_df(cands, rules, n_host_buckets=args.host_buckets)
 
     if args.fetched_ledger:

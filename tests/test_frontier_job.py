@@ -43,7 +43,10 @@ def test_frontier_job_end_to_end(tmp_path):
     pd.DataFrame(
         {
             "host": ["h1.com"],
-            "robots_txt": ["User-agent: *\nDisallow: /no/\n"],
+            "robots_txt": [
+                "User-agent: *\nDisallow: /no/\n"
+                "Sitemap: https://h1.com/declared.xml\n"
+            ],
         }
     ).to_parquet(robots)
     out = tmp_path / "frontier"
@@ -58,7 +61,9 @@ def test_frontier_job_end_to_end(tmp_path):
     urls = set(df["url"])
     assert "https://h0.com/sm1" in urls
     assert "https://h1.com/no/sm2" not in urls  # robots-denied
-    assert len(urls) == 10  # 9 seeds + 1 allowed sitemap url
+    # the robots-declared Sitemap: URL joins the frontier too
+    assert "https://h1.com/declared.xml" in urls
+    assert len(urls) == 11  # 9 seeds + 1 allowed sitemap url + 1 declared
     # politeness: one bucket per host
     assert (df.groupby("host")["host_bucket"].nunique() == 1).all()
 
