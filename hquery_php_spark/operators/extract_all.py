@@ -121,6 +121,16 @@ def extract_all_df(
             for i, h, u in zip(ids, htmls, urls):
                 r = extract_all(h, u, link_style)
                 rows[id_col].append(i)
+                if r is None:  # NULL html: empty row, like every sibling op
+                    rows["spans"].append([])
+                    for k, empty in (
+                        ("main_text", None), ("markdown", None),
+                        ("n_sections", 0), ("sec1_path", None),
+                        ("n_cells", 0), ("title", None),
+                        ("canonical", None), ("n_meta", 0),
+                    ):
+                        rows[k].append(empty)
+                    continue
                 rows["spans"].append(
                     [tuple(s) for s in r["spans"]]
                 )

@@ -98,18 +98,18 @@ def frontier_df(
 
         best = filter_allowed(best, robots_rules)
 
-    # politeness layout: co-locate each host, order by priority inside it
-    out = (
-        best.withColumn(
-            "host_bucket",
-            F.pmod(F.xxhash64("host"), F.lit(n_host_buckets)).cast("int"),
-        )
-        .repartition(n_host_buckets, "host_bucket")
-        .sortWithinPartitions("host", F.col("priority").desc(), "url")
-    )
+    # derive fetch_order + schedule FIRST (the window's hash(host)
+    # exchange would invalidate a prior layout anyway; the crawl_delay
+    # join reuses the same host partitioning), THEN apply the
+    # politeness layout as the FINAL step so the output really holds
+    # the documented "partition = one politeness unit, stream in
+    # order" property.
     w = Window.partitionBy("host").orderBy(F.col("priority").desc(), "url")
-    out = out.withColumn(
+    out = best.withColumn(
         "fetch_order", (F.row_number().over(w) - 1).cast("int")
+    ).withColumn(
+        "host_bucket",
+        F.pmod(F.xxhash64("host"), F.lit(n_host_buckets)).cast("int"),
     ).select("url", "host", "source_kind", "priority", "host_bucket",
              "fetch_order")
     if robots_rules is not None and "crawl_delay" in robots_rules.columns:
@@ -127,4 +127,8 @@ def frontier_df(
                 * F.coalesce(F.col("crawl_delay"), F.lit(1.0))
             ).cast("double"),
         ).drop("crawl_delay")
-    return out
+    # politeness layout: co-locate each host, order by fetch sequence
+    # inside it — the operator's OUTPUT contract
+    return out.repartition(n_host_buckets, "host_bucket").sortWithinPartitions(
+        "host", F.col("priority").desc(), "url"
+    )

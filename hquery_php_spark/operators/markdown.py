@@ -274,27 +274,41 @@ class _Renderer:
         return out
 
     def _list(self, b: int, depth: int) -> str:
+        # Positional sweep tolerant of unclosed <li> (legal HTML5 and
+        # ubiquitous): an li with an empty content interval (ids[v] <= v,
+        # i.e. the LIFO repair found no close tag before the list end /
+        # next li) owns the following sibling run — text and inline
+        # elements up to the next <li> belong to that item, the same
+        # next-marker bound operators/tables.py uses for unclosed cells.
         ordered = self.tags[b] == "ol"
-        lines: List[str] = []
-        n = 0
+        items: List[Tuple[List[str], List[str]]] = []  # (inline buf, nested)
+        accrue = False  # current item is an unclosed li still collecting
         for kind, v in self._parts(b):
-            if kind != "el" or self.tags[v] != "li":
-                continue
-            n += 1
-            marker = f"{n}. " if ordered else "- "
-            pad = "  " * depth
-            # li: inline content first, nested lists below
-            buf: List[str] = []
-            nested: List[str] = []
-            for k2, v2 in self._parts(v):
-                if k2 == "el" and self.tags[v2] in ("ul", "ol"):
-                    nested.append(self._list(v2, depth + 1))
-                elif k2 == "text":
-                    buf.append(self._text(*v2))
+            if kind == "el" and self.tags[v] == "li":
+                buf: List[str] = []
+                nested: List[str] = []
+                items.append((buf, nested))
+                accrue = self.ids[v] <= v  # empty interval => unclosed
+                for k2, v2 in self._parts(v):  # closed li: own subtree
+                    if k2 == "el" and self.tags[v2] in ("ul", "ol"):
+                        nested.append(self._list(v2, depth + 1))
+                    elif k2 == "text":
+                        buf.append(self._text(*v2))
+                    else:
+                        buf.append(self._inline_el(v2))
+            elif accrue and items:
+                buf, nested = items[-1]
+                if kind == "text":
+                    buf.append(self._text(*v))
+                elif self.tags[v] in ("ul", "ol"):
+                    nested.append(self._list(v, depth + 1))
                 else:
-                    buf.append(self._inline_el(v2))
-            t = _collapse_inline("".join(buf))
-            lines.append(pad + marker + t)
+                    buf.append(self._inline_el(v))
+        lines: List[str] = []
+        pad = "  " * depth
+        for n, (buf, nested) in enumerate(items, 1):
+            marker = f"{n}. " if ordered else "- "
+            lines.append(pad + marker + _collapse_inline("".join(buf)))
             lines.extend(x for x in nested if x)
         return "\n".join(lines)
 
@@ -330,19 +344,60 @@ class _Renderer:
         return "\n".join(lines)
 
     def _table_rows(self, b: int, rows: List[List[str]]) -> None:
-        for kind, v in self._parts(b):
-            if kind != "el":
-                continue
-            tag = self.tags[v]
-            if tag in ("thead", "tbody", "tfoot"):
-                self._table_rows(v, rows)
-            elif tag == "tr":
-                cells: List[str] = []
-                for k2, c in self._parts(v):
-                    if k2 == "el" and self.tags[c] in ("td", "th"):
-                        t = _collapse_inline(self._inline(c)).replace("|", "\\|")
-                        cells.append(t.replace("\n", " "))
-                rows.append(cells)
+        # Positional sweep tolerant of unclosed <tr>/<td>/<th> (legal
+        # HTML5): an element with an empty content interval owns the
+        # following sibling run up to the next same-level marker — the
+        # same association operators/tables.py's grid resolver performs.
+        pend_row: Optional[List[str]] = None  # accruing row (unclosed tr)
+        pend_cell: Optional[List[str]] = None  # accruing cell fragments
+
+        def close_cell() -> None:
+            nonlocal pend_cell
+            if pend_cell is not None and pend_row is not None:
+                t = _collapse_inline("".join(pend_cell)).replace("|", "\\|")
+                pend_row.append(t.replace("\n", " "))
+            pend_cell = None
+
+        def close_row() -> None:
+            nonlocal pend_row
+            close_cell()
+            if pend_row is not None:
+                rows.append(pend_row)
+            pend_row = None
+
+        def sweep(owner: int) -> None:
+            nonlocal pend_row, pend_cell
+            for kind, v in self._parts(owner):
+                if kind == "text":
+                    if pend_cell is not None:
+                        pend_cell.append(self._text(*v))
+                    continue
+                tag = self.tags[v]
+                if tag in ("thead", "tbody", "tfoot"):
+                    close_row()
+                    sweep(v)
+                    close_row()
+                elif tag == "tr":
+                    close_row()
+                    pend_row = []
+                    if self.ids[v] > v:  # closed: cells live in the subtree
+                        sweep(v)
+                        close_row()
+                    # else unclosed: keep accruing following siblings
+                elif tag in ("td", "th"):
+                    close_cell()
+                    if pend_row is None:
+                        pend_row = []  # bare cell without a <tr> (soup)
+                    if self.ids[v] > v:
+                        t = _collapse_inline(self._inline(v)).replace("|", "\\|")
+                        pend_row.append(t.replace("\n", " "))
+                    else:  # unclosed cell: text follows as siblings
+                        pend_cell = []
+                elif pend_cell is not None:
+                    pend_cell.append(self._inline_el(v))
+
+        sweep(b)
+        close_row()
 
 
 def render_markdown(

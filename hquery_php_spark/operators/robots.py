@@ -57,21 +57,35 @@ class Robots(NamedTuple):
     crawl_delay: Dict[str, float]  # agent (lowercased) -> seconds
 
     def rules_for(self, agent: str = "*") -> Tuple[RobotsRule, ...]:
-        """Group whose agent token is the longest substring of
-        ``agent`` (case-insensitive); ``*`` matches with length 0."""
+        """Rules from ALL groups whose agent token attains the best
+        match score — RFC 9309 §2.2.1 requires combining matching
+        groups (e.g. two ``User-agent: *`` blocks in a concatenated
+        robots.txt contribute rules jointly).  Token match = longest
+        substring of ``agent`` (case-insensitive); ``*`` scores 0."""
         al = agent.lower()
-        best: Tuple[int, Tuple[RobotsRule, ...]] = (-1, ())
+        scored: List[Tuple[int, Tuple[RobotsRule, ...]]] = []
+        best = -1
         for agents, rules in self.groups:
+            score = -1
             for a in agents:
                 if a == "*":
-                    score = 0
+                    s = 0
                 elif a in al:
-                    score = len(a)
+                    s = len(a)
                 else:
                     continue
-                if score > best[0]:
-                    best = (score, rules)
-        return best[1]
+                if s > score:
+                    score = s
+            scored.append((score, rules))
+            if score > best:
+                best = score
+        if best < 0:
+            return ()
+        out: List[RobotsRule] = []
+        for s, rules in scored:
+            if s == best:
+                out.extend(rules)
+        return tuple(out)
 
     def delay_for(self, agent: str = "*") -> Optional[float]:
         al = agent.lower()

@@ -81,6 +81,17 @@ def main() -> None:
                 ).alias("priority_micro"),
             )
         )
+        # sitemapindex children: the child sitemap locs are discovery
+        # candidates too (same treatment as robots-declared Sitemap
+        # URLs) — the next crawl round fetches them and feeds them back
+        # through --sitemaps, so index-only-reachable URLs get found
+        parts.append(
+            sm.where(F.col("kind") == "sitemapindex").select(
+                F.col("loc").alias("url"),
+                F.lit("sitemap").alias("source_kind"),
+                F.lit(0).cast("long").alias("priority_micro"),
+            )
+        )
     if args.feeds:
         fe = feed_entries_df(spark.read.parquet(args.feeds))
         parts.append(

@@ -115,6 +115,34 @@ def test_robots_consecutive_agents_share_group():
     assert not is_allowed(rb.rules_for("b"), "/x/1")
 
 
+def test_robots_multiple_matching_groups_merge():
+    # RFC 9309 §2.2.1: rules from all groups matching the same agent
+    # token combine — a concatenated robots.txt with two '*' blocks
+    # must not under-block
+    rb = parse_robots(
+        "User-agent: *\nDisallow: /a/\n\n"
+        "User-agent: *\nDisallow: /b/\n"
+    )
+    assert not is_allowed(rb.rules_for("anybot"), "/a/x")
+    assert not is_allowed(rb.rules_for("anybot"), "/b/x")
+    # a more specific group still beats the merged '*' groups
+    rb2 = parse_robots(
+        "User-agent: *\nDisallow: /a/\n\n"
+        "User-agent: special\nDisallow: /s/\n\n"
+        "User-agent: *\nDisallow: /b/\n"
+    )
+    r = rb2.rules_for("SpecialBot/2.0")
+    assert not is_allowed(r, "/s/x")
+    assert is_allowed(r, "/a/x") and is_allowed(r, "/b/x")
+    # two groups for the same named token also merge
+    rb3 = parse_robots(
+        "User-agent: foo\nDisallow: /p/\n\n"
+        "User-agent: foo\nDisallow: /q/\n"
+    )
+    r3 = rb3.rules_for("foo")
+    assert not is_allowed(r3, "/p/x") and not is_allowed(r3, "/q/x")
+
+
 def test_robots_sitemap_and_delay():
     rb = parse_robots(
         "User-agent: slowbot\nCrawl-delay: 2.5\nDisallow: /\n"

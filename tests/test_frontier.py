@@ -246,6 +246,45 @@ def test_politeness_schedule_from_crawl_delay(spark):
     assert sched["https://norules.com/x"] == (0, 0.0)
 
 
+def test_politeness_layout_holds_at_output(spark):
+    """The repartition+sortWithinPartitions is the FINAL step: at the
+    operator's output, each host's rows are contiguous within one
+    partition and in fetch sequence — even when the crawl_delay join
+    (which used to re-shuffle after layout) is active."""
+    from hquery_php_spark.operators.frontier import frontier_df
+    from hquery_php_spark.operators.robots import robots_rules_df
+
+    robots = spark.createDataFrame(
+        [(f"h{i}.com", "User-agent: *\nCrawl-delay: 2\nDisallow: /no/\n")
+         for i in range(6)],
+        "host string, robots_txt string",
+    )
+    c = spark.createDataFrame(
+        [(f"https://h{i % 6}.com/p{i:03d}", "outlink", 0) for i in range(60)],
+        "url string, source_kind string, priority_micro long",
+    )
+    out = frontier_df(c, robots_rules_df(robots), n_host_buckets=4)
+    hosts_i = out.columns.index("host")
+    order_i = out.columns.index("fetch_order")
+
+    def audit(it):
+        seen_done = set()  # hosts whose run already ended in this partition
+        cur, nxt = None, 0
+        for row in it:
+            h, fo = row[hosts_i], row[order_i]
+            if h != cur:
+                assert h not in seen_done, f"host {h} split into two runs"
+                if cur is not None:
+                    seen_done.add(cur)
+                cur, nxt = h, 0
+            assert fo == nxt, f"{h}: fetch_order {fo} != expected {nxt}"
+            nxt += 1
+        yield len(seen_done) + (1 if cur is not None else 0)
+
+    per_part = out.rdd.mapPartitions(audit).collect()
+    assert sum(per_part) == 6  # every host exactly one contiguous run
+
+
 def test_anchor_term_topk(spark):
     from hquery_php_spark.operators.graph import anchor_term_topk
 

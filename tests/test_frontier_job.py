@@ -30,12 +30,17 @@ def test_frontier_job_end_to_end(tmp_path):
     sitemaps = tmp_path / "sitemaps.parquet"
     pd.DataFrame(
         {
-            "doc_id": [1, 2],
+            "doc_id": [1, 2, 3],
             "xml": [
                 "<urlset><url><loc>https://h0.com/sm1</loc>"
                 "<priority>0.9</priority></url></urlset>",
                 "<urlset><url><loc>https://h1.com/no/sm2</loc></url>"
                 "</urlset>",
+                # index file: its child sitemap loc must become a
+                # frontier candidate (fetched next round), not vanish
+                "<sitemapindex><sitemap>"
+                "<loc>https://h2.com/child-sitemap.xml</loc>"
+                "</sitemap></sitemapindex>",
             ],
         }
     ).to_parquet(sitemaps)
@@ -63,7 +68,10 @@ def test_frontier_job_end_to_end(tmp_path):
     assert "https://h1.com/no/sm2" not in urls  # robots-denied
     # the robots-declared Sitemap: URL joins the frontier too
     assert "https://h1.com/declared.xml" in urls
-    assert len(urls) == 11  # 9 seeds + 1 allowed sitemap url + 1 declared
+    # sitemapindex children are discovery candidates too
+    assert "https://h2.com/child-sitemap.xml" in urls
+    # 9 seeds + 1 allowed sitemap url + 1 declared + 1 index child
+    assert len(urls) == 12
     # politeness: one bucket per host
     assert (df.groupby("host")["host_bucket"].nunique() == 1).all()
 

@@ -104,6 +104,47 @@ def test_unclosed_li_html5_style():
     assert md == "- a\n- b"
 
 
+def test_unclosed_li_content_positional():
+    # unclosed <li> (legal HTML5) owns the following sibling text run —
+    # the content must not be silently dropped
+    assert render_markdown("<ul><li>a<li>b</ul>") == "- a\n- b"
+    assert render_markdown("<ol><li>one<li>two</ol>") == "1. one\n2. two"
+    # inline marks inside an unclosed item survive
+    assert render_markdown("<ul><li><b>x</b> y<li>z</ul>") == "- **x** y\n- z"
+    # nested list after an unclosed li nests under it
+    assert (
+        render_markdown("<ol><li>one<li>two<ul><li>sub</ul><li>three</ol>")
+        == "1. one\n2. two\n  - sub\n3. three"
+    )
+
+
+def test_unclosed_table_cells_positional():
+    # unclosed <td>/<tr> (legal HTML5) — cells get their text via the
+    # same positional association the grid resolver uses
+    assert (
+        render_markdown("<table><tr><td>a<td>b<tr><td>c</table>")
+        == "| a | b |\n| --- | --- |\n| c |  |"
+    )
+    # closed tr, unclosed cells inside it
+    assert (
+        render_markdown("<table><tr><td>a<td>b</tr></table>")
+        == "| a | b |\n| --- | --- |"
+    )
+    # thead/tbody sections with unclosed rows/cells
+    assert (
+        render_markdown(
+            "<table><thead><tr><th>H1<th>H2</thead>"
+            "<tbody><tr><td>1<td>2</tbody></table>"
+        )
+        == "| H1 | H2 |\n| --- | --- |\n| 1 | 2 |"
+    )
+    # agrees with the tables.py grid on the same soup
+    from hquery_php_spark.operators.tables import html_tables
+
+    cells = html_tables("<table><tr><td>a<td>b<tr><td>c</table>")
+    assert [c.text for c in cells] == ["a", "b", "c"]
+
+
 def test_anchor_without_href_is_transparent():
     assert render_markdown("<p><a>just text</a></p>") == "just text"
 
@@ -230,3 +271,29 @@ def test_extract_all_df_roundtrip():
     assert rows[2]["markdown"] == "y **z**"
     assert [s["kind"] for s in rows[2]["spans"]] == ["text", "text"]
     assert [s["text"] for s in rows[2]["spans"]] == ["y", "z"]
+
+
+def test_extract_all_df_null_html():
+    # a NULL html row must yield an empty row, not kill the stage
+    # (every sibling operator — markdown_df, html_tables_df, ... —
+    # tolerates NULL input; extract_all_df must too)
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master("local[2]")
+        .config("spark.sql.shuffle.partitions", "2")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    from hquery_php_spark.operators.extract_all import extract_all_df
+
+    df = spark.createDataFrame(
+        [(1, "<p>ok</p>"), (2, None)], "doc_id long, html string"
+    )
+    rows = {r["doc_id"]: r for r in extract_all_df(df).collect()}
+    assert rows[1]["markdown"] == "ok"
+    assert rows[2]["spans"] == []
+    assert rows[2]["main_text"] is None
+    assert rows[2]["markdown"] is None
+    assert rows[2]["n_sections"] == 0 and rows[2]["n_cells"] == 0
+    assert rows[2]["n_meta"] == 0 and rows[2]["title"] is None
