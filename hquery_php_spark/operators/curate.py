@@ -50,7 +50,7 @@ from .dedup import (
 )
 from .pipeline import global_order_index
 
-__all__ = ["CurateOptions", "curate_corpus"]
+__all__ = ["CurateOptions", "curate_corpus", "quality_gate"]
 
 
 @dataclass
@@ -88,6 +88,51 @@ class CurateOptions:
     parallelism: Optional[int] = None
 
 
+def _pushdown_barrier() -> F.Column:
+    """Value-constant TRUE conjunct that keeps the quality gate in
+    ProjectExec.
+
+    Why it exists: FilterExec does no subexpression elimination, so if
+    ``PushDownPredicates`` substitutes the gate expressions through the
+    Project, the nested higher-order-function token subtrees re-inline
+    per lambda element and the gate costs ~70x its Project-side price
+    (measured 20.4 s vs 3.0 s at sf0.1/local[32], identical rows).
+
+    Why it is safe to rely on: ``monotonically_increasing_id()`` is
+    nondeterministic-flagged, and Catalyst's
+    ``PushPredicateThroughNonJoin`` only moves *deterministic*
+    predicates — a documented optimizer invariant (pushing a
+    nondeterministic predicate would change how many times it
+    evaluates), not an undocumented quirk.  Constant folding cannot
+    remove the conjunct either: nondeterministic expressions are never
+    foldable.  The conjunct is value-constant TRUE (the id is always
+    >= 0), so if a future Spark DID push or fold it the results would
+    be unchanged — only the 70x perf cliff returns, and
+    tests/test_curate_plan.py pins the plan shape so that regression
+    fails loudly at test time instead of silently in production."""
+    return F.monotonically_increasing_id() >= F.lit(-1)
+
+
+def quality_gate(
+    docs: DataFrame, opts: CurateOptions = CurateOptions(), barrier: bool = True
+) -> DataFrame:
+    """Stage 1 of the curate chain: Gopher rules + repetition cap as
+    ONE projected boolean, filtered through a pushdown barrier (see
+    ``_pushdown_barrier``).  Exposed so the plan-shape test drives the
+    exact production expression; ``barrier=False`` exists only for that
+    test's sensitivity check."""
+    o = opts
+    g = gopher_quality(F.col(o.text_col), min_words=o.min_words,
+                       **o.gopher_kwargs)
+    r = repetition_stats(F.col(o.text_col))
+    keep = (g["passes"] == 1) & (
+        r["top_bigram_frac"] <= o.max_top_bigram_frac
+    )
+    if barrier:
+        keep = keep & _pushdown_barrier()
+    return docs.withColumn("__keep", keep).where(F.col("__keep")).drop("__keep")
+
+
 def curate_corpus(
     docs: DataFrame,
     benchmark: Optional[DataFrame] = None,
@@ -121,23 +166,11 @@ def _curate_corpus_impl(
     o = opts
     idc, txt = o.id_col, o.text_col
 
-    # 1. quality gates: Gopher rules + repetition cap (pure expressions).
-    #    The predicate is computed as ONE projected boolean with a
-    #    nondeterministic-flagged (value-constant TRUE) guard conjunct:
-    #    without it, PushPredicateThroughProject substitutes the gate
-    #    expressions into FilterExec, which does NOT do subexpression
-    #    elimination — the nested-HOF token subtrees re-inline per
-    #    lambda element and the gate costs ~70× its Project-side price
-    #    (measured 20.4s vs 3.0s at sf0.1/local[32], identical rows).
-    #    The guard keeps evaluation in ProjectExec; Filter reads a bool.
-    g = gopher_quality(F.col(txt), min_words=o.min_words, **o.gopher_kwargs)
-    r = repetition_stats(F.col(txt))
-    keep = (
-        (g["passes"] == 1)
-        & (r["top_bigram_frac"] <= o.max_top_bigram_frac)
-        & (F.monotonically_increasing_id() >= F.lit(-1))  # pushdown barrier
-    )
-    d = docs.withColumn("__keep", keep).where(F.col("__keep")).drop("__keep")
+    # 1. quality gates: Gopher rules + repetition cap (pure
+    #    expressions), evaluated in ProjectExec via the pushdown
+    #    barrier — mechanism + rationale in _pushdown_barrier's
+    #    docstring; plan shape pinned by tests/test_curate_plan.py.
+    d = quality_gate(docs, o)
 
     # 2. exact dedup: canonical (min-id) copy per fingerprint
     from pyspark.sql import Window
