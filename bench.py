@@ -35,6 +35,55 @@ def _host_canary() -> dict:
     return {"pyloop_2e6_ms": round(best, 1), "note": "normalize perf vs other rounds by this ratio"}
 
 
+def _regression_diff(timings: dict, canary_ms: float) -> dict | None:
+    """Diff this run against the newest committed BENCH_r{N}.json with
+    canary normalization, so cross-round regressions are caught at
+    bench time, not judge time.  prev_norm = prev_wall x (this run's
+    canary / prev run's canary): smaller canary = faster host, so a row
+    is only flagged when it is slow BEYOND what the host-clock state
+    explains.  Rows >1.15x normalized are listed in ``flagged``."""
+    import glob
+    import re as _re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    benches = sorted(
+        glob.glob(os.path.join(here, "BENCH_r*.json")),
+        key=lambda p: int(_re.search(r"_r(\d+)", p).group(1)),
+    )
+    if not benches:
+        return None
+    prev_path = benches[-1]
+    try:
+        with open(prev_path) as f:
+            prev = json.load(f)
+    except Exception:
+        return None
+    if "queries" not in prev and isinstance(prev.get("parsed"), dict):
+        prev = prev["parsed"]  # driver-recorded shape wraps our line
+    prev_q = prev.get("queries", {})
+    prev_canary = (prev.get("host_canary") or {}).get("pyloop_2e6_ms")
+    scale = (canary_ms / prev_canary) if prev_canary else 1.0
+    rows, flagged = {}, []
+    for name, cur in timings.items():
+        if name not in prev_q:
+            continue
+        prev_norm = round(prev_q[name] * scale, 4)
+        ratio = round(cur / prev_norm, 3) if prev_norm > 0 else None
+        rows[name] = {"prev": prev_q[name], "prev_norm": prev_norm,
+                      "cur": cur, "ratio": ratio}
+        if ratio is not None and ratio > 1.15:
+            flagged.append(name)
+    return {
+        "prev_file": os.path.basename(prev_path),
+        "prev_canary_ms": prev_canary,
+        "cur_canary_ms": canary_ms,
+        "canary_scale": round(scale, 4),
+        "threshold": 1.15,
+        "flagged": sorted(flagged),
+        "rows": rows,
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -560,6 +609,9 @@ def main() -> None:
         },
         "host_canary": _host_canary(),
     }
+    diff = _regression_diff(timings, out["host_canary"]["pyloop_2e6_ms"])
+    if diff is not None:
+        out["regression_diff"] = diff
     print(json.dumps(out))
     spark.stop()
 
