@@ -3586,15 +3586,132 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 # quality_classifier HUGEINT red row).  The original per-operator
 # queries stay available via all_queries() for bench row-name stability.
 
+def q_warc_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC leg with a closed-form value oracle: per doc, a synthetic
+    one-response archive exercising six envelope families by doc_id%6 —
+    0 plain record, 1 gzip-member layout, 2 chunked Transfer-Encoding,
+    3 obs-fold Content-Type header (RFC 7230 §3.2.4) + ISO-8859-1 body,
+    4 <meta charset> windows-1251 HTML body with no header charset,
+    5 zstd-frame layout — parsed back through the SAME record-framing +
+    HTTP-envelope + charset-handoff code the file reader uses
+    (sources/warc.py parse_warc + core/charset.detect_charset, i.e.
+    _response_rows' exact path; the range-split file layer stays
+    pytest-pinned in tests/test_warc.py).  Every output column is
+    closed-form in doc_id + documents.text, so the DuckDB twin checks
+    record framing, dechunking, header folding, and the charset
+    handoff value-exactly."""
+    import pandas as pd
+    from pyspark.sql.types import (
+        IntegerType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from hquery_php_spark.core.charset import _codec_for, detect_charset
+    from hquery_php_spark.sources.warc import make_warc, parse_warc
+
+    d = _spread(_docs(spark, sf_dir), spark).select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")).alias("norm"),
+    )
+    schema = StructType(
+        [
+            StructField("doc_id", StringType()),
+            StructField("fam", IntegerType()),
+            StructField("url", StringType()),
+            StructField("warc_date", StringType()),
+            StructField("status", IntegerType()),
+            StructField("content_type", StringType()),
+            StructField("charset", StringType()),
+            StructField("text", StringType()),
+            StructField("n_bytes", IntegerType()),
+        ]
+    )
+
+    def run(batches):
+        for pdf in batches:
+            rows = {f.name: [] for f in schema.fields}
+            for doc_id, norm in zip(pdf["doc_id"], pdf["norm"]):
+                fam = int(doc_id) % 6
+                base = f"W{doc_id} {norm}"
+                url = f"https://warc.example/{doc_id}"
+                opts: dict = {}
+                gz = zs = False
+                if fam == 2:
+                    ctype = "text/plain; charset=utf-8"
+                    body = base.encode("utf-8")
+                    opts = {"chunked": True}
+                elif fam == 3:
+                    ctype = "text/html; charset=ISO-8859-1"
+                    body = ("é " + base).encode("iso-8859-1")
+                    opts = {"obs_fold": True}
+                elif fam == 4:
+                    html = (
+                        '<html><head><meta charset="windows-1251"></head>'
+                        f"<body>Ж {base}</body></html>"
+                    )
+                    ctype = "text/html"
+                    body = html.encode("cp1251")
+                else:
+                    ctype = "text/html; charset=UTF-8"
+                    body = base.encode("utf-8")
+                    gz = fam == 1
+                    zs = fam == 5
+                archive = make_warc(
+                    [(url, 200, ctype, body, opts)],
+                    gzip_members=gz,
+                    zstd_frames=zs,
+                )
+                rec = [
+                    r for r in parse_warc(archive) if r.warc_type == "response"
+                ][0]
+                hdrs = (
+                    {"content-type": rec.http_content_type}
+                    if rec.http_content_type
+                    else None
+                )
+                cs = detect_charset(rec.payload, hdrs)
+                codec = _codec_for(cs) if cs else None
+                rows["doc_id"].append(doc_id)
+                rows["fam"].append(fam)
+                rows["url"].append(rec.target_uri)
+                rows["warc_date"].append(rec.warc_date)
+                rows["status"].append(rec.http_status)
+                rows["content_type"].append(rec.http_content_type)
+                rows["charset"].append(cs)
+                rows["text"].append(
+                    rec.payload.decode(codec or "utf-8", "replace")
+                )
+                rows["n_bytes"].append(len(rec.payload))
+            yield pd.DataFrame(rows)
+
+    return d.mapInPandas(run, schema)
+
+
 def q_charset_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """T12 charset sniff + T13 fault-tolerant convert in one row per doc:
-    `sniffed` from the 3-charset meta mix, `text`/`offset`/`decoded_from`
-    from the ISO-8859-1-bytes end-to-end decode path."""
+    """T12 charset sniff + T13 fault-tolerant convert + the WARC
+    envelope leg in one row per doc: `sniffed` from the 3-charset meta
+    mix, `text`/`offset`/`decoded_from` from the ISO-8859-1-bytes
+    end-to-end decode path, and the warc_* columns from the six-family
+    archive roundtrip (record framing / dechunk / obs-fold / charset
+    handoff, q_warc_envelope)."""
     det = q_charset_detect(spark, sf_dir).withColumnRenamed("charset", "sniffed")
     ext = q_charset_extract(spark, sf_dir).withColumnRenamed(
         "charset", "decoded_from"
     )
-    return det.join(ext, "doc_id")
+    wrc = q_warc_envelope(spark, sf_dir).select(
+        "doc_id",
+        F.col("fam").alias("warc_fam"),
+        F.col("url").alias("warc_url"),
+        F.col("warc_date"),
+        F.col("status").alias("warc_status"),
+        F.col("content_type").alias("warc_ct"),
+        F.col("charset").alias("warc_charset"),
+        F.col("text").alias("warc_text"),
+        F.col("n_bytes").alias("warc_n_bytes"),
+    )
+    return det.join(ext, "doc_id").join(wrc, "doc_id")
 
 
 def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4311,7 +4428,7 @@ SUITE_COVERS = {
     # values of the production-hash `curate_fast` (identical stages
     # and parameters; only the hash family differs)
     "curate": ["curate_fast"],
-    "charset_suite": ["charset_detect", "charset_extract"],
+    "charset_suite": ["charset_detect", "charset_extract", "warc_envelope"],
     "text_profile": ["token_count", "lang_id", "lang_id_multi", "occurrence",
                      "fingerprint", "text_quality"],
     "interleaved_suite": ["interleaved_docs", "interleaved_stats"],
@@ -4364,6 +4481,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "selector_counts": q_selector_counts,
         "media_refs": q_media_refs,
         "charset_detect": q_charset_detect,
+        "warc_envelope": q_warc_envelope,
         "dedup_exact": q_dedup_exact,
         "token_count": q_token_count,
         "lang_id": q_lang_id,
@@ -4804,6 +4922,35 @@ def _base_oracle_sql() -> dict[str, str]:
                                    WHEN 1 THEN 'ISO-8859-2'
                                    ELSE 'WINDOWS-1251' END AS charset
             FROM documents
+        """,
+        # six envelope families, every column closed-form; n_bytes =
+        # char count of the decoded text (every family encodes one
+        # byte per char: ASCII under UTF-8, é/Ж under their 8-bit pages)
+        "warc_envelope": f"""
+            SELECT doc_id, fam, url, warc_date, status, content_type,
+                   charset, text, CAST(length(text) AS INT) AS n_bytes
+            FROM (
+              SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                     CAST(doc_id % 6 AS INT) AS fam,
+                     'https://warc.example/' || doc_id AS url,
+                     '2026-01-01T00:00:00Z' AS warc_date,
+                     CAST(200 AS INT) AS status,
+                     CASE doc_id % 6
+                       WHEN 2 THEN 'text/plain; charset=utf-8'
+                       WHEN 3 THEN 'text/html; charset=ISO-8859-1'
+                       WHEN 4 THEN 'text/html'
+                       ELSE 'text/html; charset=UTF-8' END AS content_type,
+                     CASE doc_id % 6
+                       WHEN 3 THEN 'ISO-8859-1'
+                       WHEN 4 THEN 'WINDOWS-1251'
+                       ELSE 'UTF-8' END AS charset,
+                     CASE doc_id % 6
+                       WHEN 3 THEN 'é ' || B
+                       WHEN 4 THEN '<html><head><meta charset="windows-1251"></head><body>Ж ' || B || '</body></html>'
+                       ELSE B END AS text
+              FROM (SELECT doc_id,
+                           'W' || doc_id || ' ' || {norm} AS B
+                    FROM documents))
         """,
         "dedup_exact": (
             f"SELECT {TSQL.fingerprint('text')} AS fp, min(doc_id) AS keep_id, "
@@ -5937,11 +6084,17 @@ def oracle_sql() -> dict[str, str]:
         FROM m
     """
     out["charset_suite"] = f"""
-        SELECT d.doc_id, d.sniffed, x.text, x."offset", x.decoded_from
+        SELECT d.doc_id, d.sniffed, x.text, x."offset", x.decoded_from,
+               w.fam AS warc_fam, w.url AS warc_url, w.warc_date,
+               w.status AS warc_status, w.content_type AS warc_ct,
+               w.charset AS warc_charset, w.text AS warc_text,
+               w.n_bytes AS warc_n_bytes
         FROM (SELECT doc_id, charset AS sniffed FROM ({base['charset_detect']})) d
         JOIN (SELECT doc_id, text, "offset", charset AS decoded_from
               FROM ({base['charset_extract']})) x
           ON d.doc_id = x.doc_id
+        JOIN ({base['warc_envelope']}) w
+          ON d.doc_id = w.doc_id
     """
     # INT casts where Spark's expression is int32 (F.length / BPE count);
     # n_tokens stays BIGINT (Spark token_count casts to long)

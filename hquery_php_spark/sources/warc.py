@@ -228,7 +228,19 @@ def make_warc(
     body) → response records (plus a warcinfo header record).
     ``gzip_members`` emits the standard one-gzip-member-per-record
     layout; ``zstd_frames`` the one-zstd-frame-per-record .warc.zst
-    layout (via the in-container libzstd)."""
+    layout (via the in-container libzstd).
+
+    A response tuple may carry a fifth element — an options dict — to
+    shape the embedded HTTP message the way real crawls see it:
+
+    * ``{"chunked": True}``  — body framed with ``Transfer-Encoding:
+      chunked`` (split into two chunks; no HTTP Content-Length), the
+      framing the reference's raw-socket client decodes
+      (hQuery.php http_wr)
+    * ``{"obs_fold": True}`` — the Content-Type header folded across
+      two lines at its first ``;`` (obs-fold, RFC 7230 §3.2.4) — real
+      archives store the raw on-the-wire message, folds included
+    """
     import gzip as _gzip
 
     def rec(warc_headers: List[Tuple[str, str]], block: bytes) -> bytes:
@@ -247,11 +259,32 @@ def make_warc(
             info,
         )
     )
-    for i, (url, status, ctype, body) in enumerate(responses):
-        http = (
-            f"HTTP/1.1 {status} OK\r\nContent-Type: {ctype}\r\n"
-            f"Content-Length: {len(body)}\r\n\r\n"
-        ).encode("latin-1") + body
+    for i, resp in enumerate(responses):
+        url, status, ctype, body = resp[:4]
+        opts = resp[4] if len(resp) > 4 else {}
+        if opts.get("obs_fold") and ";" in ctype:
+            main, rest = ctype.split(";", 1)
+            ct_line = f"Content-Type: {main};\r\n {rest.strip()}"
+        else:
+            ct_line = f"Content-Type: {ctype}"
+        if opts.get("chunked"):
+            half = max(1, len(body) // 2)
+            chunks = [c for c in (body[:half], body[half:]) if c]
+            framed = (
+                b"".join(
+                    b"%x" % len(c) + _CRLF + c + _CRLF for c in chunks
+                )
+                + b"0" + _CRLF + _CRLF
+            )
+            http = (
+                f"HTTP/1.1 {status} OK\r\n{ct_line}\r\n"
+                f"Transfer-Encoding: chunked\r\n\r\n"
+            ).encode("latin-1") + framed
+        else:
+            http = (
+                f"HTTP/1.1 {status} OK\r\n{ct_line}\r\n"
+                f"Content-Length: {len(body)}\r\n\r\n"
+            ).encode("latin-1") + body
         out.append(
             rec(
                 [

@@ -102,6 +102,50 @@ def test_folded_continuation_headers():
     assert recs[0].payload == b"abc"
 
 
+def test_make_warc_chunked_and_obs_fold_options():
+    """The builder's per-response options emit real on-the-wire shapes
+    that the parser round-trips: chunked TE framing and obs-fold
+    Content-Type — the families the warc_envelope driver oracle uses."""
+    from hquery_php_spark.sources.warc import make_warc
+
+    a = make_warc(
+        [
+            (
+                "https://x/1",
+                200,
+                "text/plain; charset=utf-8",
+                b"hello world chunked",
+                {"chunked": True},
+            ),
+            (
+                "https://x/2",
+                200,
+                "text/html; charset=ISO-8859-1",
+                b"\xe9 folded",
+                {"obs_fold": True},
+            ),
+            ("https://x/3", 200, "text/html; charset=UTF-8", b"plain"),
+        ],
+        gzip_members=True,
+    )
+    recs = [r for r in parse_warc(a) if r.warc_type == "response"]
+    assert [r.payload for r in recs] == [
+        b"hello world chunked",
+        b"\xe9 folded",
+        b"plain",
+    ]
+    # chunked member's raw block really was TE-framed (no Content-Length)
+    from hquery_php_spark.sources.warc import gunzip_members
+
+    raw = gunzip_members(a)
+    assert b"Transfer-Encoding: chunked" in raw
+    # the folded header re-joins to the original value
+    assert recs[1].http_content_type == "text/html; charset=ISO-8859-1"
+    # single-chunk edge: 1-byte body still frames/parses
+    b1 = make_warc([("https://x/4", 200, "text/plain", b"x", {"chunked": True})])
+    assert [r.payload for r in parse_warc(b1) if r.warc_type == "response"] == [b"x"]
+
+
 def test_read_warc_files_spark(tmp_path):
     pytest.importorskip("pyspark")
     from pyspark.sql import SparkSession
