@@ -559,6 +559,60 @@ def main() -> None:
     timings["incremental_screen"] = round(incr_best, 4)
     total += incr_best
 
+    # Frontier skew row: a 1-host-=-20%-of-URLs frontier (the VERDICT-r4
+    # scenario).  Politeness is per-host serial BY DESIGN, so the giant
+    # host's rank window + layout sort run single-task; the mitigation
+    # is max_urls_per_host (two-phase salted cap — crawl-delay bounds
+    # useful queue depth anyway), which bounds every window partition.
+    # Reported: mix / body-only / tail-only / capped-mix walls.
+    from hquery_php_spark.operators.frontier import frontier_df as _frontier_df
+
+    NF = n_docs * 40  # ~2M URLs at sf0.1
+    fcand = spark.range(NF).select(
+        F.when(
+            F.col("id") % 5 == 0,
+            F.concat(F.lit("https://giant.example/p"), F.col("id")),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("https://h"),
+                (F.col("id") % 50000).cast("string"),
+                F.lit(".example/p"),
+                F.col("id"),
+            )
+        )
+        .alias("url"),
+        F.lit("outlink").alias("source_kind"),
+        F.lit(0).cast("long").alias("priority_micro"),
+    ).persist()
+    fcand.count()
+    fbody = fcand.where(~F.col("url").startswith("https://giant")).persist()
+    ftail = fcand.where(F.col("url").startswith("https://giant")).persist()
+    fbody.count(), ftail.count()
+
+    def _fwall(df, **kw):
+        best = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            _frontier_df(df, n_host_buckets=int(cpus) * 2, **kw).count()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        return round(best, 4)
+
+    fs = {
+        "mix_wall": _fwall(fcand),
+        "body_wall": _fwall(fbody),
+        "tail_wall": _fwall(ftail),
+        "capped_mix_wall": _fwall(fcand, max_urls_per_host=100_000),
+        "n_urls": NF,
+        "giant_frac": 0.2,
+        "note": "1 host = 20% of URLs; politeness serializes a giant "
+        "host by design — max_urls_per_host bounds its window/sort "
+        "partitions (fetch budget bounds useful depth anyway)",
+    }
+    for f in (fcand, fbody, ftail):
+        f.unpersist()
+
     out = {
         "metric": "total_bench_wall",
         "value": round(total, 4),
@@ -596,6 +650,7 @@ def main() -> None:
             "note": "parquet docs → extract → 4 atomic snapshot commits "
             "(manifest resume path), sink included",
         },
+        "frontier_skew": fs,
         "incremental_screen": {
             "wall": round(incr_best, 4),
             "base_docs": n_ibase,
