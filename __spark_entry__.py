@@ -2217,6 +2217,25 @@ def _mp3_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
                         xing=did % 4 == 0,
                     )
                 )
+                # 'pv': Xing-declared VBR duration on a short/truncated
+                # stream — the walked count covers only the fetched
+                # frames, the Xing frames field is the duration signal
+                out["media_id"].append(f"pv{did}")
+                out["payload"].append(
+                    encode_mp3_stub(
+                        1 + did % 4, 128, rates[did % 3], 1 + did % 2,
+                        xing=True, declared_frames=20 + did % 30,
+                    )
+                )
+                # 'pw': Fraunhofer VBRI header (MPEG-2 rates, spf 576)
+                out["media_id"].append(f"pw{did}")
+                out["payload"].append(
+                    encode_mp3_stub(
+                        2 + did % 3, 96, rates[3 + did % 3],
+                        1 + (did + 1) % 2, vbri=True,
+                        declared_frames=50 + did % 20,
+                    )
+                )
             yield pd.DataFrame(out)
 
     return d.mapInPandas(gen, schema)
@@ -5722,6 +5741,27 @@ def _base_oracle_sql() -> dict[str, str]:
                    CAST((1 + doc_id % 5) *
                         (CASE WHEN doc_id % 6 < 3 THEN 1152 ELSE 576 END)
                         AS BIGINT)
+            FROM documents
+            UNION ALL
+            -- 'pv': Xing-declared VBR duration — n_pages is the WALKED
+            -- frame count, last_granule the DECLARED total samples
+            SELECT 'pv' || CAST(doc_id AS VARCHAR), 'audio/mpeg', 'mp3',
+                   CAST(1 + doc_id % 2 AS INTEGER),
+                   CAST(CASE doc_id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000
+                        ELSE 32000 END AS INTEGER),
+                   CAST(1 + doc_id % 4 AS INTEGER),
+                   CAST(1 AS INTEGER),
+                   CAST((20 + doc_id % 30) * 1152 AS BIGINT)
+            FROM documents
+            UNION ALL
+            -- 'pw': Fraunhofer VBRI header (MPEG-2 rates, spf 576)
+            SELECT 'pw' || CAST(doc_id AS VARCHAR), 'audio/mpeg', 'mp3',
+                   CAST(1 + (doc_id + 1) % 2 AS INTEGER),
+                   CAST(CASE doc_id % 3 WHEN 0 THEN 22050 WHEN 1 THEN 24000
+                        ELSE 16000 END AS INTEGER),
+                   CAST(2 + doc_id % 3 AS INTEGER),
+                   CAST(1 AS INTEGER),
+                   CAST((50 + doc_id % 20) * 576 AS BIGINT)
             FROM documents
         """,
         # Container-metadata rows: template inversion of

@@ -1042,6 +1042,10 @@ def encode_mp3_stub(
     xing: bool = False,
     id3_frames: Optional[dict] = None,
     id3_version: int = 3,
+    vbri: bool = False,
+    vbr: bool = False,
+    declared_frames: Optional[int] = None,
+    truncate_frames: Optional[int] = None,
 ) -> bytes:
     """Minimal valid MPEG Layer III stream: ``n_frames`` correctly sized
     frames (padding bit alternates per frame so the walker's size
@@ -1053,7 +1057,17 @@ def encode_mp3_stub(
     (plain 32-bit frame sizes, ISO-8859-1 encoding byte 0),
     ``id3_version=4`` writes v2.4 (SYNCHSAFE frame sizes, UTF-8
     encoding byte 3); ``id3v2_tag_size`` then sets the minimum tag
-    size (junk-padded)."""
+    size (junk-padded).
+
+    VBR fixture controls (no encoder exists in this container, so
+    these hand-built shapes are the conformance corpus):
+    ``xing=True`` writes frames+bytes Xing fields; ``vbri=True`` a
+    Fraunhofer VBRI header (fixed 32-byte offset); ``vbr=True`` cycles
+    the per-frame bitrate through the version's table (true VBR frame
+    sizing); ``declared_frames`` overrides the frames field both tags
+    carry; ``truncate_frames`` keeps only the first N frames' bytes —
+    the head-only-fetch shape where the declared duration is the only
+    honest signal."""
     for vbits, rates in _MP3_RATES.items():
         if sample_rate in rates:
             version_bits = vbits
@@ -1087,23 +1101,76 @@ def encode_mp3_stub(
             [(sz >> 21) & 0x7F, (sz >> 14) & 0x7F, (sz >> 7) & 0x7F, sz & 0x7F]
         )
         out += body
+    audio_start = len(out)
+    xing_bytes_at = vbri_bytes_at = None
+    vbr_indices = [i for i in range(1, 15) if table[i] > 0]
     for f in range(n_frames):
         pad = f % 2
-        flen = _mp3_frame_len(version_bits, bitrate_kbps, sample_rate, pad)
+        f_bit_idx = (
+            vbr_indices[(bit_idx - 1 + f) % len(vbr_indices)] if vbr else bit_idx
+        )
+        f_kbps = table[f_bit_idx]
+        flen = _mp3_frame_len(version_bits, f_kbps, sample_rate, pad)
         hdr = bytes([
             0xFF,
             0xE0 | (version_bits << 3) | (0b01 << 1) | 1,  # layer III, no CRC
-            (bit_idx << 4) | (rate_idx << 2) | (pad << 1),
+            (f_bit_idx << 4) | (rate_idx << 2) | (pad << 1),
             (0b11 if mono else 0b00) << 6,
         ])
         body = bytearray(hdr)
         body += bytes((flen - 4))  # zero fill
+        if f == 0 and (xing or vbri):
+            need = (4 + 32 + 26) if vbri else (
+                4 + _mp3_side_info_len(version_bits, mono) + 16
+            )
+            if flen < need:
+                raise ValueError(
+                    f"frame too small ({flen}B) for the VBR tag ({need}B)"
+                )
         if f == 0 and xing:
             off = 4 + _mp3_side_info_len(version_bits, mono)
             body[off : off + 4] = b"Xing"
-            body[off + 4 : off + 8] = struct.pack(">I", 0x0001)  # frames flag
-            body[off + 8 : off + 12] = struct.pack(">I", n_frames)
+            # frames + bytes flags; bytes patched after the build
+            body[off + 4 : off + 8] = struct.pack(">I", 0x0003)
+            body[off + 8 : off + 12] = struct.pack(
+                ">I", declared_frames if declared_frames is not None else n_frames
+            )
+            xing_bytes_at = len(out) + off + 12
+        if f == 0 and vbri:
+            # Fraunhofer VBRI: fixed offset 32 bytes after the header
+            off = 4 + 32
+            body[off : off + 4] = b"VBRI"
+            body[off + 4 : off + 6] = struct.pack(">H", 1)  # version
+            body[off + 6 : off + 8] = struct.pack(">H", 0)  # delay
+            body[off + 8 : off + 10] = struct.pack(">H", 75)  # quality
+            vbri_bytes_at = len(out) + off + 10
+            body[off + 14 : off + 18] = struct.pack(
+                ">I", declared_frames if declared_frames is not None else n_frames
+            )
+            # empty TOC: 0 entries, scale 1, entry size 2, frames/entry 1
+            body[off + 18 : off + 26] = struct.pack(">HHHH", 0, 1, 2, 1)
         out += body
+    if xing and xing_bytes_at is not None:
+        out[xing_bytes_at : xing_bytes_at + 4] = struct.pack(
+            ">I", len(out) - audio_start
+        )
+    if vbri and vbri_bytes_at is not None:
+        out[vbri_bytes_at : vbri_bytes_at + 4] = struct.pack(
+            ">I", len(out) - audio_start
+        )
+    if truncate_frames is not None:
+        # keep only the first N frames' bytes — the head-only-fetch /
+        # truncated-download shape where the declared VBR duration is
+        # the only honest duration signal
+        pos = audio_start
+        for _ in range(truncate_frames):
+            b1, b2 = out[pos + 1], out[pos + 2]
+            vb = (b1 >> 3) & 0x03
+            table = _MP3_BITRATES_V1L3 if vb == 3 else _MP3_BITRATES_V2L3
+            kbps = table[(b2 >> 4) & 0x0F]
+            rate = _MP3_RATES[vb][(b2 >> 2) & 0x03]
+            pos += _mp3_frame_len(vb, kbps, rate, (b2 >> 1) & 1)
+        out = out[:pos]
     return bytes(out)
 
 
@@ -1176,6 +1243,8 @@ def _mp3_meta_impl(payload):
     n_frames = 0
     total_samples = 0
     has_xing = False
+    first_spf = 1152
+    xing_frames = xing_bytes = vbri_frames = vbri_bytes = None
     while pos + 4 <= n:
         b0, b1, b2, b3 = payload[pos : pos + 4]
         if b0 != 0xFF or (b1 & 0xE0) != 0xE0:
@@ -1205,10 +1274,24 @@ def _mp3_meta_impl(payload):
                 "sample_rate": sample_rate,
                 "channels": channels,
             }
+            first_spf = spf
             off = pos + 4 + _mp3_side_info_len(version_bits, channels == 1)
             tag = payload[off : off + 4]
-            if tag in (b"Xing", b"Info"):
+            if tag in (b"Xing", b"Info") and off + 8 <= n:
                 has_xing = True
+                # Xing fields: flags then frames(4)/bytes(4)/TOC(100)/
+                # quality(4) in flag order — the VBR duration source
+                (flags,) = struct.unpack_from(">I", payload, off + 4)
+                fp2 = off + 8
+                if flags & 0x1 and fp2 + 4 <= n:
+                    (xing_frames,) = struct.unpack_from(">I", payload, fp2)
+                    fp2 += 4
+                if flags & 0x2 and fp2 + 4 <= n:
+                    (xing_bytes,) = struct.unpack_from(">I", payload, fp2)
+            voff = pos + 4 + 32  # Fraunhofer VBRI: fixed offset
+            if payload[voff : voff + 4] == b"VBRI" and voff + 18 <= n:
+                (vbri_bytes,) = struct.unpack_from(">I", payload, voff + 10)
+                (vbri_frames,) = struct.unpack_from(">I", payload, voff + 14)
         n_frames += 1
         total_samples += spf
         pos += flen
@@ -1222,4 +1305,21 @@ def _mp3_meta_impl(payload):
     out["title"] = title
     out["artist"] = artist
     out["album"] = album
+    # VBR duration: a Xing/VBRI frames field is authoritative for VBR
+    # and truncated streams (the walked count only covers fetched
+    # bytes) — players derive duration from it; so do we.
+    out["xing_frames"] = xing_frames
+    out["xing_bytes"] = xing_bytes
+    out["vbri_frames"] = vbri_frames
+    out["vbri_bytes"] = vbri_bytes
+    declared = xing_frames if xing_frames is not None else vbri_frames
+    out["declared_frames"] = declared
+    out["declared_total_samples"] = (
+        declared * first_spf if declared is not None else None
+    )
+    out["declared_duration_ms"] = (
+        declared * first_spf * 1000 // out["sample_rate"]
+        if declared is not None
+        else None
+    )
     return out

@@ -920,7 +920,14 @@ def audio_container_meta_df(df: DataFrame, payload_col: str = "payload") -> Data
                             "sample_rate": w["sample_rate"],
                             "n_pages": w["n_frames"],
                             "n_streams": 1,
-                            "last_granule": w["total_samples"],
+                            # VBR duration: a Xing/VBRI frames field is
+                            # authoritative (truncated/head-only fetches
+                            # walk fewer frames than the stream holds)
+                            "last_granule": (
+                                w["declared_total_samples"]
+                                if w.get("declared_total_samples") is not None
+                                else w["total_samples"]
+                            ),
                         }
                         if w
                         else None

@@ -30,6 +30,10 @@ def test_mpeg1_roundtrip(rate, br, channels):
         "duration_ms": 4 * 1152 * 1000 // rate,
         "has_id3v2": False, "has_xing": False,
         "title": None, "artist": None, "album": None,
+        "xing_frames": None, "xing_bytes": None,
+        "vbri_frames": None, "vbri_bytes": None,
+        "declared_frames": None, "declared_total_samples": None,
+        "declared_duration_ms": None,
     }
 
 
@@ -204,3 +208,70 @@ def test_id3v23_long_frame_still_plain_size():
     long_artist = "y" * 300
     m = mp3_meta(encode_mp3_stub(3, 64, 22050, id3_frames={"TPE1": long_artist}))
     assert m["artist"] == long_artist
+
+
+def test_xing_frames_and_bytes_fields():
+    from hquery_php_spark.operators.mediameta import encode_mp3_stub, mp3_meta
+
+    p = encode_mp3_stub(5, 128, 44100, 2, xing=True)
+    m = mp3_meta(p)
+    assert m["xing_frames"] == 5
+    assert m["xing_bytes"] == len(p)  # no ID3 prefix: whole stream
+    assert m["declared_frames"] == 5
+    assert m["declared_total_samples"] == 5 * 1152
+    # declared == walked on a complete stream
+    assert m["declared_duration_ms"] == m["duration_ms"]
+
+
+def test_xing_vbr_duration_on_truncated_stream():
+    """The head-only-fetch shape: only 3 frames fetched of a stream
+    declaring 40 — duration must come from the Xing frames field, not
+    the walk (the whole point of VBR headers at crawl scale)."""
+    from hquery_php_spark.operators.mediameta import encode_mp3_stub, mp3_meta
+
+    p = encode_mp3_stub(40, 128, 44100, 2, xing=True, truncate_frames=3)
+    m = mp3_meta(p)
+    assert m["n_frames"] == 3  # walked
+    assert m["declared_frames"] == 40
+    assert m["declared_total_samples"] == 40 * 1152
+    assert m["declared_duration_ms"] == 40 * 1152 * 1000 // 44100
+    assert m["duration_ms"] == 3 * 1152 * 1000 // 44100  # walked stays honest
+
+
+def test_vbri_header_parsed():
+    from hquery_php_spark.operators.mediameta import encode_mp3_stub, mp3_meta
+
+    # MPEG-1 and MPEG-2 (different side-info/spf) both carry VBRI at
+    # the fixed 32-bytes-after-header offset
+    p1 = encode_mp3_stub(7, 96, 32000, 1, vbri=True)
+    m1 = mp3_meta(p1)
+    assert m1["vbri_frames"] == 7 and m1["vbri_bytes"] == len(p1)
+    assert m1["declared_frames"] == 7
+    p2 = encode_mp3_stub(4, 96, 22050, 2, vbri=True, declared_frames=90)
+    m2 = mp3_meta(p2)
+    assert m2["vbri_frames"] == 90
+    assert m2["declared_total_samples"] == 90 * 576
+    # xing wins when both could exist; xing absent here
+    assert m2["xing_frames"] is None
+
+
+def test_vbr_stream_per_frame_sizes_walked():
+    """vbr=True cycles the bitrate per frame: the walker must follow
+    each header's own size arithmetic (CBR assumptions would desync)."""
+    from hquery_php_spark.operators.mediameta import encode_mp3_stub, mp3_meta
+
+    p = encode_mp3_stub(10, 64, 44100, 2, xing=True, vbr=True)
+    m = mp3_meta(p)
+    assert m["n_frames"] == 10
+    assert m["xing_frames"] == 10
+    assert m["xing_bytes"] == len(p)
+
+
+def test_vbr_tag_too_small_frame_raises():
+    import pytest as _pytest
+
+    from hquery_php_spark.operators.mediameta import encode_mp3_stub
+
+    # MPEG-2 8 kbps frame (24 B) cannot hold a VBRI block at offset 36
+    with _pytest.raises(ValueError):
+        encode_mp3_stub(3, 8, 24000, 1, vbri=True)
