@@ -41,6 +41,7 @@ __all__ = [
     "ledger_band_keys",
     "incremental_dedup_near",
     "incremental_dedup_near_oracle_sql",
+    "compact_ledger",
 ]
 
 
@@ -219,6 +220,45 @@ def incremental_dedup_near(
         .where(F.col("__n") == bands)
         .select("id")
     )
+
+
+def compact_ledger(
+    ledger: DataFrame,
+    dead: DataFrame,
+    retained: DataFrame | None = None,
+    key_cols: tuple = ("fp",),
+) -> DataFrame:
+    """Ledger minus dead keys — the compaction/expiry path that keeps a
+    10^12-doc ledger honest after takedowns and re-crawls.
+
+    The ledger grows monotonically under append-only ingest; after a
+    takedown the removed documents' fingerprints are DEAD: they inflate
+    every future probe's anti-join AND wrongly block re-ingestion of
+    content the corpus no longer holds.  Compaction removes them:
+
+    * ``dead``     — keys of the removed documents (``ledger_fingerprints``
+      over the removed docs for the exact ledger, ``ledger_band_keys``
+      for the near ledger, ``key_cols=("band", "bucket")``).
+    * ``retained`` — keys still referenced by SURVIVING documents.  The
+      shared-content guard: the same normalized text (or band bucket)
+      can back multiple docs, so a key both dead and retained must
+      survive compaction or duplicates of retained content would start
+      slipping in.  Pass the retained corpus's key table (or None when
+      the caller knows removals are sole owners of their keys).
+
+    Shape: two linear anti-joins (dead - retained, then ledger - dead),
+    both on the ledger key — co-located when the ledger is bucketed.
+    Compaction is an O(live + dead) rewrite run at takedown cadence;
+    committing it through ``write_ledger_bucketed`` restores the
+    bucketed at-rest layout, so every subsequent probe stays ∝ delta
+    against the LIVE corpus only.  The result is semantically identical
+    to rebuilding the ledger from the retained corpus (pinned by
+    tests/test_incremental_pipeline.py::test_compact_ledger_*)."""
+    k = list(key_cols)
+    dead_eff = dead.select(*k).distinct()
+    if retained is not None:
+        dead_eff = dead_eff.join(retained.select(*k), k, "left_anti")
+    return ledger.join(dead_eff, k, "left_anti")
 
 
 def incremental_dedup_near_oracle_sql(

@@ -294,3 +294,141 @@ def test_incremental_and_fixed_plan_modes_do_not_mix(spark, tmp_path):
     incremental_extract(spark, inp, out, batches=1)
     with pytest.raises(ValueError, match="incremental"):
         batched_extract(spark, inp, out, batches=1)
+
+
+def test_compact_ledger_reopens_taken_down_content(spark):
+    """After a takedown, compaction must (a) unblock re-ingestion of
+    the removed content, (b) keep blocking duplicates of retained
+    content — including shared-content keys (same text backing both a
+    removed and a retained doc)."""
+    from hquery_php_spark.operators.incremental import (
+        compact_ledger,
+        incremental_dedup_exact,
+        ledger_fingerprints,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "alpha text one"),
+            (2, "bravo text two"),
+            (3, "charlie shared text"),
+            (4, "charlie shared text"),  # same content as doc 3
+        ],
+        "doc_id long, text string",
+    )
+    ledger = ledger_fingerprints(corpus)
+
+    probe = spark.createDataFrame(
+        [
+            (10, "bravo text two"),       # dup of removed doc 2
+            (11, "charlie shared text"),  # dup of retained doc 3
+            (12, "delta brand new"),
+        ],
+        "doc_id long, text string",
+    )
+    before = {r["keep_id"] for r in
+              incremental_dedup_exact(probe, ledger).collect()}
+    assert before == {12}  # everything ledgered blocks
+
+    # takedown: docs 2 and 4 removed; 1 and 3 retained
+    removed = corpus.where("doc_id IN (2, 4)")
+    retained = corpus.where("doc_id IN (1, 3)")
+    compacted = compact_ledger(
+        ledger,
+        dead=ledger_fingerprints(removed),
+        retained=ledger_fingerprints(retained),
+    )
+    after = {r["keep_id"] for r in
+             incremental_dedup_exact(probe, compacted).collect()}
+    # doc-2 content is re-ingestable; doc-3/4 shared content still blocks
+    assert after == {10, 12}
+
+    # equivalence pin: compaction == rebuild from the retained corpus
+    rebuilt = {r["fp"] for r in ledger_fingerprints(retained).collect()}
+    got = {r["fp"] for r in compacted.collect()}
+    assert got == rebuilt
+
+
+def test_compact_ledger_near_band_keys(spark):
+    """Same contract for the (band, bucket) near-dup ledger: compaction
+    on the composite key preserves the screening anti-join semantics."""
+    from hquery_php_spark.operators.incremental import (
+        compact_ledger,
+        incremental_dedup_near,
+        ledger_band_keys,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog number"
+    corpus = spark.createDataFrame(
+        [(1, f"{base} one two three four"), (2, f"totally different words "
+                                               "entirely here and more of them now")],
+        "doc_id long, text string",
+    )
+    ledger = ledger_band_keys(corpus)
+    probe = spark.createDataFrame(
+        [(10, f"{base} one two three four"),  # near-dup of doc 1
+         (11, "unrelated fresh content with many novel tokens inside")],
+        "doc_id long, text string",
+    )
+    before = {r["id"] for r in incremental_dedup_near(probe, ledger).collect()}
+    assert before == {11}
+
+    removed = corpus.where("doc_id = 1")
+    retained = corpus.where("doc_id = 2")
+    compacted = compact_ledger(
+        ledger,
+        dead=ledger_band_keys(removed),
+        retained=ledger_band_keys(retained),
+        key_cols=("band", "bucket"),
+    )
+    after = {r["id"] for r in incremental_dedup_near(probe, compacted).collect()}
+    assert after == {10, 11}  # doc-1 content re-ingestable
+    rebuilt = {(r["band"], r["bucket"])
+               for r in ledger_band_keys(retained).collect()}
+    got = {(r["band"], r["bucket"]) for r in compacted.collect()}
+    assert got == rebuilt
+
+
+def test_compact_ledger_probe_stays_delta_sized(spark, tmp_path):
+    """Compaction committed through write_ledger_bucketed restores the
+    bucketed at-rest layout: the post-compaction probe plan still has
+    exactly one Exchange (the batch side) — per-probe cost ∝ delta."""
+    from hquery_php_spark.operators.incremental import (
+        compact_ledger,
+        ledger_fingerprints,
+        write_ledger_bucketed,
+    )
+
+    corpus = spark.createDataFrame(
+        [(i, f"document number {i} body text") for i in range(50)],
+        "doc_id long, text string",
+    )
+    ledger = ledger_fingerprints(corpus)
+    dead = ledger_fingerprints(corpus.where("doc_id % 5 = 0"))
+    compacted = compact_ledger(ledger, dead)
+    tbl = "compact_ledger_plan_test"
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    write_ledger_bucketed(
+        compacted, tbl, n_buckets=8, path=str(tmp_path / "led")
+    )
+    probe = spark.createDataFrame(
+        [(100, "document number 5 body text"), (101, "fresh content")],
+        "doc_id long, text string",
+    )
+    from hquery_php_spark.operators.incremental import incremental_dedup_exact
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760b")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        out = incremental_dedup_exact(probe, spark.table(tbl))
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        # both Exchanges are batch-side (partial-agg + join alignment);
+        # the corpus-sized ledger streams straight from its buckets
+        assert plan.count("Exchange") == 2, plan
+        assert "Bucketed: true" in plan and "SelectedBucketsCount" in plan, plan
+        ledger_leaf = plan[plan.rindex("Sort [") :]
+        assert "Exchange" not in ledger_leaf, plan
+        assert {r["keep_id"] for r in out.collect()} == {100, 101}
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
