@@ -6065,11 +6065,10 @@ def oracle_sql() -> dict[str, str]:
                o.n_sections, o.sec1_title, o.sec2_path, o.sec2_text,
                o.n_chunks, o.n_oversize
         FROM ({base['html_markdown']}) md
-        JOIN (SELECT CAST(doc_id AS VARCHAR) AS doc_id,
-                     CAST(6 AS INT) AS n_cells,
-                     'k|v|id|' || CAST(doc_id AS VARCHAR) || '|source|'
-                       || source AS cells
-              FROM documents) c USING (doc_id)
+        JOIN (SELECT doc_id, CAST(count(*) AS INT) AS n_cells,
+                     string_agg(text, '|' ORDER BY row_no, col_no) AS cells
+              FROM ({base['table_extract']}) GROUP BY doc_id) c
+          USING (doc_id)
         JOIN ({base['sentence_segment']}) s USING (doc_id)
         JOIN (SELECT CAST(doc_id AS VARCHAR) AS doc_id,
                      CAST(2 AS INT) AS n_sections,
@@ -6085,43 +6084,42 @@ def oracle_sql() -> dict[str, str]:
                     FROM documents)) o USING (doc_id)
     """
     # parsed feed + parsed sitemap + robots allow decision, one row/doc
+    # composed FROM the member base twins (feed_parse / sitemap_parse /
+    # robots_filter / frontier) so a broken member twin breaks the
+    # suite's value check — the suite-coverage honesty contract
+    # (tests/test_entry_contract.py::test_suite_twins_execute_member_twins)
     out["webfeed_suite"] = f"""
-        WITH {_ROBOTS_M}
-        SELECT CAST(doc_id AS VARCHAR) AS doc_id,
-               CASE WHEN doc_id % 2 = 0 THEN 'rss' ELSE 'atom' END AS feed_kind,
-               'Feed ' || sid AS feed_title,
-               CAST(2 AS INT) AS n_entries,
-               'Post ' || sid || ' A' AS e1_title,
-               'https://feeds.example.com/' || sid || '/a' AS e1_link,
-               CASE WHEN doc_id % 2 = 0 THEN 'g' ELSE 'i' END
-                 || sid || 'a' AS e1_id,
-               'Post ' || sid || ' B' AS e2_title,
-               CAST(NULL AS VARCHAR) AS e2_updated,
-               CASE WHEN doc_id % 5 = 0 THEN 'sitemapindex'
-                    ELSE 'urlset' END AS sm_kind,
-               CAST(CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 2 END AS INT)
-                 AS n_locs,
-               CASE WHEN doc_id % 5 = 0
-                      THEN 'https://example.com/sm/' || sid || '.xml'
-                    ELSE 'https://example.com/docs/' || sid || '.html'
-                 END AS loc1,
-               CASE WHEN doc_id % 5 = 0 THEN '2024-02-02'
-                    ELSE '2024-01-01' END AS lastmod1,
-               CASE WHEN doc_id % 5 != 0 THEN '0.8' END AS priority1,
-               {_ROBOTS_URL} AS url,
-               fam IN (0, 3) AS allowed,
-               CAST(2000000 + CASE WHEN doc_id % 5 = 0 THEN 0
-                                   ELSE 800000 END AS BIGINT) AS f_priority,
-               CAST(ROW_NUMBER() OVER (ORDER BY
-                      CASE WHEN doc_id % 5 = 0 THEN 0 ELSE 800000 END DESC,
-                      CASE WHEN doc_id % 5 = 0
-                        THEN 'https://example.com/sm/' || sid || '.xml'
-                        ELSE 'https://example.com/docs/' || sid || '.html'
-                      END) - 1 AS INT) AS f_rank,
-               CAST(ROW_NUMBER() OVER (ORDER BY
-                      'https://feeds.example.com/' || sid || '/a')
-                    - 1 AS INT) AS f2_rank
-        FROM m
+        WITH f AS (SELECT doc_id,
+                     max(kind) AS feed_kind,
+                     max(feed_title) AS feed_title,
+                     CAST(count(*) AS INT) AS n_entries,
+                     max(CASE WHEN ord = 0 THEN title END) AS e1_title,
+                     max(CASE WHEN ord = 0 THEN link END) AS e1_link,
+                     max(CASE WHEN ord = 0 THEN entry_id END) AS e1_id,
+                     max(CASE WHEN ord = 1 THEN title END) AS e2_title,
+                     max(CASE WHEN ord = 1 THEN updated END) AS e2_updated
+                   FROM ({base['feed_parse']}) GROUP BY doc_id),
+        s AS (SELECT doc_id,
+                     max(kind) AS sm_kind,
+                     CAST(count(*) AS INT) AS n_locs,
+                     max(CASE WHEN ord = 0 THEN loc END) AS loc1,
+                     max(CASE WHEN ord = 0 THEN lastmod END) AS lastmod1,
+                     max(CASE WHEN ord = 0 THEN priority END) AS priority1
+              FROM ({base['sitemap_parse']}) GROUP BY doc_id),
+        r AS (SELECT doc_id, url, allowed FROM ({base['robots_filter']})),
+        fr AS (SELECT url, priority, fetch_order FROM ({base['frontier']}))
+        SELECT f.doc_id, f.feed_kind, f.feed_title, f.n_entries,
+               f.e1_title, f.e1_link, f.e1_id, f.e2_title, f.e2_updated,
+               s.sm_kind, s.n_locs, s.loc1, s.lastmod1, s.priority1,
+               r.url, r.allowed,
+               fr1.priority AS f_priority,
+               CAST(fr1.fetch_order AS INT) AS f_rank,
+               CAST(fr2.fetch_order AS INT) AS f2_rank
+        FROM f
+        JOIN s USING (doc_id)
+        JOIN r USING (doc_id)
+        JOIN fr fr1 ON fr1.url = s.loc1
+        JOIN fr fr2 ON fr2.url = f.e1_link
     """
     out["charset_suite"] = f"""
         SELECT d.doc_id, d.sniffed, x.text, x."offset", x.decoded_from,
