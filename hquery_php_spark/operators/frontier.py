@@ -18,15 +18,18 @@ linear shuffle — the design scales to a 10^12-URL frontier:
 4. **priority** — deterministic score: source weight (seed > sitemap
    > feed > outlink) + sitemap priority when present; integer
    arithmetic so re-runs reproduce bit-for-bit.
-5. **politeness layout** — ``repartition(host_bucket)`` +
-   ``sortWithinPartitions(host, priority desc)``: all URLs of a host
-   land in one partition, ordered by priority, so a fetcher task can
-   stream a partition and apply the host's crawl-delay locally
-   without any cross-task coordination.  Host buckets are salted only
-   in count (hash(host) % n): a mega-host still serializes through
-   one partition BY DESIGN — politeness is per-host serial fetching;
-   parallelism comes from the number of distinct hosts, which is what
-   a real frontier scales with.
+5. **rank + schedule** — per-host ``fetch_order`` window (with the
+   optional ``max_urls_per_host`` salted cap bounding every window
+   partition for giant hosts) and the crawl-delay schedule column.
+6. **politeness layout (FINAL step)** — ``repartition(host_bucket)``
+   + ``sortWithinPartitions(host, priority desc)``: all URLs of a
+   host land in one partition, ordered by fetch sequence, so a
+   fetcher task can stream a partition and apply the host's
+   crawl-delay locally without any cross-task coordination.  Host
+   buckets are salted only in count (hash(host) % n): a mega-host
+   still serializes through one partition BY DESIGN — politeness is
+   per-host serial fetching; parallelism comes from the number of
+   distinct hosts, which is what a real frontier scales with.
 
 ``frontier_df`` returns the laid-out frontier with (url, host,
 source_kind, priority, host_bucket, fetch_order).  ``fetch_order`` is

@@ -141,7 +141,10 @@ def parse_robots(text) -> Robots:
             except ValueError:
                 continue
             for a in (cur[0] if cur else ["*"]):
-                delay.setdefault(a, d)
+                # multiple groups for one token (concatenated files):
+                # keep the CONSERVATIVE (largest) delay, consistent
+                # with rules_for's RFC 9309 §2.2.1 group merge
+                delay[a] = max(delay.get(a, d), d)
         else:
             agents_open = False
     return Robots(

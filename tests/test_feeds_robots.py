@@ -151,6 +151,11 @@ def test_robots_sitemap_and_delay():
     assert rb.sitemaps == ("https://ex.com/sm.xml",)
     assert rb.delay_for("slowbot/1.2") == 2.5
     assert rb.delay_for("fastbot") is None
+    # two groups for the same token: the conservative (max) delay wins
+    rb2 = parse_robots(
+        "User-agent: *\nCrawl-delay: 1\n\nUser-agent: *\nCrawl-delay: 4\n"
+    )
+    assert rb2.delay_for("anybot") == 4.0
 
 
 def test_robots_soup_never_raises():
