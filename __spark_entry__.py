@@ -384,6 +384,12 @@ def q_selector_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             StructField("n_sib", IntegerType()),
             StructField("first_w", StringType()),
             StructField("third_w", StringType()),
+            # beyond-reference extension set (extensions=True):
+            # :nth-child, :not, ^= and $= attr operators
+            StructField("n_nth_odd", IntegerType()),
+            StructField("n_not_w0", IntegerType()),
+            StructField("n_vpre", IntegerType()),
+            StructField("n_cls1", IntegerType()),
         ]
     )
 
@@ -393,8 +399,8 @@ def q_selector_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             for doc_id, html in zip(pdf["doc_id"], pdf["html"]):
                 doc = HDoc(html.encode("utf-8"))
 
-                def n(sel):
-                    r = doc.find(sel)
+                def n(sel, **kw):
+                    r = doc.find(sel, **kw)
                     return len(r) if r else 0
 
                 rows["doc_id"].append(doc_id)
@@ -404,6 +410,12 @@ def q_selector_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
                 rows["n_desc"].append(n("div span"))
                 rows["n_child"].append(n("div > span"))
                 rows["n_sib"].append(n("span + span"))
+                rows["n_nth_odd"].append(
+                    n("span:nth-child(odd)", extensions=True)
+                )
+                rows["n_not_w0"].append(n("span:not(.w0)", extensions=True))
+                rows["n_vpre"].append(n("span[data-k^=v]", extensions=True))
+                rows["n_cls1"].append(n("span[class$=1]", extensions=True))
                 f = doc.find("span:first")
                 t = doc.find("span:eq(2)")
                 rows["first_w"].append(f.first().text() if f else None)
@@ -4923,7 +4935,11 @@ def _base_oracle_sql() -> dict[str, str]:
                    CAST(W AS INT) AS n_child,
                    CAST(W - 1 AS INT) AS n_sib,
                    string_split({norm}, ' ')[1] AS first_w,
-                   CASE WHEN W >= 3 THEN string_split({norm}, ' ')[3] END AS third_w
+                   CASE WHEN W >= 3 THEN string_split({norm}, ' ')[3] END AS third_w,
+                   CAST((W + 1) // 2 AS INT) AS n_nth_odd,
+                   CAST(W - (W + 2) // 3 AS INT) AS n_not_w0,
+                   CAST(W AS INT) AS n_vpre,
+                   CAST((W + 1) // 3 AS INT) AS n_cls1
             FROM (SELECT doc_id, text, {wordcount} AS W FROM documents)
         """,
         "media_refs": f"""

@@ -240,8 +240,10 @@ class HElement:
         return True if any(r is True for r in results) else 0
 
     # -- structure ------------------------------------------------------ #
-    def find(self, sel: str, attr=None) -> Optional["HElement"]:
-        return self.doc.find(sel, attr, ctx=self)
+    def find(
+        self, sel: str, attr=None, extensions: bool = False
+    ) -> Optional["HElement"]:
+        return self.doc.find(sel, attr, ctx=self, extensions=extensions)
 
     def exclude(self, sel: str, attr=None) -> Optional["HElement"]:
         """Subtract a sub-selection from this node's content view
@@ -336,6 +338,133 @@ class HElement:
         return self.attr(name, True)
 
 
+_NTH_RX = re.compile(
+    r"^\s*(?:(odd)|(even)|(?:([+-]?\d*)n\s*([+-]\s*\d+)?)|([+-]?\d+))\s*$",
+    re.I,
+)
+
+
+def _parse_nth(arg: Optional[str]) -> Optional[Tuple[int, int]]:
+    """``an+b`` / ``odd`` / ``even`` / plain integer -> (a, b), or None
+    for an unparseable argument (extension then matches nothing)."""
+    m = _NTH_RX.match(arg or "")
+    if not m:
+        return None
+    if m.group(1):
+        return (2, 1)
+    if m.group(2):
+        return (2, 0)
+    if m.group(5):
+        return (0, int(m.group(5)))
+    a_tok = m.group(3)
+    a = 1 if a_tok in ("", "+") else (-1 if a_tok == "-" else int(a_tok))
+    b = int((m.group(4) or "0").replace(" ", ""))
+    return (a, b)
+
+
+def _nth_matches(a: int, b: int, pos: int) -> bool:
+    """CSS an+b test for a 1-based sibling position."""
+    if a == 0:
+        return pos == b
+    k, r = divmod(pos - b, a)
+    return r == 0 and k >= 0
+
+
+def _ext_attr_ops(doc: DocIndex, rb: IdMap, ops) -> IdMap:
+    """Extension attribute operators ``~= ^= $= *=`` as a per-element
+    post-filter (the reference leaves these unimplemented,
+    Parser/Selector.php:205-233) — the indexed fast paths are not
+    touched, so parity behavior is unaffected when extensions are off."""
+    out: IdMap = {}
+    for bb, ee in rb.items():
+        ok = True
+        for name, op, val in ops:
+            av = doc.get_attr_by_id(bb, name)
+            if av is None:
+                ok = False
+                break
+            s = str(av)
+            if op == "~":
+                ok = val in s.split()
+            elif op == "^":
+                ok = bool(val) and s.startswith(val)
+            elif op == "$":
+                ok = bool(val) and s.endswith(val)
+            else:  # '*'
+                ok = bool(val) and val in s
+            if not ok:
+                break
+        if ok:
+            out[bb] = ee
+    return out
+
+
+def _ext_pseudo(doc: DocIndex, rb: IdMap, op: str, arg) -> IdMap:
+    """Extension pseudos ``:not`` / ``:empty`` / ``:nth-child`` as
+    post-filters over the current candidate set."""
+    if op == "not":
+        # simple compound argument: tag / #id / .class / [attr] — the
+        # first step of the first OR group; combinators are not
+        # supported inside :not (documented extension subset)
+        try:
+            g = parse_selector(str(arg or ""), extensions=True)
+        except Exception:
+            return rb
+        if not g or not g[0]:
+            return rb
+        st = g[0][0]
+        at = dict(st.get("a") or {})
+        if "i" in st:
+            at["id"] = st["i"]
+        matched = filter_ids(doc, dict(rb), st.get("n"), st.get("c"), at)
+        if st.get("ax"):
+            matched = _ext_attr_ops(doc, matched, st["ax"])
+        return {b: e for b, e in rb.items() if b not in matched}
+    if op == "empty":
+        # CSS :empty — no element children and no text (comments and
+        # other markup-only content allowed; whitespace text is text)
+        pb = doc.parent_begin()
+        has_kids = set(pb.values())
+        ext = sorted(doc.extents)
+        out: IdMap = {}
+        for b, e in rb.items():
+            if b in has_kids:
+                continue
+            if e <= b + 1:  # zero-length content (incl. self-closing)
+                out[b] = e
+                continue
+            pos, empty = b + 1, True
+            for s, t in ext:
+                if t <= pos:
+                    continue
+                if s >= e:
+                    break
+                if s > pos:
+                    empty = False
+                    break
+                pos = max(pos, t)
+            if empty and pos < e:
+                empty = False
+            if empty:
+                out[b] = e
+        return out
+    # op == "nth-child"
+    ab = _parse_nth(arg)
+    if ab is None:
+        return {}
+    pb = doc.parent_begin()
+    kids: Dict[Optional[int], List[int]] = {}
+    for cb in doc.ids:
+        kids.setdefault(pb.get(cb), []).append(cb)
+    for v in kids.values():
+        v.sort()
+    return {
+        b: e
+        for b, e in rb.items()
+        if _nth_matches(ab[0], ab[1], kids[pb.get(b)].index(b) + 1)
+    }
+
+
 def text_parse_dl(text: str, sep: str = ":", key=None):
     """Parse text as ``key: value`` lines (Node.php:1254-1302)."""
     text = text.strip()
@@ -426,8 +555,17 @@ class HDoc:
             return ctx_ids(dict(sorted(ctx.items())))
         raise TypeError(f"invalid context: {type(ctx)}")
 
-    def find(self, sel: str, attr=None, ctx=None) -> Optional[HElement]:
-        """The fused plan/execute loop (hQuery.php:302-450)."""
+    def find(
+        self, sel: str, attr=None, ctx=None, extensions: bool = False
+    ) -> Optional[HElement]:
+        """The fused plan/execute loop (hQuery.php:302-450).
+
+        ``extensions=True`` enables the beyond-reference selector set —
+        ``[a~=v] [a^=v] [a$=v] [a*=v]``, ``:not(<simple compound>)``,
+        ``:empty`` and ``:nth-child(an+b|odd|even)`` — implemented as
+        per-step POST-filters so the reference-parity paths are
+        untouched; the default keeps the reference's silent
+        fall-through for these (Parser/Selector.php:47-72, 205-233)."""
         doc = self.index
         base_attr: Dict[str, Optional[str]] = {}
         if isinstance(attr, str):
@@ -439,7 +577,7 @@ class HDoc:
         if ctx is not None and not cx0:
             return None  # empty context yields empty result
 
-        groups = parse_selector(sel.strip())
+        groups = parse_selector(sel.strip(), extensions=extensions)
         ra: Optional[IdMap] = None
         merged = False
 
@@ -475,6 +613,11 @@ class HDoc:
                 if not rb:
                     break
 
+                if extensions and b.get("ax"):
+                    rb = _ext_attr_ops(doc, rb, b["ax"])
+                    if not rb:
+                        break
+
                 for ps in b.get("p") or ():
                     if isinstance(ps, int):
                         pidx = ps
@@ -489,6 +632,13 @@ class HDoc:
                     elif isinstance(ps, dict):
                         (op, arg), = ps.items()
                         if op not in ("<", ">", "-", "+", "|", "*"):
+                            if extensions and op in (
+                                "not", "empty", "nth-child"
+                            ):
+                                rb = _ext_pseudo(doc, rb, op, arg)
+                                if not rb:
+                                    break
+                                continue
                             # unknown pseudo (e.g. :not / :nth-child —
                             # explicit TODOs in the reference): falls
                             # through the switch silently (hQuery.php:

@@ -97,7 +97,19 @@ class _P:
         return self.s[b : self.i]
 
 
-def parse_selector(sel: str) -> List[List[Step]]:
+def parse_selector(sel: str, extensions: bool = False) -> List[List[Step]]:
+    """``extensions=False`` (default) reproduces the reference grammar
+    byte-for-byte, including its silent fall-throughs.  ``True`` turns
+    on the beyond-reference extension set (the reference's own TODOs,
+    Parser/Selector.php:47-72, 205-233):
+
+    * attribute operators ``[a~=v] [a^=v] [a$=v] [a*=v]`` — parsed
+      into a step's ``ax`` list ([(name, op, value), ...]) and applied
+      as a post-filter (the legacy ``a`` dict is untouched);
+    * the pseudos ``:not(<simple compound>)``, ``:empty`` and
+      ``:nth-child(an+b|odd|even)`` parse the same either way (unknown
+      pseudo -> {name: arg}); only execution differs (core/doc.py).
+    """
     p = _P(sel.strip())
     ret: List[List[Step]] = []
     and_i = 0
@@ -136,11 +148,19 @@ def parse_selector(sel: str) -> List[List[Step]]:
             p.i += 1
             a = _parse_attr(p)
             st = step()
-            cur = st.get("a")
-            if not cur:
-                st["a"] = a
-            else:
-                cur.update(a)  # type: ignore[union-attr]
+            if extensions and len(a) == 1:
+                (an, av), = a.items()
+                if av is not None and an and an[-1] in "~^$*":
+                    st.setdefault("ax", []).append(  # type: ignore[union-attr]
+                        (an[:-1].rstrip(), an[-1], av)
+                    )
+                    a = {}
+            if a:
+                cur = st.get("a")
+                if not cur:
+                    st["a"] = a
+                else:
+                    cur.update(a)  # type: ignore[union-attr]
         elif c == ":":
             p.i += 1
             step().setdefault("p", []).append(_parse_pseudo(p))  # type: ignore[union-attr]
