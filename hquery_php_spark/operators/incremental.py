@@ -231,10 +231,21 @@ def compact_ledger(
     """Ledger minus dead keys — the compaction/expiry path that keeps a
     10^12-doc ledger honest after takedowns and re-crawls.
 
-    The ledger grows monotonically under append-only ingest; after a
-    takedown the removed documents' fingerprints are DEAD: they inflate
-    every future probe's anti-join AND wrongly block re-ingestion of
-    content the corpus no longer holds.  Compaction removes them:
+    The ledger grows monotonically under append-only ingest.  Whether
+    a removed document's keys are DEAD is a POLICY choice with two
+    legitimate answers:
+
+    * **stay-gone (the jobs/takedown_job.py default)** — the ledger
+      deliberately REMEMBERS taken-down docs: a re-crawled copy dedups
+      out on the next run, keeping the content gone without a
+      blocklist join on every future ingest.  Do NOT compact those
+      keys.
+    * **expiry (this function)** — for removals where re-admission is
+      acceptable or desired (re-crawl churn, quality-pruned docs,
+      storage/probe-cost control, an explicit allow-resubmission
+      policy), the dead keys only inflate every future probe's
+      anti-join and block content the corpus no longer holds.
+      Compaction removes them:
 
     * ``dead``     — keys of the removed documents (``ledger_fingerprints``
       over the removed docs for the exact ledger, ``ledger_band_keys``

@@ -26,7 +26,12 @@ Two deliberate semantics:
   md5/MinHash ledgers remember the taken-down docs on purpose: a
   re-crawled copy of a taken-down document dedups OUT on the next
   incremental run, which is exactly what a takedown wants — the content
-  stays gone without a blocklist join on every future ingest.
+  stays gone without a blocklist join on every future ingest.  For the
+  OPPOSITE policy (removals whose re-admission is acceptable: re-crawl
+  churn, quality pruning, ledger size control), run
+  ``operators/incremental.compact_ledger`` over the ledger tables — it
+  expires the removed docs' keys with a shared-content guard so probe
+  cost stays proportional to the live corpus.
 """
 
 import argparse
