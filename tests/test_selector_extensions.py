@@ -100,3 +100,36 @@ def test_element_find_threads_extensions():
         "3",
         "5",
     ]
+
+
+def test_extension_partition_laws():
+    """Algebraic properties over a generated page: :not complements,
+    nth-child(odd|even) partitions, ^=/$= are subsets of *=."""
+    import random
+
+    rng = random.Random(7)
+    parts = []
+    for i in range(60):
+        cls = rng.choice(["alpha", "beta", "gamma", "alpha beta"])
+        val = rng.choice(["xy", "xyz", "zxy", "wxy"])
+        parts.append(f'<p class="{cls}" data-t="{val}">t{i}</p>')
+    d = HDoc(("<div>" + "".join(parts) + "</div>").encode())
+
+    def idset(sel):
+        r = d.find(sel, extensions=True)
+        return set(r.ids) if r else set()
+
+    allp = idset("p")
+    assert len(allp) == 60
+    # :not complement
+    assert idset("p:not(.alpha)") == allp - idset("p.alpha")
+    assert idset("p:not([data-t$=z])") == allp - idset("p[data-t$=z]")
+    # nth-child partition
+    odd, even = idset("p:nth-child(odd)"), idset("p:nth-child(even)")
+    assert odd | even == allp and not (odd & even)
+    assert len(odd) == 30 and len(even) == 30
+    # prefix/suffix are substrings
+    assert idset("p[data-t^=xy]") <= idset("p[data-t*=xy]")
+    assert idset("p[data-t$=xy]") <= idset("p[data-t*=xy]")
+    # token match equals class selector semantics on the class attr
+    assert idset("p[class~=beta]") == idset("p.beta")
