@@ -431,8 +431,19 @@ def q_media_refs(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
     from pyspark.sql.types import StringType, StructField, StructType
 
+    sid = F.col("doc_id").cast("string")
     d = _synth(spark, sf_dir).select(
-        F.col("doc_id").cast("string").alias("doc_id"), "html", "base_url"
+        sid.alias("doc_id"),
+        # responsive-image leg: a srcset img appended to the synth page
+        # (trailing markup — the fault-tolerant index walks it like any
+        # other element); candidates resolve against the page's
+        # <base href> exactly like src/href
+        F.concat(
+            F.col("html"),
+            F.lit('<img srcset="/rs/'), sid, F.lit("-1x.png 1x, rs/"),
+            sid, F.lit('-2x.png 2x" src="/f/'), sid, F.lit('.png">'),
+        ).alias("html"),
+        "base_url",
     )
     schema = StructType(
         [
@@ -441,10 +452,13 @@ def q_media_refs(spark: SparkSession, sf_dir: str) -> DataFrame:
             StructField("href_abs", StringType()),
             StructField("src_abs", StringType()),
             StructField("a_outer", StringType()),
+            StructField("srcset_all", StringType()),
         ]
     )
 
     def run(batches):
+        from hquery_php_spark.operators.pagemeta import srcset_refs
+
         for pdf in batches:
             rows = {k: [] for k in schema.fieldNames()}
             for doc_id, html, url in zip(pdf["doc_id"], pdf["html"], pdf["base_url"]):
@@ -456,6 +470,12 @@ def q_media_refs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 rows["href_abs"].append(a.attr("href", True) if a else None)
                 rows["src_abs"].append(img.attr("src", True) if img else None)
                 rows["a_outer"].append(a.outer_html() if a else None)
+                rows["srcset_all"].append(
+                    "|".join(
+                        f"{u} {ds}" for _, u, ds in srcset_refs(doc)
+                    )
+                    or None
+                )
             yield pd.DataFrame(rows)
 
     return d.mapInPandas(run, schema)
@@ -4948,7 +4968,10 @@ def _base_oracle_sql() -> dict[str, str]:
                    'https://example.com/docs/' || doc_id || '.html' AS href_abs,
                    'https://cdn.example.com/' || source || '/' || doc_id || '.png' AS src_abs,
                    '<a class="next" href="/docs/' || doc_id || '.html">Next '
-                     || doc_id || '</a>' AS a_outer
+                     || doc_id || '</a>' AS a_outer,
+                   'https://example.com/rs/' || doc_id || '-1x.png 1x|'
+                     || 'https://example.com/rs/' || doc_id
+                     || '-2x.png 2x' AS srcset_all
             FROM documents
         """,
         "charset_detect": """

@@ -23,6 +23,7 @@ __all__ = [
     "is_url_path",
     "is_abs_path",
     "abs_url",
+    "parse_srcset",
 ]
 
 _SCHEME_PREFIX_RE = re.compile(r"^[a-z]+\:$")
@@ -119,3 +120,50 @@ def url_base_pair(href: str) -> Optional[Tuple[str, str]]:
     """Convenience: (hostURL, baseURL) or None — baseURI() setter's core."""
     t = get_url_base(href, True)
     return t if t else None
+
+
+def parse_srcset(value):
+    """Parse an HTML ``srcset`` attribute into [(url, descriptor)] per
+    the spec's candidate grammar (WHATWG HTML §4.8.4.3.10 "parse a
+    srcset attribute" — beyond the reference, which predates responsive
+    images): candidates separated by commas, where a URL itself may
+    contain commas only when not adjacent to whitespace; each URL may
+    carry one width (``600w``) or density (``2x``) descriptor.
+    Fault-tolerant: malformed candidates are skipped, never raised.
+
+    Descriptor is returned verbatim (``'600w'``, ``'2x'``) or ``None``
+    for a bare URL (the implicit ``1x`` candidate)."""
+    out = []
+    if not value:
+        return out
+    s = str(value)
+    i, n = 0, len(s)
+    ws = " \t\n\r\f"
+    while i < n:
+        # skip whitespace and leading commas
+        while i < n and (s[i] in ws or s[i] == ","):
+            i += 1
+        if i >= n:
+            break
+        # collect URL: run of non-whitespace
+        b = i
+        while i < n and s[i] not in ws:
+            i += 1
+        url = s[b:i]
+        if url.endswith(","):
+            # trailing commas terminate the candidate; no descriptor
+            url = url.rstrip(",")
+            if url:
+                out.append((url, None))
+            continue
+        # skip whitespace, then collect descriptor up to the next comma
+        while i < n and s[i] in ws:
+            i += 1
+        b = i
+        while i < n and s[i] != ",":
+            i += 1
+        desc = s[b:i].strip() or None
+        i += 1  # past the comma
+        if url:
+            out.append((url, desc))
+    return out

@@ -20,7 +20,7 @@ from __future__ import annotations
 import json
 from typing import List, Optional
 
-__all__ = ["page_meta", "page_meta_rows"]
+__all__ = ["page_meta", "page_meta_rows", "srcset_refs"]
 
 
 def page_meta(html, url: Optional[str] = None) -> Optional[dict]:
@@ -143,3 +143,33 @@ def page_meta_rows(html, url: Optional[str] = None) -> List[dict]:
     for t in m["jsonld_types"]:
         rows.append({"kind": "jsonld", "key": "@type", "value": t})
     return rows
+
+
+def srcset_refs(html, url: Optional[str] = None):
+    """Responsive-image references: [(tag, url_abs, descriptor)] for
+    every ``srcset`` candidate of every ``img``/``source`` element in
+    document order, URLs absolutized through the engine's resolver
+    (<base href> honored like every media ref).
+
+    Beyond the reference (which predates responsive images, so its
+    media extraction sees only ``img[src]``): at crawl scale the
+    srcset candidates are where the high-resolution variants live —
+    an image-text corpus that ignores them collects thumbnail-quality
+    pixels.  Candidate parsing is the WHATWG grammar
+    (core/urlutil.parse_srcset); fault-tolerant end to end."""
+    from ..core.doc import HDoc
+    from ..core.urlutil import parse_srcset
+
+    if html is None:
+        return []
+    if isinstance(html, (str, bytes, bytearray)):
+        raw = html.encode("utf-8") if isinstance(html, str) else bytes(html)
+        doc = HDoc(raw, url)
+    else:
+        doc = html
+    r = doc.find("img[srcset],source[srcset]")
+    out = []
+    for el in r or []:
+        for u, d in parse_srcset(el.attr("srcset")):
+            out.append((el.nodeName, doc.index.url2abs(u), d))
+    return out

@@ -83,3 +83,50 @@ def test_fuzz_never_raises():
         for _ in range(rng.randrange(1, 8)):
             b[rng.randrange(len(b))] = chr(rng.randrange(32, 127))
         page_meta("".join(b), "https://example.com/")
+
+
+def test_parse_srcset_grammar():
+    from hquery_php_spark.core.urlutil import parse_srcset
+
+    assert parse_srcset("/a.png 1x, /b.png 2x") == [
+        ("/a.png", "1x"),
+        ("/b.png", "2x"),
+    ]
+    assert parse_srcset("a.png 600w,b.png 200w") == [
+        ("a.png", "600w"),
+        ("b.png", "200w"),
+    ]
+    assert parse_srcset("x.png") == [("x.png", None)]
+    # a comma INSIDE the URL (data: URI) is not a separator
+    assert parse_srcset("data:image/png;base64,iVBOR 1x, /y.png 2x") == [
+        ("data:image/png;base64,iVBOR", "1x"),
+        ("/y.png", "2x"),
+    ]
+    # junk commas / bare candidates / trailing comma
+    assert parse_srcset(" , ,a.png,  b.png 2x ,") == [
+        ("a.png", None),
+        ("b.png", "2x"),
+    ]
+    assert parse_srcset(None) == [] and parse_srcset("") == []
+
+
+def test_srcset_refs_engine_walk():
+    from hquery_php_spark.operators.pagemeta import srcset_refs
+
+    h = (
+        '<html><head><base href="https://cdn.ex.com/p/"></head><body>'
+        '<picture><source srcset="a-1x.png 1x, a-2x.png 2x">'
+        '<img srcset="/big.png 600w, sm.png 200w" src="f.png"></picture>'
+        '<img src="plain.png"></body></html>'
+    )
+    assert srcset_refs(h, "https://ex.com/x") == [
+        ("source", "https://cdn.ex.com/p/a-1x.png", "1x"),
+        ("source", "https://cdn.ex.com/p/a-2x.png", "2x"),
+        ("img", "https://cdn.ex.com/big.png", "600w"),
+        ("img", "https://cdn.ex.com/p/sm.png", "200w"),
+    ]
+    assert srcset_refs("<p>none</p>") == []
+    assert srcset_refs(None) == []
+    # soup never raises
+    srcset_refs('<img srcset=",,,  ">')
+    srcset_refs("<source srcset")
