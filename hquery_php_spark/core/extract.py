@@ -130,10 +130,18 @@ def extract_spans(doc: HDoc, opts: ExtractOptions = DEFAULT_OPTIONS) -> List[Spa
     for tag, attr_name in opts.media_tags:
         attr_map = idx.idx_attr.get(attr_name)
         tag_map = idx.tag_idx.get(tag)
-        if not attr_map or not tag_map:
+        if not tag_map:
             continue
         for b in tag_map:
-            raw = attr_map.get(b)
+            if attr_map is not None:
+                raw = attr_map.get(b)  # indexed pull-out (href/src/id)
+            else:
+                # non-indexed attr (e.g. lazy-load data-src configured
+                # via media_tags): per-element lookup — slower, but only
+                # on the opt-in attrs a config names explicitly
+                raw = idx.get_attr_by_id(b, attr_name)
+                if not isinstance(raw, str):
+                    raw = None  # boolean/absent attr carries no URL
             if raw is None:
                 continue
             ref = idx.url2abs(raw)

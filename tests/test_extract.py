@@ -134,3 +134,28 @@ def test_corpus_deterministic():
         spans = extract_spans(doc)
         for a, b in zip(spans, spans[1:]):
             assert a.offset <= b.offset
+
+
+def test_media_tags_non_indexed_attr_lazy_load():
+    """media_tags accepts NON-indexed attrs (per-element fallback): the
+    lazy-loading pattern (real URL in data-src, placeholder in src) is
+    extractable by config — at crawl scale the placeholder is a 1px
+    gif and data-src is where the image lives."""
+    from hquery_php_spark.core.doc import HDoc
+    from hquery_php_spark.core.extract import ExtractOptions, extract_spans
+
+    h = (
+        "<html><body><p>intro</p>"
+        '<img class="lazy" src="/ph.gif" data-src="/real/photo1.jpg">'
+        '<img src="/eager.png"></body></html>'
+    )
+    doc = HDoc(h.encode(), "https://site.ex/")
+    opts = ExtractOptions(media_tags=(("img", "data-src"),))
+    refs = [s.media_ref for s in extract_spans(doc, opts) if s.kind == "media"]
+    assert refs == ["https://site.ex/real/photo1.jpg"]
+    # boolean/absent attrs never emit a ref
+    opts2 = ExtractOptions(media_tags=(("img", "loading"), ("img", "nope")))
+    doc2 = HDoc(b'<img loading src="/x.png">', "https://s.ex/")
+    assert [
+        s for s in extract_spans(doc2, opts2) if s.kind == "media"
+    ] == []
