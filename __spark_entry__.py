@@ -4274,11 +4274,23 @@ def _sitemap_xml() -> F.Column:
     """sitemapindex every 5th doc, urlset (2 urls, second minimal)
     otherwise."""
     sid = F.col("doc_id").cast("string")
+    # first url carries the Google image extension (and a video one on
+    # every 3rd doc) — the sitemap_media discovery surface
+    video = F.when(
+        F.pmod(F.col("doc_id"), F.lit(3)) == 0,
+        F.concat(
+            F.lit("<video:video><video:content_loc>https://v.example.com/"),
+            sid, F.lit(".mp4</video:content_loc></video:video>"),
+        ),
+    ).otherwise(F.lit(""))
     urlset = F.concat(
         F.lit("<urlset><url><loc>https://example.com/docs/"), sid,
         F.lit(".html</loc><lastmod>2024-01-01</lastmod><changefreq>daily"
-              "</changefreq><priority>0.8</priority></url>"
-              "<url><loc>https://example.com/alt/"), sid,
+              "</changefreq><priority>0.8</priority>"
+              "<image:image><image:loc>https://img.example.com/"), sid,
+        F.lit("-a.jpg</image:loc><image:title>Img "), sid,
+        F.lit("</image:title></image:image>"), video,
+        F.lit("</url><url><loc>https://example.com/alt/"), sid,
         F.lit("</loc></url></urlset>"),
     )
     smidx = F.concat(
@@ -4297,6 +4309,20 @@ def q_sitemap_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         _sitemap_xml().alias("xml"),
     )
     return sitemap_entries_df(d)
+
+
+def q_sitemap_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Google image/video sitemap extensions: one row per declared
+    media resource (operators/feeds.parse_sitemap_media — namespaced
+    tags read off the engine's tag index, owners resolved by interval
+    containment)."""
+    from hquery_php_spark.operators.feeds import sitemap_media_df
+
+    d = _spread(_docs(spark, sf_dir), spark).select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        _sitemap_xml().alias("xml"),
+    )
+    return sitemap_media_df(d)
 
 
 _ROBOTS_HOSTS = 97  # distinct robots.txt hosts in the synthetic corpus
@@ -4436,6 +4462,19 @@ def q_webfeed_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max(F.when(F.col("ord") == 0, F.col("priority"))).alias("priority1"),
         )
     )
+    md = (
+        q_sitemap_media(spark, sf_dir)
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("int").alias("n_media_locs"),
+            F.max(F.when(F.col("kind") == "image", F.col("loc"))).alias(
+                "img1_loc"
+            ),
+            F.max(F.when(F.col("kind") == "video", F.col("loc"))).alias(
+                "vid1_loc"
+            ),
+        )
+    )
     rb = q_robots_filter(spark, sf_dir).select("doc_id", "url", "allowed")
     fr = q_frontier(spark, sf_dir)
     f1 = fr.select(
@@ -4448,6 +4487,8 @@ def q_webfeed_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         feeds.join(sm, "doc_id")
+        .join(md, "doc_id", "left")  # sitemapindex docs declare no media
+        .withColumn("n_media_locs", F.coalesce("n_media_locs", F.lit(0)))
         .join(rb, "doc_id")
         .join(f1, "loc1")
         .join(f2, "e1_link")
@@ -4513,7 +4554,8 @@ SUITE_COVERS = {
     # (and extract_spans / media_suite) already value-pins individually
     "struct_suite": ["html_markdown", "table_extract", "sentence_segment",
                      "section_chunks", "extract_all"],
-    "webfeed_suite": ["feed_parse", "sitemap_parse", "robots_filter",
+    "webfeed_suite": ["feed_parse", "sitemap_parse", "sitemap_media",
+                      "robots_filter",
                       "frontier"],
 }
 
@@ -4616,6 +4658,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sentence_segment": q_sentence_segment,
         "feed_parse": q_feed_parse,
         "sitemap_parse": q_sitemap_parse,
+        "sitemap_media": q_sitemap_media,
         "robots_filter": q_robots_filter,
         "frontier": q_frontier,
         "section_chunks": q_section_chunks,
@@ -5995,6 +6038,20 @@ def _base_oracle_sql() -> dict[str, str]:
         "section_chunks": _section_chunks_sql(),
         "feed_parse": _feed_parse_sql(),
         "sitemap_parse": _sitemap_parse_sql(),
+        # Google image/video sitemap extensions: image on every urlset
+        # doc's first url, video on every 3rd; sitemapindex docs none
+        "sitemap_media": """
+            SELECT CAST(doc_id AS VARCHAR) AS doc_id, CAST(0 AS INT) AS ord,
+                   'image' AS kind,
+                   'https://img.example.com/' || doc_id || '-a.jpg' AS loc,
+                   'Img ' || doc_id AS title
+            FROM documents WHERE doc_id % 5 != 0
+            UNION ALL
+            SELECT CAST(doc_id AS VARCHAR), CAST(0 AS INT), 'video',
+                   'https://v.example.com/' || doc_id || '.mp4',
+                   CAST(NULL AS VARCHAR)
+            FROM documents WHERE doc_id % 5 != 0 AND doc_id % 3 = 0
+        """,
         "robots_filter": _robots_filter_sql(),
         "frontier": _frontier_sql(),
         "unigram_train": _unigram_train_sql(),
@@ -6146,16 +6203,23 @@ def oracle_sql() -> dict[str, str]:
                      max(CASE WHEN ord = 0 THEN priority END) AS priority1
               FROM ({base['sitemap_parse']}) GROUP BY doc_id),
         r AS (SELECT doc_id, url, allowed FROM ({base['robots_filter']})),
-        fr AS (SELECT url, priority, fetch_order FROM ({base['frontier']}))
+        fr AS (SELECT url, priority, fetch_order FROM ({base['frontier']})),
+        md AS (SELECT doc_id, CAST(count(*) AS INT) AS n_media_locs,
+                      max(CASE WHEN kind = 'image' THEN loc END) AS img1_loc,
+                      max(CASE WHEN kind = 'video' THEN loc END) AS vid1_loc
+               FROM ({base['sitemap_media']}) GROUP BY doc_id)
         SELECT f.doc_id, f.feed_kind, f.feed_title, f.n_entries,
                f.e1_title, f.e1_link, f.e1_id, f.e2_title, f.e2_updated,
                s.sm_kind, s.n_locs, s.loc1, s.lastmod1, s.priority1,
+               COALESCE(md.n_media_locs, 0) AS n_media_locs,
+               md.img1_loc, md.vid1_loc,
                r.url, r.allowed,
                fr1.priority AS f_priority,
                CAST(fr1.fetch_order AS INT) AS f_rank,
                CAST(fr2.fetch_order AS INT) AS f2_rank
         FROM f
         JOIN s USING (doc_id)
+        LEFT JOIN md USING (doc_id)
         JOIN r USING (doc_id)
         JOIN fr fr1 ON fr1.url = s.loc1
         JOIN fr fr2 ON fr2.url = f.e1_link

@@ -32,10 +32,13 @@ from ..core.doc import HDoc
 __all__ = [
     "FeedEntry",
     "SitemapEntry",
+    "SitemapMedia",
     "parse_feed",
     "parse_sitemap",
+    "parse_sitemap_media",
     "feed_entries_df",
     "sitemap_entries_df",
+    "sitemap_media_df",
 ]
 
 
@@ -198,3 +201,110 @@ def sitemap_entries_df(df, xml_col: str = "xml", id_col: str = "doc_id"):
         df, id_col, xml_col, parse_sitemap,
         ["loc", "lastmod", "changefreq", "priority"], kinded=False,
     )
+
+
+class SitemapMedia(NamedTuple):
+    ord: int  # index of the owning <url> entry
+    kind: str  # 'image' | 'video'
+    loc: Optional[str]
+    title: Optional[str]
+
+
+# media container -> (loc tag, title tag) per the Google sitemap
+# image/video extensions (sitemaps.org namespace docs)
+_MEDIA_TAGS = {
+    "image": ("image:image", "image:loc", "image:title"),
+    "video": ("video:video", "video:content_loc", "video:title"),
+}
+
+
+def parse_sitemap_media(xml) -> List[SitemapMedia]:
+    """Google image/video sitemap extensions: [SitemapMedia(ord, kind,
+    loc, title)] per ``<url>`` entry of a urlset — the discovery channel
+    an image-text corpus crawls (pages' media inventories are declared
+    here, not in the page markup).
+
+    Namespaced tags (``image:image`` etc.) keep their full name in the
+    engine's tag index but are not addressable through the CSS selector
+    grammar (``:`` starts a pseudo), so this walk reads ``tag_idx``
+    directly and associates media containers to their owning <url> by
+    interval containment — the same positional model as everything else.
+    Fault-tolerant: non-sitemap input returns []."""
+    doc = _doc(xml)
+    if doc is None or not doc.find("urlset"):
+        return []
+    urls = doc.find("url")
+    if not urls:
+        return []
+    idx = doc.index
+    url_iv = sorted(urls.ids.items())  # [(b, e)] per entry, doc order
+
+    def _tag_text(lo: int, hi: int, name: str) -> Optional[str]:
+        for cb, ce in (idx.tag_idx.get(name) or {}).items():
+            if lo < cb < hi and cb < ce:
+                t = idx.html[cb + 1 : ce].decode("utf-8", "replace")
+                if "&" in t:
+                    t = _htmlmod.unescape(t)
+                t = " ".join(t.split())
+                return t or None
+        return None
+
+    out: List[SitemapMedia] = []
+    for kind, (container, loc_tag, title_tag) in _MEDIA_TAGS.items():
+        for b, e in (idx.tag_idx.get(container) or {}).items():
+            if b >= e:
+                continue
+            ordi = None
+            for i, (ub, ue) in enumerate(url_iv):
+                if ub < b < ue:
+                    ordi = i
+                    break
+            if ordi is None:
+                continue
+            out.append(
+                SitemapMedia(
+                    ordi,
+                    kind,
+                    _tag_text(b, e, loc_tag),
+                    _tag_text(b, e, title_tag),
+                )
+            )
+    out.sort(key=lambda m: (m.ord, m.kind, m.loc or ""))
+    return out
+
+
+def sitemap_media_df(df, xml_col: str = "xml", id_col: str = "doc_id"):
+    """One row per declared media resource: (id, ord, kind, loc,
+    title) — Arrow-batched mapInPandas, parse cost ∝ sitemap documents,
+    zero shuffles."""
+    import pandas as pd
+    from pyspark.sql.types import (
+        IntegerType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField(id_col, df.schema[id_col].dataType),
+            StructField("ord", IntegerType()),
+            StructField("kind", StringType()),
+            StructField("loc", StringType()),
+            StructField("title", StringType()),
+        ]
+    )
+
+    def run(batches):
+        for pdf in batches:
+            rows = {f.name: [] for f in schema.fields}
+            for i, x in zip(pdf[id_col].tolist(), pdf[xml_col].tolist()):
+                for m in parse_sitemap_media(x):
+                    rows[id_col].append(i)
+                    rows["ord"].append(m.ord)
+                    rows["kind"].append(m.kind)
+                    rows["loc"].append(m.loc)
+                    rows["title"].append(m.title)
+            yield pd.DataFrame(rows)
+
+    return df.select(id_col, xml_col).mapInPandas(run, schema)

@@ -256,3 +256,40 @@ def test_robots_rules_df_surfaces_sitemaps(spark):
         "https://a.com/sm1.xml", "https://a.com/sm2.xml"
     ]
     assert rows["b.com"]["sitemaps"] == []
+
+
+def test_parse_sitemap_media_extensions():
+    from hquery_php_spark.operators.feeds import parse_sitemap_media
+
+    x = (
+        '<?xml version="1.0"?><urlset><url><loc>https://ex.com/p1</loc>'
+        "<image:image><image:loc>https://ex.com/i1.jpg</image:loc>"
+        "<image:title>T &amp; 1</image:title></image:image>"
+        "<image:image><image:loc>https://ex.com/i2.jpg</image:loc>"
+        "</image:image>"
+        "<video:video><video:content_loc>https://ex.com/v.mp4"
+        "</video:content_loc><video:title>V</video:title></video:video>"
+        "</url><url><loc>https://ex.com/p2</loc>"
+        "<image:image><image:loc>https://ex.com/i3.jpg</image:loc>"
+        "</image:image></url></urlset>"
+    )
+    got = parse_sitemap_media(x)
+    assert [(m.ord, m.kind, m.loc, m.title) for m in got] == [
+        (0, "image", "https://ex.com/i1.jpg", "T & 1"),
+        (0, "image", "https://ex.com/i2.jpg", None),
+        (0, "video", "https://ex.com/v.mp4", "V"),
+        (1, "image", "https://ex.com/i3.jpg", None),
+    ]
+    # media tags never leak into the plain entry parse
+    from hquery_php_spark.operators.feeds import parse_sitemap
+
+    kind, entries = parse_sitemap(x)
+    assert kind == "urlset"
+    assert [e.loc for e in entries] == [
+        "https://ex.com/p1",
+        "https://ex.com/p2",
+    ]
+    # non-sitemaps and soup: empty, never raises
+    assert parse_sitemap_media("<p>nope</p>") == []
+    assert parse_sitemap_media(None) == []
+    assert parse_sitemap_media("<urlset><url><image:image>") == []
