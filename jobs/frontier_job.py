@@ -36,6 +36,10 @@ import argparse
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--output", required=True)
+    ap.add_argument("--media-output", default=None,
+                    help="also emit a politeness-partitioned MEDIA fetch "
+                         "queue from the sitemaps' image:/video: "
+                         "extensions (the image-text-corpus channel)")
     ap.add_argument("--seeds", default=None)
     ap.add_argument("--sitemaps", default=None)
     ap.add_argument("--feeds", default=None)
@@ -139,6 +143,37 @@ def main() -> None:
         # linear anti-join (no forced broadcast: the fetched set is
         # corpus-proportional); AQE broadcasts when actually small
         fr = fr.join(done, "url", "left_anti")
+
+    if args.media_output:
+        if not args.sitemaps:
+            raise SystemExit("--media-output needs --sitemaps")
+        from hquery_php_spark.operators.feeds import sitemap_media_df
+
+        media = sitemap_media_df(spark.read.parquet(args.sitemaps)).where(
+            F.col("loc").isNotNull()
+        )
+        mcands = media.select(
+            F.col("loc").alias("url"),
+            # declared media ranks below page outlinks is wrong — it IS
+            # the payload; reuse 'sitemap' weight so webmaster-declared
+            # media outranks crawled links, same as declared pages
+            F.lit("sitemap").alias("source_kind"),
+            F.lit(0).cast("long").alias("priority_micro"),
+        )
+        mfr = frontier_df(mcands, rules, n_host_buckets=args.host_buckets)
+        if args.fetched_ledger:
+            done_m = spark.read.parquet(args.fetched_ledger).select(
+                canonical_url(F.col("url")).alias("url")
+            )
+            mfr = mfr.join(done_m, "url", "left_anti")
+        mfr.write.mode("overwrite").partitionBy("host_bucket").parquet(
+            args.media_output
+        )
+        try:
+            nm = spark.read.parquet(args.media_output).count()
+        except Exception:
+            nm = 0
+        print(f"media frontier committed: {nm} urls -> {args.media_output}")
 
     fr.write.mode("overwrite").partitionBy("host_bucket").parquet(args.output)
     try:

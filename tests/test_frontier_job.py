@@ -33,7 +33,9 @@ def test_frontier_job_end_to_end(tmp_path):
             "doc_id": [1, 2, 3],
             "xml": [
                 "<urlset><url><loc>https://h0.com/sm1</loc>"
-                "<priority>0.9</priority></url></urlset>",
+                "<priority>0.9</priority>"
+                "<image:image><image:loc>https://img.h0.com/a.jpg"
+                "</image:loc></image:image></url></urlset>",
                 "<urlset><url><loc>https://h1.com/no/sm2</loc></url>"
                 "</urlset>",
                 # index file: its child sitemap loc must become a
@@ -55,13 +57,21 @@ def test_frontier_job_end_to_end(tmp_path):
         }
     ).to_parquet(robots)
     out = tmp_path / "frontier"
+    mout = tmp_path / "media_frontier"
 
     r = _submit(
         zipf,
         ["--output", str(out), "--seeds", str(seeds), "--sitemaps",
-         str(sitemaps), "--robots", str(robots), "--host-buckets", "4"],
+         str(sitemaps), "--robots", str(robots), "--host-buckets", "4",
+         "--media-output", str(mout)],
     )
     assert r.returncode == 0, r.stderr[-2000:]
+    # the sitemap's image extension becomes a media fetch queue with
+    # the same politeness layout
+    mdf = pd.read_parquet(mout)
+    assert set(mdf["url"]) == {"https://img.h0.com/a.jpg"}
+    assert set(mdf["host"]) == {"img.h0.com"}
+    assert list(mdf["fetch_order"]) == [0]
     df = pd.read_parquet(out)
     urls = set(df["url"])
     assert "https://h0.com/sm1" in urls
