@@ -9,6 +9,7 @@ consumes (operators/frontier.py):
     spark-submit --py-files /tmp/hquery_php_spark.zip \
         jobs/frontier_job.py \
         --output /path/frontier \
+        [--media-output /path/media_frontier]  # image:/video: queue
         [--seeds /path/seeds.parquet]          # (url)
         [--sitemaps /path/sitemaps.parquet]    # (doc_id, xml)
         [--feeds /path/feeds.parquet]          # (doc_id, xml)
