@@ -48,6 +48,9 @@ class _StdlibMd(HTMLParser):
             self.list_items = []
             self.ordered = tag == "ol"
         elif tag == "li":
+            # implicit close of an unclosed previous item (HTML5)
+            if self.buf is not None and self.list_items is not None:
+                self.list_items.append(_collapse("".join(self.buf)))
             self.buf = []
         elif tag == "blockquote":
             self.mode.append(tag)
@@ -70,8 +73,17 @@ class _StdlibMd(HTMLParser):
         elif tag == "table":
             self.table = []
         elif tag == "tr" and self.table is not None:
+            if self.cell is not None:  # implicit close of open cell
+                self.table[-1].append(
+                    _collapse("".join(self.cell)).replace("|", "\\|")
+                )
+                self.cell = None
             self.table.append([])
         elif tag in ("td", "th") and self.table is not None:
+            if self.cell is not None:  # implicit close of open cell
+                self.table[-1].append(
+                    _collapse("".join(self.cell)).replace("|", "\\|")
+                )
             self.cell = []
 
     def handle_endtag(self, tag):
@@ -98,9 +110,13 @@ class _StdlibMd(HTMLParser):
                     self.mode.pop()
             self.buf = None
         elif tag == "li":
-            self.list_items.append(_collapse("".join(self.buf)))
+            if self.buf is not None:
+                self.list_items.append(_collapse("".join(self.buf)))
             self.buf = None
         elif tag in ("ul", "ol"):
+            if self.buf is not None:  # implicit close of unclosed item
+                self.list_items.append(_collapse("".join(self.buf)))
+                self.buf = None
             if self.list_items:
                 if self.ordered:
                     self.blocks.append(
@@ -132,7 +148,18 @@ class _StdlibMd(HTMLParser):
                 _collapse("".join(self.cell)).replace("|", "\\|")
             )
             self.cell = None
+        elif tag == "tr" and self.table is not None:
+            if self.cell is not None:  # implicit close of open cell
+                self.table[-1].append(
+                    _collapse("".join(self.cell)).replace("|", "\\|")
+                )
+                self.cell = None
         elif tag == "table":
+            if self.cell is not None:  # implicit closes at table end
+                self.table[-1].append(
+                    _collapse("".join(self.cell)).replace("|", "\\|")
+                )
+                self.cell = None
             rows = self.table
             if rows:
                 ncol = max(len(r) for r in rows)
@@ -224,7 +251,11 @@ def _gen_block(rnd):
     if r < 0.65:
         tag = rnd.choice(["ul", "ol"])
         items = "".join(
-            f"<li>{_gen_inline(rnd)}</li>" for _ in range(rnd.randint(1, 3))
+            # HTML5 optional close tags: every item independently
+            # closed or unclosed — both walks must agree either way
+            f"<li>{_gen_inline(rnd)}"
+            + ("</li>" if rnd.random() < 0.5 else "")
+            for _ in range(rnd.randint(1, 3))
         )
         return f"<{tag}>{items}</{tag}>"
     if r < 0.75:
@@ -233,18 +264,23 @@ def _gen_block(rnd):
         return f"<pre>x = {rnd.randint(0, 99)}\n  y = 2</pre>"
     if r < 0.92:
         return "<hr>"
+    def cell(txt):
+        return f"<td>{txt}" + ("</td>" if rnd.random() < 0.5 else "")
+
     rows = "".join(
-        "<tr>" + "".join(
-            f"<td>v{rnd.randint(0, 9)}</td>" for _ in range(2)
-        ) + "</tr>"
+        "<tr>"
+        + "".join(cell(f"v{rnd.randint(0, 9)}") for _ in range(2))
+        + ("</tr>" if rnd.random() < 0.5 else "")
         for _ in range(2)
     )
-    return f"<table><tr><th>a</th><th>b</th></tr>{rows}</table>"
+    head = "<tr><th>a</th><th>b" + ("</th>" if rnd.random() < 0.5 else "")
+    head += "</tr>" if rnd.random() < 0.5 else ""
+    return f"<table>{head}{rows}</table>"
 
 
 def test_differential_random_documents():
     rnd = random.Random(1234)
-    for trial in range(80):
+    for trial in range(240):
         body = "".join(_gen_block(rnd) for _ in range(rnd.randint(1, 6)))
         html = f"<html><body>{body}</body></html>"
         ours = render_markdown(html)
