@@ -35,10 +35,12 @@ class _StdlibTables(HTMLParser):
                 {"no": self.n_tables - 1, "row": -1, "occ": {}, "col": 0}
             )
         elif tag == "tr" and self.tables:
+            self._flush_cell()  # implicit close of an open cell (HTML5)
             t = self.tables[-1]
             t["row"] += 1
             t["col"] = 0
         elif tag in ("td", "th") and self.tables:
+            self._flush_cell()  # implicit close of an open cell (HTML5)
             t = self.tables[-1]
 
             def spn(k):
@@ -59,14 +61,21 @@ class _StdlibTables(HTMLParser):
                     ro[t["col"] + dc] = True
             t["col"] += cs
 
-    def handle_endtag(self, tag):
-        if tag in ("td", "th") and self.cell:
+    def _flush_cell(self):
+        if self.cell:
             t, r, c, rs, cs, hdr, buf = self.cell
             self.done.append(
                 (t["no"], r, c, rs, cs, hdr, " ".join("".join(buf).split()))
             )
             self.cell = None
+
+    def handle_endtag(self, tag):
+        if tag in ("td", "th") and self.cell:
+            self._flush_cell()
+        elif tag == "tr":
+            self._flush_cell()  # implicit close of an open cell
         elif tag == "table" and self.tables:
+            self._flush_cell()
             self.tables.pop()
 
     def handle_data(self, data):
@@ -94,8 +103,10 @@ def _gen_table(rnd, table_no_hint=0, depth=0):
             if rnd.random() < 0.25:
                 attrs += f' colspan="{rnd.randint(1, 2)}"'
             txt = f"c{r}{c}" + (" &amp; x" if rnd.random() < 0.2 else "")
-            out.append(f"<{tag}{attrs}>{txt}</{tag}>")
-        out.append("</tr>")
+            close = f"</{tag}>" if rnd.random() < 0.5 else ""
+            out.append(f"<{tag}{attrs}>{txt}{close}")
+        if rnd.random() < 0.5:
+            out.append("</tr>")
     out.append("</table>")
     return "".join(out)
 
